@@ -1,0 +1,128 @@
+"""Analysis chains: composition of tokenize -> possessive -> lowercase ->
+stopword -> Porter stem, mirroring the reference's English chain
+(reference: analysis/common/src/java/org/apache/lucene/analysis/en/
+EnglishAnalyzer.java:102-110: StandardTokenizer | EnglishPossessiveFilter |
+LowerCaseFilter | StopFilter | PorterStemFilter).
+
+Analyzers are plain callables-with-state; the indexing stage instantiates one
+per Ray actor (setup once per worker, work per batch) and memoizes the
+per-token filter chain in a dict so the Zipf head of the vocabulary is
+processed once.
+
+Two built-in analyzers:
+
+* ``standard_en`` — the reference-faithful chain above.
+* ``simple`` — lowercase + ``[a-z0-9]+`` extraction; exists so that the
+  DuckDB correctness oracle can express the exact same tokenization in ANSI
+  SQL (``regexp_extract_all(lower(text), '[a-z0-9]+')``).
+
+Extension surface: register any object with ``analyze(text) -> list[str]``
+via :func:`register_analyzer` (reference analogue: Analyzer/TokenFilter SPI,
+core/src/java/org/apache/lucene/analysis/Analyzer.java).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional
+
+from .porter import porter_stem
+from .tokenize import tokenize
+
+#: The reference's 33-word default English stop set
+#: (analysis/common/.../en/EnglishAnalyzer.java:46-53).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+_APOSTROPHES = ("'s", "’s", "＇s", "'S", "’S", "＇S")
+
+# Java Character.toLowerCase is the *simple* (1:1 codepoint) case mapping;
+# Python str.lower() applies full case mapping. The only common divergence is
+# dotted capital I (U+0130) which full-maps to "i" + combining dot.
+_SIMPLE_LOWER_OVERRIDES = {"İ": "i"}
+
+
+def strip_possessive(token: str) -> str:
+    """EnglishPossessiveFilter: drop a trailing ['’＇][sS] (2 chars)
+    (reference: analysis/common/.../en/EnglishPossessiveFilter.java:33-50)."""
+    if len(token) >= 2 and token.endswith(_APOSTROPHES):
+        return token[:-2]
+    return token
+
+
+def lowercase(token: str) -> str:
+    """Per-codepoint simple lowercase (LowerCaseFilter semantics, reference:
+    core/.../analysis/LowerCaseFilter.java:36-43)."""
+    if token.isascii():
+        return token.lower()
+    out = []
+    for ch in token:
+        low = _SIMPLE_LOWER_OVERRIDES.get(ch)
+        if low is None:
+            low = ch.lower()
+            if len(low) > 1:  # full mapping expanded; keep 1:1 semantics
+                low = low[0]
+        out.append(low)
+    return "".join(out)
+
+
+class StandardEnglishAnalyzer:
+    """tokenize -> possessive -> lowercase -> stop -> porter, memoized."""
+
+    name = "standard_en"
+
+    def __init__(self, stopwords: Optional[frozenset] = None, stem: bool = True):
+        self.stopwords = ENGLISH_STOP_WORDS if stopwords is None else stopwords
+        self.stem = stem
+        # raw token -> final term, or None when the token is a stopword
+        self._cache: Dict[str, Optional[str]] = {}
+
+    def _term(self, raw: str) -> Optional[str]:
+        cache = self._cache
+        if raw in cache:
+            return cache[raw]
+        tok = lowercase(strip_possessive(raw))
+        if tok in self.stopwords:
+            term = None
+        elif self.stem:
+            term = porter_stem(tok)
+        else:
+            term = tok
+        cache[raw] = term
+        return term
+
+    def analyze(self, text: str) -> List[str]:
+        term = self._term
+        return [t for t in (term(r) for r in tokenize(text)) if t is not None]
+
+
+class SimpleAnalyzer:
+    """lower(text) then extract [a-z0-9]+ runs — SQL-parity analyzer."""
+
+    name = "simple"
+    _RE = re.compile(r"[a-z0-9]+")
+
+    def analyze(self, text: str) -> List[str]:
+        return self._RE.findall(text.lower())
+
+
+_REGISTRY: Dict[str, Callable[[], object]] = {
+    "standard_en": StandardEnglishAnalyzer,
+    "standard_en_nostem": lambda: StandardEnglishAnalyzer(stem=False),
+    "simple": SimpleAnalyzer,
+}
+
+
+def register_analyzer(name: str, factory: Callable[[], object]) -> None:
+    _REGISTRY[name] = factory
+
+
+def make_analyzer(name: str):
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None

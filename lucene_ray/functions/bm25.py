@@ -1,0 +1,104 @@
+"""BM25 scoring kernels.
+
+Two scorers over the same (tf, norm-key) posting payloads:
+
+* :class:`BM25Float32` — bit-faithful to the reference formulas
+  (reference: core/src/java/org/apache/lucene/search/similarities/
+  BM25Similarity.java):
+    - idf   = (float) ln(1 + (N - n + 0.5)/(n + 0.5))    (:101-104, double->float)
+    - avgdl = (float) (sumTotalTermFreq / docCount)       (:106-109)
+    - cache[j] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[j] / avgdl))  (:179-185)
+    - score = w - w / (1 + freq * cache[norm]),  w = boost * idf      (:221-237)
+  every arithmetic step is kept in np.float32 — the ``w - w/(1+f*inv)``
+  rewrite is load-bearing for exactness. Norm key = SmallFloat byte4 of the
+  document length.
+
+* :class:`BM25Float64` — same model evaluated in float64 with the *exact*
+  document length as the norm key and the textbook op order
+  ``idf * tf / (tf + k1*(1 - b + b*dl/avgdl))``; this is arithmetic DuckDB can
+  reproduce literally, giving a hash-exact SQL oracle for end-to-end runs.
+
+Both expose ``score_array(tfs, keys)`` (vectorized bulk scoring) and
+``max_score(frontier)`` (block upper bound from a competitive (tf, key)
+impact frontier) so WAND-style pruning is scorer-agnostic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+class BM25Float32:
+    """Per-(term, field) scorer; instantiate once per query term."""
+
+    dtype = np.float32
+    norm_kind = "byte4"  # posting key column = SmallFloat byte of doc length
+
+    def __init__(self, doc_count: int, sum_total_tf: int, doc_freq: int,
+                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+                 boost: float = 1.0):
+        # idf computed in double then narrowed, like the reference
+        idf64 = math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        self.idf = np.float32(idf64)
+        avgdl = np.float32(sum_total_tf / float(doc_count))
+        k1f = np.float32(k1)
+        bf = np.float32(b)
+        one = np.float32(1.0)
+        # cache[j] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[j] / avgdl))
+        self.cache = (one / (k1f * ((one - bf) + (bf * LENGTH_TABLE) / avgdl))
+                      ).astype(np.float32)
+        self.weight = np.float32(boost) * self.idf
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Bulk score: tfs int array, keys = norm bytes (0..255)."""
+        freq = tfs.astype(np.float32)
+        inv = self.cache[keys.astype(np.int64)]
+        w = self.weight
+        return w - w / (np.float32(1.0) + freq * inv)
+
+    def max_score(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        return float(self.score_array(frontier_tfs, frontier_keys).max())
+
+
+class BM25Float64:
+    """SQL-parity scorer: float64, exact doc length as the norm key."""
+
+    dtype = np.float64
+    norm_kind = "exact"  # posting key column = exact doc length (int)
+
+    def __init__(self, doc_count: int, sum_total_tf: int, doc_freq: int,
+                 k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+                 boost: float = 1.0):
+        self.idf = math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        self.avgdl = sum_total_tf / float(doc_count)
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.weight = float(boost) * self.idf
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = keys.astype(np.float64)
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        return self.weight * (tf / denom)
+
+    def max_score(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        return float(self.score_array(frontier_tfs, frontier_keys).max())
+
+
+SCORERS = {"byte4": BM25Float32, "exact": BM25Float64}
+
+
+def make_scorer(norm_kind: str, doc_count: int, sum_total_tf: int,
+                doc_freq: int, **kw):
+    return SCORERS[norm_kind](doc_count, sum_total_tf, doc_freq, **kw)
