@@ -1,0 +1,407 @@
+"""Query model + top-k BM25 execution kernels.
+
+Query surface (phrase-free per the north rule): term queries and boolean
+combinations MUST / SHOULD / MUST_NOT with ``minimum_should_match``
+(reference: core/src/java/org/apache/lucene/search/BooleanQuery.java:40-105,
+TermQuery.java:120-164). Semantics implemented:
+
+* candidates: intersection of MUST terms (all required); if no MUST clauses,
+  union of SHOULD terms matching at least ``max(1, msm)`` of them; with MUST
+  clauses and msm>0, candidates must additionally match >= msm SHOULD terms.
+* MUST_NOT excludes; scoring = sum of BM25 scores of matching MUST + SHOULD
+  terms, accumulated in sorted-unique-term order (fixed order makes float32
+  sums reproducible; the reference's own sum order is heap-dependent, so we
+  pin ours and the oracle to the same canonical order).
+* ties: (score desc, doc_id asc), global docIDs make this total
+  (reference: TopScoreDocCollector.java:26-28, TopDocs.java:75-122).
+
+Two executors, required to be result-identical (tested dumb-vs-smart, the
+reference's TestWANDScorer pattern):
+
+* :func:`score_exhaustive` — decode every posting block, vectorized.
+* :func:`score_blockmax` — block-max pruned. Instead of a per-doc WAND loop
+  (slow in Python), doc space is cut into elementary intervals on posting
+  *block* boundaries; each interval's upper bound is the sum of the active
+  blocks' impact-frontier max scores (reference: MaxScoreCache.java:137-158,
+  ImpactsDISI.java:67-99, WANDScorer.java:31-153). Intervals are processed in
+  descending upper bound ("impact ordering") so the top-k threshold rises
+  fast; an interval is skipped when its bound is below the current kth score.
+  Bounds are padded by the worst-case float32 accumulation error, mirroring
+  the reference's round-up of max scores vs round-down of the competitive
+  threshold (WANDScorer.java:90-120) — pruning stays conservative, so top-k
+  is exact.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bm25 import make_scorer
+
+# ---------------------------------------------------------------------------
+# Query model + mini parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    must: Tuple[str, ...] = ()
+    should: Tuple[str, ...] = ()
+    must_not: Tuple[str, ...] = ()
+    minimum_should_match: int = 0
+
+
+def parse_query(text: str, analyzer) -> BooleanQuery:
+    """Tiny query parser for the reference query set: bare terms (SHOULD),
+    ``+term`` (MUST), ``-term`` (MUST_NOT), and the connectives AND / OR /
+    NOT between bare terms (reference analogue: the classic QueryParser's
+    term/boolean subset, queryparser/.../classic/QueryParserBase.java:133).
+    Terms are analyzed by the same chain as indexing; a query token that
+    analyzes to nothing (stopword) is dropped."""
+    must: List[str] = []
+    should: List[str] = []
+    must_not: List[str] = []
+    mode_all = False
+    tokens = text.split()
+    neg_next = False
+    for raw in tokens:
+        up = raw.upper()
+        if up == "AND":
+            mode_all = True
+            continue
+        if up == "OR":
+            continue
+        if up == "NOT":
+            neg_next = True
+            continue
+        dest = should
+        if raw.startswith("+"):
+            dest, raw = must, raw[1:]
+        elif raw.startswith("-") and len(raw) > 1 and not raw[1].isdigit():
+            dest, raw = must_not, raw[1:]
+        if neg_next:
+            dest = must_not
+            neg_next = False
+        for term in analyzer.analyze(raw):
+            dest.append(term)
+    if mode_all:
+        must.extend(should)
+        should = []
+    return BooleanQuery(
+        must=tuple(must), should=tuple(should), must_not=tuple(must_not)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-term cursor over a term's (possibly bucket-split) posting blobs
+# ---------------------------------------------------------------------------
+
+
+class TermCursor:
+    """Flattens a term's bucket blobs into one global block sequence with
+    per-block (first_doc, last_doc, max_score) arrays — our MaxScoreCache."""
+
+    def __init__(self, term: str, postings_list, scorer):
+        self.term = term
+        self.scorer = scorer
+        self._parts = postings_list
+        self._block_map: List[Tuple[int, int]] = []  # global b -> (part, local b)
+        firsts, lasts, maxs = [], [], []
+        for pi, tp in enumerate(postings_list):
+            for lb in range(tp.n_blocks):
+                self._block_map.append((pi, lb))
+                maxs.append(
+                    scorer.max_score(tp.frontier_tfs[lb], tp.frontier_keys[lb])
+                    if scorer is not None
+                    else 0.0
+                )
+            firsts.append(tp.first_docs)
+            lasts.append(tp.last_docs)
+        self.first_docs = (
+            np.concatenate(firsts) if firsts else np.empty(0, dtype=np.int64)
+        )
+        self.last_docs = (
+            np.concatenate(lasts) if lasts else np.empty(0, dtype=np.int64)
+        )
+        self.block_max = np.asarray(maxs, dtype=np.float64)
+        self.df = sum(tp.df for tp in postings_list)
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self._block_map)
+
+    def scored_block(self, b: int) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (doc_ids, scores) of block b, decoded+scored once, cached."""
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        pi, lb = self._block_map[b]
+        docs, tfs, keys = self._parts[pi].decode_block(lb)
+        scores = self.scorer.score_array(tfs, keys)
+        self._cache[b] = (docs, scores)
+        return docs, scores
+
+    def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n_blocks == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        parts = [self.scored_block(b) for b in range(self.n_blocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def docs_in(self, lo: int, hi: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(docs, scores) with lo <= doc <= hi, using block skip data."""
+        if self.n_blocks == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        b0 = int(np.searchsorted(self.last_docs, lo))
+        b1 = int(np.searchsorted(self.first_docs, hi, side="right"))
+        out_d, out_s = [], []
+        for b in range(b0, b1):
+            docs, scores = self.scored_block(b)
+            i = int(np.searchsorted(docs, lo))
+            j = int(np.searchsorted(docs, hi, side="right"))
+            if i < j:
+                out_d.append(docs[i:j])
+                out_s.append(scores[i:j])
+        if not out_d:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return np.concatenate(out_d), np.concatenate(out_s)
+
+
+# ---------------------------------------------------------------------------
+# Shared combination kernel (used by both executors on full or interval data)
+# ---------------------------------------------------------------------------
+
+
+def _combine(
+    cursors_docs_scores: Sequence[Tuple[np.ndarray, np.ndarray]],
+    is_must: np.ndarray,
+    n_must: int,
+    msm: int,
+    not_docs: Optional[np.ndarray],
+    dtype,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Combine per-term (docs, scores) into (candidate docs, summed scores).
+
+    ``cursors_docs_scores`` is ordered by the canonical sorted-term order;
+    scores are accumulated in that order so float sums are reproducible.
+    """
+    if n_must:
+        cand = None
+        for (docs, _), m in zip(cursors_docs_scores, is_must):
+            if not m:
+                continue
+            cand = docs if cand is None else np.intersect1d(cand, docs)
+            if len(cand) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+        if msm > 0:
+            should_docs = [
+                d for (d, _), m in zip(cursors_docs_scores, is_must) if not m
+            ]
+            if should_docs:
+                alld = np.concatenate(should_docs)
+                u, c = np.unique(alld, return_counts=True)
+                ok = u[c >= msm]
+                cand = cand[np.isin(cand, ok, assume_unique=True)]
+            else:
+                cand = cand[:0]
+    else:
+        should_docs = [d for (d, _) in cursors_docs_scores]
+        if not should_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+        alld = np.concatenate(should_docs)
+        if len(alld) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+        u, c = np.unique(alld, return_counts=True)
+        cand = u[c >= max(1, msm)]
+    if not_docs is not None and len(not_docs) and len(cand):
+        pos = np.searchsorted(not_docs, cand)
+        pos[pos >= len(not_docs)] = len(not_docs) - 1
+        cand = cand[not_docs[pos] != cand]
+    if len(cand) == 0:
+        return cand, np.empty(0, dtype=dtype)
+    acc = np.zeros(len(cand), dtype=dtype)
+    for docs, scores in cursors_docs_scores:
+        if len(docs) == 0:
+            continue
+        pos = np.searchsorted(docs, cand)
+        pos_c = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos_c] == cand
+        if hit.any():
+            acc[hit] += scores[pos_c[hit]].astype(dtype)
+    return cand, acc
+
+
+def _topk_from(cand: np.ndarray, scores: np.ndarray, k: int):
+    if len(cand) == 0 or k <= 0:
+        return cand[:0], scores[:0]
+    s64 = scores.astype(np.float64)
+    if len(cand) > k:
+        # kth-largest score, then keep every candidate at or above it so
+        # boundary ties survive for the (score desc, doc_id asc) sort
+        kth = s64[np.argpartition(-s64, k - 1)[:k]].min()
+        mask = s64 >= kth
+        cand, scores, s64 = cand[mask], scores[mask], s64[mask]
+    order = np.lexsort((cand, -s64))[:k]
+    return cand[order], scores[order]
+
+
+# ---------------------------------------------------------------------------
+# Executors
+# ---------------------------------------------------------------------------
+
+
+def _prepare(reader, query: BooleanQuery):
+    """-> (scoring cursors in canonical order, is_must flags, not_cursors,
+    dtype) or None when a MUST term is missing from the index."""
+    if isinstance(query, TermQuery):
+        query = BooleanQuery(should=(query.term,))
+    must = sorted(set(query.must))
+    should = sorted(set(query.should) - set(must))
+    roles = [(t, True) for t in must] + [(t, False) for t in should]
+    roles.sort()  # canonical order over all scoring terms
+    cursors = []
+    is_must = []
+    for term, m in roles:
+        df, _ = reader.term_stats(term)
+        if df == 0:
+            if m:
+                return None
+            continue
+        scorer = make_scorer(
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
+        )
+        cursors.append(TermCursor(term, reader.postings(term), scorer))
+        is_must.append(m)
+    not_cursors = [
+        TermCursor(t, reader.postings(t), None)
+        for t in sorted(set(query.must_not))
+        if reader.term_stats(t)[0] > 0
+    ]
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    return cursors, np.asarray(is_must, dtype=bool), not_cursors, dtype
+
+
+class _NotCursorView:
+    """Decode-everything view of MUST_NOT terms (cheap: exclusion only)."""
+
+    @staticmethod
+    def all_docs(not_cursors) -> Optional[np.ndarray]:
+        if not not_cursors:
+            return None
+        parts = []
+        for nc in not_cursors:
+            docs, _, _ = (
+                nc._parts[0].decode_all()
+                if len(nc._parts) == 1
+                else _concat_parts(nc._parts)
+            )
+            parts.append(docs)
+        return np.unique(np.concatenate(parts)) if parts else None
+
+
+def _concat_parts(parts):
+    ds, ts, ks = zip(*(p.decode_all() for p in parts))
+    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ks)
+
+
+def score_exhaustive(reader, query, k: int = 10):
+    """Decode-everything executor — the in-engine oracle."""
+    prep = _prepare(reader, query)
+    if prep is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    cursors, is_must, not_cursors, dtype = prep
+    if len(cursors) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    per_term = [c.decode_all() for c in cursors]
+    not_docs = _NotCursorView.all_docs(not_cursors)
+    cand, acc = _combine(
+        per_term, is_must, int(is_must.sum()), query.minimum_should_match
+        if isinstance(query, BooleanQuery)
+        else 0,
+        not_docs, dtype,
+    )
+    return _topk_from(cand, acc, k)
+
+
+def score_blockmax(reader, query, k: int = 10):
+    """Block-max pruned executor; result-identical to score_exhaustive."""
+    if k <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    prep = _prepare(reader, query)
+    if prep is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    cursors, is_must, not_cursors, dtype = prep
+    n = len(cursors)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    msm = query.minimum_should_match if isinstance(query, BooleanQuery) else 0
+    n_must = int(is_must.sum())
+
+    # elementary intervals on block boundaries
+    edges = np.unique(
+        np.concatenate(
+            [c.first_docs for c in cursors] + [c.last_docs + 1 for c in cursors]
+        )
+    )
+    if len(edges) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    starts = edges[:-1]
+    # active block of term t in interval i: block b with first<=start<=last
+    bounds = np.zeros(len(starts), dtype=np.float64)
+    active_cnt_should = np.zeros(len(starts), dtype=np.int32)
+    active_all_must = np.ones(len(starts), dtype=bool)
+    for c, m in zip(cursors, is_must):
+        idx = np.searchsorted(c.last_docs, starts)  # candidate block
+        idx_c = np.minimum(idx, c.n_blocks - 1)
+        act = c.first_docs[idx_c] <= starts
+        bounds += np.where(act, c.block_max[idx_c], 0.0)
+        if m:
+            active_all_must &= act
+        else:
+            active_cnt_should += act.astype(np.int32)
+    # feasibility masks
+    feasible = bounds > 0
+    if n_must:
+        feasible &= active_all_must
+        if msm > 0:
+            feasible &= active_cnt_should >= msm
+    else:
+        feasible &= active_cnt_should >= max(1, msm)
+    # conservative pad for float32 accumulation wobble (round-up analogue)
+    pad = 1.0 + (n + 2) * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    bounds = bounds * pad
+
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id), heap[0] = worst
+    not_docs = _NotCursorView.all_docs(not_cursors) if not_cursors else None
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        per_term = [c.docs_in(lo, hi) for c in cursors]
+        cand, acc = _combine(per_term, is_must, n_must, msm, not_docs, dtype)
+        for d, s in zip(cand, acc):
+            entry = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    docs = np.array([-e[1] for e in out], dtype=np.int64)
+    scores = np.array([e[0] for e in out], dtype=dtype)
+    return docs, scores

@@ -1,0 +1,432 @@
+"""Distributed inverted-index build — the flagship Ray Data pipeline.
+
+    web_pages Dataset
+      │ select_columns (drop html early — wide-row rule)
+      │ [optional] exact dedup by url              (groupby hash bucket)
+      │ map_batches(AnalyzerStage, pyarrow, actor pool)   → posting rows
+      │       (term, doc_id, tf, key, bucket, gpart)
+      │ groupby("gpart").map_groups(SegmentEncoder)       → segment metadata
+      └ driver: sum stats, write manifest (atomic)
+
+Reference lifecycle analogue (SURVEY.md §3.1): addDocument→DWPT invert is the
+AnalyzerStage (one analyzer instance per actor ≈ per-thread
+TokenStreamComponents, core/.../analysis/Analyzer.java); the DWPT flush +
+merge collapse into the single groupby-on-term shuffle (FreqProxTermsWriter
+flush sort, index/FreqProxTermsWriter.java:83-97, plus SegmentMerger's k-way
+merge, index/SegmentMerger.java:114-147 — unnecessary here because doc IDs
+are global before the shuffle); segment files + manifest ≈ .doc/.tim +
+segments_N with two-phase commit (index/IndexWriter.java:3632).
+
+Scale design decisions (each marked in-line):
+* routing hash is crc32 (process-stable) — never Python ``hash``;
+* heavy terms are split by doc-range bucket *before* the shuffle, detected
+  from a deterministic sample (split is correctness-neutral, so sampling
+  error only shifts work balance — SURVEY.md §7.5.5);
+* per-partition checkpoints: an encoder whose ``.done.json`` matches the
+  input fingerprint skips re-encoding, making re-runs resumable;
+* partial per-batch aggregation happens inside AnalyzerStage (tf counting),
+  so the shuffle moves one row per (term, doc) — never one row per token.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.analysis import make_analyzer
+from ..functions.hashing import crc32_array
+from ..functions.smallfloat import int_to_byte4
+from ..state.segment import (
+    MANIFEST_NAME,
+    SEGMENT_DIR,
+    TERMS_SCHEMA,
+    encode_term_postings,
+    write_manifest,
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("key", pa.int32()),
+        ("bucket", pa.int32()),
+        ("gpart", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    analyzer: str = "standard_en"
+    norm_kind: str = "byte4"  # "byte4" (reference-faithful) | "exact" (SQL parity)
+    num_partitions: int = 16  # term partitions == segments == reduce tasks
+    # heavy-term skew split: a term with estimated df > threshold is split by
+    # doc-range bucket (doc_id >> bucket_shift) into independent sub-lists
+    heavy_df_threshold: Optional[int] = None  # None = no detection pass
+    bucket_shift: int = 16  # 65,536 docs per heavy bucket
+    sample_rate: float = 0.01  # detection sample (deterministic seed)
+    dedup_by_url: bool = False
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    analyzer_concurrency: Optional[int] = None  # None = let Ray size the pool
+    analyzer_batch_size: int = 2048
+
+
+class AnalyzerStage:
+    """Stateful actor: analysis chain compiled once per worker; per batch it
+    emits one posting row per (term, doc) with tf pre-aggregated (the
+    partial-aggregation rule: the shuffle never sees individual tokens)."""
+
+    def __init__(self, cfg: IndexConfig, heavy_terms: Optional[Set[str]] = None):
+        self.cfg = cfg
+        self.analyzer = make_analyzer(cfg.analyzer)
+        self.heavy = heavy_terms or set()
+        self.byte4 = cfg.norm_kind == "byte4"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column(cfg.text_col).to_pylist()
+        doc_ids = batch.column(cfg.id_col).to_numpy()
+        analyze = self.analyzer.analyze
+        out_terms: List[str] = []
+        out_docs: List[int] = []
+        out_tfs: List[int] = []
+        out_keys: List[int] = []
+        for did, text in zip(doc_ids, texts):
+            terms = analyze(text) if text else []
+            if not terms:
+                continue
+            counts = Counter(terms)
+            dl = len(terms)
+            key = int(int_to_byte4(dl)) if self.byte4 else dl
+            did = int(did)
+            for t, tf in counts.items():
+                out_terms.append(t)
+                out_docs.append(did)
+                out_tfs.append(tf)
+                out_keys.append(key)
+        n = len(out_terms)
+        docs_arr = np.asarray(out_docs, dtype=np.int64)
+        if self.heavy:
+            heavy = self.heavy
+            bucket = np.fromiter(
+                (
+                    (d >> cfg.bucket_shift) if t in heavy else 0
+                    for t, d in zip(out_terms, out_docs)
+                ),
+                dtype=np.int32,
+                count=n,
+            )
+        else:
+            bucket = np.zeros(n, dtype=np.int32)
+        hashes = crc32_array(out_terms)
+        gpart = (
+            (hashes.astype(np.int64) + bucket) % cfg.num_partitions
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "doc_id": pa.array(docs_arr),
+                "tf": pa.array(np.asarray(out_tfs, dtype=np.int32)),
+                "key": pa.array(np.asarray(out_keys, dtype=np.int32)),
+                "bucket": pa.array(bucket),
+                "gpart": pa.array(gpart),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
+
+
+class DfSampleStage:
+    """Detection pass for heavy terms: per-batch distinct-doc counts per term
+    over a sample — one (term, partial df) row per term per batch, then a tiny
+    groupby sums the partials (pre-aggregate before shuffle rule)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.cfg = cfg
+        self.analyzer = make_analyzer(cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.cfg.text_col).to_pylist()
+        counts: Counter = Counter()
+        analyze = self.analyzer.analyze
+        for text in texts:
+            if text:
+                counts.update(set(analyze(text)))
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "df_part": pa.array(
+                    np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+                ),
+            }
+        )
+
+
+def detect_heavy_terms(ds, cfg: IndexConfig) -> Set[str]:
+    """Estimate per-term df from a deterministic sample; return terms whose
+    extrapolated df exceeds the threshold. False negatives/positives only
+    affect balance, never correctness."""
+    assert cfg.heavy_df_threshold is not None
+    sample = ds if cfg.sample_rate >= 1.0 else ds.random_sample(
+        cfg.sample_rate, seed=42
+    )
+    partial = sample.map_batches(
+        DfSampleStage(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.analyzer_batch_size,
+        concurrency=cfg.analyzer_concurrency,
+    )
+    agg = partial.groupby("term").aggregate(ray.data.aggregate.Sum("df_part"))
+    cutoff = cfg.heavy_df_threshold * min(max(cfg.sample_rate, 1e-9), 1.0)
+
+    def over_cutoff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("sum(df_part)"), cutoff))
+
+    # filter before the driver sees it — only heavy terms (few) come back
+    heavy_tbl = agg.map_batches(over_cutoff, batch_format="pyarrow").take_all()
+    return {r["term"] for r in heavy_tbl}
+
+
+class SegmentEncoder:
+    """Reduce task: one term-partition group -> one segment on disk.
+
+    Vectorized within the group: one pyarrow sort by (term, bucket, doc_id),
+    then numpy run-length slicing per (term, bucket); each run is FOR/PFor
+    encoded with skip + impact metadata (functions/codec.py, state/segment.py).
+    Writes are atomic (tmp + rename); a matching ``.done.json`` checkpoint
+    short-circuits the work on resume.
+    """
+
+    def __init__(self, out_dir: str, fingerprint: str):
+        self.seg_dir = os.path.join(out_dir, SEGMENT_DIR)
+        self.fingerprint = fingerprint
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        if len(group) == 0:
+            return _meta_row(
+                {"gpart": -1, "num_terms": 0, "num_term_buckets": 0,
+                 "num_postings": 0, "sum_tf": 0, "blob_bytes": 0,
+                 "wall_sec": 0.0}
+            ).slice(0, 0)
+        gpart = int(group.column("gpart")[0].as_py())
+        base = os.path.join(self.seg_dir, f"seg-{gpart:05d}")
+        done_path = base + ".done.json"
+        if os.path.exists(done_path):
+            with open(done_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == self.fingerprint:
+                meta["resumed"] = True
+                return _meta_row(meta)
+        group = group.sort_by(
+            [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")]
+        )
+        terms_dict = group.column("term").combine_chunks().dictionary_encode()
+        term_codes = terms_dict.indices.to_numpy()
+        term_values = terms_dict.dictionary.to_pylist()
+        buckets = group.column("bucket").to_numpy()
+        doc_ids = group.column("doc_id").to_numpy()
+        tfs = group.column("tf").to_numpy()
+        keys = group.column("key").to_numpy()
+
+        # run boundaries where (term, bucket) changes
+        change = np.empty(len(term_codes), dtype=bool)
+        change[0] = True
+        np.logical_or(
+            term_codes[1:] != term_codes[:-1],
+            buckets[1:] != buckets[:-1],
+            out=change[1:],
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(term_codes))
+
+        blob = bytearray()
+        rows_term: List[str] = []
+        rows_bucket: List[int] = []
+        rows_df: List[int] = []
+        rows_ttf: List[int] = []
+        rows_maxtf: List[int] = []
+        rows_off: List[int] = []
+        rows_len: List[int] = []
+        for lo, hi in zip(starts, ends):
+            off, length = encode_term_postings(
+                blob, doc_ids[lo:hi], tfs[lo:hi], keys[lo:hi]
+            )
+            rows_term.append(term_values[term_codes[lo]])
+            rows_bucket.append(int(buckets[lo]))
+            rows_df.append(hi - lo)
+            rows_ttf.append(int(tfs[lo:hi].sum()))
+            rows_maxtf.append(int(tfs[lo:hi].max()))
+            rows_off.append(off)
+            rows_len.append(length)
+
+        os.makedirs(self.seg_dir, exist_ok=True)
+        tmp = base + ".post.tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, base + ".post")
+        terms_tbl = pa.table(
+            {
+                "term": pa.array(rows_term, pa.string()),
+                "bucket": pa.array(rows_bucket, pa.int32()),
+                "doc_freq": pa.array(rows_df, pa.int64()),
+                "total_tf": pa.array(rows_ttf, pa.int64()),
+                "max_tf": pa.array(rows_maxtf, pa.int32()),
+                "offset": pa.array(rows_off, pa.int64()),
+                "length": pa.array(rows_len, pa.int64()),
+            },
+            schema=TERMS_SCHEMA,
+        )
+        import pyarrow.parquet as pq
+
+        tmp = base + ".terms.parquet.tmp"
+        pq.write_table(terms_tbl, tmp)
+        os.replace(tmp, base + ".terms.parquet")
+        meta = {
+            "gpart": gpart,
+            "num_terms": len(set(rows_term)),
+            "num_term_buckets": len(rows_term),
+            "num_postings": int(len(doc_ids)),
+            "sum_tf": int(tfs.sum()),
+            "blob_bytes": len(blob),
+            "wall_sec": round(time.time() - t0, 3),
+            "fingerprint": self.fingerprint,  # lineage: ties segment to input
+            "resumed": False,
+        }
+        tmp = done_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, done_path)
+        return _meta_row(meta)
+
+
+def _meta_row(meta: dict) -> pa.Table:
+    return pa.table(
+        {
+            "gpart": pa.array([meta["gpart"]], pa.int32()),
+            "num_terms": pa.array([meta["num_terms"]], pa.int64()),
+            "num_term_buckets": pa.array([meta["num_term_buckets"]], pa.int64()),
+            "num_postings": pa.array([meta["num_postings"]], pa.int64()),
+            "sum_tf": pa.array([meta["sum_tf"]], pa.int64()),
+            "blob_bytes": pa.array([meta["blob_bytes"]], pa.int64()),
+            "wall_sec": pa.array([float(meta["wall_sec"])], pa.float64()),
+            "resumed": pa.array([bool(meta.get("resumed", False))], pa.bool_()),
+        }
+    )
+
+
+def dedup_exact_by_url(ds, url_col: str = "url", ts_col: str = "warc_ts",
+                       num_buckets: int = 64):
+    """Keep the earliest (warc_ts, then url) row per url. Shuffles by a crc32
+    bucket of the url, then dedups vectorized inside each group — per-group
+    Python overhead is O(num_buckets), not O(num_urls) (reference analogue:
+    updateDocument-by-unique-term, index/IndexWriter.java:1845)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = crc32_array(batch.column(url_col).to_pylist()) % num_buckets
+        return batch.append_column("_ubucket", pa.array(b.astype(np.int32)))
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        group = group.sort_by([(url_col, "ascending"), (ts_col, "ascending")])
+        urls = group.column(url_col)
+        keep = np.empty(len(group), dtype=bool)
+        keep[0] = True
+        eq = pc.equal(urls.slice(1), urls.slice(0, len(group) - 1))
+        keep[1:] = ~eq.combine_chunks().to_numpy(zero_copy_only=False)
+        return group.filter(pa.array(keep)).drop_columns(["_ubucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_ubucket")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
+def build_index(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    cfg: Optional[IndexConfig] = None,
+    doc_count: Optional[int] = None,
+) -> dict:
+    """Run the full build over ``ds`` (web_pages-shaped) and return the
+    manifest. Resumable: re-running with the same input fingerprint skips
+    completed segments via their checkpoints. Pass ``doc_count`` when known
+    (e.g. from parquet metadata) to avoid an extra counting execution."""
+    cfg = cfg or IndexConfig()
+    os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
+    t0 = time.time()
+
+    if cfg.dedup_by_url:
+        ds = dedup_exact_by_url(ds)
+        doc_count = None  # unknown after dedup
+    ds = ds.select_columns([cfg.id_col, cfg.text_col])
+
+    if doc_count is None:
+        doc_count = ds.count()
+    fingerprint = f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};parts={cfg.num_partitions}"
+
+    heavy: Set[str] = set()
+    if cfg.heavy_df_threshold is not None:
+        heavy = detect_heavy_terms(ds, cfg)
+
+    postings = ds.map_batches(
+        AnalyzerStage(cfg, heavy or None),
+        batch_format="pyarrow",
+        batch_size=cfg.analyzer_batch_size,
+        concurrency=cfg.analyzer_concurrency,
+    )
+    encoder = SegmentEncoder(out_dir, fingerprint)
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        return encoder(group)
+
+    encoded = postings.groupby("gpart").map_groups(
+        encode_group, batch_format="pyarrow"
+    )
+    meta = encoded.take_all()  # P small rows
+    build_sec = time.time() - t0
+
+    segments = sorted(
+        (
+            {
+                "gpart": int(r["gpart"]),
+                "num_terms": int(r["num_terms"]),
+                "num_term_buckets": int(r["num_term_buckets"]),
+                "num_postings": int(r["num_postings"]),
+                "sum_tf": int(r["sum_tf"]),
+                "blob_bytes": int(r["blob_bytes"]),
+                "wall_sec": float(r["wall_sec"]),
+                "resumed": bool(r["resumed"]),
+            }
+            for r in meta
+        ),
+        key=lambda s: s["gpart"],
+    )
+    manifest = {
+        "version": 1,
+        "analyzer": cfg.analyzer,
+        "norm_kind": cfg.norm_kind,
+        "num_partitions": cfg.num_partitions,
+        "bucket_shift": cfg.bucket_shift,
+        "heavy_terms": sorted(heavy),
+        "doc_count": int(doc_count),
+        "sum_total_tf": int(sum(s["sum_tf"] for s in segments)),
+        "num_postings": int(sum(s["num_postings"] for s in segments)),
+        "fingerprint": fingerprint,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(doc_count / build_sec, 1) if build_sec > 0 else None,
+        "segments": segments,
+    }
+    write_manifest(out_dir, manifest)
+    return manifest

@@ -1,0 +1,128 @@
+"""Query-side driver: top-k BM25 search over a built index.
+
+Two paths (reference analogue: search/IndexSearcher.java — per-leaf-slice
+parallel search with a final TopDocs.merge):
+
+* :func:`search` — driver-side execution for one or a few queries
+  (index readers cached per process).
+* :func:`search_dataset` — Ray-Data-native batch search: queries as a
+  Dataset routed through a stateful actor pool (``map_batches(QueryExecStage,
+  concurrency=N)``); each actor opens the index once in ``__init__`` (term
+  dicts + blobs resident — the reference's warm searcher) and executes a
+  batch of queries per call. This is the scale path: queries stream through
+  the pool with backpressure, and the per-actor index view could be narrowed
+  to a doc-range shard for 10^12-doc indexes (driver would then merge
+  per-shard top-k exactly like TopDocs.merge, search/TopDocs.java:75-122 —
+  global docIDs make (score desc, doc_id asc) a total, partition-invariant
+  order).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.analysis import make_analyzer
+from ..functions.query import parse_query, score_blockmax, score_exhaustive
+from ..state.reader import IndexReader
+
+_READER_CACHE: Dict[str, IndexReader] = {}
+
+
+def get_reader(index_dir: str) -> IndexReader:
+    r = _READER_CACHE.get(index_dir)
+    if r is None:
+        r = IndexReader(index_dir)
+        _READER_CACHE[index_dir] = r
+    return r
+
+
+def search(index_dir: str, query_text: str, k: int = 10,
+           mode: str = "blockmax") -> pa.Table:
+    """-> Arrow table (rank, doc_id, score) for one query string."""
+    reader = get_reader(index_dir)
+    analyzer = make_analyzer(reader.analyzer_name)
+    q = parse_query(query_text, analyzer)
+    exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive
+    docs, scores = exec_fn(reader, q, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int32)),
+            "doc_id": pa.array(docs.astype(np.int64)),
+            "score": pa.array(scores.astype(np.float64)),
+        }
+    )
+
+
+class QueryExecStage:
+    """Stateful actor: warm index + analyzer, executes query batches."""
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax"):
+        self.reader = IndexReader(index_dir)
+        self.analyzer = make_analyzer(self.reader.analyzer_name)
+        self.k = k
+        self.exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: List[int] = []
+        ranks: List[np.ndarray] = []
+        docs_out: List[np.ndarray] = []
+        scores_out: List[np.ndarray] = []
+        ids = batch.column("query_id").to_pylist()
+        texts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.schema.names
+            else [self.k] * len(ids)
+        )
+        for qid, text, k in zip(ids, texts, ks):
+            q = parse_query(text, self.analyzer)
+            docs, scores = self.exec_fn(self.reader, q, int(k))
+            qids.extend([qid] * len(docs))
+            ranks.append(np.arange(1, len(docs) + 1, dtype=np.int32))
+            docs_out.append(docs.astype(np.int64))
+            scores_out.append(scores.astype(np.float64))
+        empty_i32 = np.empty(0, dtype=np.int32)
+        empty_i64 = np.empty(0, dtype=np.int64)
+        empty_f64 = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, dtype=np.int64)),
+                "rank": pa.array(
+                    np.concatenate(ranks) if ranks else empty_i32
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out) if docs_out else empty_i64
+                ),
+                "score": pa.array(
+                    np.concatenate(scores_out) if scores_out else empty_f64
+                ),
+            }
+        )
+
+
+def search_dataset(
+    index_dir: str,
+    queries,  # ray.data.Dataset with (query_id, query[, k]) or list[str]
+    k: int = 10,
+    mode: str = "blockmax",
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+):
+    """Batch search as a Ray Data pipeline -> Dataset(query_id, rank,
+    doc_id, score)."""
+    import ray.data
+
+    if isinstance(queries, (list, tuple)):
+        queries = ray.data.from_items(
+            [{"query_id": i, "query": q, "k": k} for i, q in enumerate(queries)]
+        )
+    return queries.map_batches(
+        QueryExecStage,
+        fn_constructor_args=(index_dir, k, mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or 4,
+    )

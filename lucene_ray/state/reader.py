@@ -1,0 +1,84 @@
+"""IndexReader: manifest + all segments of one index, query-side view.
+
+Reference analogue: index/DirectoryReader + search/IndexSearcher's view of
+per-leaf Terms/ImpactsEnum plus the *global* CollectionStatistics /
+TermStatistics (core/src/java/org/apache/lucene/search/IndexSearcher.java —
+stats gathered across all segments before scoring, see createWeight path).
+
+Our segments are term-partitioned: a normal term lives in exactly one
+segment (``crc32(term) % num_partitions``). A *heavy* term (split at build
+time by doc-range bucket, SURVEY.md §7.4) has bucket b routed to partition
+``(crc32(term) + b) % num_partitions`` — the reader learns the heavy set
+from the manifest, gathers that term's rows from every segment, and
+concatenates them in ascending bucket order, which restores global docID
+order. Global stats (doc_count, sum_total_tf) come from the manifest; they
+were aggregated at build time, so no query-time pass is needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+from ..functions.hashing import crc32_bucket
+from .segment import SEGMENT_DIR, SegmentReader, TermPostings, read_manifest
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        self.doc_count: int = self.manifest["doc_count"]
+        self.sum_total_tf: int = self.manifest["sum_total_tf"]
+        self.norm_kind: str = self.manifest["norm_kind"]
+        self.analyzer_name: str = self.manifest["analyzer"]
+        self.num_partitions: int = self.manifest["num_partitions"]
+        self.heavy_terms = frozenset(self.manifest.get("heavy_terms", ()))
+        self.avgdl = self.sum_total_tf / max(self.doc_count, 1)
+        self._seg_dir = os.path.join(index_dir, SEGMENT_DIR)
+        self._segments: Dict[int, Optional[SegmentReader]] = {}
+
+    def _segment(self, gpart: int) -> Optional[SegmentReader]:
+        if gpart in self._segments:
+            return self._segments[gpart]
+        seg: Optional[SegmentReader] = None
+        if os.path.exists(
+            os.path.join(self._seg_dir, f"seg-{gpart:05d}.terms.parquet")
+        ):
+            seg = SegmentReader(self._seg_dir, gpart)
+        self._segments[gpart] = seg
+        return seg
+
+    def _segments_for(self, term: str) -> List[SegmentReader]:
+        if term in self.heavy_terms:
+            segs = [self._segment(g) for g in range(self.num_partitions)]
+            return [s for s in segs if s is not None]
+        seg = self._segment(crc32_bucket(term, self.num_partitions))
+        return [seg] if seg is not None else []
+
+    def term_stats(self, term: str) -> Tuple[int, int]:
+        """(doc_freq, total_tf) across the whole index; (0, 0) if absent."""
+        df = ttf = 0
+        for seg in self._segments_for(term):
+            st = seg.term_stats(term)
+            if st is not None:
+                df += st[0]
+                ttf += st[1]
+        return df, ttf
+
+    def postings(self, term: str) -> List[TermPostings]:
+        """All bucket blobs for ``term`` across segments, ascending bucket
+        (= ascending global doc range) order."""
+        tagged: List[Tuple[int, TermPostings]] = []
+        for seg in self._segments_for(term):
+            tagged.extend(seg.postings_with_buckets(term))
+        tagged.sort(key=lambda bt: bt[0])
+        return [tp for _, tp in tagged]
+
+    def all_terms(self) -> List[str]:
+        out: List[str] = []
+        for g in range(self.num_partitions):
+            seg = self._segment(g)
+            if seg is not None:
+                out.extend(seg.terms())
+        return sorted(set(out))

@@ -1,0 +1,278 @@
+"""Segment format: per-term posting blobs + an Arrow term dictionary.
+
+A *segment* here is one term-partition of the global index (the output of one
+reducer in the ``groupby(gpart)`` shuffle), not a doc partition as in the
+reference — doc IDs are global up front, so the groupby-on-term shuffle
+produces already-merged posting lists (reference analogues: postings layout
+core/src/java/org/apache/lucene/codecs/lucene104/Lucene104PostingsFormat.java:38-79
+and Lucene104PostingsWriter.java:237-298; term dictionary
+codecs/lucene103/blocktree/Lucene103BlockTreeTermsWriter.java:81-120 — we use a
+sorted Arrow table + binary search instead of a block tree/FST; skip data
+Lucene104PostingsFormat.java:342-353 — we use per-block first/last doc arrays
+with ``np.searchsorted``, which subsumes the 2-level skip list).
+
+Files per segment ``seg-{gpart:05d}``:
+
+* ``seg-NNNNN.post``          — concatenated per-(term, bucket) posting blobs
+* ``seg-NNNNN.terms.parquet`` — term dict: ``term, bucket, doc_freq, total_tf,
+                                 max_tf, offset, length``
+* ``seg-NNNNN.done.json``     — checkpoint marker + lineage + metrics
+
+Per-(term,bucket) blob layout (all integers little-endian):
+
+    vint  df
+    vint  n_blocks
+    int64[n_blocks]  first_doc   (absolute doc ID of each block's first doc)
+    int64[n_blocks]  last_doc    (absolute doc ID of each block's last doc)
+    int32[n_blocks]  block_off   (byte offset of each block, relative to the
+                                  start of the blocks section)
+    per block: vint m, then m * (vint tf, vint key)      # impact frontier
+    blocks section, per block:
+        pfor(doc deltas: d[0] = 0 relative to first_doc, then gaps)
+        pfor(tf per doc)
+        pfor(norm key per doc)
+
+Blocks hold up to ``BLOCK_SIZE``(=256) docs and are independently decodable
+(each knows its ``first_doc``), which is what makes block skipping possible.
+The per-posting norm key (SmallFloat byte or exact doc length, see
+``functions/bm25.py``) is stored inline instead of in a separate norms file —
+one pfor-compressed column replaces the norms join at query time.
+
+Heavy terms (df over the build's skew threshold) are split into multiple
+``bucket`` rows, where ``bucket = doc_id >> bucket_shift``; readers concatenate
+a term's buckets in ascending bucket order, which restores global docID order
+because buckets are disjoint ascending doc ranges (reference analogue: Lucene
+never splits a term's postings inside a segment — this is the explicit skew
+design the scale target requires, SURVEY.md §7.4/§7.5).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.codec import (
+    BLOCK_SIZE,
+    pfor_decode,
+    pfor_encode,
+    read_vint,
+    write_vint,
+)
+from ..functions.impacts import impact_frontier
+
+MANIFEST_NAME = "manifest.json"
+SEGMENT_DIR = "segments"
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("doc_freq", pa.int64()),
+        ("total_tf", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+
+def encode_term_postings(
+    out: bytearray, doc_ids: np.ndarray, tfs: np.ndarray, keys: np.ndarray
+) -> Tuple[int, int]:
+    """Append one (term, bucket) posting list to ``out``.
+
+    ``doc_ids`` must be strictly increasing. Returns (offset, length) of the
+    written blob within ``out``.
+    """
+    start = len(out)
+    df = len(doc_ids)
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    write_vint(out, df)
+    write_vint(out, n_blocks)
+
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+
+    bounds = [(i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, df)) for i in range(n_blocks)]
+    first = np.array([doc_ids[lo] for lo, _ in bounds], dtype=np.int64)
+    last = np.array([doc_ids[hi - 1] for _, hi in bounds], dtype=np.int64)
+    out.extend(first.tobytes())
+    out.extend(last.tobytes())
+
+    # encode blocks into a scratch buffer to learn offsets
+    scratch = bytearray()
+    offsets = np.empty(n_blocks, dtype=np.int32)
+    frontiers: List[Tuple[np.ndarray, np.ndarray]] = []
+    for b, (lo, hi) in enumerate(bounds):
+        offsets[b] = len(scratch)
+        d = doc_ids[lo:hi]
+        gaps = np.empty(hi - lo, dtype=np.uint64)
+        gaps[0] = 0
+        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
+        pfor_encode(gaps, scratch)
+        pfor_encode(tfs[lo:hi].astype(np.uint64), scratch)
+        pfor_encode(keys[lo:hi].astype(np.uint64), scratch)
+        frontiers.append(impact_frontier(tfs[lo:hi], keys[lo:hi]))
+
+    out.extend(offsets.tobytes())
+    for ft, fk in frontiers:
+        write_vint(out, len(ft))
+        for t, k in zip(ft, fk):
+            write_vint(out, int(t))
+            write_vint(out, int(k))
+    out.extend(scratch)
+    return start, len(out) - start
+
+
+@dataclass
+class TermPostings:
+    """Lazily-decoded posting list for one (term, bucket) blob."""
+
+    buf: memoryview
+    df: int
+    first_docs: np.ndarray  # int64[n_blocks]
+    last_docs: np.ndarray
+    block_offs: np.ndarray  # int32[n_blocks], relative to blocks_base
+    frontier_tfs: List[np.ndarray]
+    frontier_keys: List[np.ndarray]
+    blocks_base: int
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.first_docs)
+
+    def block_size(self, b: int) -> int:
+        n_full, rem = divmod(self.df, BLOCK_SIZE)
+        return BLOCK_SIZE if b < n_full else rem
+
+    def decode_block(self, b: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (doc_ids:int64, tfs:int64, keys:int64) for block b."""
+        pos = self.blocks_base + int(self.block_offs[b])
+        gaps, pos = pfor_decode(self.buf, pos)
+        tfs, pos = pfor_decode(self.buf, pos)
+        keys, pos = pfor_decode(self.buf, pos)
+        docs = self.first_docs[b] + np.cumsum(gaps.astype(np.int64))
+        return docs, tfs.astype(np.int64), keys.astype(np.int64)
+
+    def decode_all(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        parts = [self.decode_block(b) for b in range(self.n_blocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+
+def parse_term_postings(buf: memoryview, offset: int, length: int) -> TermPostings:
+    view = buf[offset : offset + length]
+    pos = 0
+    df, pos = read_vint(view, pos)
+    n_blocks, pos = read_vint(view, pos)
+    first = np.frombuffer(view, dtype=np.int64, count=n_blocks, offset=pos)
+    pos += 8 * n_blocks
+    last = np.frombuffer(view, dtype=np.int64, count=n_blocks, offset=pos)
+    pos += 8 * n_blocks
+    offs = np.frombuffer(view, dtype=np.int32, count=n_blocks, offset=pos)
+    pos += 4 * n_blocks
+    ftfs: List[np.ndarray] = []
+    fkeys: List[np.ndarray] = []
+    for _ in range(n_blocks):
+        m, pos = read_vint(view, pos)
+        t = np.empty(m, dtype=np.int64)
+        k = np.empty(m, dtype=np.int64)
+        for j in range(m):
+            t[j], pos = read_vint(view, pos)
+            k[j], pos = read_vint(view, pos)
+        ftfs.append(t)
+        fkeys.append(k)
+    return TermPostings(
+        buf=view,
+        df=df,
+        first_docs=first,
+        last_docs=last,
+        block_offs=offs,
+        frontier_tfs=ftfs,
+        frontier_keys=fkeys,
+        blocks_base=pos,
+    )
+
+
+class SegmentReader:
+    """One segment: term dict (in memory) + posting blob (bytes/memoryview)."""
+
+    def __init__(self, seg_dir: str, gpart: int):
+        base = os.path.join(seg_dir, f"seg-{gpart:05d}")
+        self.gpart = gpart
+        tbl = pq.read_table(base + ".terms.parquet")
+        self._terms = tbl.column("term").to_pylist()
+        self._buckets = tbl.column("bucket").to_numpy()
+        self._doc_freq = tbl.column("doc_freq").to_numpy()
+        self._total_tf = tbl.column("total_tf").to_numpy()
+        self._max_tf = tbl.column("max_tf").to_numpy()
+        self._offset = tbl.column("offset").to_numpy()
+        self._length = tbl.column("length").to_numpy()
+        # rows are written sorted by (term, bucket); index term -> row range
+        self._row_range: Dict[str, Tuple[int, int]] = {}
+        start = 0
+        for i in range(1, len(self._terms) + 1):
+            if i == len(self._terms) or self._terms[i] != self._terms[start]:
+                self._row_range[self._terms[start]] = (start, i)
+                start = i
+        with open(base + ".post", "rb") as f:
+            self._blob = memoryview(f.read())
+
+    def terms(self) -> Iterator[str]:
+        return iter(self._row_range)
+
+    def term_stats(self, term: str) -> Optional[Tuple[int, int]]:
+        rng = self._row_range.get(term)
+        if rng is None:
+            return None
+        lo, hi = rng
+        return int(self._doc_freq[lo:hi].sum()), int(self._total_tf[lo:hi].sum())
+
+    def postings_with_buckets(self, term: str) -> List[Tuple[int, TermPostings]]:
+        """(bucket, postings) pairs for ``term``, ascending bucket order."""
+        rng = self._row_range.get(term)
+        if rng is None:
+            return []
+        lo, hi = rng
+        order = np.argsort(self._buckets[lo:hi], kind="stable") + lo
+        return [
+            (
+                int(self._buckets[i]),
+                parse_term_postings(
+                    self._blob, int(self._offset[i]), int(self._length[i])
+                ),
+            )
+            for i in order
+        ]
+
+    def postings(self, term: str) -> List[TermPostings]:
+        """All bucket blobs for ``term``, in ascending bucket (= doc) order."""
+        return [tp for _, tp in self.postings_with_buckets(term)]
+
+
+def write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic publish (write tmp + rename), the two-phase-commit analogue of
+    the reference's segments_N (index/SegmentInfos.java:51-68,
+    IndexWriter.java:3632)."""
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+
+
+def read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        return json.load(f)
