@@ -108,10 +108,26 @@ class SimpleAnalyzer:
         return self._RE.findall(text.lower())
 
 
+class SimpleStopAnalyzer(SimpleAnalyzer):
+    """Simple tokens minus the reference's 33 English stopwords — the chain
+    the DuckDB oracle can express verbatim in SQL:
+    ``unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))`` filtered by
+    ``NOT IN (stop list)``. Porter stemming is excluded because DuckDB's
+    ``stem()`` lives in the (unavailable offline) fts extension — stem
+    fidelity is pytest-verified against the brute-force oracle instead."""
+
+    name = "en_nostem_simple"
+
+    def analyze(self, text: str) -> List[str]:
+        stop = ENGLISH_STOP_WORDS
+        return [t for t in self._RE.findall(text.lower()) if t not in stop]
+
+
 _REGISTRY: Dict[str, Callable[[], object]] = {
     "standard_en": StandardEnglishAnalyzer,
     "standard_en_nostem": lambda: StandardEnglishAnalyzer(stem=False),
     "simple": SimpleAnalyzer,
+    "en_nostem_simple": SimpleStopAnalyzer,
 }
 
 
