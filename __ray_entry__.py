@@ -1,44 +1,600 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() registry, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in lucene_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Correctness model: every SQL-expressible operator has a DuckDB oracle that
+reproduces the engine's arithmetic literally (same tokenizer regex, same
+float64 BM25 op order, same ROUND semantics — see
+lucene_ray/functions/rounding.py). The reference-faithful float32 chain
+(standard_en + Porter + SmallFloat byte4 norms) is NOT SQL-expressible;
+it is verified in tests/ against the brute-force oracle
+(lucene_ray/pipelines/oracle.py) instead, and exposed here as rows-only
+entries.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
-from typing import Any
+from typing import Any, Dict, List, Sequence, Tuple
+
+K1 = 1.2
+B = 0.75
+TOPK = 10
+KNN_QUERY_IDS = (0, 1, 2)
+COSINE_PAIR_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.8
+JACCARD_DF_MAX = 10
+SHINGLE_K = 3
+
+
+# ---------------------------------------------------------------------------
+# BM25 query set (SQL-parity chain: lower + [a-z0-9]+ + 33 stopwords, no stem)
+# Each spec: (must, should, must_not, minimum_should_match)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_SETS: Dict[str, Dict[int, Tuple[tuple, tuple, tuple, int]]] = {
+    "bm25_term": {
+        0: ((), ("dup",), (), 0),
+        1: ((), ("batch",), (), 0),
+        2: ((), ("customer",), (), 0),
+        3: ((), ("vector",), (), 0),
+        4: ((), ("zzzmissing",), (), 0),  # out-of-vocabulary -> empty
+    },
+    "bm25_bool_or": {
+        0: ((), ("dup", "key"), (), 0),
+        1: ((), ("batch", "small", "scan"), (), 0),
+        2: ((), ("the", "data", "stream"), (), 0),  # stopword dropped at parse
+    },
+    "bm25_bool_and": {
+        0: (("dup", "key"), (), (), 0),
+        1: (("batch", "small", "scan"), (), (), 0),
+        2: (("value", "zzzmissing"), (), (), 0),  # missing MUST -> empty
+    },
+    "bm25_bool_not": {
+        0: (("batch",), (), ("dup",), 0),
+        1: (("data",), (), ("stream",), 0),
+    },
+    "bm25_bool_msm": {
+        0: ((), ("dup", "key", "fast", "line"), (), 2),
+        1: ((), ("batch", "small", "scan", "agg"), (), 3),
+    },
+}
+
+
+def _query_string(spec) -> str:
+    must, should, must_not, msm = spec
+    parts = [f"+{t}" for t in must]
+    parts += list(should)
+    parts += [f"-{t}" for t in must_not]
+    if msm:
+        parts.append(f"~{msm}")
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Engine-side helpers
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: Dict[tuple, str] = {}
+
+
+def _docs_path(sf_dir: str) -> str:
+    return f"{sf_dir.rstrip('/')}/documents.parquet"
+
+
+def _ensure_index(
+    sf_dir: str, analyzer: str = "en_nostem_simple", norm_kind: str = "exact"
+) -> str:
+    """Build (or reuse via checkpoint fingerprint) the index for sf_dir."""
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.segment import read_manifest
+
+    key = (sf_dir, analyzer, norm_kind)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_idx/{tag}-{analyzer}-{norm_kind}"
+    cfg = IndexConfig(analyzer=analyzer, norm_kind=norm_kind, num_partitions=8)
+    import pyarrow.parquet as pq
+
+    doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint = (
+        f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
+        f"parts={cfg.num_partitions}"
+    )
+    try:
+        if read_manifest(out).get("fingerprint") == fingerprint:
+            _INDEX_CACHE[key] = out
+            return out
+    except Exception:
+        pass
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    build_index(ds, out, cfg, doc_count=doc_count)
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _bm25_result(sf_dir: str, set_name: str):
+    """Run one BM25 query set through the block-max engine -> Arrow table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import QueryExecStage
+
+    index_dir = _ensure_index(sf_dir)
+    stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax")
+    specs = BM25_QUERY_SETS[set_name]
+    batch = pa.table(
+        {
+            "query_id": pa.array(list(specs.keys()), pa.int64()),
+            "query": pa.array([_query_string(s) for s in specs.values()], pa.string()),
+            "k": pa.array([TOPK] * len(specs), pa.int32()),
+        }
+    )
+    out = stage(batch)
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "rank": out.column("rank"),
+            "doc_id": out.column("doc_id"),
+            "score": pa.array(
+                round_half_away(out.column("score").to_numpy(), 4)
+            ),
+        }
+    )
+
+
+def _load_documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_docs_path(sf_dir))
+
+
+def _load_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _top_docs_by_lang(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    def top3(group: "pa.Table") -> "pa.Table":
+        g = group.sort_by(
+            [("n_chars", "descending"), ("doc_id", "ascending")]
+        ).slice(0, 3)
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int32)),
+                "doc_id": g.column("doc_id"),
+                "n_chars": g.column("n_chars"),
+            }
+        )
+
+    return (
+        _load_documents(sf_dir)
+        .select_columns(["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(top3, batch_format="pyarrow")
+    )
+
+
+def _analysis_postings(sf_dir: str):
+    """Reference-faithful analysis chain (UAX#29 + possessive + lowercase +
+    stop + Porter) as posting rows — rows-only check (Porter not in SQL)."""
+    import ray.data
+
+    from lucene_ray.pipelines.build import AnalyzerStage, IndexConfig
+
+    cfg = IndexConfig(analyzer="standard_en", norm_kind="byte4")
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        AnalyzerStage(cfg), batch_format="pyarrow", batch_size=2048
+    ).select_columns(["term", "doc_id", "tf"])
+
+
+def _web_pages_urls(sf_dir: str):
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    return load_web_pages(sf_dir, include_html=False).select_columns(
+        ["doc_id", "url"]
+    )
+
+
+def _media_meta(sf_dir: str):
+    from lucene_ray.pipelines.multimodal import media_meta_batch
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    return load_web_pages(sf_dir, include_html=True).map_batches(
+        media_meta_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: reference-faithful index build (standard_en chain, byte4
+    norms, heavy-term split) over sf0.001 web pages + block-max BM25 search
+    over a mixed query set."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import search_dataset
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    out_dir = "/tmp/lucene_ray_idx/entry-standard_en-byte4"
+    ds = load_web_pages(sf_dir, include_html=False)
+    cfg = IndexConfig(
+        analyzer="standard_en",
+        norm_kind="byte4",
+        num_partitions=8,
+        heavy_df_threshold=200,
+        sample_rate=1.0,
+    )
+    build_index(ds, out_dir, cfg)
+    queries = [
+        "dup",
+        "batch",
+        "batch AND small",
+        "+data -stream",
+        "dup key fast line ~2",
+        "the customer",
+    ]
+    result = search_dataset(out_dir, queries, k=TOPK, mode="blockmax")
+    return result.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: Dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- inverted index + BM25 (SQL-parity chain) ---
+    q["term_stats"] = lambda sf: _term_stats(sf)
+    for name in BM25_QUERY_SETS:
+        q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
+    q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
+
+    # --- sources ---
+    q["web_pages_urls"] = _web_pages_urls
+    q["media_meta"] = _media_meta
+
+    # --- dedup suite ---
+    q["dedup_exact"] = lambda sf: _dedup_exact(sf)
+    q["neardup_jaccard"] = lambda sf: _neardup_jaccard(sf)
+    q["neardup_minhash"] = lambda sf: _neardup_minhash(sf)  # rows-only
+    q["neardup_simhash"] = lambda sf: _neardup_simhash(sf)  # rows-only
+    q["neardup_embedding"] = lambda sf: _neardup_embedding(sf)
+
+    # --- similarity search ---
+    q["knn_cosine"] = lambda sf: _knn(sf)
+    q["knn_cosine_ivf"] = lambda sf: _knn_ivf(sf)  # rows-only (approximate)
+
+    # --- text analysis ---
+    q["token_count"] = lambda sf: _textop(sf, ["doc_id", "n_tokens", "n_chars", "mean_token_len"])
+    q["quality_score"] = lambda sf: _textop(sf, ["doc_id", "stop_ratio", "alpha_ratio", "quality"])
+    q["langid"] = lambda sf: _textop(sf, ["doc_id", "lang_pred"])
+    q["fingerprint"] = lambda sf: _textop(sf, ["doc_id", "fingerprint"])
+
+    # --- relational-ish ops ---
+    q["events_window"] = lambda sf: _events_window(sf)
+    q["top_docs_by_lang"] = _top_docs_by_lang
+    return q
+
+
+def _term_stats(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.stats import term_stats
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return term_stats(_load_documents(sf_dir), cfg)
+
+
+def _dedup_exact(sf_dir: str):
+    from lucene_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_load_documents(sf_dir))
+
+
+def _neardup_jaccard(sf_dir: str):
+    from lucene_ray.pipelines.dedup import jaccard_neardup_pairs
+
+    return jaccard_neardup_pairs(
+        _load_documents(sf_dir),
+        k=SHINGLE_K,
+        df_max=JACCARD_DF_MAX,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _neardup_minhash(sf_dir: str):
+    from lucene_ray.pipelines.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _load_documents(sf_dir), k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    )
+
+
+def _neardup_simhash(sf_dir: str):
+    from lucene_ray.pipelines.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_load_documents(sf_dir), hamming_max=3)
+
+
+def _neardup_embedding(sf_dir: str):
+    from lucene_ray.pipelines.knn import cosine_pairs
+
+    return cosine_pairs(_load_embeddings(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
+
+
+def _knn(sf_dir: str):
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    return knn_cosine(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
+
+
+def _knn_ivf(sf_dir: str):
+    from lucene_ray.pipelines.knn import knn_cosine_ivf
+
+    return knn_cosine_ivf(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
+
+
+def _textop(sf_dir: str, cols: List[str]):
+    from lucene_ray.pipelines.textops import doc_stats
+
+    return doc_stats(_load_documents(sf_dir)).select_columns(cols)
+
+
+def _events_window(sf_dir: str):
+    import ray.data
+
+    from lucene_ray.pipelines.events import window_aggregate
+
+    return window_aggregate(
+        ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOPS = (
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with"
+).split()
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPS) + ")"
+
+# Shared token/stat CTEs — the literal SQL image of the en_nostem_simple
+# analyzer + BM25Float64 statistics (lucene_ray/functions/{analysis,bm25}.py).
+_BASE_CTES = f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term NOT IN {_STOP_SQL} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_tf
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+""".strip()
+
+# Per-(doc, term) float64 BM25 score in the engine's exact op order:
+#   idf * (tf / (tf + k1*((1-b) + b*dl/avgdl)))
+_SC_CTE = f"""
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * dl.dl
+                / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+""".strip()
+
+
+def _in_list(terms: Sequence[str]) -> str:
+    if not terms:
+        return "('~none~')"
+    return "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+
+
+def _analyzed(tokens: Sequence[str]) -> List[str]:
+    """Query-time analysis for the SQL side (drop stopwords, lowercase)."""
+    return [t.lower() for t in tokens if t.lower() not in _STOPS]
+
+
+def _bm25_sql(set_name: str) -> str:
+    selects = []
+    for qid, (must, should, must_not, msm) in BM25_QUERY_SETS[set_name].items():
+        must = _analyzed(must)
+        should = _analyzed(should)
+        must_not = _analyzed(must_not)
+        scoring = sorted(set(must) | set(should))
+        all_terms = sorted(set(scoring) | set(must_not))
+        msm_req = msm if must else max(1, msm)
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN term IN {_in_list(scoring)} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must_not)} THEN term END) AS n_not
+    FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+_WEB_URL_SQL = (
+    "'https://site' || (doc_id % 997) || '.example/' || "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+_KNN_IDS_SQL = "(" + ", ".join(str(i) for i in KNN_QUERY_IDS) + ")"
+
+_EMB_CTES = """
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM u GROUP BY vec_id)
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: Dict[str, str] = {}
+
+    sql["term_stats"] = f"""WITH {_BASE_CTES}
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term"""
+
+    for name in BM25_QUERY_SETS:
+        sql[name] = _bm25_sql(name)
+
+    sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
+
+    sql["media_meta"] = f"""SELECT doc_id,
+  CAST(octet_length(CAST('<html><body>' || text || '</body></html>' AS BLOB)) AS BIGINT) AS n_bytes,
+  TRUE AS is_markup,
+  md5('<html><body>' || text || '</body></html>') AS digest
+FROM documents"""
+
+    sql["dedup_exact"] = """SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, md5(text) AS fingerprint,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1"""
+
+    sql["neardup_jaccard"] = f"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tl, UNNEST(range(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= {SHINGLE_K}
+),
+sdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b USING (shingle) JOIN sdf USING (shingle)
+  WHERE a.doc_id < b.doc_id AND sdf.df BETWEEN 2 AND {JACCARD_DF_MAX}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS icnt
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(icnt * 1.0 / (sa.n + sb.n - icnt), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE icnt * 1.0 / (sa.n + sb.n - icnt) >= {JACCARD_THRESHOLD}"""
+
+    sql["neardup_embedding"] = f"""WITH {_EMB_CTES},
+dot AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS d
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT vec_a, vec_b, d / (na.n * nb.n) AS cosine
+  FROM dot JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM cosv WHERE cosine >= {COSINE_PAIR_THRESHOLD}"""
+
+    sql["knn_cosine"] = f"""WITH {_EMB_CTES},
+q AS (SELECT * FROM u WHERE vec_id IN {_KNN_IDS_SQL}),
+dot AS (
+  SELECT q.vec_id AS query_id, u.vec_id AS vec_id, SUM(q.v * u.v) AS d
+  FROM q JOIN u ON q.i = u.i AND q.vec_id <> u.vec_id
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT d.query_id, d.vec_id, d.d / (nq.n * nv.n) AS cosine
+  FROM dot d JOIN nrm nq ON nq.vec_id = d.query_id
+             JOIN nrm nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM cosv QUALIFY rank <= {TOPK}"""
+
+    _tok_stats = f"""WITH {_BASE_CTES},
+ds AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.tok_chars, 0) AS tok_chars,
+         COALESCE(a.n_stop, 0) AS n_stop
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(length(term)) AS BIGINT) AS tok_chars,
+           COUNT(CASE WHEN term IN {_STOP_SQL} THEN 1 END) AS n_stop
+    FROM tok GROUP BY doc_id
+  ) a USING (doc_id)
+)"""
+    sql["token_count"] = f"""{_tok_stats}
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(tok_chars * 1.0 / greatest(n_tokens, 1), 4) AS mean_token_len
+FROM ds"""
+    sql["quality_score"] = f"""{_tok_stats}
+SELECT doc_id,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stop_ratio,
+       round(tok_chars * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+       round((least(n_tokens, 200) / 200.0)
+             * (1.0 - n_stop * 1.0 / greatest(n_tokens, 1)), 4) AS quality
+FROM ds"""
+    sql["langid"] = f"""{_tok_stats}
+SELECT doc_id, CASE WHEN n_stop >= 2 THEN 'en' ELSE 'und' END AS lang_pred
+FROM ds"""
+    sql["fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+    sql["events_window"] = """SELECT
+  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    sql["top_docs_by_lang"] = """SELECT lang,
+  CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank,
+  doc_id, n_chars
+FROM documents QUALIFY rank <= 3"""
+
+    # rows-only (non-SQL-expressible): analysis_postings (Porter chain),
+    # neardup_minhash / neardup_simhash (hash sketches), knn_cosine_ivf
+    # (approximate) — the driver records a weaker rows-only check; pytest
+    # covers them against brute-force oracles.
+    return sql

@@ -62,18 +62,25 @@ class BooleanQuery:
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
     """Tiny query parser for the reference query set: bare terms (SHOULD),
-    ``+term`` (MUST), ``-term`` (MUST_NOT), and the connectives AND / OR /
-    NOT between bare terms (reference analogue: the classic QueryParser's
-    term/boolean subset, queryparser/.../classic/QueryParserBase.java:133).
+    ``+term`` (MUST), ``-term`` (MUST_NOT), the connectives AND / OR /
+    NOT between bare terms, and a trailing ``~N`` setting
+    ``minimum_should_match`` (reference analogue: the classic QueryParser's
+    term/boolean subset, queryparser/.../classic/QueryParserBase.java:133,
+    and BooleanQuery.setMinimumNumberShouldMatch,
+    core/.../search/BooleanQuery.java:40-105).
     Terms are analyzed by the same chain as indexing; a query token that
     analyzes to nothing (stopword) is dropped."""
     must: List[str] = []
     should: List[str] = []
     must_not: List[str] = []
     mode_all = False
+    msm = 0
     tokens = text.split()
     neg_next = False
     for raw in tokens:
+        if raw.startswith("~") and raw[1:].isdigit():
+            msm = int(raw[1:])
+            continue
         up = raw.upper()
         if up == "AND":
             mode_all = True
@@ -97,7 +104,8 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         must.extend(should)
         should = []
     return BooleanQuery(
-        must=tuple(must), should=tuple(should), must_not=tuple(must_not)
+        must=tuple(must), should=tuple(should), must_not=tuple(must_not),
+        minimum_should_match=msm,
     )
 
 

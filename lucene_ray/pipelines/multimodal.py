@@ -1,0 +1,132 @@
+"""Multimodal (opaque binary) column operators.
+
+Media payloads (image/audio/video) are opaque ``binary`` columns with typed
+metadata travelling alongside. The Ray-side plumbing — schema, actor-pool
+signature, batch sizing, output layout — is real and tested; the actual
+codec call is stubbed behind an import-try (no image/audio libs in this
+container) with a deterministic fake so pipelines are end-to-end runnable.
+
+Scale notes: binary payloads dominate block memory, so decode stages run
+with a small ``batch_size`` and drop the payload column as soon as features
+are extracted (the same wide-row rule as ``html`` in the index build,
+SURVEY.md §7.5.6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+try:  # pragma: no cover - PIL is absent in the target container
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def media_meta_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    """Cheap typed metadata for an opaque binary column: byte length, a
+    magic-prefix sniff, and a stable content digest (vectorized where the
+    Arrow kernels exist)."""
+    import pyarrow.compute as pc
+
+    payload = batch.column(payload_col)
+    n_bytes = pc.binary_length(payload)
+    blobs = payload.to_pylist()
+    is_html = [bool(b) and bytes(b).lstrip()[:1] == b"<" for b in blobs]
+    digest = [hashlib.md5(bytes(b or b"")).hexdigest() for b in blobs]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": n_bytes.cast(pa.int64()),
+            "is_markup": pa.array(is_html, pa.bool_()),
+            "digest": pa.array(digest, pa.string()),
+        }
+    )
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary image -> (width, height, feature vector).
+
+    With a real codec available the decode happens here (loaded once per
+    actor in ``__init__``); without one, ``fake_features=True`` derives a
+    deterministic 8-float feature from the payload bytes so downstream
+    stages (resize, embed, filter) are testable end-to-end. Set
+    ``fake_features=False`` to fail loudly instead.
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self, payload_col: str = "payload", fake_features: bool = True):
+        self.payload_col = payload_col
+        self.fake = fake_features
+        self.have_codec = _HAVE_PIL
+
+    def _decode_real(self, blob: bytes):  # pragma: no cover
+        import io
+
+        img = Image.open(io.BytesIO(blob))
+        arr = np.asarray(img, dtype=np.float32)
+        feat = arr.mean(axis=(0, 1)).ravel()[: self.FEATURE_DIM]
+        return img.width, img.height, np.pad(feat, (0, self.FEATURE_DIM - len(feat)))
+
+    def _decode_fake(self, blob: bytes):
+        h = hashlib.blake2b(blob, digest_size=self.FEATURE_DIM * 4).digest()
+        feat = (
+            np.frombuffer(h, dtype=np.uint32).astype(np.float32)
+            / np.float32(2**32)
+        )
+        return len(blob) % 1024, len(blob) // 1024 + 1, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs: List[bytes] = [
+            bytes(b or b"") for b in batch.column(self.payload_col).to_pylist()
+        ]
+        widths: List[int] = []
+        heights: List[int] = []
+        feats: List[np.ndarray] = []
+        for blob in blobs:
+            if self.have_codec:
+                w, h, f = self._decode_real(blob)
+            elif self.fake:
+                w, h, f = self._decode_fake(blob)
+            else:
+                raise NotImplementedError(
+                    "no image codec in this environment; pass fake_features=True "
+                    "or install PIL"
+                )
+            widths.append(int(w))
+            heights.append(int(h))
+            feats.append(np.asarray(f, dtype=np.float32))
+        out_cols = {
+            name: batch.column(name)
+            for name in batch.schema.names
+            if name != self.payload_col  # drop the wide payload immediately
+        }
+        out_cols["width"] = pa.array(widths, pa.int32())
+        out_cols["height"] = pa.array(heights, pa.int32())
+        out_cols["features"] = pa.array(
+            [f.tolist() for f in feats], pa.list_(pa.float32())
+        )
+        return pa.table(out_cols)
+
+
+def decode_images(
+    ds: "ray.data.Dataset",
+    payload_col: str = "payload",
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,  # small: payloads are wide
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_args=(payload_col,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

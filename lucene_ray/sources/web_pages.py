@@ -56,7 +56,7 @@ def derive_batch(batch: pa.Table, *, include_html: bool = True) -> pa.Table:
             pa.array([b"<html><body>"] * len(batch), pa.binary()),
             text.combine_chunks().cast(pa.binary()),
             pa.array([b"</body></html>"] * len(batch), pa.binary()),
-            "",
+            pa.scalar(b"", pa.binary()),
         )
     cols["text"] = text
     cols["lang"] = batch.column("lang")
