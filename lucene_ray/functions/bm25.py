@@ -68,6 +68,21 @@ class BM25Float32:
             return 0.0
         return float(self.score_array(frontier_tfs, frontier_keys).max())
 
+    # -- query-independent block-max split: score = g(w, m) with m the
+    # per-block max of freq*cache[norm]; g monotone non-decreasing in m, so
+    # m can be cached on the postings across queries (weight w varies, the
+    # frontier argmax does not). Same float32 ops as max_score => identical.
+    def frontier_m(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        freq = frontier_tfs.astype(np.float32)
+        inv = self.cache[frontier_keys.astype(np.int64)]
+        return float((freq * inv).max())
+
+    def scores_from_m(self, m: np.ndarray) -> np.ndarray:
+        w = self.weight
+        return w - w / (np.float32(1.0) + m.astype(np.float32))
+
 
 class BM25Float64:
     """SQL-parity scorer: float64, exact doc length as the norm key."""
@@ -94,6 +109,17 @@ class BM25Float64:
         if len(frontier_tfs) == 0:
             return 0.0
         return float(self.score_array(frontier_tfs, frontier_keys).max())
+
+    def frontier_m(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        tf = frontier_tfs.astype(np.float64)
+        dl = frontier_keys.astype(np.float64)
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        return float((tf / denom).max())
+
+    def scores_from_m(self, m: np.ndarray) -> np.ndarray:
+        return self.weight * m.astype(np.float64)
 
 
 SCORERS = {"byte4": BM25Float32, "exact": BM25Float64}

@@ -123,15 +123,23 @@ class TermCursor:
         self.scorer = scorer
         self._parts = postings_list
         self._block_map: List[Tuple[int, int]] = []  # global b -> (part, local b)
-        firsts, lasts, maxs = [], [], []
+        firsts, lasts, ms = [], [], []
         for pi, tp in enumerate(postings_list):
             for lb in range(tp.n_blocks):
                 self._block_map.append((pi, lb))
-                maxs.append(
-                    scorer.max_score(tp.frontier_tfs[lb], tp.frontier_keys[lb])
-                    if scorer is not None
-                    else 0.0
-                )
+            if scorer is not None:
+                if tp.frontier_m is None:
+                    # query-independent: cache on the postings object
+                    tp.frontier_m = np.asarray(
+                        [
+                            scorer.frontier_m(
+                                tp.frontier_tfs[lb], tp.frontier_keys[lb]
+                            )
+                            for lb in range(tp.n_blocks)
+                        ],
+                        dtype=np.float64,
+                    )
+                ms.append(tp.frontier_m)
             firsts.append(tp.first_docs)
             lasts.append(tp.last_docs)
         self.first_docs = (
@@ -140,7 +148,12 @@ class TermCursor:
         self.last_docs = (
             np.concatenate(lasts) if lasts else np.empty(0, dtype=np.int64)
         )
-        self.block_max = np.asarray(maxs, dtype=np.float64)
+        if scorer is not None and ms:
+            self.block_max = scorer.scores_from_m(np.concatenate(ms)).astype(
+                np.float64
+            )
+        else:
+            self.block_max = np.zeros(len(self._block_map), dtype=np.float64)
         self.df = sum(tp.df for tp in postings_list)
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -160,13 +173,16 @@ class TermCursor:
         return docs, scores
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole-list (docs, scores): raw decode cached on the postings,
+        scored with ONE vectorized score_array call per part."""
         if self.n_blocks == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        parts = [self.scored_block(b) for b in range(self.n_blocks)]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+        docs_parts, score_parts = [], []
+        for tp in self._parts:
+            docs, tfs, keys = tp.decode_all()
+            docs_parts.append(docs)
+            score_parts.append(self.scorer.score_array(tfs, keys))
+        return np.concatenate(docs_parts), np.concatenate(score_parts)
 
     def docs_in(self, lo: int, hi: int) -> Tuple[np.ndarray, np.ndarray]:
         """(docs, scores) with lo <= doc <= hi, using block skip data."""
@@ -205,6 +221,15 @@ def _combine(
     ``cursors_docs_scores`` is ordered by the canonical sorted-term order;
     scores are accumulated in that order so float sums are reproducible.
     """
+    # fast path: one scoring term, no exclusions — the posting list IS the
+    # (sorted, unique) candidate set
+    if (
+        len(cursors_docs_scores) == 1
+        and (not_docs is None or len(not_docs) == 0)
+        and ((n_must == 0 and msm <= 1) or (n_must == 1 and msm == 0))
+    ):
+        docs, scores = cursors_docs_scores[0]
+        return docs, scores.astype(dtype)
     if n_must:
         cand = None
         for (docs, _), m in zip(cursors_docs_scores, is_must):
@@ -324,8 +349,46 @@ def _concat_parts(parts):
     return np.concatenate(ds), np.concatenate(ts), np.concatenate(ks)
 
 
+#: dense bulk-scoring accumulator cap — above this doc-space size the sparse
+#: combine is used instead (a 10^12-doc index is always queried per
+#: doc-range shard, so per-searcher doc spaces stay far below this)
+DENSE_DOC_LIMIT = 50_000_000
+
+
+def _dense_combine(per_term, is_must, n_must, msm, not_docs, dtype, doc_count):
+    """BooleanScorer-style dense bucket scoring: one scatter-add per term
+    over a doc-space accumulator (docs are dense global ints). Identical
+    accumulation order to the sparse path: cursors arrive in canonical
+    sorted-term order and each term's docs are unique."""
+    acc = np.zeros(doc_count, dtype=dtype)
+    cnt_must = np.zeros(doc_count, dtype=np.uint16) if n_must else None
+    cnt_should = np.zeros(doc_count, dtype=np.uint16)
+    for (docs, scores), m in zip(per_term, is_must):
+        if len(docs) == 0:
+            if m:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            continue
+        acc[docs] += scores.astype(dtype)
+        if m:
+            cnt_must[docs] += 1
+        else:
+            cnt_should[docs] += 1
+    if n_must:
+        mask = cnt_must == n_must
+        if msm > 0:
+            mask &= cnt_should >= msm
+    else:
+        mask = cnt_should >= max(1, msm)
+    if not_docs is not None and len(not_docs):
+        mask[not_docs[not_docs < doc_count]] = False
+    cand = np.flatnonzero(mask)
+    return cand, acc[cand]
+
+
 def score_exhaustive(reader, query, k: int = 10):
-    """Decode-everything executor — the in-engine oracle."""
+    """Decode-everything executor — the in-engine oracle. Uses the dense
+    bulk accumulator when the searcher's doc space allows, the sparse
+    unique/searchsorted combine otherwise."""
     prep = _prepare(reader, query)
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -334,12 +397,20 @@ def score_exhaustive(reader, query, k: int = 10):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     per_term = [c.decode_all() for c in cursors]
     not_docs = _NotCursorView.all_docs(not_cursors)
-    cand, acc = _combine(
-        per_term, is_must, int(is_must.sum()), query.minimum_should_match
-        if isinstance(query, BooleanQuery)
-        else 0,
-        not_docs, dtype,
+    msm = (
+        query.minimum_should_match if isinstance(query, BooleanQuery) else 0
     )
+    n_must = int(is_must.sum())
+    doc_space = int(reader.doc_count)
+    max_doc = max((int(d[-1]) for d, _ in per_term if len(d)), default=-1)
+    if 0 < doc_space <= DENSE_DOC_LIMIT and max_doc < doc_space:
+        cand, acc = _dense_combine(
+            per_term, is_must, n_must, msm, not_docs, dtype, doc_space
+        )
+    else:
+        cand, acc = _combine(
+            per_term, is_must, n_must, msm, not_docs, dtype
+        )
     return _topk_from(cand, acc, k)
 
 
@@ -394,15 +465,36 @@ def score_blockmax(reader, query, k: int = 10):
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []  # (score, -doc_id), heap[0] = worst
     not_docs = _NotCursorView.all_docs(not_cursors) if not_cursors else None
+    # cost-based fallback (Lucene analogue: BooleanScorerSupplier picks a
+    # bulk scorer when WAND-style pruning can't win,
+    # search/BooleanScorerSupplier.java:398-418): probe the highest-bound
+    # intervals first; if the threshold leaves most intervals alive, the
+    # per-interval machinery costs more than one vectorized exhaustive pass.
+    n_feasible = int(feasible.sum())
+    probe_budget = 8
+    probed = 0
     for i in order:
         if not feasible[i]:
             continue
         if len(heap) == k and bounds[i] < heap[0][0]:
             break
+        if probed == probe_budget and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                return score_exhaustive(reader, query, k)
+        probed += 1
         lo = int(starts[i])
         hi = int(edges[i + 1]) - 1
         per_term = [c.docs_in(lo, hi) for c in cursors]
         cand, acc = _combine(per_term, is_must, n_must, msm, not_docs, dtype)
+        if len(cand) == 0:
+            continue
+        # vectorized pre-filter: only candidates at/above the current kth
+        # score can enter the heap (>= keeps doc-id tie-break candidates)
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            cand, acc = cand[mask], acc[mask]
         for d, s in zip(cand, acc):
             entry = (float(s), -int(d))
             if len(heap) < k:

@@ -71,6 +71,14 @@ class IndexConfig:
     analyzer: str = "standard_en"
     norm_kind: str = "byte4"  # "byte4" (reference-faithful) | "exact" (SQL parity)
     num_partitions: int = 16  # term partitions == segments == reduce tasks
+    # "groupby": Ray Data sort-based groupby shuffle (in-memory, simple).
+    # "files":   external exchange — analyzer tasks append per-partition run
+    #            files (Arrow IPC) under <out_dir>/runs/<gpart>/, then one
+    #            encode task per partition merges its runs. Mirrors the
+    #            reference's DWPT-flush-then-merge (SegmentMerger,
+    #            index/SegmentMerger.java:114-147) and scales on shared
+    #            storage without an object-store all-to-all.
+    exchange: str = "groupby"
     # heavy-term skew split: a term with estimated df > threshold is split by
     # doc-range bucket (doc_id >> bucket_shift) into independent sub-lists
     heavy_df_threshold: Optional[int] = None  # None = no detection pass
@@ -86,60 +94,89 @@ class IndexConfig:
 class AnalyzerStage:
     """Stateful actor: analysis chain compiled once per worker; per batch it
     emits one posting row per (term, doc) with tf pre-aggregated (the
-    partial-aggregation rule: the shuffle never sees individual tokens)."""
+    partial-aggregation rule: the shuffle never sees individual tokens).
+
+    The emission path is vectorized: tokens are dictionary-encoded once per
+    batch, (doc, term) pairs are counted with one ``np.unique`` over packed
+    int keys, and per-term hash/heavy flags are computed once per *vocab
+    entry* (memoized across batches — the Zipf head costs nothing after the
+    first batch), never once per posting."""
 
     def __init__(self, cfg: IndexConfig, heavy_terms: Optional[Set[str]] = None):
         self.cfg = cfg
         self.analyzer = make_analyzer(cfg.analyzer)
         self.heavy = heavy_terms or set()
         self.byte4 = cfg.norm_kind == "byte4"
+        # term -> (crc32, is_heavy), grown lazily per actor
+        self._term_meta: Dict[str, tuple] = {}
+
+    def _empty(self) -> pa.Table:
+        return POSTINGS_SCHEMA.empty_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import itertools
+        import zlib
+
         cfg = self.cfg
         texts = batch.column(cfg.text_col).to_pylist()
         doc_ids = batch.column(cfg.id_col).to_numpy()
         analyze = self.analyzer.analyze
-        out_terms: List[str] = []
-        out_docs: List[int] = []
-        out_tfs: List[int] = []
-        out_keys: List[int] = []
-        for did, text in zip(doc_ids, texts):
-            terms = analyze(text) if text else []
-            if not terms:
-                continue
-            counts = Counter(terms)
-            dl = len(terms)
-            key = int(int_to_byte4(dl)) if self.byte4 else dl
-            did = int(did)
-            for t, tf in counts.items():
-                out_terms.append(t)
-                out_docs.append(did)
-                out_tfs.append(tf)
-                out_keys.append(key)
-        n = len(out_terms)
-        docs_arr = np.asarray(out_docs, dtype=np.int64)
-        if self.heavy:
-            heavy = self.heavy
-            bucket = np.fromiter(
-                (
-                    (d >> cfg.bucket_shift) if t in heavy else 0
-                    for t, d in zip(out_terms, out_docs)
-                ),
-                dtype=np.int32,
-                count=n,
-            )
+        term_lists = [analyze(t) if t else [] for t in texts]
+        lens = np.fromiter(
+            (len(x) for x in term_lists), dtype=np.int64, count=len(term_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return self._empty()
+        flat = pa.array(
+            list(itertools.chain.from_iterable(term_lists)), pa.string()
+        )
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        vocab: List[str] = denc.dictionary.to_pylist()
+        nv = len(vocab)
+
+        # one (doc, term) row per unique pair, tf = pair multiplicity
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        pair = doc_idx * nv + codes
+        uniq, tfs = np.unique(pair, return_counts=True)
+        u_doc = uniq // nv
+        u_code = uniq % nv
+
+        keys_doc = (
+            int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
+        )
+        out_docs = doc_ids[u_doc].astype(np.int64)
+        out_keys = keys_doc[u_doc].astype(np.int32)
+
+        # per-vocab-entry hash + heavy flag (memoized across batches)
+        meta = self._term_meta
+        heavy_set = self.heavy
+        crc = zlib.crc32
+        vhash = np.empty(nv, dtype=np.int64)
+        vheavy = np.zeros(nv, dtype=bool)
+        for j, t in enumerate(vocab):
+            m = meta.get(t)
+            if m is None:
+                m = (crc(t.encode("utf-8")), t in heavy_set)
+                meta[t] = m
+            vhash[j] = m[0]
+            vheavy[j] = m[1]
+
+        if heavy_set:
+            bucket = np.where(
+                vheavy[u_code], out_docs >> cfg.bucket_shift, 0
+            ).astype(np.int32)
         else:
-            bucket = np.zeros(n, dtype=np.int32)
-        hashes = crc32_array(out_terms)
-        gpart = (
-            (hashes.astype(np.int64) + bucket) % cfg.num_partitions
-        ).astype(np.int32)
+            bucket = np.zeros(len(uniq), dtype=np.int32)
+        gpart = ((vhash[u_code] + bucket) % cfg.num_partitions).astype(np.int32)
+        terms_out = pc.take(denc.dictionary, pa.array(u_code, pa.int64()))
         return pa.table(
             {
-                "term": pa.array(out_terms, pa.string()),
-                "doc_id": pa.array(docs_arr),
-                "tf": pa.array(np.asarray(out_tfs, dtype=np.int32)),
-                "key": pa.array(np.asarray(out_keys, dtype=np.int32)),
+                "term": terms_out,
+                "doc_id": pa.array(out_docs),
+                "tf": pa.array(tfs.astype(np.int32)),
+                "key": pa.array(out_keys),
                 "bucket": pa.array(bucket),
                 "gpart": pa.array(gpart),
             },
@@ -326,6 +363,67 @@ def _meta_row(meta: dict) -> pa.Table:
     )
 
 
+RUNS_DIR = "runs"
+
+
+class RunWriter:
+    """Map-side of the file exchange: split each postings batch by gpart and
+    append one Arrow IPC run file per partition. Run files are transient
+    scratch (cleared at build start, deleted after encode); the durable
+    resume unit stays the per-segment checkpoint."""
+
+    def __init__(self, run_root: str):
+        self.run_root = run_root
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.feather as feather
+
+        gparts = batch.column("gpart").to_numpy()
+        order = np.argsort(gparts, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        sg = sorted_batch.column("gpart").to_numpy()
+        bounds = np.flatnonzero(np.diff(sg)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sg)]))
+        tag = uuid.uuid4().hex
+        out_g: List[int] = []
+        out_rows: List[int] = []
+        for lo, hi in zip(starts, ends):
+            if hi <= lo:
+                continue
+            g = int(sg[lo])
+            gdir = os.path.join(self.run_root, f"{g:05d}")
+            os.makedirs(gdir, exist_ok=True)
+            path = os.path.join(gdir, f"run-{tag}.arrow")
+            feather.write_feather(
+                sorted_batch.slice(lo, hi - lo), path, compression="lz4"
+            )
+            out_g.append(g)
+            out_rows.append(hi - lo)
+        return pa.table(
+            {
+                "gpart": pa.array(out_g, pa.int32()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+
+def _merge_runs_encode(run_root: str, encoder: "SegmentEncoder", gpart: int
+                       ) -> pa.Table:
+    """Reduce-side: concat all run files of one partition and encode."""
+    import glob
+
+    import pyarrow.feather as feather
+
+    files = sorted(glob.glob(os.path.join(run_root, f"{gpart:05d}", "run-*.arrow")))
+    if not files:
+        return encoder(POSTINGS_SCHEMA.empty_table())
+    tables = [feather.read_table(f) for f in files]
+    return encoder(pa.concat_tables(tables))
+
+
 def dedup_exact_by_url(ds, url_col: str = "url", ts_col: str = "warc_ts",
                        num_buckets: int = 64):
     """Keep the earliest (warc_ts, then url) row per url. Shuffles by a crc32
@@ -358,11 +456,14 @@ def build_index(
     out_dir: str,
     cfg: Optional[IndexConfig] = None,
     doc_count: Optional[int] = None,
+    heavy_terms: Optional[Set[str]] = None,
 ) -> dict:
     """Run the full build over ``ds`` (web_pages-shaped) and return the
     manifest. Resumable: re-running with the same input fingerprint skips
     completed segments via their checkpoints. Pass ``doc_count`` when known
-    (e.g. from parquet metadata) to avoid an extra counting execution."""
+    (e.g. from parquet metadata) to avoid an extra counting execution, and
+    ``heavy_terms`` to reuse a prior detection pass (e.g. term stats from an
+    earlier build of the same corpus) instead of sampling here."""
     cfg = cfg or IndexConfig()
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     t0 = time.time()
@@ -376,8 +477,8 @@ def build_index(
         doc_count = ds.count()
     fingerprint = f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};parts={cfg.num_partitions}"
 
-    heavy: Set[str] = set()
-    if cfg.heavy_df_threshold is not None:
+    heavy: Set[str] = set(heavy_terms) if heavy_terms is not None else set()
+    if heavy_terms is None and cfg.heavy_df_threshold is not None:
         heavy = detect_heavy_terms(ds, cfg)
 
     postings = ds.map_batches(
@@ -388,13 +489,39 @@ def build_index(
     )
     encoder = SegmentEncoder(out_dir, fingerprint)
 
-    def encode_group(group: pa.Table) -> pa.Table:
-        return encoder(group)
+    if cfg.exchange == "files":
+        import shutil
 
-    encoded = postings.groupby("gpart").map_groups(
-        encode_group, batch_format="pyarrow"
-    )
-    meta = encoded.take_all()  # P small rows
+        run_root = os.path.join(out_dir, RUNS_DIR)
+        shutil.rmtree(run_root, ignore_errors=True)
+        os.makedirs(run_root, exist_ok=True)
+        # barrier #1: every analyzer task appends its per-partition runs
+        postings.map_batches(RunWriter(run_root), batch_format="pyarrow").count()
+        # one merge+encode task per partition (no object-store all-to-all)
+        parts_ds = ray.data.range(
+            cfg.num_partitions, override_num_blocks=cfg.num_partitions
+        )
+
+        def encode_part(batch: pa.Table) -> pa.Table:
+            outs = [
+                _merge_runs_encode(run_root, encoder, int(g))
+                for g in batch.column("id").to_pylist()
+            ]
+            return pa.concat_tables(outs)
+
+        meta = parts_ds.map_batches(
+            encode_part, batch_format="pyarrow", batch_size=1
+        ).take_all()
+        shutil.rmtree(run_root, ignore_errors=True)
+    else:
+
+        def encode_group(group: pa.Table) -> pa.Table:
+            return encoder(group)
+
+        encoded = postings.groupby("gpart").map_groups(
+            encode_group, batch_format="pyarrow"
+        )
+        meta = encoded.take_all()  # P small rows
     build_sec = time.time() - t0
 
     segments = sorted(

@@ -144,6 +144,12 @@ class TermPostings:
     frontier_tfs: List[np.ndarray]
     frontier_keys: List[np.ndarray]
     blocks_base: int
+    # query-independent per-block max of the scorer's monotone ratio
+    # (freq * inv_len_factor); filled lazily by the first TermCursor —
+    # valid for every query because idf/boost only scale it monotonically
+    frontier_m: Optional[np.ndarray] = None
+    # decoded-block cache (actor-resident readers serve repeated queries)
+    _block_cache: Optional[Dict[int, tuple]] = None
 
     @property
     def n_blocks(self) -> int:
@@ -154,21 +160,34 @@ class TermPostings:
         return BLOCK_SIZE if b < n_full else rem
 
     def decode_block(self, b: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (doc_ids:int64, tfs:int64, keys:int64) for block b."""
+        """-> (doc_ids:int64, tfs:int64, keys:int64) for block b (cached)."""
+        if self._block_cache is None:
+            self._block_cache = {}
+        hit = self._block_cache.get(b)
+        if hit is not None:
+            return hit
         pos = self.blocks_base + int(self.block_offs[b])
         gaps, pos = pfor_decode(self.buf, pos)
         tfs, pos = pfor_decode(self.buf, pos)
         keys, pos = pfor_decode(self.buf, pos)
         docs = self.first_docs[b] + np.cumsum(gaps.astype(np.int64))
-        return docs, tfs.astype(np.int64), keys.astype(np.int64)
+        out = (docs, tfs.astype(np.int64), keys.astype(np.int64))
+        self._block_cache[b] = out
+        return out
+
+    _all_cache: Optional[tuple] = None
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._all_cache is not None:
+            return self._all_cache
         parts = [self.decode_block(b) for b in range(self.n_blocks)]
-        return (
+        out = (
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
+        self._all_cache = out
+        return out
 
 
 def parse_term_postings(buf: memoryview, offset: int, length: int) -> TermPostings:
@@ -228,6 +247,10 @@ class SegmentReader:
                 start = i
         with open(base + ".post", "rb") as f:
             self._blob = memoryview(f.read())
+        # parsed-postings cache: a warm reader (query actor) re-serves hot
+        # terms without re-walking the frontier vints (Lucene analogue: the
+        # terms dict / postings stay mmap-hot in the searcher)
+        self._parsed: Dict[str, List[Tuple[int, TermPostings]]] = {}
 
     def terms(self) -> Iterator[str]:
         return iter(self._row_range)
@@ -241,12 +264,15 @@ class SegmentReader:
 
     def postings_with_buckets(self, term: str) -> List[Tuple[int, TermPostings]]:
         """(bucket, postings) pairs for ``term``, ascending bucket order."""
+        hit = self._parsed.get(term)
+        if hit is not None:
+            return hit
         rng = self._row_range.get(term)
         if rng is None:
             return []
         lo, hi = rng
         order = np.argsort(self._buckets[lo:hi], kind="stable") + lo
-        return [
+        out = [
             (
                 int(self._buckets[i]),
                 parse_term_postings(
@@ -255,6 +281,8 @@ class SegmentReader:
             )
             for i in order
         ]
+        self._parsed[term] = out
+        return out
 
     def postings(self, term: str) -> List[TermPostings]:
         """All bucket blobs for ``term``, in ascending bucket (= doc) order."""
