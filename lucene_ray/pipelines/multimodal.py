@@ -120,7 +120,7 @@ class ImageDecodeStage:
 def decode_images(
     ds: "ray.data.Dataset",
     payload_col: str = "payload",
-    concurrency: Optional[int] = None,
+    concurrency: int = 4,
     batch_size: int = 64,  # small: payloads are wide
 ) -> "ray.data.Dataset":
     return ds.map_batches(
