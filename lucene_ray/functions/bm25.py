@@ -79,6 +79,10 @@ class BM25Float32:
         inv = self.cache[frontier_keys.astype(np.int64)]
         return float((freq * inv).max())
 
+    def ratio_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Vectorized monotone ratio for frontier pairs (bulk frontier_m)."""
+        return tfs.astype(np.float32) * self.cache[keys.astype(np.int64)]
+
     def scores_from_m(self, m: np.ndarray) -> np.ndarray:
         w = self.weight
         return w - w / (np.float32(1.0) + m.astype(np.float32))
@@ -117,6 +121,11 @@ class BM25Float64:
         dl = frontier_keys.astype(np.float64)
         denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         return float((tf / denom).max())
+
+    def ratio_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = keys.astype(np.float64)
+        return tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
 
     def scores_from_m(self, m: np.ndarray) -> np.ndarray:
         return self.weight * m.astype(np.float64)

@@ -45,16 +45,40 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits` → uint64 array of length ``n``."""
+    """Inverse of :func:`pack_bits` → uint64 array of length ``n``.
+
+    Word-gather implementation: element i occupies bits [i*width,
+    (i+1)*width) of the little-endian stream; each value is assembled from
+    at most two 64-bit words with vectorized shifts (no per-bit matrix)."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
-    )
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(
-        axis=1, dtype=np.uint64
-    )
+    if width > 57:
+        # rare wide case: fall back to the exact per-bit route (a value may
+        # span >2 byte-aligned words only conceptually; keep it simple)
+        bits = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8), count=n * width,
+            bitorder="little",
+        )
+        shifts = np.arange(width, dtype=np.uint64)
+        return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+    # pad so that word_idx + 1 is always readable
+    data = np.frombuffer(buf, dtype=np.uint8)
+    padded = np.zeros(((len(data) + 15) // 8) * 8, dtype=np.uint8)
+    padded[: len(data)] = data
+    words = padded.view(np.uint64)
+    starts = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    widx = (starts >> np.uint64(6)).astype(np.int64)
+    boff = starts & np.uint64(63)
+    lo = words[widx] >> boff
+    # high part only when the value crosses the word boundary; shift amount
+    # is kept in [1, 63] to avoid undefined 64-bit shifts
+    need_hi = (boff + np.uint64(width)) > np.uint64(64)
+    hi_shift = np.where(need_hi, np.uint64(64) - boff, np.uint64(1))
+    hi = np.where(need_hi, words[widx + 1] << hi_shift, np.uint64(0))
+    mask = (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    return (lo | hi) & mask
 
 
 def write_vint(out: bytearray, value: int) -> None:
@@ -128,6 +152,88 @@ def pfor_encode(values: np.ndarray, out: bytearray) -> None:
     for i in exc_idx:
         out.append(int(i))
         write_vint(out, int(v[i] >> np.uint64(w_base)))
+
+
+def pfor_scan(buf: memoryview, pos: int):
+    """Parse one block's header WITHOUT decoding the body.
+
+    -> (mode, const_value_or_width, n, body_bit_start, exceptions, next_pos)
+    where exceptions is a list of (index, high_bits) for packed blocks and
+    body_bit_start is the absolute bit offset of the packed body in ``buf``.
+    """
+    mode = buf[pos]
+    pos += 1
+    if mode == _MODE_CONST:
+        value, pos = read_vint(buf, pos)
+        n, pos = read_vint(buf, pos)
+        return _MODE_CONST, value, n, 0, (), pos
+    width = buf[pos]
+    n_exc = buf[pos + 1]
+    pos += 2
+    n, pos = read_vint(buf, pos)
+    body_bit_start = pos * 8
+    pos += (n * width + 7) // 8
+    exceptions = []
+    for _ in range(n_exc):
+        idx = buf[pos]
+        pos += 1
+        high, pos = read_vint(buf, pos)
+        exceptions.append((idx, high))
+    return _MODE_PACKED, width, n, body_bit_start, exceptions, pos
+
+
+def bulk_decode(buf: memoryview, positions) -> list:
+    """Decode MANY pfor blocks with ONE vectorized gather.
+
+    ``positions`` is a list of byte offsets of block starts in ``buf``.
+    Returns (decoded uint64 array per block, next byte offset per block). All packed bodies across
+    all blocks are unpacked in a single word-gather over per-element bit
+    starts and per-element widths — the bulk analogue of the reference's
+    generated ForUtil kernels (codecs/lucene104/ForUtil.java:26-33).
+    """
+    headers = [pfor_scan(buf, p) for p in positions]
+    out: list = [None] * len(headers)
+    # gather metadata for all packed elements
+    el_starts: list = []
+    el_widths: list = []
+    packed_at: list = []  # (block_index, n)
+    for bi, (mode, wv, n, body_bit, _exc, _nxt) in enumerate(headers):
+        if mode == _MODE_CONST:
+            out[bi] = np.full(n, wv, dtype=np.uint64)
+        elif wv == 0:
+            out[bi] = np.zeros(n, dtype=np.uint64)
+        else:
+            el_starts.append(
+                np.uint64(body_bit)
+                + np.arange(n, dtype=np.uint64) * np.uint64(wv)
+            )
+            el_widths.append(np.full(n, wv, dtype=np.uint64))
+            packed_at.append((bi, n))
+    if packed_at:
+        starts = np.concatenate(el_starts)
+        widths = np.concatenate(el_widths)
+        data = np.frombuffer(buf, dtype=np.uint8)
+        padded = np.zeros(((len(data) + 15) // 8) * 8, dtype=np.uint8)
+        padded[: len(data)] = data
+        words = padded.view(np.uint64)
+        widx = (starts >> np.uint64(6)).astype(np.int64)
+        boff = starts & np.uint64(63)
+        lo = words[widx] >> boff
+        need_hi = (boff + widths) > np.uint64(64)
+        hi_shift = np.where(need_hi, np.uint64(64) - boff, np.uint64(1))
+        hi = np.where(need_hi, words[widx + 1] << hi_shift, np.uint64(0))
+        mask = (np.uint64(1) << widths) - np.uint64(1)
+        vals = (lo | hi) & mask
+        cursor = 0
+        for bi, n in packed_at:
+            out[bi] = vals[cursor : cursor + n]
+            cursor += n
+    # patch exceptions (few per block by construction)
+    for bi, (mode, wv, _n, _bb, exc, _nxt) in enumerate(headers):
+        if mode == _MODE_PACKED:
+            for idx, high in exc:
+                out[bi][idx] |= np.uint64(high) << np.uint64(wv)
+    return out, [h[5] for h in headers]
 
 
 def pfor_decode(buf: memoryview, pos: int) -> Tuple[np.ndarray, int]:

@@ -129,16 +129,33 @@ class TermCursor:
                 self._block_map.append((pi, lb))
             if scorer is not None:
                 if tp.frontier_m is None:
-                    # query-independent: cache on the postings object
-                    tp.frontier_m = np.asarray(
-                        [
-                            scorer.frontier_m(
-                                tp.frontier_tfs[lb], tp.frontier_keys[lb]
-                            )
-                            for lb in range(tp.n_blocks)
-                        ],
-                        dtype=np.float64,
+                    # query-independent: cache on the postings object.
+                    # One vectorized ratio pass over ALL frontier pairs +
+                    # a reduceat per-block max (frontiers are never empty)
+                    sizes = np.fromiter(
+                        (len(x) for x in tp.frontier_tfs),
+                        dtype=np.int64,
+                        count=tp.n_blocks,
                     )
+                    if tp.n_blocks and sizes.min() > 0:
+                        flat = scorer.ratio_array(
+                            np.concatenate(tp.frontier_tfs),
+                            np.concatenate(tp.frontier_keys),
+                        ).astype(np.float64)
+                        starts = np.concatenate(
+                            ([0], np.cumsum(sizes)[:-1])
+                        )
+                        tp.frontier_m = np.maximum.reduceat(flat, starts)
+                    else:
+                        tp.frontier_m = np.asarray(
+                            [
+                                scorer.frontier_m(
+                                    tp.frontier_tfs[lb], tp.frontier_keys[lb]
+                                )
+                                for lb in range(tp.n_blocks)
+                            ],
+                            dtype=np.float64,
+                        )
                 ms.append(tp.frontier_m)
             firsts.append(tp.first_docs)
             lasts.append(tp.last_docs)
@@ -422,6 +439,14 @@ def score_blockmax(reader, query, k: int = 10):
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     cursors, is_must, not_cursors, dtype = prep
+    # a cursor can be block-less locally even with global df > 0 (sharded
+    # search under global stats): an empty MUST list empties the result;
+    # empty SHOULD lists just drop out
+    if any(c.n_blocks == 0 and m for c, m in zip(cursors, is_must)):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    keep = [i for i, c in enumerate(cursors) if c.n_blocks > 0]
+    cursors = [cursors[i] for i in keep]
+    is_must = is_must[keep] if len(keep) else np.zeros(0, dtype=bool)
     n = len(cursors)
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)

@@ -178,13 +178,36 @@ class TermPostings:
     _all_cache: Optional[tuple] = None
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Whole-list decode: all blocks' gap/tf/key arrays in three bulk
+        vectorized gathers (codec.bulk_decode), then one grouped cumsum for
+        the doc IDs — no per-block numpy calls on the cold path."""
         if self._all_cache is not None:
             return self._all_cache
-        parts = [self.decode_block(b) for b in range(self.n_blocks)]
+        from ..functions.codec import bulk_decode
+
+        nb = self.n_blocks
+        if nb == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        gap_pos = [self.blocks_base + int(o) for o in self.block_offs]
+        gaps, tf_pos = bulk_decode(self.buf, gap_pos)
+        tfs, key_pos = bulk_decode(self.buf, tf_pos)
+        keys, _ = bulk_decode(self.buf, key_pos)
+        sizes = np.fromiter((len(g) for g in gaps), dtype=np.int64, count=nb)
+        flat_gaps = np.concatenate(gaps).astype(np.int64)
+        cs = np.cumsum(flat_gaps)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        # per-block rebase: docs = first_doc[b] + cumsum(gaps_b)
+        base_correction = cs[starts] - flat_gaps[starts]
+        docs = (
+            cs
+            - np.repeat(base_correction, sizes)
+            + np.repeat(self.first_docs, sizes)
+        )
         out = (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]),
+            docs,
+            np.concatenate(tfs).astype(np.int64),
+            np.concatenate(keys).astype(np.int64),
         )
         self._all_cache = out
         return out

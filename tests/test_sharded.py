@@ -114,3 +114,20 @@ def test_check_index_detects_tamper(built_indexes, tmp_path):
         check_index(bad_dir)
     report = check_index(bad_dir, raise_on_error=False)
     assert not report["ok"]
+
+
+def test_distributed_search_matches_single(built_indexes):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_blockmax
+    from lucene_ray.pipelines.distributed_search import search_sharded
+    from lucene_ray.state.reader import IndexReader
+
+    full_dir, a_dir, b_dir = built_indexes
+    single = IndexReader(full_dir)
+    an = make_analyzer(single.analyzer_name)
+    merged = search_sharded([a_dir, b_dir], QUERIES, k=10)
+    for qid, qt in enumerate(QUERIES):
+        d_ref, s_ref = score_blockmax(single, parse_query(qt, an), 10)
+        d_got, s_got = merged[qid]
+        assert np.array_equal(d_ref, d_got), qt
+        assert np.array_equal(s_ref, s_got), qt
