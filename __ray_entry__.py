@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- relational-ish ops ---
     q["events_window"] = lambda sf: _events_window(sf)
+    q["events_sessionize"] = lambda sf: _events_sessionize(sf)
     q["top_docs_by_lang"] = _top_docs_by_lang
     return q
 
@@ -360,6 +361,16 @@ def _events_window(sf_dir: str):
     from lucene_ray.pipelines.events import window_aggregate
 
     return window_aggregate(
+        ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    )
+
+
+def _events_sessionize(sf_dir: str):
+    import ray.data
+
+    from lucene_ray.pipelines.events import sessionize
+
+    return sessionize(
         ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     )
 
@@ -586,6 +597,17 @@ FROM ds"""
   CAST(COUNT(*) AS BIGINT) AS n_events,
   round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    sql["events_sessionize"] = """SELECT event_id, user_id,
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+         THEN 0 ELSE 1 END AS new_sess
+  FROM events
+)"""
 
     sql["top_docs_by_lang"] = """SELECT lang,
   CAST(row_number() OVER (PARTITION BY lang

@@ -123,11 +123,99 @@ class SimpleStopAnalyzer(SimpleAnalyzer):
         return [t for t in self._RE.findall(text.lower()) if t not in stop]
 
 
+class WhitespaceAnalyzer:
+    """Split on whitespace, no normalization (reference:
+    analysis/common/.../core/WhitespaceTokenizer.java)."""
+
+    name = "whitespace"
+
+    def analyze(self, text: str) -> List[str]:
+        return text.split()
+
+
+class KeywordAnalyzer:
+    """Whole input as a single token (reference:
+    analysis/common/.../core/KeywordTokenizer.java)."""
+
+    name = "keyword"
+
+    def analyze(self, text: str) -> List[str]:
+        return [text] if text else []
+
+
+class LetterAnalyzer:
+    """Maximal letter runs, lowercased (reference:
+    analysis/common/.../core/LetterTokenizer.java + LowerCaseFilter)."""
+
+    name = "letter"
+    _RE = re.compile(r"[^\W\d_]+")
+
+    def analyze(self, text: str) -> List[str]:
+        return [lowercase(t) for t in self._RE.findall(text)]
+
+
+class NGramAnalyzer:
+    """Character n-grams of each lowercased token (reference:
+    analysis/common/.../ngram/NGramTokenFilter.java: every gram length in
+    [min_gram, max_gram] at every offset; short tokens are dropped)."""
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3,
+                 edge: bool = False):
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.edge = edge
+        self.name = ("edge_ngram" if edge else "ngram") + f"_{min_gram}_{max_gram}"
+        self._base = SimpleAnalyzer()
+
+    def analyze(self, text: str) -> List[str]:
+        out: List[str] = []
+        for tok in self._base.analyze(text):
+            if self.edge:
+                for g in range(self.min_gram, self.max_gram + 1):
+                    if g <= len(tok):
+                        out.append(tok[:g])
+            else:
+                for i in range(len(tok)):
+                    for g in range(self.min_gram, self.max_gram + 1):
+                        if i + g <= len(tok):
+                            out.append(tok[i : i + g])
+        return out
+
+
+class ShingleAnalyzer:
+    """Word shingles over the simple chain (reference:
+    analysis/common/.../shingle/ShingleFilter.java — token n-grams;
+    unigrams optionally kept)."""
+
+    def __init__(self, min_size: int = 2, max_size: int = 2,
+                 output_unigrams: bool = True, sep: str = " "):
+        self.min_size = min_size
+        self.max_size = max_size
+        self.output_unigrams = output_unigrams
+        self.sep = sep
+        self.name = f"shingle_{min_size}_{max_size}"
+        self._base = SimpleAnalyzer()
+
+    def analyze(self, text: str) -> List[str]:
+        toks = self._base.analyze(text)
+        out: List[str] = list(toks) if self.output_unigrams else []
+        for size in range(max(2, self.min_size), self.max_size + 1):
+            for i in range(len(toks) - size + 1):
+                out.append(self.sep.join(toks[i : i + size]))
+        return out
+
+
 _REGISTRY: Dict[str, Callable[[], object]] = {
     "standard_en": StandardEnglishAnalyzer,
     "standard_en_nostem": lambda: StandardEnglishAnalyzer(stem=False),
     "simple": SimpleAnalyzer,
     "en_nostem_simple": SimpleStopAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "keyword": KeywordAnalyzer,
+    "letter": LetterAnalyzer,
+    "ngram": NGramAnalyzer,
+    "edge_ngram": lambda: NGramAnalyzer(edge=True),
+    "shingle": ShingleAnalyzer,
 }
 
 

@@ -69,3 +69,68 @@ def window_aggregate(
         Sum("n_part"), Sum("sum_part")
     )
     return final.map_batches(_final, batch_format="pyarrow")
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def sessionize(
+    ds: "ray.data.Dataset", gap_us: int = SESSION_GAP_US
+) -> "ray.data.Dataset":
+    """Gap-based sessionization per user — the stateful-window operator.
+
+    A new session starts when the gap to the user's previous event exceeds
+    ``gap_us``. Expressed Ray-Data-first: ONE ``groupby(user_id)`` shuffle
+    co-locates each user's history, then a vectorized per-group kernel
+    (sort + diff + cumsum) assigns dense 1-based session ids. Event order
+    inside a user is (ts, event_id) — deterministic under ties.
+
+    -> Dataset(event_id, user_id, session_id)
+    """
+    import numpy as np
+
+    num_buckets = 64  # group count is O(buckets), never O(users)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column("user_id").to_numpy() % num_buckets).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        n = len(ts)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_sess[1:] = np.where(
+                same_user & (np.diff(ts) <= gap_us), 0, 1
+            )
+        cs = np.cumsum(new_sess)
+        # rebase per user: session_id = cs - cs[user_first_row] + 1
+        user_start = np.ones(n, dtype=bool)
+        if n > 1:
+            user_start[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(user_start)
+        sizes = np.diff(np.append(starts, n))
+        session_id = cs - np.repeat(cs[starts], sizes) + 1
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "session_id": pa.array(session_id),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assign, batch_format="pyarrow")
+    )

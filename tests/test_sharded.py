@@ -131,3 +131,46 @@ def test_distributed_search_matches_single(built_indexes):
         d_got, s_got = merged[qid]
         assert np.array_equal(d_ref, d_got), qt
         assert np.array_equal(s_ref, s_got), qt
+
+
+def test_incremental_add_batch(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_blockmax
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.incremental import add_batch, open_index
+    from lucene_ray.state.reader import IndexReader
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cfg = IndexConfig(num_partitions=4, exchange="files")
+    root = str(tmp_path / "incr")
+    thirds = [
+        tbl.filter(pa.compute.less(tbl.column("doc_id"), 150)),
+        tbl.filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(tbl.column("doc_id"), 150),
+                pa.compute.less(tbl.column("doc_id"), 300),
+            )
+        ),
+        tbl.filter(pa.compute.greater_equal(tbl.column("doc_id"), 300)),
+    ]
+    for part in thirds:
+        add_batch(root, ray.data.from_arrow(part), cfg)
+
+    mono_dir = str(tmp_path / "mono")
+    build_index(ray.data.from_arrow(tbl), mono_dir, cfg)
+    mono = IndexReader(mono_dir)
+    incr = open_index(root)
+    assert incr.doc_count == mono.doc_count
+    an = make_analyzer(mono.analyzer_name)
+    for qt in QUERIES:
+        q = parse_query(qt, an)
+        d1, s1 = score_blockmax(mono, q, 10)
+        d2, s2 = score_blockmax(incr, q, 10)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2), qt
+
+    # overlapping doc range is refused and not published
+    with pytest.raises(ValueError, match="fresh doc-id range"):
+        add_batch(root, ray.data.from_arrow(thirds[0]), cfg)
+    assert incr.doc_count == open_index(root).doc_count
