@@ -15,9 +15,13 @@ stages/     map_batches stage classes (analyzer actor, query exec actor,
             dedup / ann / text-stat stages, multimodal plumbing)
 sources/    parquet readers, segment store (postings blobs), manifest I/O,
             deterministic web_pages fixture generator
-pipelines/  build (index construction), search (query driver), ops
-            (dedup / ann / text analysis pipelines), oracle (brute force)
-state/      index state: term dictionary, segment reader, global stats
+pipelines/  build (index construction), search (query driver),
+            distributed_search (sharded two-phase search), incremental
+            (append batches as shards), merge (shard compaction), dedup,
+            knn, textops, events (windows/sessionize), stats, multimodal,
+            oracle (brute force)
+state/      index state: segment reader/writer, sharded reader,
+            check_index validation, manifests
 """
 
 __version__ = "0.1.0"

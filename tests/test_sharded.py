@@ -174,3 +174,40 @@ def test_incremental_add_batch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="fresh doc-id range"):
         add_batch(root, ray.data.from_arrow(thirds[0]), cfg)
     assert incr.doc_count == open_index(root).doc_count
+
+
+def test_compact_shards_equals_monolithic(ray_session, built_indexes, tmp_path):
+    import glob
+    import hashlib
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_blockmax
+    from lucene_ray.pipelines.merge import compact_shards
+    from lucene_ray.state.checkindex import check_index
+    from lucene_ray.state.reader import IndexReader
+
+    full_dir, a_dir, b_dir = built_indexes
+    out = str(tmp_path / "compacted")
+    manifest = compact_shards([a_dir, b_dir], out)
+    mono = IndexReader(full_dir)
+    assert manifest["doc_count"] == mono.doc_count
+    assert manifest["num_postings"] == mono.manifest["num_postings"]
+    assert check_index(out)["ok"]
+
+    def seg_hash(d):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(f"{d}/segments/*.post")):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    # merged segments are byte-identical to the monolithic build (same
+    # sorted-term encode order, same doc order, no heavy splits)
+    assert seg_hash(out) == seg_hash(full_dir)
+
+    merged = IndexReader(out)
+    an = make_analyzer(mono.analyzer_name)
+    for qt in QUERIES:
+        q = parse_query(qt, an)
+        d1, s1 = score_blockmax(mono, q, 10)
+        d2, s2 = score_blockmax(merged, q, 10)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2), qt
