@@ -155,6 +155,20 @@ def run_build(num_cpus: int, out_dir: str | None = None) -> dict:
         "num_postings": manifest["num_postings"],
         "out_dir": out_dir,
     }
+    # query throughput at this parallelism (same query set, warm pool)
+    from lucene_ray.pipelines.search import search_dataset
+
+    pool = max(2, num_cpus - 2)
+    search_dataset(out_dir, QUERY_SET, k=10, concurrency=pool,
+                   batch_size=4).materialize()  # warm every actor
+    queries = QUERY_SET * QUERY_REPEAT
+    t0 = time.time()
+    search_dataset(out_dir, queries, k=10, concurrency=pool,
+                   batch_size=4).materialize()
+    qsec = time.time() - t0
+    res["query_count"] = len(queries)
+    res["query_sec"] = round(qsec, 3)
+    res["queries_per_sec"] = round(len(queries) / qsec, 1)
     ray.shutdown()
     return res
 
@@ -292,6 +306,9 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     thr_lo = results[lo]["docs_per_sec"]
     thr_hi = results[hi]["docs_per_sec"]
     eff = thr_hi / (thr_lo * (hi / lo))
+    q_lo = results[lo].get("queries_per_sec")
+    q_hi = results[hi].get("queries_per_sec")
+    q_eff = round(q_hi / (q_lo * (hi / lo)), 3) if q_lo and q_hi else None
     return {
         "metric": f"index-build scaling efficiency {lo}->{hi} cpus",
         "value": round(eff, 3),
@@ -299,6 +316,8 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
         "queries": {
             f"build_{lo}cpu_sec": results[lo]["sec"],
             f"build_{hi}cpu_sec": results[hi]["sec"],
+            f"query_{lo}cpu_sec": results[lo].get("query_sec"),
+            f"query_{hi}cpu_sec": results[hi].get("query_sec"),
         },
         "sf": SF_DIR,
         "num_cpus": hi,
@@ -306,6 +325,9 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
         f"docs_per_sec_{lo}cpu": thr_lo,
         f"docs_per_sec_{hi}cpu": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        f"queries_per_sec_{lo}cpu": q_lo,
+        f"queries_per_sec_{hi}cpu": q_hi,
+        "query_scaling_efficiency": q_eff,
     }
 
 
