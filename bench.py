@@ -155,13 +155,15 @@ def run_build(num_cpus: int, out_dir: str | None = None) -> dict:
         "num_postings": manifest["num_postings"],
         "out_dir": out_dir,
     }
-    # query throughput at this parallelism (same query set, warm pool)
+    # query throughput at this parallelism (same query set, warm pool):
+    # the warm pass runs the FULL load once so every actor in the pool has
+    # decoded the query terms before the timed pass
     from lucene_ray.pipelines.search import search_dataset
 
     pool = max(2, num_cpus - 2)
-    search_dataset(out_dir, QUERY_SET, k=10, concurrency=pool,
-                   batch_size=4).materialize()  # warm every actor
     queries = QUERY_SET * QUERY_REPEAT
+    search_dataset(out_dir, queries, k=10, concurrency=pool,
+                   batch_size=4).materialize()
     t0 = time.time()
     search_dataset(out_dir, queries, k=10, concurrency=pool,
                    batch_size=4).materialize()

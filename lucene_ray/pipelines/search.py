@@ -115,14 +115,20 @@ def search_dataset(
     doc_id, score)."""
     import ray.data
 
+    pool = concurrency or 4
     if isinstance(queries, (list, tuple)):
+        # one block per batch: blocks are the unit of actor assignment, so a
+        # single-block query set would serialize through one actor
+        n_blocks = max(1, min(len(queries), -(-len(queries) // batch_size)))
+        n_blocks = max(n_blocks, min(pool, len(queries)))
         queries = ray.data.from_items(
-            [{"query_id": i, "query": q, "k": k} for i, q in enumerate(queries)]
+            [{"query_id": i, "query": q, "k": k} for i, q in enumerate(queries)],
+            override_num_blocks=n_blocks,
         )
     return queries.map_batches(
         QueryExecStage,
         fn_constructor_args=(index_dir, k, mode),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=pool,
     )
