@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- relational-ish ops ---
     q["events_window"] = lambda sf: _events_window(sf)
     q["events_sessionize"] = lambda sf: _events_sessionize(sf)
+    q["events_sliding"] = lambda sf: _events_sliding(sf)
     q["top_docs_by_lang"] = _top_docs_by_lang
     return q
 
@@ -371,6 +372,16 @@ def _events_sessionize(sf_dir: str):
     from lucene_ray.pipelines.events import sessionize
 
     return sessionize(
+        ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    )
+
+
+def _events_sliding(sf_dir: str):
+    import ray.data
+
+    from lucene_ray.pipelines.events import sliding_window_aggregate
+
+    return sliding_window_aggregate(
         ray.data.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     )
 
@@ -597,6 +608,15 @@ FROM ds"""
   CAST(COUNT(*) AS BIGINT) AS n_events,
   round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    sql["events_sliding"] = """SELECT
+  CAST(epoch_us(ts) // 900000000 - s.i AS BIGINT) AS window,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  round(SUM(value), 4) AS sum_value
+FROM events, range(0, 4) s(i)
+WHERE epoch_us(ts) // 900000000 - s.i >= 0
+GROUP BY 1, 2"""
 
     sql["events_sessionize"] = """SELECT event_id, user_id,
   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -71,6 +71,70 @@ def window_aggregate(
     return final.map_batches(_final, batch_format="pyarrow")
 
 
+def sliding_window_aggregate(
+    ds: "ray.data.Dataset",
+    width_us: int = WINDOW_US,
+    hop_us: int = WINDOW_US // 4,
+) -> "ray.data.Dataset":
+    """Sliding (hopping) windows: width ``width_us``, advancing by
+    ``hop_us``. Window w covers [w*hop, w*hop + width); an event at t
+    belongs to the width/hop windows w in (t-width, t] hop-steps.
+
+    Ray-Data-first shape: a vectorized per-batch fan-out (np.repeat, one
+    output row per (event, window) — the flat_map analogue), partial
+    aggregation inside the same batch, then the small final groupby.
+
+    -> Dataset(window, event_type, n_events, sum_value)
+    """
+    if width_us % hop_us != 0:
+        raise ValueError("width_us must be a multiple of hop_us")
+    fan = width_us // hop_us
+
+    def _partial_sliding(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        last_w = epoch_us // hop_us  # newest window containing the event
+        n = len(epoch_us)
+        windows = (
+            np.repeat(last_w, fan)
+            - np.tile(np.arange(fan, dtype=np.int64), n)
+        )
+        # windows starting before epoch are clipped (events are post-epoch)
+        valid = windows >= 0
+        etype = pa.compute.take(
+            batch.column("event_type"),
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), fan)[valid]),
+        )
+        values = np.repeat(batch.column("value").to_numpy(), fan)[valid]
+        fanned = pa.table(
+            {
+                "window": pa.array(windows[valid]),
+                "event_type": etype,
+                "value": pa.array(values),
+            }
+        )
+        g = fanned.group_by(["window", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "window": g.column("window"),
+                "event_type": g.column("event_type"),
+                "n_part": g.column("value_count").cast(pa.int64()),
+                "sum_part": g.column("value_sum").cast(pa.float64()),
+            }
+        )
+
+    partial = ds.select_columns(["ts", "event_type", "value"]).map_batches(
+        _partial_sliding, batch_format="pyarrow"
+    )
+    final = partial.groupby(["window", "event_type"]).aggregate(
+        Sum("n_part"), Sum("sum_part")
+    )
+    return final.map_batches(_final, batch_format="pyarrow")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 

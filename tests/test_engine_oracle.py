@@ -199,3 +199,32 @@ def test_query_parser(ray_session):
     assert set(q.should) == {"alpha", "beta"}
     q = parse_query("the of", an)  # stopwords analyze away
     assert not (q.must or q.should or q.must_not)
+
+
+def test_files_exchange_invariance_and_resume(
+    ray_session, tmp_path_factory, corpus, oracle
+):
+    """The run-file exchange must be partition-invariant, resumable, and
+    result-identical to the groupby exchange (incl. heavy splits)."""
+    doc_ids, texts = corpus
+    an = make_analyzer("standard_en")
+    rng = np.random.default_rng(17)
+    qs = analyzed(random_queries(rng, 10), an)
+    configs = [
+        IndexConfig(num_partitions=1, exchange="files"),
+        IndexConfig(num_partitions=7, exchange="files"),
+        IndexConfig(num_partitions=7, exchange="files",
+                    heavy_df_threshold=10, sample_rate=1.0, bucket_shift=6),
+    ]
+    for ci, cfg in enumerate(configs):
+        out = tmp_path_factory.mktemp(f"files_inv_{ci}")
+        build_from_lists(out, doc_ids, texts, cfg)
+        reader = IndexReader(str(out))
+        for q in qs:
+            od, osc = oracle.topk(q, 10)
+            bd, bsc = score_blockmax(reader, q, 10)
+            assert np.array_equal(od, bd), (ci, q)
+            assert np.array_equal(osc, bsc), (ci, q)
+    # resume: rebuilding the last config skips every segment encode
+    m2 = build_from_lists(out, doc_ids, texts, configs[-1])
+    assert all(s["resumed"] for s in m2["segments"])
