@@ -83,6 +83,105 @@ TERMS_SCHEMA = pa.schema(
 )
 
 
+def _encode_blocks_blockwise(scratch, offsets, bounds, doc_ids, tfs, keys):
+    """Reference per-block encode path (kept for equivalence testing)."""
+    for b, (lo, hi) in enumerate(bounds):
+        offsets[b] = len(scratch)
+        d = doc_ids[lo:hi]
+        gaps = np.empty(hi - lo, dtype=np.uint64)
+        gaps[0] = 0
+        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
+        pfor_encode(gaps, scratch)
+        pfor_encode(tfs[lo:hi].astype(np.uint64), scratch)
+        pfor_encode(keys[lo:hi].astype(np.uint64), scratch)
+
+
+def _encode_blocks_bulk(scratch, offsets, bounds, doc_ids, tfs, keys):
+    """Bulk encode path, byte-identical to :func:`_encode_blocks_blockwise`.
+
+    All FULL 256-doc chunks (gaps/tfs/keys interleaved block-major) share
+    one vectorized width/exception selection over a (3*nb_full, 256)
+    matrix, and chunks of equal base width pack in ONE pack_bits call
+    (a full chunk's body is exactly 32*w bytes, so concatenated packing
+    splits cleanly on byte boundaries). The tail block falls back to the
+    per-block encoder. Bulk analogue of the reference's generated ForUtil
+    encode kernels (codecs/lucene104/ForUtil.java, gen_ForUtil.py)."""
+    from ..functions.codec import MAX_EXCEPTIONS, bit_width, pack_bits
+
+    df = len(doc_ids)
+    nb_full = df // BLOCK_SIZE
+    gaps_all = np.empty(df, dtype=np.uint64)
+    if df:
+        gaps_all[0] = 0
+        np.subtract(
+            doc_ids[1:], doc_ids[:-1], out=gaps_all[1:], casting="unsafe"
+        )
+        gaps_all[::BLOCK_SIZE] = 0  # each block restarts at first_doc
+
+    if nb_full:
+        n_full = nb_full * BLOCK_SIZE
+        rows = 3 * nb_full
+        M = np.empty((rows, BLOCK_SIZE), dtype=np.uint64)
+        M[0::3] = gaps_all[:n_full].reshape(nb_full, BLOCK_SIZE)
+        M[1::3] = tfs[:n_full].astype(np.uint64).reshape(nb_full, BLOCK_SIZE)
+        M[2::3] = keys[:n_full].astype(np.uint64).reshape(nb_full, BLOCK_SIZE)
+        is_const = (M == M[:, :1]).all(axis=1)
+        widths = bit_width(M.ravel()).reshape(rows, BLOCK_SIZE)
+        w_full = widths.max(axis=1)
+        kth = BLOCK_SIZE - MAX_EXCEPTIONS - 1
+        w_cand = np.partition(widths, kth, axis=1)[:, kth]
+        n_over = (widths > w_cand[:, None]).sum(axis=1)
+        use_exc = (w_cand < w_full) & (n_over <= MAX_EXCEPTIONS)
+        w_base = np.where(use_exc, w_cand, w_full).astype(np.int64)
+
+        # width-grouped packing of non-const rows, bodies sliced per row
+        bodies: Dict[int, bytes] = {}
+        row_ids = np.flatnonzero(~is_const)
+        for w in np.unique(w_base[row_ids]):
+            grp = row_ids[w_base[row_ids] == w]
+            if w == 0:
+                for r in grp:
+                    bodies[int(r)] = b""
+                continue
+            mask = (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+            packed = pack_bits((M[grp] & mask).ravel(), int(w))
+            body_len = BLOCK_SIZE * int(w) // 8
+            for j, r in enumerate(grp):
+                bodies[int(r)] = packed[j * body_len : (j + 1) * body_len]
+
+        vint_256 = bytearray()
+        write_vint(vint_256, BLOCK_SIZE)
+        for b in range(nb_full):
+            offsets[b] = len(scratch)
+            for r in range(3 * b, 3 * b + 3):
+                if is_const[r]:
+                    scratch.append(0)
+                    write_vint(scratch, int(M[r, 0]))
+                    scratch.extend(vint_256)
+                    continue
+                if use_exc[r]:
+                    exc_idx = np.flatnonzero(widths[r] > w_base[r])
+                else:
+                    exc_idx = ()
+                scratch.append(1)
+                scratch.append(int(w_base[r]))
+                scratch.append(len(exc_idx))
+                scratch.extend(vint_256)
+                scratch.extend(bodies[r])
+                for i in exc_idx:
+                    scratch.append(int(i))
+                    write_vint(
+                        scratch, int(M[r, i] >> np.uint64(w_base[r]))
+                    )
+
+    if df % BLOCK_SIZE:
+        lo = nb_full * BLOCK_SIZE
+        offsets[len(bounds) - 1] = len(scratch)
+        pfor_encode(gaps_all[lo:], scratch)
+        pfor_encode(tfs[lo:].astype(np.uint64), scratch)
+        pfor_encode(keys[lo:].astype(np.uint64), scratch)
+
+
 def encode_term_postings(
     out: bytearray, doc_ids: np.ndarray, tfs: np.ndarray, keys: np.ndarray
 ) -> Tuple[int, int]:
@@ -102,25 +201,20 @@ def encode_term_postings(
     keys = np.ascontiguousarray(keys, dtype=np.int64)
 
     bounds = [(i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, df)) for i in range(n_blocks)]
-    first = np.array([doc_ids[lo] for lo, _ in bounds], dtype=np.int64)
-    last = np.array([doc_ids[hi - 1] for _, hi in bounds], dtype=np.int64)
+    first = doc_ids[0 :: BLOCK_SIZE].copy() if df else np.empty(0, np.int64)
+    last_idx = np.minimum(
+        np.arange(1, n_blocks + 1, dtype=np.int64) * BLOCK_SIZE, df
+    ) - 1
+    last = doc_ids[last_idx] if df else np.empty(0, np.int64)
     out.extend(first.tobytes())
-    out.extend(last.tobytes())
+    out.extend(np.ascontiguousarray(last).tobytes())
 
-    # encode blocks into a scratch buffer to learn offsets
     scratch = bytearray()
     offsets = np.empty(n_blocks, dtype=np.int32)
-    frontiers: List[Tuple[np.ndarray, np.ndarray]] = []
-    for b, (lo, hi) in enumerate(bounds):
-        offsets[b] = len(scratch)
-        d = doc_ids[lo:hi]
-        gaps = np.empty(hi - lo, dtype=np.uint64)
-        gaps[0] = 0
-        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
-        pfor_encode(gaps, scratch)
-        pfor_encode(tfs[lo:hi].astype(np.uint64), scratch)
-        pfor_encode(keys[lo:hi].astype(np.uint64), scratch)
-        frontiers.append(impact_frontier(tfs[lo:hi], keys[lo:hi]))
+    _encode_blocks_bulk(scratch, offsets, bounds, doc_ids, tfs, keys)
+    frontiers: List[Tuple[np.ndarray, np.ndarray]] = [
+        impact_frontier(tfs[lo:hi], keys[lo:hi]) for lo, hi in bounds
+    ]
 
     out.extend(offsets.tobytes())
     for ft, fk in frontiers:

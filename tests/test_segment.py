@@ -97,3 +97,42 @@ def test_impact_frontier_bounds_scores(pairs):
     ft, fk = impact_frontier(tfs, keys)
     s = BM25Float32(10000, 2_500_000, 100)
     assert s.max_score(ft, fk) == float(s.score_array(tfs, keys).max())
+
+
+def test_bulk_encode_matches_blockwise():
+    """_encode_blocks_bulk must be byte-identical to the per-block path on
+    randomized lists covering const blocks, exceptions, and tails."""
+    import numpy as np
+
+    from lucene_ray.functions.codec import BLOCK_SIZE
+    from lucene_ray.state.segment import (
+        _encode_blocks_blockwise,
+        _encode_blocks_bulk,
+    )
+
+    rng = np.random.default_rng(23)
+    for df in (1, 7, 255, 256, 257, 512, 1000, 8192, 8193, 5000):
+        docs = np.sort(
+            rng.choice(df * 20 + 10, size=df, replace=False)
+        ).astype(np.int64)
+        tfs = np.where(
+            rng.random(df) < 0.05,
+            rng.integers(100, 100000, size=df),  # exception candidates
+            rng.integers(1, 8, size=df),
+        ).astype(np.int64)
+        keys = np.full(df, 7, dtype=np.int64)  # constant blocks
+        if df > 10:
+            keys[df // 2 :] = rng.integers(1, 255, size=df - df // 2)
+        n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+        bounds = [
+            (i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, df))
+            for i in range(n_blocks)
+        ]
+        a = bytearray()
+        off_a = np.empty(n_blocks, dtype=np.int32)
+        _encode_blocks_blockwise(a, off_a, bounds, docs, tfs, keys)
+        b = bytearray()
+        off_b = np.empty(n_blocks, dtype=np.int32)
+        _encode_blocks_bulk(b, off_b, bounds, docs, tfs, keys)
+        assert bytes(a) == bytes(b), df
+        assert np.array_equal(off_a, off_b), df
