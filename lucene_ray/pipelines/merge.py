@@ -8,13 +8,13 @@ per-segment sorted term iterators with postings concatenation
 ranges are disjoint ascending, postings concatenate without the reference's
 DocIDMerger remapping.
 
-Unit of work = one term partition (gpart): a Ray task reads that partition's
-term dict + blobs from every shard, decodes, concatenates per term in shard
-order, and re-encodes one merged segment. Term routing is deterministic
-(crc32 % num_partitions), so a term's rows live in the same gpart in every
-shard. v1 restriction: input shards must not use heavy-term bucket splits
-(their routing spreads a term over several gparts); compaction of split
-terms re-runs the build instead.
+Unit of work = one term partition (gpart): a Ray task gathers that
+partition's terms from every shard — normal terms live in the shard's same
+gpart (routing is crc32 % num_partitions); a HEAVY term's doc-range buckets
+were scattered to (crc32+bucket) % num_partitions at build time, so heavy
+terms homed here are gathered through each shard's IndexReader (which walks
+all segments and restores bucket order). The merged output is split-free:
+every term becomes one contiguous posting list in its home partition.
 """
 
 from __future__ import annotations
@@ -26,17 +26,19 @@ import numpy as np
 
 import ray
 
+from ..functions.hashing import crc32_bucket
 from ..state.reader import IndexReader
 from ..state.segment import (
     SEGMENT_DIR,
-    SegmentReader,
     encode_term_postings,
     write_manifest,
 )
 
 
 @ray.remote
-def _merge_gpart(shard_dirs: List[str], out_dir: str, gpart: int) -> dict:
+def _merge_gpart(
+    shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int
+) -> dict:
     import time
 
     import pyarrow as pa
@@ -45,12 +47,25 @@ def _merge_gpart(shard_dirs: List[str], out_dir: str, gpart: int) -> dict:
     from ..state.segment import TERMS_SCHEMA
 
     t0 = time.time()
-    readers: List[SegmentReader] = []
-    for d in shard_dirs:
-        seg_path = os.path.join(d, SEGMENT_DIR, f"seg-{gpart:05d}.terms.parquet")
-        if os.path.exists(seg_path):
-            readers.append(SegmentReader(os.path.join(d, SEGMENT_DIR), gpart))
-    terms = sorted({t for r in readers for t in r.terms()})
+    readers = [IndexReader(d) for d in shard_dirs]
+    # terms HOMED in this partition: normal terms from each shard's same
+    # gpart segment (foreign heavy buckets filtered out), plus heavy terms
+    # whose home hash lands here (gathered across that shard's segments)
+    term_set = set()
+    for r in readers:
+        seg = r._segment(gpart)
+        if seg is not None:
+            term_set.update(
+                t
+                for t in seg.terms()
+                if crc32_bucket(t, num_partitions) == gpart
+            )
+        term_set.update(
+            t
+            for t in r.heavy_terms
+            if crc32_bucket(t, num_partitions) == gpart
+        )
+    terms = sorted(term_set)
     blob = bytearray()
     rows: Dict[str, list] = {
         "term": [], "bucket": [], "doc_freq": [], "total_tf": [],
@@ -61,7 +76,7 @@ def _merge_gpart(shard_dirs: List[str], out_dir: str, gpart: int) -> dict:
     for term in terms:
         docs_parts, tf_parts, key_parts = [], [], []
         for r in readers:
-            for tp in r.postings(term):
+            for tp in r.postings(term):  # IndexReader restores bucket order
                 d, t, k = tp.decode_all()
                 docs_parts.append(d)
                 tf_parts.append(t)
@@ -124,16 +139,11 @@ def compact_shards(shard_dirs: Sequence[str], out_dir: str) -> dict:
         for key in ("analyzer", "norm_kind", "num_partitions"):
             if m[key] != first[key]:
                 raise ValueError(f"shards disagree on {key}")
-    if any(m.get("heavy_terms") for m in manifests):
-        raise ValueError(
-            "compact_shards v1 does not merge heavy-split shards — "
-            "rebuild with build_index instead"
-        )
     num_partitions = first["num_partitions"]
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     metas = ray.get(
         [
-            _merge_gpart.remote(list(shard_dirs), out_dir, g)
+            _merge_gpart.remote(list(shard_dirs), out_dir, g, num_partitions)
             for g in range(num_partitions)
         ]
     )

@@ -19,6 +19,7 @@ parallel search with a final TopDocs.merge):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -28,13 +29,19 @@ from ..functions.analysis import make_analyzer
 from ..functions.query import parse_query, score_blockmax, score_exhaustive
 from ..state.reader import IndexReader
 
-_READER_CACHE: Dict[str, IndexReader] = {}
+_READER_CACHE: Dict[str, object] = {}
 
 
-def get_reader(index_dir: str) -> IndexReader:
+def get_reader(index_dir: str):
+    """Reader for a single-index dir OR an incremental root (shards.json)."""
     r = _READER_CACHE.get(index_dir)
     if r is None:
-        r = IndexReader(index_dir)
+        if os.path.exists(os.path.join(index_dir, "shards.json")):
+            from .incremental import open_index
+
+            r = open_index(index_dir)
+        else:
+            r = IndexReader(index_dir)
         _READER_CACHE[index_dir] = r
     return r
 
@@ -60,7 +67,7 @@ class QueryExecStage:
     """Stateful actor: warm index + analyzer, executes query batches."""
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax"):
-        self.reader = IndexReader(index_dir)
+        self.reader = get_reader(index_dir)
         self.analyzer = make_analyzer(self.reader.analyzer_name)
         self.k = k
         self.exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive

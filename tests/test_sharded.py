@@ -211,3 +211,62 @@ def test_compact_shards_equals_monolithic(ray_session, built_indexes, tmp_path):
         d1, s1 = score_blockmax(mono, q, 10)
         d2, s2 = score_blockmax(merged, q, 10)
         assert np.array_equal(d1, d2) and np.array_equal(s1, s2), qt
+
+
+def test_search_dataset_over_incremental_root(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.incremental import add_batch
+    from lucene_ray.pipelines.search import search_dataset
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cfg = IndexConfig(num_partitions=4, exchange="files")
+    root = str(tmp_path / "root")
+    mask = pa.compute.less(tbl.column("doc_id"), 250)
+    add_batch(root, ray.data.from_arrow(tbl.filter(mask)), cfg)
+    add_batch(root, ray.data.from_arrow(tbl.filter(pa.compute.invert(mask))), cfg)
+    out = search_dataset(root, ["batch", "dup"], k=5, concurrency=2).take_all()
+    assert len(out) == 10  # both queries return k hits over the union
+
+
+def test_compact_heavy_split_shards(ray_session, tmp_path):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_blockmax
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.merge import compact_shards
+    from lucene_ray.state.checkindex import check_index
+    from lucene_ray.state.reader import IndexReader
+
+    import ray.data
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cfg = IndexConfig(
+        num_partitions=4, exchange="files",
+        heavy_df_threshold=50, sample_rate=1.0, bucket_shift=6,
+    )
+    mask = pa.compute.less(tbl.column("doc_id"), 250)
+    a_dir, b_dir = str(tmp_path / "ha"), str(tmp_path / "hb")
+    ma = build_index(ray.data.from_arrow(tbl.filter(mask)), a_dir, cfg)
+    build_index(
+        ray.data.from_arrow(tbl.filter(pa.compute.invert(mask))), b_dir, cfg
+    )
+    assert ma["heavy_terms"]  # splits actually happened
+    out = str(tmp_path / "hmerged")
+    compact_shards([a_dir, b_dir], out)
+    assert check_index(out)["ok"]
+
+    mono_dir = str(tmp_path / "hmono")
+    build_index(
+        ray.data.from_arrow(tbl), mono_dir,
+        IndexConfig(num_partitions=4, exchange="files"),
+    )
+    mono = IndexReader(mono_dir)
+    merged = IndexReader(out)
+    assert merged.manifest["num_postings"] == mono.manifest["num_postings"]
+    an = make_analyzer(mono.analyzer_name)
+    for qt in QUERIES:
+        q = parse_query(qt, an)
+        d1, s1 = score_blockmax(mono, q, 10)
+        d2, s2 = score_blockmax(merged, q, 10)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2), qt
