@@ -107,7 +107,9 @@ def _ensure_index(
         f"parts={cfg.num_partitions}"
     )
     try:
-        if read_manifest(out).get("fingerprint") == fingerprint:
+        mf = read_manifest(out)
+        # version guards against stale /tmp indexes from older code rounds
+        if mf.get("fingerprint") == fingerprint and mf.get("version") == 1:
             _INDEX_CACHE[key] = out
             return out
     except Exception:

@@ -34,3 +34,42 @@ def impact_frontier(tfs: np.ndarray, keys: np.ndarray) -> Tuple[np.ndarray, np.n
     ft, fk = t[keep], k[keep]
     rev = np.argsort(ft, kind="stable")  # return tf ascending
     return ft[rev], fk[rev]
+
+
+def impact_frontiers_bulk(tfs: np.ndarray, keys: np.ndarray, sizes: np.ndarray):
+    """Per-block Pareto frontiers for MANY consecutive blocks in one pass.
+
+    ``sizes[b]`` is block b's length; blocks partition ``tfs``/``keys`` in
+    order. One global lexsort by (block, tf desc, key asc); the per-block
+    running minimum is computed with a single ``minimum.accumulate`` by
+    offsetting each block's keys so earlier blocks sit strictly ABOVE later
+    ones (the accumulate can then never carry a minimum across a block
+    boundary). Result per block == :func:`impact_frontier` exactly.
+    """
+    nb = len(sizes)
+    out = []
+    if nb == 0:
+        return out
+    t = np.asarray(tfs, dtype=np.int64)
+    k = np.asarray(keys, dtype=np.int64)
+    block_id = np.repeat(np.arange(nb, dtype=np.int64), sizes)
+    order = np.lexsort((k, -t, block_id))
+    kb = k[order]
+    tb = t[order]
+    span = int(k.max()) + 1 if len(k) else 1
+    offs = (np.int64(nb - 1) - block_id[order]) * np.int64(span)
+    kk = kb + offs
+    run_min = np.minimum.accumulate(kk)
+    keep = np.empty(len(kk), dtype=bool)
+    if len(kk):
+        keep[0] = True
+        keep[1:] = kk[1:] < run_min[:-1]
+    kept_block = block_id[order][keep]
+    kept_t = tb[keep]
+    kept_k = kb[keep]
+    bounds = np.searchsorted(kept_block, np.arange(nb + 1))
+    for b in range(nb):
+        lo, hi = bounds[b], bounds[b + 1]
+        # kept run is tf desc / key asc within the block; reverse -> tf asc
+        out.append((kept_t[lo:hi][::-1].copy(), kept_k[lo:hi][::-1].copy()))
+    return out

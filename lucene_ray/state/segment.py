@@ -65,7 +65,7 @@ from ..functions.codec import (
     read_vint,
     write_vint,
 )
-from ..functions.impacts import impact_frontier
+from ..functions.impacts import impact_frontier, impact_frontiers_bulk
 
 MANIFEST_NAME = "manifest.json"
 SEGMENT_DIR = "segments"
@@ -212,9 +212,8 @@ def encode_term_postings(
     scratch = bytearray()
     offsets = np.empty(n_blocks, dtype=np.int32)
     _encode_blocks_bulk(scratch, offsets, bounds, doc_ids, tfs, keys)
-    frontiers: List[Tuple[np.ndarray, np.ndarray]] = [
-        impact_frontier(tfs[lo:hi], keys[lo:hi]) for lo, hi in bounds
-    ]
+    sizes = np.asarray([hi - lo for lo, hi in bounds], dtype=np.int64)
+    frontiers = impact_frontiers_bulk(tfs, keys, sizes)
 
     out.extend(offsets.tobytes())
     for ft, fk in frontiers:

@@ -136,3 +136,22 @@ def test_bulk_encode_matches_blockwise():
         _encode_blocks_bulk(b, off_b, bounds, docs, tfs, keys)
         assert bytes(a) == bytes(b), df
         assert np.array_equal(off_a, off_b), df
+
+
+def test_impact_frontiers_bulk_matches_scalar():
+    import numpy as np
+
+    from lucene_ray.functions.impacts import impact_frontier, impact_frontiers_bulk
+
+    rng = np.random.default_rng(31)
+    sizes = np.array([1, 5, 256, 256, 100, 3], dtype=np.int64)
+    n = int(sizes.sum())
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    keys = rng.integers(1, 20, size=n).astype(np.int64)  # many dup pairs
+    bulk = impact_frontiers_bulk(tfs, keys, sizes)
+    lo = 0
+    for b, sz in enumerate(sizes):
+        ft, fk = impact_frontier(tfs[lo : lo + sz], keys[lo : lo + sz])
+        assert np.array_equal(ft, bulk[b][0]), b
+        assert np.array_equal(fk, bulk[b][1]), b
+        lo += sz
