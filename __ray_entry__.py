@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprint"] = lambda sf: _textop(sf, ["doc_id", "fingerprint"])
 
     # --- relational-ish ops ---
+    q["join_broadcast"] = lambda sf: _join_broadcast(sf)
+    q["join_hash"] = lambda sf: _join_hash(sf)
     q["events_window"] = lambda sf: _events_window(sf)
     q["events_sessionize"] = lambda sf: _events_sessionize(sf)
     q["events_sliding"] = lambda sf: _events_sliding(sf)
@@ -356,6 +358,115 @@ def _textop(sf_dir: str, cols: List[str]):
     from lucene_ray.pipelines.textops import doc_stats
 
     return doc_stats(_load_documents(sf_dir)).select_columns(cols)
+
+
+def _join_broadcast(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) -> revenue per segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.joins import broadcast_join
+
+    customer = pq.read_table(
+        f"{sf_dir.rstrip('/')}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+    )
+    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_part": g.column("o_totalprice_count").cast(pa.int64()),
+                "sum_part": g.column("o_totalprice_sum").cast(pa.float64()),
+            }
+        )
+
+    final = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_part"), Sum("sum_part"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("sum(n_part)").cast(pa.int64()),
+                "revenue": pa.array(
+                    round_half_away(
+                        batch.column("sum(sum_part)").to_numpy(), 2
+                    )
+                ),
+            }
+        )
+
+    return final.map_batches(rename, batch_format="pyarrow")
+
+
+def _join_hash(sf_dir: str):
+    """lineitem ⋈ orders (partitioned hash join) -> stats per priority."""
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.joins import hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(lineitem, orders, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_part": g.column("l_quantity_count").cast(pa.int64()),
+                "sum_part": g.column("l_quantity_sum").cast(pa.float64()),
+            }
+        )
+
+    final = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part"), Sum("sum_part"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_lines": batch.column("sum(n_part)").cast(pa.int64()),
+                "sum_qty": pa.array(
+                    round_half_away(
+                        batch.column("sum(sum_part)").to_numpy(), 4
+                    )
+                ),
+            }
+        )
+
+    return final.map_batches(rename, batch_format="pyarrow")
 
 
 def _events_window(sf_dir: str):
@@ -610,6 +721,18 @@ FROM ds"""
   CAST(COUNT(*) AS BIGINT) AS n_events,
   round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    sql["join_broadcast"] = """SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  round(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1"""
+
+    sql["join_hash"] = """SELECT o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  round(SUM(l.l_quantity), 4) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
 
     sql["events_sliding"] = """SELECT
   CAST(epoch_us(ts) // 900000000 - s.i AS BIGINT) AS window,

@@ -319,3 +319,47 @@ def test_term_stats_matches_counter(ray_session):
             df[term] += 1
             ttf[term] += c
     assert got == {t: (df[t], ttf[t]) for t in df}
+
+
+def test_joins_match_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucene_ray.pipelines.joins import broadcast_join, hash_join
+
+    rng = np.random.default_rng(41)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, size=500), pa.int64()),
+            "v": pa.array(rng.random(500)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(np.arange(0, 60, 2, dtype=np.int64)),  # partial overlap
+            "name": pa.array([f"n{i}" for i in range(0, 60, 2)], pa.string()),
+        }
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "v", "name"])
+        .reset_index(drop=True)
+    )
+    for joined in (
+        broadcast_join(ray.data.from_arrow(left), right, "k", "rk"),
+        hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right.rename_columns(["rk", "name"])),
+            "k",
+            "rk",
+            num_buckets=8,
+        ),
+    ):
+        got = (
+            joined.to_pandas()[["k", "v", "name"]]
+            .sort_values(["k", "v", "name"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref[["k", "v", "name"]])
