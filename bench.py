@@ -160,7 +160,10 @@ def run_build(num_cpus: int, out_dir: str | None = None) -> dict:
     # decoded the query terms before the timed pass
     from lucene_ray.pipelines.search import search_dataset
 
-    pool = max(2, num_cpus - 2)
+    # cap the pool: each warm actor holds the decoded hot-term postings
+    # (~1.5 GB on the 3M-doc bench index); past ~8 actors a single node is
+    # memory-capacity- and bandwidth-bound, not engine-bound
+    pool = max(2, min(8, num_cpus - 2))
     queries = QUERY_SET * QUERY_REPEAT
     search_dataset(out_dir, queries, k=10, concurrency=pool,
                    batch_size=4).materialize()
