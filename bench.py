@@ -155,22 +155,22 @@ def run_build(num_cpus: int, out_dir: str | None = None) -> dict:
         "num_postings": manifest["num_postings"],
         "out_dir": out_dir,
     }
-    # query throughput at this parallelism (same query set, warm pool):
-    # the warm pass runs the FULL load once so every actor in the pool has
-    # decoded the query terms before the timed pass
-    from lucene_ray.pipelines.search import search_dataset
-
-    # cap the pool: each warm actor holds the decoded hot-term postings
-    # (~1.5 GB on the 3M-doc bench index); past ~8 actors a single node is
+    # query throughput at this parallelism: persistent warm searcher pool
+    # (SearchService — the online-serving architecture; search_dataset
+    # builds a fresh actor pool per call, so its actors always start cold).
+    # Cap the pool: each warm searcher holds the decoded hot-term postings
+    # (~1 GB on the 3M-doc bench index); past ~8 actors a single node is
     # memory-capacity- and bandwidth-bound, not engine-bound
+    from lucene_ray.pipelines.search import SearchService
+
     pool = max(2, min(8, num_cpus - 2))
     queries = QUERY_SET * QUERY_REPEAT
-    search_dataset(out_dir, queries, k=10, concurrency=pool,
-                   batch_size=4).materialize()
+    svc = SearchService(out_dir, num_searchers=pool)
+    svc.warm(QUERY_SET)
     t0 = time.time()
-    search_dataset(out_dir, queries, k=10, concurrency=pool,
-                   batch_size=4).materialize()
+    svc.search(queries, k=10, batch_size=4)
     qsec = time.time() - t0
+    svc.shutdown()
     res["query_count"] = len(queries)
     res["query_sec"] = round(qsec, 3)
     res["queries_per_sec"] = round(len(queries) / qsec, 1)
@@ -211,17 +211,25 @@ def run_suite() -> dict:
     extra["build_docs_per_sec"] = round(doc_count / stages["index_build"], 1)
     log(f"build: {doc_count} docs in {stages['index_build']}s")
 
-    # 2. BM25 query latency (warm actor pool)
+    # 2. BM25 query latency: warm persistent searcher pool (serving path)
+    from lucene_ray.pipelines.search import SearchService
+
     queries = QUERY_SET * QUERY_REPEAT
-    warm = search_dataset(out_dir, QUERY_SET, k=10, concurrency=4)
-    warm.materialize()  # warm the actors + page cache
+    svc = SearchService(out_dir, num_searchers=4)
+    svc.warm(QUERY_SET)
     t0 = time.time()
-    n_hits = search_dataset(out_dir, queries, k=10, concurrency=4).count()
+    n_hits = svc.search(queries, k=10, batch_size=4).num_rows
     stages["bm25_topk"] = round(time.time() - t0, 3)
+    svc.shutdown()
     extra["query_count"] = len(queries)
     extra["query_ms_per_query"] = round(1000 * stages["bm25_topk"] / len(queries), 2)
     extra["query_hits"] = n_hits
     log(f"queries: {len(queries)} in {stages['bm25_topk']}s")
+    # 2b. the Ray-Data batch-search path, cold actor pool (pipeline story)
+    t0 = time.time()
+    search_dataset(out_dir, queries, k=10, concurrency=4).count()
+    stages["bm25_topk_dataset_cold"] = round(time.time() - t0, 3)
+    log(f"dataset path: {stages['bm25_topk_dataset_cold']}s")
 
     # 3. data ops over the raw sf tables
     import ray.data

@@ -55,11 +55,17 @@ class BM25Float32:
         self.cache = (one / (k1f * ((one - bf) + (bf * LENGTH_TABLE) / avgdl))
                       ).astype(np.float32)
         self.weight = np.float32(boost) * self.idf
+        self._key = ("byte4", doc_count, sum_total_tf, doc_freq, k1, b, boost)
+
+    def cache_key(self):
+        """Identity of this scorer's (tf, key) -> score map; used to cache
+        per-term bulk scores across queries (the map is query-independent)."""
+        return self._key
 
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         """Bulk score: tfs int array, keys = norm bytes (0..255)."""
         freq = tfs.astype(np.float32)
-        inv = self.cache[keys.astype(np.int64)]
+        inv = self.cache[keys]  # any integer dtype indexes directly
         w = self.weight
         return w - w / (np.float32(1.0) + freq * inv)
 
@@ -102,6 +108,10 @@ class BM25Float64:
         self.k1 = float(k1)
         self.b = float(b)
         self.weight = float(boost) * self.idf
+        self._key = ("exact", doc_count, sum_total_tf, doc_freq, k1, b, boost)
+
+    def cache_key(self):
+        return self._key
 
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)

@@ -118,15 +118,25 @@ class TermCursor:
     """Flattens a term's bucket blobs into one global block sequence with
     per-block (first_doc, last_doc, max_score) arrays — our MaxScoreCache."""
 
-    def __init__(self, term: str, postings_list, scorer):
+    def __init__(self, term: str, postings_list, scorer, full_cache=None):
         self.term = term
         self.scorer = scorer
         self._parts = postings_list
-        self._block_map: List[Tuple[int, int]] = []  # global b -> (part, local b)
+        # reader-level cross-query cache of the full scored list (keyed by
+        # (term, scorer params)); None -> per-part caches only
+        self._full_cache = full_cache
+        # global block b -> (part, local block) as two arrays
+        nbs = [tp.n_blocks for tp in postings_list]
+        self._part_id = np.repeat(
+            np.arange(len(postings_list), dtype=np.int32), nbs
+        )
+        self._local_b = (
+            np.concatenate([np.arange(nb, dtype=np.int32) for nb in nbs])
+            if nbs
+            else np.empty(0, dtype=np.int32)
+        )
         firsts, lasts, ms = [], [], []
         for pi, tp in enumerate(postings_list):
-            for lb in range(tp.n_blocks):
-                self._block_map.append((pi, lb))
             if scorer is not None:
                 if tp.frontier_m is None:
                     # query-independent: cache on the postings object.
@@ -170,36 +180,56 @@ class TermCursor:
                 np.float64
             )
         else:
-            self.block_max = np.zeros(len(self._block_map), dtype=np.float64)
+            self.block_max = np.zeros(len(self._part_id), dtype=np.float64)
         self.df = sum(tp.df for tp in postings_list)
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._full_min: Optional[float] = None
 
     @property
     def n_blocks(self) -> int:
-        return len(self._block_map)
+        return len(self._part_id)
 
     def scored_block(self, b: int) -> Tuple[np.ndarray, np.ndarray]:
         """-> (doc_ids, scores) of block b, decoded+scored once, cached."""
         hit = self._cache.get(b)
         if hit is not None:
             return hit
-        pi, lb = self._block_map[b]
+        pi, lb = int(self._part_id[b]), int(self._local_b[b])
         docs, tfs, keys = self._parts[pi].decode_block(lb)
         scores = self.scorer.score_array(tfs, keys)
         self._cache[b] = (docs, scores)
         return docs, scores
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Whole-list (docs, scores): raw decode cached on the postings,
-        scored with ONE vectorized score_array call per part."""
+        """Whole-list (docs, scores): bulk BM25 scores are fixed per
+        (term, index stats), so a warm reader's cross-query cache
+        (``full_cache``) serves repeats with zero decode or arithmetic —
+        the analogue of a Lucene searcher keeping hot postings resident.
+        Also records the list's min score (``_full_min``) for the exact
+        union shortcut in the dense combiner."""
         if self.n_blocks == 0:
+            self._full_min = 0.0
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        key = (self.term, self.scorer.cache_key())
+        if self._full_cache is not None:
+            hit = self._full_cache.get(key)
+            if hit is not None:
+                docs, scores, self._full_min = hit
+                return docs, scores
         docs_parts, score_parts = [], []
         for tp in self._parts:
-            docs, tfs, keys = tp.decode_all()
-            docs_parts.append(docs)
+            d, tfs, keys = tp.decode_all()
+            docs_parts.append(d)
             score_parts.append(self.scorer.score_array(tfs, keys))
-        return np.concatenate(docs_parts), np.concatenate(score_parts)
+        if len(docs_parts) == 1:
+            docs, scores = docs_parts[0], score_parts[0]
+        else:
+            docs = np.concatenate(docs_parts)
+            scores = np.concatenate(score_parts)
+        self._full_min = float(scores.min()) if len(scores) else 0.0
+        if self._full_cache is not None:
+            self._full_cache[key] = (docs, scores, self._full_min)
+        return docs, scores
 
     def docs_in(self, lo: int, hi: int) -> Tuple[np.ndarray, np.ndarray]:
         """(docs, scores) with lo <= doc <= hi, using block skip data."""
@@ -246,7 +276,7 @@ def _combine(
         and ((n_must == 0 and msm <= 1) or (n_must == 1 and msm == 0))
     ):
         docs, scores = cursors_docs_scores[0]
-        return docs, scores.astype(dtype)
+        return docs, scores.astype(dtype, copy=False)
     if n_must:
         cand = None
         for (docs, _), m in zip(cursors_docs_scores, is_must):
@@ -296,14 +326,16 @@ def _combine(
 def _topk_from(cand: np.ndarray, scores: np.ndarray, k: int):
     if len(cand) == 0 or k <= 0:
         return cand[:0], scores[:0]
-    s64 = scores.astype(np.float64)
     if len(cand) > k:
         # kth-largest score, then keep every candidate at or above it so
-        # boundary ties survive for the (score desc, doc_id asc) sort
-        kth = s64[np.argpartition(-s64, k - 1)[:k]].min()
-        mask = s64 >= kth
-        cand, scores, s64 = cand[mask], scores[mask], s64[mask]
-    order = np.lexsort((cand, -s64))[:k]
+        # boundary ties survive for the (score desc, doc_id asc) sort.
+        # Value partition in the native dtype (float32->float64 is exact,
+        # so the kth threshold and the >= mask are unchanged) — avoids a
+        # whole-list float64 copy + index argpartition.
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        mask = scores >= kth
+        cand, scores = cand[mask], scores[mask]
+    order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
     return cand[order], scores[order]
 
 
@@ -323,6 +355,8 @@ def _prepare(reader, query: BooleanQuery):
     roles.sort()  # canonical order over all scoring terms
     cursors = []
     is_must = []
+    # cross-query scored-list cache lives on the reader (warm actor state)
+    full_cache = reader.__dict__.setdefault("_scored_full", {})
     for term, m in roles:
         df, _ = reader.term_stats(term)
         if df == 0:
@@ -332,7 +366,9 @@ def _prepare(reader, query: BooleanQuery):
         scorer = make_scorer(
             reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
         )
-        cursors.append(TermCursor(term, reader.postings(term), scorer))
+        cursors.append(
+            TermCursor(term, reader.postings(term), scorer, full_cache)
+        )
         is_must.append(m)
     not_cursors = [
         TermCursor(t, reader.postings(t), None)
@@ -372,28 +408,44 @@ def _concat_parts(parts):
 DENSE_DOC_LIMIT = 50_000_000
 
 
-def _dense_combine(per_term, is_must, n_must, msm, not_docs, dtype, doc_count):
+def _dense_combine(
+    per_term, is_must, n_must, msm, not_docs, dtype, doc_count,
+    pos_scores: bool = False,
+):
     """BooleanScorer-style dense bucket scoring: one scatter-add per term
     over a doc-space accumulator (docs are dense global ints). Identical
     accumulation order to the sparse path: cursors arrive in canonical
-    sorted-term order and each term's docs are unique."""
+    sorted-term order and each term's docs are unique.
+
+    ``pos_scores``: caller certifies every term's min score is > 0. For a
+    pure union (no MUST, msm<=1) the candidate set is then exactly
+    ``acc > 0`` — IEEE addition of positives never rounds below the larger
+    addend, so a matching doc's sum stays positive — and the per-term
+    match-count scatter is skipped entirely."""
+    union_only = n_must == 0 and msm <= 1
+    skip_counts = union_only and pos_scores
+    cnt_t = np.uint8 if len(per_term) < 256 else np.uint16
     acc = np.zeros(doc_count, dtype=dtype)
-    cnt_must = np.zeros(doc_count, dtype=np.uint16) if n_must else None
-    cnt_should = np.zeros(doc_count, dtype=np.uint16)
+    cnt_must = np.zeros(doc_count, dtype=cnt_t) if n_must else None
+    cnt_should = (
+        None if skip_counts else np.zeros(doc_count, dtype=cnt_t)
+    )
     for (docs, scores), m in zip(per_term, is_must):
         if len(docs) == 0:
             if m:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             continue
-        acc[docs] += scores.astype(dtype)
+        acc[docs] += scores.astype(dtype, copy=False)
         if m:
             cnt_must[docs] += 1
-        else:
+        elif not skip_counts:
             cnt_should[docs] += 1
     if n_must:
         mask = cnt_must == n_must
         if msm > 0:
             mask &= cnt_should >= msm
+    elif skip_counts:
+        mask = acc > 0
     else:
         mask = cnt_should >= max(1, msm)
     if not_docs is not None and len(not_docs):
@@ -402,11 +454,12 @@ def _dense_combine(per_term, is_must, n_must, msm, not_docs, dtype, doc_count):
     return cand, acc[cand]
 
 
-def score_exhaustive(reader, query, k: int = 10):
+def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. Uses the dense
     bulk accumulator when the searcher's doc space allows, the sparse
-    unique/searchsorted combine otherwise."""
-    prep = _prepare(reader, query)
+    unique/searchsorted combine otherwise. ``_prep`` lets score_blockmax's
+    cost-based fallback reuse its already-built cursors."""
+    prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     cursors, is_must, not_cursors, dtype = prep
@@ -420,9 +473,21 @@ def score_exhaustive(reader, query, k: int = 10):
     n_must = int(is_must.sum())
     doc_space = int(reader.doc_count)
     max_doc = max((int(d[-1]) for d, _ in per_term if len(d)), default=-1)
-    if 0 < doc_space <= DENSE_DOC_LIMIT and max_doc < doc_space:
+    # single scoring term, no exclusions: the posting list IS the sorted
+    # unique candidate set — skip the dense accumulator entirely
+    if (
+        len(per_term) == 1
+        and (not_docs is None or len(not_docs) == 0)
+        and ((n_must == 0 and msm <= 1) or (n_must == 1 and msm == 0))
+    ):
+        cand, acc = _combine(per_term, is_must, n_must, msm, not_docs, dtype)
+    elif 0 < doc_space <= DENSE_DOC_LIMIT and max_doc < doc_space:
+        pos_scores = all(
+            c._full_min is not None and c._full_min > 0 for c in cursors
+        )
         cand, acc = _dense_combine(
-            per_term, is_must, n_must, msm, not_docs, dtype, doc_space
+            per_term, is_must, n_must, msm, not_docs, dtype, doc_space,
+            pos_scores=pos_scores,
         )
     else:
         cand, acc = _combine(
@@ -507,7 +572,10 @@ def score_blockmax(reader, query, k: int = 10):
             thr = heap[0][0] if len(heap) == k else -np.inf
             alive = int((bounds[feasible] >= thr).sum())
             if alive > 0.25 * n_feasible:
-                return score_exhaustive(reader, query, k)
+                return score_exhaustive(
+                    reader, query, k,
+                    _prep=(cursors, is_must, not_cursors, dtype),
+                )
         probed += 1
         lo = int(starts[i])
         hi = int(edges[i + 1]) - 1

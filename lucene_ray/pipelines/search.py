@@ -110,6 +110,99 @@ class QueryExecStage:
         )
 
 
+class SearchService:
+    """Persistent warm-searcher pool for online / repeated query serving.
+
+    ``search_dataset`` fits batch pipelines, but each call builds a fresh
+    actor pool, so per-actor warm state (decoded hot postings, scored-list
+    caches) dies with the call. A search *service* is the reference's
+    deployment model — an application holds warm ``IndexSearcher``s and
+    routes queries to them (search/IndexSearcher.java usage; Solr/ES keep
+    searchers resident the same way). Here: N named Ray actors created
+    once, each holding the index reader; query batches round-robin across
+    them and results gather on the driver.
+    """
+
+    def __init__(self, index_dir: str, num_searchers: int = 4,
+                 mode: str = "blockmax"):
+        import ray
+
+        @ray.remote
+        class _Searcher:
+            def __init__(self, index_dir: str, mode: str):
+                self.reader = get_reader(index_dir)
+                self.analyzer = make_analyzer(self.reader.analyzer_name)
+                self.exec_fn = (
+                    score_blockmax if mode == "blockmax" else score_exhaustive
+                )
+
+            def search_many(self, items):
+                out = []
+                for qid, text, k in items:
+                    q = parse_query(text, self.analyzer)
+                    docs, scores = self.exec_fn(self.reader, q, int(k))
+                    out.append(
+                        (qid, docs.astype(np.int64), scores.astype(np.float64))
+                    )
+                return out
+
+        self._actors = [
+            _Searcher.remote(index_dir, mode) for _ in range(num_searchers)
+        ]
+
+    def warm(self, queries: Sequence[str], k: int = 10) -> None:
+        """Run ``queries`` on EVERY searcher so all caches are hot."""
+        import ray
+
+        items = [(i, q, k) for i, q in enumerate(queries)]
+        ray.get([a.search_many.remote(items) for a in self._actors])
+
+    def search(self, queries: Sequence[str], k: int = 10,
+               batch_size: int = 4) -> pa.Table:
+        """-> Arrow table (query_id, rank, doc_id, score), all queries."""
+        import ray
+
+        items = [(i, q, k) for i, q in enumerate(queries)]
+        refs = [
+            self._actors[bi % len(self._actors)].search_many.remote(
+                items[bi * batch_size : (bi + 1) * batch_size]
+            )
+            for bi in range(-(-len(items) // batch_size))
+        ]
+        qids, ranks, docs_out, scores_out = [], [], [], []
+        for batch in ray.get(refs):
+            for qid, docs, scores in batch:
+                qids.extend([qid] * len(docs))
+                ranks.append(np.arange(1, len(docs) + 1, dtype=np.int32))
+                docs_out.append(docs)
+                scores_out.append(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, dtype=np.int64)),
+                "rank": pa.array(
+                    np.concatenate(ranks) if ranks else np.empty(0, np.int32)
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out)
+                    if docs_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(scores_out)
+                    if scores_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
 def search_dataset(
     index_dir: str,
     queries,  # ray.data.Dataset with (query_id, query[, k]) or list[str]

@@ -264,6 +264,8 @@ class TermPostings:
         tfs, pos = pfor_decode(self.buf, pos)
         keys, pos = pfor_decode(self.buf, pos)
         docs = self.first_docs[b] + np.cumsum(gaps.astype(np.int64))
+        if len(docs) and docs[-1] < 2**31:
+            docs = docs.astype(np.int32)  # halve scatter/index bandwidth
         out = (docs, tfs.astype(np.int64), keys.astype(np.int64))
         self._block_cache[b] = out
         return out
@@ -297,10 +299,14 @@ class TermPostings:
             - np.repeat(base_correction, sizes)
             + np.repeat(self.first_docs, sizes)
         )
+        if len(docs) and docs[-1] < 2**31:
+            docs = docs.astype(np.int32)  # halve scatter/index bandwidth
         out = (
             docs,
-            np.concatenate(tfs).astype(np.int64),
-            np.concatenate(keys).astype(np.int64),
+            # tf fits int32 by construction (term-dict max_tf is int32);
+            # norm keys are a byte (byte4) or a doc length (exact)
+            np.concatenate(tfs).astype(np.int32),
+            np.concatenate(keys).astype(np.int32),
         )
         self._all_cache = out
         return out
