@@ -63,6 +63,30 @@ BM25_QUERY_SETS: Dict[str, Dict[int, Tuple[tuple, tuple, tuple, int]]] = {
 }
 
 
+# Multi-term query sets: raw query strings with prefix (`s*`), wildcard
+# (`d?p`), fuzzy (`kay~1`) clauses — expanded against the term dictionary
+# at execution (SCORING_BOOLEAN_REWRITE; lucene_ray/functions/multiterm.py)
+MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
+    "bm25_prefix": {
+        0: "s*",            # scan slow small sort spark stream
+        1: "c* dup",        # expansion + plain term union
+        2: "zzznope*",      # empty expansion -> empty result
+    },
+    "bm25_wildcard": {
+        0: "d?p",
+        1: "*er",           # leading wildcard: customer filter order
+        2: "s?a*",
+        3: "th?",           # matches only a stopword -> not in the index
+    },
+    "bm25_fuzzy": {
+        0: "kay~1",         # pattern itself out-of-vocabulary
+        1: "merge~2",
+        2: "dup~1 -key",    # fuzzy union minus exclusion
+        3: "batch~0",       # 0 edits = exact vocab match
+    },
+}
+
+
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
     parts = [f"+{t}" for t in must]
@@ -122,7 +146,18 @@ def _ensure_index(
 
 def _bm25_result(sf_dir: str, set_name: str):
     """Run one BM25 query set through the block-max engine -> Arrow table."""
-    import numpy as np
+    specs = BM25_QUERY_SETS[set_name]
+    return _run_query_strings(
+        sf_dir, {qid: _query_string(s) for qid, s in specs.items()}
+    )
+
+
+def _multi_result(sf_dir: str, set_name: str):
+    """Run one multi-term (prefix/wildcard/fuzzy) set through the engine."""
+    return _run_query_strings(sf_dir, MULTI_QUERY_SETS[set_name])
+
+
+def _run_query_strings(sf_dir: str, id_to_query: Dict[int, str]):
     import pyarrow as pa
 
     from lucene_ray.functions.rounding import round_half_away
@@ -130,12 +165,11 @@ def _bm25_result(sf_dir: str, set_name: str):
 
     index_dir = _ensure_index(sf_dir)
     stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax")
-    specs = BM25_QUERY_SETS[set_name]
     batch = pa.table(
         {
-            "query_id": pa.array(list(specs.keys()), pa.int64()),
-            "query": pa.array([_query_string(s) for s in specs.values()], pa.string()),
-            "k": pa.array([TOPK] * len(specs), pa.int32()),
+            "query_id": pa.array(list(id_to_query.keys()), pa.int64()),
+            "query": pa.array(list(id_to_query.values()), pa.string()),
+            "k": pa.array([TOPK] * len(id_to_query), pa.int32()),
         }
     )
     out = stage(batch)
@@ -264,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["term_stats"] = lambda sf: _term_stats(sf)
     for name in BM25_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
+    for name in MULTI_QUERY_SETS:
+        q[name] = (lambda n: lambda sf: _multi_result(sf, n))(name)
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
     # --- sources ---
@@ -583,6 +619,57 @@ def _bm25_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _clause_pred(kind: str, pattern: str, arg: int) -> str:
+    """SQL image of one multi-term clause over the sc term column. Terms
+    are [a-z0-9]+ so LIKE needs no escaping; fuzzy = plain Levenshtein,
+    which is exactly DuckDB's editdist3 (multiterm.py documents the
+    deliberate transpositions=false choice)."""
+    if kind == "prefix":
+        return f"term LIKE '{pattern}%'"
+    if kind == "wildcard":
+        like = pattern.replace("*", "%").replace("?", "_")
+        return f"term LIKE '{like}'"
+    if arg == 0:
+        return f"term = '{pattern}'"
+    return f"editdist3(term, '{pattern}') <= {arg}"
+
+
+def _multi_sql(set_name: str) -> str:
+    """Oracle for the multi-term sets: the SAME query strings parsed by the
+    engine's parser; clauses become SQL predicates instead of IN-lists."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in MULTI_QUERY_SETS[set_name].items():
+        q = parse_query(qs, an)
+        sc_preds = [f"term = '{t}'" for t in sorted(set(q.should))]
+        not_preds = [f"term = '{t}'" for t in sorted(set(q.must_not))]
+        for kind, pattern, arg, role in q.multi:
+            (not_preds if role == "must_not" else sc_preds).append(
+                _clause_pred(kind, pattern, arg)
+            )
+        scoring = "(" + (" OR ".join(sc_preds) or "FALSE") + ")"
+        neg = "(" + (" OR ".join(not_preds) or "FALSE") + ")"
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN {scoring} THEN score ELSE 0 END) AS score,
+           COUNT(CASE WHEN {scoring} THEN term END) AS n_should,
+           COUNT(CASE WHEN {neg} THEN term END) AS n_not
+    FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
+  )
+  WHERE n_should >= 1 AND n_not = 0
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 _WEB_URL_SQL = (
     "'https://site' || (doc_id % 997) || '.example/' || "
     "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
@@ -610,6 +697,8 @@ FROM tf GROUP BY term"""
 
     for name in BM25_QUERY_SETS:
         sql[name] = _bm25_sql(name)
+    for name in MULTI_QUERY_SETS:
+        sql[name] = _multi_sql(name)
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
 

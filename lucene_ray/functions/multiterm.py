@@ -1,0 +1,150 @@
+"""Multi-term query expansion: prefix / wildcard / fuzzy.
+
+Reference: search/PrefixQuery.java, search/WildcardQuery.java,
+search/FuzzyQuery.java rewritten through MultiTermQuery's
+SCORING_BOOLEAN_REWRITE (search/MultiTermQuery.java,
+search/ScoringRewrite.java): the pattern expands against the term
+dictionary into a disjunction of term queries, each scored with its own
+BM25 idf, capped at the clause limit (IndexSearcher.java:80, 1024).
+
+Deviations, chosen for an exactly-reproducible SQL oracle and documented
+here: patterns are lowercased (classic QueryParser's
+lowercase_expanded_terms) but never stemmed or stop-filtered; fuzzy
+distance is plain Levenshtein — FuzzyQuery(transpositions=false) — so
+DuckDB's editdist3 matches it; expansion order (and the cap cut) is
+lexicographic term order, deterministic across partitionings.
+
+The reference intersects a compiled automaton with the term-dict FST
+(search/AutomatonQuery.java). Ours: the sorted vocabulary list supports a
+bisect range scan for the literal prefix of any pattern ('' for leading
+wildcards), then a compiled-regex / banded-DP filter over that range.
+"""
+
+from __future__ import annotations
+
+import bisect
+import re
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+#: expansion cap — the BooleanQuery clause limit analogue
+MAX_EXPANSIONS = 1024
+
+#: (kind, pattern, arg) clause kinds
+KINDS = ("prefix", "wildcard", "fuzzy")
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Translate Lucene wildcard syntax (* = any run, ? = one char) to an
+    anchored regex (WildcardQuery.java:toAutomaton analogue)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def literal_prefix(pattern: str) -> str:
+    """Longest literal prefix before the first wildcard char."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def levenshtein_within(
+    cands: Sequence[str], query: str, max_edits: int
+) -> List[str]:
+    """Candidates at plain Levenshtein distance <= max_edits from query.
+
+    Vectorized column-DP: all same-length candidates are stacked into a
+    codepoint matrix and the DP advances one query character at a time
+    over the whole stack (numpy), instead of a per-candidate Python loop.
+    """
+    if max_edits == 0:
+        return [c for c in cands if c == query]
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    m = len(q)
+    by_len = {}
+    for c in cands:
+        if abs(len(c) - m) <= max_edits:
+            by_len.setdefault(len(c), []).append(c)
+    out = []
+    for n, grp in by_len.items():
+        if n == 0:
+            if m <= max_edits:
+                out.extend(grp)
+            continue
+        mat = np.empty((len(grp), n), dtype=np.uint32)
+        for i, c in enumerate(grp):
+            mat[i] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+        # dp[g, j] = distance(query[:i], cand[:j]) for all group rows g
+        js = np.arange(1, n + 1, dtype=np.int32)
+        dp = np.broadcast_to(
+            np.arange(n + 1, dtype=np.int32), (len(grp), n + 1)
+        ).copy()
+        for i in range(1, m + 1):
+            prev = dp
+            # t[j] = min(substitute, delete) — no within-row dependence
+            t = np.minimum(
+                prev[:, :-1] + (mat != q[i - 1]).astype(np.int32),
+                prev[:, 1:] + 1,
+            )
+            # insertion closes over the row: dp[i][j] = min over k<=j of
+            # (t[k] + j - k, i + j) -> min-plus prefix scan of u[k]=t[k]-k
+            u = t - js
+            np.minimum.accumulate(u, axis=1, out=u)
+            np.minimum(u, np.int32(i), out=u)  # path through dp[i][0] = i
+            dp = np.empty_like(prev)
+            dp[:, 0] = i
+            dp[:, 1:] = u + js
+        out.extend(c for i, c in enumerate(grp) if dp[i, n] <= max_edits)
+    return out
+
+
+def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]:
+    """Matching terms from a SORTED vocabulary, lexicographic order,
+    capped at MAX_EXPANSIONS."""
+    if kind == "prefix":
+        lo = bisect.bisect_left(vocab, pattern)
+        hi = bisect.bisect_right(vocab, pattern + "￿")
+        return list(vocab[lo:hi])[:MAX_EXPANSIONS]
+    if kind == "wildcard":
+        pre = literal_prefix(pattern)
+        lo = bisect.bisect_left(vocab, pre)
+        hi = bisect.bisect_right(vocab, pre + "￿") if pre else len(vocab)
+        rx = re.compile(wildcard_regex(pattern))
+        return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
+    if kind == "fuzzy":
+        return sorted(levenshtein_within(vocab, pattern, arg))[:MAX_EXPANSIONS]
+    raise ValueError(f"unknown multi-term kind: {kind}")
+
+
+def resolve_multi(query, vocab: Sequence[str], cache: dict = None):
+    """-> a plain BooleanQuery with every (kind, pattern, arg, role) clause
+    in ``query.multi`` expanded into concrete should / must_not terms."""
+    from .query import BooleanQuery
+
+    if not getattr(query, "multi", ()):
+        return query
+    should = list(query.should)
+    must_not = list(query.must_not)
+    for kind, pattern, arg, role in query.multi:
+        key = (kind, pattern, arg)
+        terms = cache.get(key) if cache is not None else None
+        if terms is None:
+            terms = expand(kind, pattern, arg, vocab)
+            if cache is not None:
+                cache[key] = terms
+        (must_not if role == "must_not" else should).extend(terms)
+    return BooleanQuery(
+        must=query.must,
+        should=tuple(should),
+        must_not=tuple(must_not),
+        minimum_should_match=query.minimum_should_match,
+    )

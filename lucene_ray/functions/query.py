@@ -58,6 +58,13 @@ class BooleanQuery:
     should: Tuple[str, ...] = ()
     must_not: Tuple[str, ...] = ()
     minimum_should_match: int = 0
+    # multi-term clauses: (kind, pattern, arg, role) with kind in
+    # {prefix, wildcard, fuzzy}, role in {should, must_not}; expanded
+    # against the term dictionary at execution time (functions/multiterm.py,
+    # reference: search/MultiTermQuery.java SCORING_BOOLEAN_REWRITE). Each
+    # matched term scores with its own idf and counts individually toward
+    # minimum_should_match.
+    multi: Tuple[Tuple[str, str, int, str], ...] = ()
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
@@ -69,10 +76,20 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     and BooleanQuery.setMinimumNumberShouldMatch,
     core/.../search/BooleanQuery.java:40-105).
     Terms are analyzed by the same chain as indexing; a query token that
-    analyzes to nothing (stopword) is dropped."""
+    analyzes to nothing (stopword) is dropped.
+
+    Multi-term syntax (expanded at execution time, see multiterm.py):
+    ``pre*`` prefix, ``t?rm`` / ``t*rm`` wildcard, ``term~`` / ``term~1`` /
+    ``term~2`` fuzzy. Patterns are lowercased but NOT analyzed (the classic
+    parser's lowercase_expanded_terms). Supported as bare or ``-`` clauses;
+    a ``+`` multi-term clause ("at least one expansion required") needs
+    nested boolean structure our flat model doesn't have -> ValueError."""
+    import re as _re
+
     must: List[str] = []
     should: List[str] = []
     must_not: List[str] = []
+    multi: List[Tuple[str, str, int, str]] = []
     mode_all = False
     msm = 0
     tokens = text.split()
@@ -90,22 +107,47 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if up == "NOT":
             neg_next = True
             continue
-        dest = should
+        role = "should"
         if raw.startswith("+"):
-            dest, raw = must, raw[1:]
+            role, raw = "must", raw[1:]
         elif raw.startswith("-") and len(raw) > 1 and not raw[1].isdigit():
-            dest, raw = must_not, raw[1:]
+            role, raw = "must_not", raw[1:]
         if neg_next:
-            dest = must_not
+            role = "must_not"
             neg_next = False
+        fz = _re.fullmatch(r"(.+?)~([012])?", raw)
+        kind = None
+        if "*" in raw or "?" in raw:
+            body = raw.lower()
+            kind = (
+                ("prefix", body[:-1], 0)
+                if body.endswith("*") and "*" not in body[:-1] and "?" not in body
+                else ("wildcard", body, 0)
+            )
+        elif fz is not None:
+            kind = ("fuzzy", fz.group(1).lower(), int(fz.group(2) or 2))
+        if kind is not None:
+            if role == "must":
+                raise ValueError(
+                    "prefix/wildcard/fuzzy clauses are supported as bare "
+                    "(SHOULD) or negated (MUST_NOT), not '+' (MUST)"
+                )
+            multi.append((*kind, role))
+            continue
+        dest = {"must": must, "should": should, "must_not": must_not}[role]
         for term in analyzer.analyze(raw):
             dest.append(term)
     if mode_all:
+        if any(role == "should" for *_k, role in multi):
+            raise ValueError(
+                "AND over a prefix/wildcard/fuzzy clause needs nested "
+                "boolean structure; use the bare (OR) form"
+            )
         must.extend(should)
         should = []
     return BooleanQuery(
         must=tuple(must), should=tuple(should), must_not=tuple(must_not),
-        minimum_should_match=msm,
+        minimum_should_match=msm, multi=tuple(multi),
     )
 
 
@@ -349,6 +391,16 @@ def _prepare(reader, query: BooleanQuery):
     dtype) or None when a MUST term is missing from the index."""
     if isinstance(query, TermQuery):
         query = BooleanQuery(should=(query.term,))
+    if getattr(query, "multi", ()):
+        from .multiterm import resolve_multi
+
+        vocab = reader.__dict__.get("_vocab")
+        if vocab is None:
+            vocab = reader.all_terms()
+            reader.__dict__["_vocab"] = vocab
+        query = resolve_multi(
+            query, vocab, reader.__dict__.setdefault("_expansions", {})
+        )
     must = sorted(set(query.must))
     should = sorted(set(query.should) - set(must))
     roles = [(t, True) for t in must] + [(t, False) for t in should]

@@ -55,6 +55,9 @@ class GlobalStatsView:
     def postings(self, term: str):
         return self._local.postings(term)
 
+    def all_terms(self):
+        return self._local.all_terms()
+
 
 _READER_CACHE: Dict[str, object] = {}
 
@@ -73,6 +76,21 @@ def _get_reader(index_dir: str):
 def _shard_term_stats(index_dir: str, terms: List[str]) -> Dict[str, Tuple[int, int]]:
     reader = _get_reader(index_dir)
     return {t: reader.term_stats(t) for t in terms}
+
+
+@ray.remote
+def _shard_expand(index_dir: str, keys: List[tuple]) -> Dict[tuple, List[str]]:
+    """Per-shard multi-term expansion against the local term dictionary
+    (the reference intersects the automaton with each leaf's terms dict;
+    the driver unions the per-leaf matches)."""
+    from ..functions.multiterm import expand
+
+    reader = _get_reader(index_dir)
+    vocab = reader.__dict__.get("_vocab")
+    if vocab is None:
+        vocab = reader.all_terms()
+        reader.__dict__["_vocab"] = vocab
+    return {k: expand(*k, vocab) for k in keys}
 
 
 @ray.remote
@@ -109,6 +127,25 @@ def search_sharded(
     queries: List[Tuple[int, BooleanQuery]] = [
         (i, parse_query(t, analyzer)) for i, t in enumerate(query_texts)
     ]
+    # phase 0 (only when needed): resolve prefix/wildcard/fuzzy clauses
+    # against the UNION of the shards' term dictionaries so every shard
+    # scores the same expanded term set under the same global stats
+    multi_keys = sorted(
+        {(k, p, a) for _, q in queries for (k, p, a, _r) in q.multi}
+    )
+    if multi_keys:
+        from ..functions.multiterm import MAX_EXPANSIONS, resolve_multi
+
+        merged: Dict[tuple, set] = {k: set() for k in multi_keys}
+        for shard_exp in ray.get(
+            [_shard_expand.remote(d, multi_keys) for d in index_dirs]
+        ):
+            for key, terms in shard_exp.items():
+                merged[key].update(terms)
+        cache = {k: sorted(v)[:MAX_EXPANSIONS] for k, v in merged.items()}
+        queries = [
+            (qid, resolve_multi(q, (), cache)) for qid, q in queries
+        ]
     all_terms = sorted(
         {
             t

@@ -51,12 +51,17 @@ class OracleIndex:
             arr = np.asarray(rows, dtype=np.int64)
             self.postings[t] = (arr[:, 0], arr[:, 1], arr[:, 2])
         self._analyzer = an
+        self._vocab: List[str] = sorted(self.postings)
 
     def topk(self, query, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Exhaustive scoring with the canonical sorted-term accumulation
         order and (score desc, doc_id asc) ties — the ground truth."""
         if isinstance(query, TermQuery):
             query = BooleanQuery(should=(query.term,))
+        if getattr(query, "multi", ()):
+            from ..functions.multiterm import resolve_multi
+
+            query = resolve_multi(query, self._vocab)
         dtype = np.float32 if self.norm_kind == "byte4" else np.float64
         must = sorted(set(query.must))
         should = sorted(set(query.should) - set(must))

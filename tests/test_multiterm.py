@@ -1,0 +1,155 @@
+"""Multi-term queries (prefix / wildcard / fuzzy): expansion kernels,
+parser syntax, and engine-vs-oracle equivalence through both executors
+(reference: search/PrefixQuery.java, WildcardQuery.java, FuzzyQuery.java
+under MultiTermQuery SCORING_BOOLEAN_REWRITE; parser syntax
+queryparser/.../classic/QueryParserBase.java getPrefixQuery/getFuzzyQuery).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.multiterm import (
+    expand,
+    levenshtein_within,
+    wildcard_regex,
+)
+from lucene_ray.functions.query import (
+    parse_query,
+    score_blockmax,
+    score_exhaustive,
+)
+from lucene_ray.pipelines.build import IndexConfig
+from lucene_ray.pipelines.oracle import OracleIndex
+from lucene_ray.state.reader import IndexReader
+
+from test_engine_oracle import build_from_lists, make_corpus
+
+
+def _lev_ref(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp = dp, [i] + [0] * n
+        for j in range(1, n + 1):
+            dp[j] = min(
+                prev[j - 1] + (a[i - 1] != b[j - 1]), prev[j] + 1, dp[j - 1] + 1
+            )
+    return dp[n]
+
+
+def test_levenshtein_matches_reference_dp():
+    rng = np.random.default_rng(11)
+    vocab = sorted(
+        {
+            "".join(rng.choice(list("abcd"), size=rng.integers(0, 7)))
+            for _ in range(300)
+        }
+        - {""}
+    )
+    for q in ["abca", "d", "abcd", "dcba", ""]:
+        for k in (0, 1, 2):
+            got = set(levenshtein_within(vocab, q, k))
+            want = {c for c in vocab if _lev_ref(q, c) <= k}
+            assert got == want
+
+
+def test_expand_golden():
+    v = sorted(
+        ["merge", "merged", "merger", "mix", "customer", "custom", "dup",
+         "dupl", "d1p", "dap", "zzz"]
+    )
+    assert expand("prefix", "mer", 0, v) == ["merge", "merged", "merger"]
+    assert expand("prefix", "zzzz", 0, v) == []
+    assert expand("wildcard", "d?p", 0, v) == ["d1p", "dap", "dup"]
+    assert expand("wildcard", "*er", 0, v) == ["customer", "merger"]
+    assert expand("fuzzy", "dup", 1, v) == ["d1p", "dap", "dup", "dupl"]
+    assert expand("fuzzy", "dup", 0, v) == ["dup"]
+    assert wildcard_regex("a*b?.c") == "a.*b.\\.c"
+
+
+def test_parser_multi_syntax():
+    an = make_analyzer("standard_en")
+    q = parse_query("mer* -d?p batch~1 term~", an)
+    assert q.multi == (
+        ("prefix", "mer", 0, "should"),
+        ("wildcard", "d?p", 0, "must_not"),
+        ("fuzzy", "batch", 1, "should"),
+        ("fuzzy", "term", 2, "should"),
+    )
+    # patterns lowercase but are not stemmed/stop-filtered
+    q2 = parse_query("MERG* The~1", an)
+    assert q2.multi == (
+        ("prefix", "merg", 0, "should"),
+        ("fuzzy", "the", 1, "should"),
+    )
+    with pytest.raises(ValueError):
+        parse_query("+mer*", an)
+    with pytest.raises(ValueError):
+        parse_query("mer* AND dup", an)
+    # standalone ~N stays minimum_should_match
+    q3 = parse_query("alpha beta ~2", an)
+    assert q3.minimum_should_match == 2 and not q3.multi
+
+
+QUERIES = [
+    "alp*",                 # prefix
+    "omicron* kappa",       # prefix + plain term union
+    "r?o",                  # wildcard: rho
+    "*ies",                 # leading wildcard: cities ponies (stemmed -> poni/citi? no: nostem corpus terms)
+    "zeta~1",               # fuzzy: zeta, eta, beta
+    "kappa~2",
+    "alpha -bet*",          # must_not expansion
+    "zzznope*",             # empty expansion
+    "pi~0",                 # exact-only fuzzy
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(tmp_path_factory, ray_session):
+    doc_ids, texts = make_corpus(n_docs=300, seed=13)
+    out = tmp_path_factory.mktemp("mt") / "idx"
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=4,
+        heavy_df_threshold=64, sample_rate=1.0,
+    )
+    build_from_lists(out, doc_ids, texts, cfg)
+    oracle = OracleIndex(doc_ids, texts, analyzer="standard_en")
+    return IndexReader(str(out)), oracle
+
+
+def test_multiterm_engine_matches_oracle(corpus_index):
+    reader, oracle = corpus_index
+    an = make_analyzer("standard_en")
+    for qt in QUERIES:
+        q = parse_query(qt, an)
+        od, osc = oracle.topk(q, 10)
+        for exec_fn in (score_exhaustive, score_blockmax):
+            bd, bsc = exec_fn(reader, q, 10)
+            assert np.array_equal(od, bd), qt
+            assert np.array_equal(
+                np.asarray(osc), np.asarray(bsc)
+            ), qt
+
+
+def test_multiterm_sharded_matches_monolithic(tmp_path, ray_session):
+    from lucene_ray.pipelines.distributed_search import search_sharded
+
+    doc_ids, texts = make_corpus(n_docs=300, seed=13)
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=4,
+        heavy_df_threshold=64, sample_rate=1.0,
+    )
+    cut = 120
+    build_from_lists(tmp_path / "a", doc_ids[:cut], texts[:cut], cfg)
+    build_from_lists(tmp_path / "b", doc_ids[cut:], texts[cut:], cfg)
+    build_from_lists(tmp_path / "all", doc_ids, texts, cfg)
+    mono = IndexReader(str(tmp_path / "all"))
+    an = make_analyzer("standard_en")
+    res = search_sharded(
+        [str(tmp_path / "a"), str(tmp_path / "b")], QUERIES, k=10
+    )
+    for i, qt in enumerate(QUERIES):
+        md, msc = score_blockmax(mono, parse_query(qt, an), 10)
+        assert np.array_equal(md, res[i][0]), qt
+        assert np.array_equal(np.asarray(msc), np.asarray(res[i][1])), qt
