@@ -87,6 +87,30 @@ MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
 }
 
 
+# Total-hit-count queries (IndexSearcher.count analogue) — every boolean
+# shape plus a multi-term clause and an out-of-vocabulary miss
+COUNT_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "batch AND small",
+    2: "dup -key",
+    3: "s*",
+    4: "zzzmissing",
+}
+
+# Facet counting (facet module analogue): (query, facet column)
+FACET_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream", "source"),
+    1: ("kay~1", "lang"),
+    2: ("c* dup", "source"),
+}
+
+# Highlighting (highlighter module analogue) — rows-only oracle
+HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "customer value",
+}
+
+
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
     parts = [f"+{t}" for t in must]
@@ -183,6 +207,96 @@ def _run_query_strings(sf_dir: str, id_to_query: Dict[int, str]):
             ),
         }
     )
+
+
+def _bm25_count(sf_dir: str):
+    """Total hit count per query (IndexSearcher.count analogue)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import count_matches, parse_query
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids = sorted(COUNT_QUERY_SETS)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_hits": pa.array(
+                [
+                    count_matches(reader, parse_query(COUNT_QUERY_SETS[i], an))
+                    for i in qids
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _search_facets(sf_dir: str):
+    """Facet-value counts over ALL hits of each query (facet module)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import facet_counts
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid in sorted(FACET_QUERY_SETS):
+        query, col = FACET_QUERY_SETS[qid]
+        t = facet_counts(
+            index_dir, query, _load_documents(sf_dir), col
+        ).to_pandas()
+        t = t.rename(columns={col: "facet_value", "count": "n_docs"})
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _highlight_top(sf_dir: str):
+    """Best-fragment snippets for each query's top-3 docs (highlighter
+    module analogue; rows-only oracle — snippet strings are engine-defined)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.highlight import HighlightStage
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.pipelines.search import get_reader, search
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    outs = []
+    for qid in sorted(HIGHLIGHT_QUERY_SETS):
+        qs = HIGHLIGHT_QUERY_SETS[qid]
+        top = search(index_dir, qs, k=3).to_pandas()
+        ids = top["doc_id"].tolist()
+        q = parse_query(qs, an)
+        terms = tuple(sorted(set(q.must) | set(q.should)))
+
+        def keep_ids(batch, _ids=ids):
+            return batch.filter(pc.is_in(batch.column("doc_id"),
+                                         value_set=__import__("pyarrow").array(_ids)))
+
+        hl = (
+            ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+            .map_batches(keep_ids, batch_format="pyarrow")
+            .map_batches(
+                HighlightStage,
+                fn_constructor_args=(reader.analyzer_name, terms),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        merged = top.merge(hl, on="doc_id")[["doc_id", "rank", "snippet"]]
+        merged.insert(0, "query_id", qid)
+        outs.append(merged.sort_values(["rank"]))
+    return pd.concat(outs, ignore_index=True)
 
 
 def _load_documents(sf_dir: str):
@@ -300,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
     for name in MULTI_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _multi_result(sf, n))(name)
+    q["bm25_count"] = lambda sf: _bm25_count(sf)
+    q["search_facets"] = lambda sf: _search_facets(sf)
+    q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
     # --- sources ---
@@ -670,6 +787,75 @@ def _multi_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _parsed_preds(q) -> Tuple[List[str], List[str], List[str]]:
+    """(must, should, must_not) SQL predicate lists mirroring _prepare's
+    clause handling (plain terms dedup, expansions land in should/not)."""
+    must = [f"term = '{t}'" for t in sorted(set(q.must))]
+    should = [
+        f"term = '{t}'" for t in sorted(set(q.should) - set(q.must))
+    ]
+    notp = [f"term = '{t}'" for t in sorted(set(q.must_not))]
+    for kind, pattern, arg, role in q.multi:
+        (notp if role == "must_not" else should).append(
+            _clause_pred(kind, pattern, arg)
+        )
+    return must, should, notp
+
+
+def _match_docs_sql(q) -> str:
+    """Subquery yielding every matching doc_id under the engine's boolean
+    candidate semantics (functions/query.py matching_docs)."""
+    must, should, notp = _parsed_preds(q)
+
+    def or_(preds):
+        return "(" + (" OR ".join(preds) or "FALSE") + ")"
+
+    msm = q.minimum_should_match
+    msm_req = msm if must else max(1, msm)
+    cond = f"n_must = {len(set(q.must))} AND n_not = 0"
+    if not must or msm > 0:
+        cond += f" AND n_should >= {msm_req}"
+    return f"""SELECT doc_id FROM (
+    SELECT doc_id,
+           COUNT(DISTINCT CASE WHEN {or_(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN {or_(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN {or_(notp)} THEN term END) AS n_not
+    FROM sc WHERE {or_(must + should + notp)} GROUP BY doc_id
+  ) WHERE {cond}"""
+
+
+def _count_sql() -> str:
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = [
+        f"""(SELECT {qid} AS query_id,
+   CAST((SELECT COUNT(*) FROM ({_match_docs_sql(parse_query(qs, an))})) AS BIGINT) AS n_hits)"""
+        for qid, qs in sorted(COUNT_QUERY_SETS.items())
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _facet_sql() -> str:
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid in sorted(FACET_QUERY_SETS):
+        qs, col = FACET_QUERY_SETS[qid]
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id, {col} AS facet_value,
+   CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IN ({match}) GROUP BY {col})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 _WEB_URL_SQL = (
     "'https://site' || (doc_id % 997) || '.example/' || "
     "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
@@ -699,6 +885,8 @@ FROM tf GROUP BY term"""
         sql[name] = _bm25_sql(name)
     for name in MULTI_QUERY_SETS:
         sql[name] = _multi_sql(name)
+    sql["bm25_count"] = _count_sql()
+    sql["search_facets"] = _facet_sql()
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
 

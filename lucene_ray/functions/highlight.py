@@ -1,0 +1,126 @@
+"""Query-term highlighting: best-fragment snippet extraction.
+
+Reference: the highlighter module (highlighter/src/java/org/apache/lucene/
+search/uhighlight/UnifiedHighlighter.java and
+highlight/Highlighter.java + SimpleHTMLFormatter — 14,932 LoC inventoried
+in SURVEY.md §2). Same contract, deterministic algorithm:
+
+1. re-analyze the stored text with OFFSETS: the same tokenizer produces
+   surface tokens in order; offsets are recovered with a running-cursor
+   scan (tokens are substrings of the text in order; a 255-chop token is a
+   prefix of the remaining text, so the cursor scan stays exact);
+2. each token maps through the analyzer's per-token chain to its index
+   term; tokens whose term is in the query-term set are match tokens
+   (UnifiedHighlighter also matches on terms post-analysis);
+3. fragment selection: candidate windows start at each match token and
+   extend ``frag_size`` characters; the winner maximizes
+   (distinct matched terms, total matches, -start) — earliest best
+   window, deterministic;
+4. matched tokens inside the window are wrapped ``<b>...</b>``
+   (SimpleHTMLFormatter's default tags).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .tokenize import tokenize
+
+
+def token_offsets(text: str) -> List[Tuple[str, int, int]]:
+    """(surface_token, start, end) in text order via running-cursor scan."""
+    out = []
+    pos = 0
+    for tok in tokenize(text):
+        i = text.find(tok, pos)
+        if i < 0:  # cannot happen for our tokenizers; stay safe
+            continue
+        out.append((tok, i, i + len(tok)))
+        pos = i + len(tok)
+    return out
+
+
+def _term_of(analyzer, token: str) -> Optional[str]:
+    """Map one surface token through the analyzer's per-token chain."""
+    term_fn = getattr(analyzer, "_term", None)
+    if term_fn is not None:
+        return term_fn(token)
+    terms = analyzer.analyze(token)
+    return terms[0] if terms else None
+
+
+def best_fragment(
+    text: str,
+    query_terms: Sequence[str],
+    analyzer,
+    frag_size: int = 100,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> str:
+    """Best ``frag_size``-char snippet with query terms wrapped, '' if the
+    text has no match."""
+    qset = set(query_terms)
+    if not text or not qset:
+        return ""
+    toks = token_offsets(text)
+    matches = [
+        (s, e, term)
+        for tok, s, e in toks
+        for term in (_term_of(analyzer, tok),)
+        if term in qset
+    ]
+    if not matches:
+        return ""
+    # candidate windows anchored at each match start; match ends are
+    # strictly increasing (non-overlapping tokens), so the window's last
+    # match is a bisect, not a scan
+    import bisect
+
+    ends = [e for _, e, _ in matches]
+    best = None
+    for wi, (ws, _, _) in enumerate(matches):
+        w_end = ws + frag_size
+        inside = matches[wi : bisect.bisect_right(ends, w_end, lo=wi)]
+        score = (len({t for *_se, t in inside}), len(inside), -ws)
+        if best is None or score > best[0]:
+            best = (score, ws, w_end, inside)
+    _, ws, w_end, inside = best
+    w_end = min(w_end, len(text))
+    parts = []
+    cur = ws
+    for s, e, _ in inside:
+        parts.append(text[cur:s])
+        parts.append(pre + text[s:e] + post)
+        cur = e
+    parts.append(text[cur:w_end])
+    frag = "".join(parts)
+    if ws > 0:
+        frag = "..." + frag
+    if w_end < len(text):
+        frag = frag + "..."
+    return frag
+
+
+class HighlightStage:
+    """Actor-pool stage: analyzer compiled once; per batch, produce the
+    best fragment for each (text, query) row."""
+
+    def __init__(self, analyzer_name: str, query_terms: Sequence[str],
+                 frag_size: int = 100):
+        from .analysis import make_analyzer
+
+        self.analyzer = make_analyzer(analyzer_name)
+        self.query_terms = tuple(query_terms)
+        self.frag_size = frag_size
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        snippets = [
+            best_fragment(t or "", self.query_terms, self.analyzer,
+                          self.frag_size)
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.drop_columns(["text"]).append_column(
+            "snippet", pa.array(snippets, pa.string())
+        )

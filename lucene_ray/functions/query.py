@@ -506,17 +506,16 @@ def _dense_combine(
     return cand, acc[cand]
 
 
-def score_exhaustive(reader, query, k: int = 10, _prep=None):
-    """Decode-everything executor — the in-engine oracle. Uses the dense
-    bulk accumulator when the searcher's doc space allows, the sparse
-    unique/searchsorted combine otherwise. ``_prep`` lets score_blockmax's
-    cost-based fallback reuse its already-built cursors."""
+def _exhaustive_candidates(reader, query, _prep=None):
+    """Shared exhaustive body -> (cand, acc, dtype) or None (no possible
+    match). Uses the dense bulk accumulator when the searcher's doc space
+    allows, the sparse unique/searchsorted combine otherwise."""
     prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return None
     cursors, is_must, not_cursors, dtype = prep
     if len(cursors) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return None
     per_term = [c.decode_all() for c in cursors]
     not_docs = _NotCursorView.all_docs(not_cursors)
     msm = (
@@ -545,7 +544,33 @@ def score_exhaustive(reader, query, k: int = 10, _prep=None):
         cand, acc = _combine(
             per_term, is_must, n_must, msm, not_docs, dtype
         )
+    return cand, acc, dtype
+
+
+def score_exhaustive(reader, query, k: int = 10, _prep=None):
+    """Decode-everything executor — the in-engine oracle. ``_prep`` lets
+    score_blockmax's cost-based fallback reuse its already-built cursors."""
+    r = _exhaustive_candidates(reader, query, _prep)
+    if r is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    cand, acc, _ = r
     return _topk_from(cand, acc, k)
+
+
+def matching_docs(reader, query) -> np.ndarray:
+    """ALL matching doc IDs, ascending — the total-hits / facet-candidate
+    enumeration (reference: IndexSearcher.count,
+    core/.../search/IndexSearcher.java, and facet collection over every hit,
+    facet/.../FacetsCollector.java)."""
+    r = _exhaustive_candidates(reader, query)
+    if r is None:
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(r[0], dtype=np.int64)
+
+
+def count_matches(reader, query) -> int:
+    """Total hit count (IndexSearcher.count analogue)."""
+    return int(len(matching_docs(reader, query)))
 
 
 def score_blockmax(reader, query, k: int = 10):
