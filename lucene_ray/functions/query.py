@@ -547,10 +547,51 @@ def _exhaustive_candidates(reader, query, _prep=None):
     return cand, acc, dtype
 
 
+#: champion-list length — the exact top-CHAMPION_K of a single term under
+#: (score desc, doc asc) is query-independent, so a warm reader caches it
+#: once per term ("champion lists" / impact-ordered fidelity lists, a
+#: standard static-pruning structure; exact for any k <= CHAMPION_K
+#: because the cached list IS the prefix of the total order)
+CHAMPION_K = 1024
+
+
+def _champion_topk(reader, cursor, k: int):
+    champs = reader.__dict__.setdefault("_champions", {})
+    key = (cursor.term, cursor.scorer.cache_key())
+    hit = champs.get(key)
+    if hit is None:
+        docs, scores = cursor.decode_all()
+        hit = _topk_from(docs, scores, CHAMPION_K)
+        champs[key] = hit
+    return (
+        np.asarray(hit[0][:k], dtype=np.int64).copy(),
+        hit[1][:k].copy(),
+    )
+
+
+def _single_term_shortcut(prep, query, k: int):
+    """-> cursor if the query is a pure single-term top-k a champion list
+    answers exactly, else None."""
+    cursors, is_must, not_cursors, _ = prep
+    if len(cursors) != 1 or not_cursors or not (0 < k <= CHAMPION_K):
+        return None
+    msm = getattr(query, "minimum_should_match", 0)
+    n_must = int(is_must.sum())
+    if (n_must == 0 and msm <= 1) or (n_must == 1 and msm == 0):
+        return cursors[0]
+    return None
+
+
 def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
-    r = _exhaustive_candidates(reader, query, _prep)
+    prep = _prep if _prep is not None else _prepare(reader, query)
+    if prep is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    single = _single_term_shortcut(prep, query, k)
+    if single is not None:
+        return _champion_topk(reader, single, k)
+    r = _exhaustive_candidates(reader, query, _prep=prep)
     if r is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     cand, acc, _ = r
@@ -580,6 +621,9 @@ def score_blockmax(reader, query, k: int = 10):
     prep = _prepare(reader, query)
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    single = _single_term_shortcut(prep, query, k)
+    if single is not None and single.n_blocks > 0:
+        return _champion_topk(reader, single, k)
     cursors, is_must, not_cursors, dtype = prep
     # a cursor can be block-less locally even with global df > 0 (sharded
     # search under global stats): an empty MUST list empties the result;
