@@ -87,6 +87,20 @@ MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
 }
 
 
+# DisjunctionMaxQuery sets: (terms, tie_breaker)
+DISMAX_QUERY_SETS: Dict[int, Tuple[tuple, float]] = {
+    0: (("data", "stream"), 0.0),
+    1: (("batch", "small", "scan"), 0.3),
+    2: (("dup", "zzzmissing"), 1.0),
+}
+
+# Query-time boost sets (`term^N` syntax)
+BOOST_QUERY_SETS: Dict[int, str] = {
+    0: "customer^2 value",
+    1: "+data^0.5 stream",
+    2: "dup^3 -key",
+}
+
 # Total-hit-count queries (IndexSearcher.count analogue) — every boolean
 # shape plus a multi-term clause and an out-of-vocabulary miss
 COUNT_QUERY_SETS: Dict[int, str] = {
@@ -205,6 +219,36 @@ def _run_query_strings(sf_dir: str, id_to_query: Dict[int, str]):
             "score": pa.array(
                 round_half_away(out.column("score").to_numpy(), 4)
             ),
+        }
+    )
+
+
+def _bm25_dismax(sf_dir: str):
+    """DisjunctionMaxQuery through the engine (max + tie * rest)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import DisMaxQuery, score_dismax
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    import numpy as np
+
+    for qid in sorted(DISMAX_QUERY_SETS):
+        terms, tie = DISMAX_QUERY_SETS[qid]
+        d, s = score_dismax(reader, DisMaxQuery(terms=terms, tie_breaker=tie), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, dtype=np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
         }
     )
 
@@ -414,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
     for name in MULTI_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _multi_result(sf, n))(name)
+    q["bm25_dismax"] = lambda sf: _bm25_dismax(sf)
+    q["bm25_boost"] = lambda sf: _run_query_strings(sf, BOOST_QUERY_SETS)
     q["bm25_count"] = lambda sf: _bm25_count(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -787,6 +833,66 @@ def _multi_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _dismax_sql() -> str:
+    selects = []
+    for qid in sorted(DISMAX_QUERY_SETS):
+        terms, tie = DISMAX_QUERY_SETS[qid]
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, MAX(score) + {tie} * (SUM(score) - MAX(score)) AS score
+    FROM sc WHERE term IN {_in_list(sorted(set(terms)))} GROUP BY doc_id
+  )
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _boost_sql() -> str:
+    """Boost oracle: the engine's parsed (term, boost) pairs become
+    per-term `score * boost` arms in the scoring CASE."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid in sorted(BOOST_QUERY_SETS):
+        q = parse_query(BOOST_QUERY_SETS[qid], an)
+        bmap = dict(q.boosts)
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        must_not = sorted(set(q.must_not))
+        scoring = sorted(set(must) | set(should))
+        arms = " ".join(
+            f"WHEN term = '{t}' THEN score * {bmap[t]}" if t in bmap
+            else f"WHEN term = '{t}' THEN score"
+            for t in scoring
+        )
+        all_terms = sorted(set(scoring) | set(must_not))
+        msm = q.minimum_should_match
+        msm_req = msm if must else max(1, msm)
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE {arms} ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must_not)} THEN term END) AS n_not
+    FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _parsed_preds(q) -> Tuple[List[str], List[str], List[str]]:
     """(must, should, must_not) SQL predicate lists mirroring _prepare's
     clause handling (plain terms dedup, expansions land in should/not)."""
@@ -885,6 +991,8 @@ FROM tf GROUP BY term"""
         sql[name] = _bm25_sql(name)
     for name in MULTI_QUERY_SETS:
         sql[name] = _multi_sql(name)
+    sql["bm25_dismax"] = _dismax_sql()
+    sql["bm25_boost"] = _boost_sql()
     sql["bm25_count"] = _count_sql()
     sql["search_facets"] = _facet_sql()
 

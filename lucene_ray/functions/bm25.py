@@ -107,6 +107,7 @@ class BM25Float64:
         self.avgdl = sum_total_tf / float(doc_count)
         self.k1 = float(k1)
         self.b = float(b)
+        self.boost = float(boost)
         self.weight = float(boost) * self.idf
         self._key = ("exact", doc_count, sum_total_tf, doc_freq, k1, b, boost)
 
@@ -117,7 +118,11 @@ class BM25Float64:
         tf = tfs.astype(np.float64)
         dl = keys.astype(np.float64)
         denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-        return self.weight * (tf / denom)
+        # boost applied OUTSIDE idf*ratio — the literal op order of the SQL
+        # oracle's `score * boost` over its per-(doc,term) idf*ratio column
+        if self.boost == 1.0:
+            return self.idf * (tf / denom)
+        return self.boost * (self.idf * (tf / denom))
 
     def max_score(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
         if len(frontier_tfs) == 0:

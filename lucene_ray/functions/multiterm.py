@@ -147,4 +147,5 @@ def resolve_multi(query, vocab: Sequence[str], cache: dict = None):
         should=tuple(should),
         must_not=tuple(must_not),
         minimum_should_match=query.minimum_should_match,
+        boosts=getattr(query, "boosts", ()),
     )

@@ -53,6 +53,18 @@ class TermQuery:
 
 
 @dataclass(frozen=True)
+class DisMaxQuery:
+    """Disjunction-max: candidates = union of terms; score per doc =
+    max(term scores) + tie_breaker * (sum of the other matching scores)
+    (reference: search/DisjunctionMaxQuery.java:24-56 — "the maximum score
+    for that document as produced by any subquery, plus a tie breaking
+    increment for any additional matching subqueries")."""
+
+    terms: Tuple[str, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     must: Tuple[str, ...] = ()
     should: Tuple[str, ...] = ()
@@ -65,6 +77,11 @@ class BooleanQuery:
     # matched term scores with its own idf and counts individually toward
     # minimum_should_match.
     multi: Tuple[Tuple[str, str, int, str], ...] = ()
+    # query-time boosts: (term, boost) pairs from `term^2.5` syntax;
+    # boost multiplies the term's BM25 weight (reference: BoostQuery /
+    # BM25Similarity boost param, search/BoostQuery.java,
+    # BM25Similarity.java:221 w = boost * idf)
+    boosts: Tuple[Tuple[str, float], ...] = ()
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
@@ -90,6 +107,7 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     should: List[str] = []
     must_not: List[str] = []
     multi: List[Tuple[str, str, int, str]] = []
+    boosts: List[Tuple[str, float]] = []
     mode_all = False
     msm = 0
     tokens = text.split()
@@ -115,6 +133,10 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if neg_next:
             role = "must_not"
             neg_next = False
+        boost = None
+        bm = _re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", raw)
+        if bm is not None:
+            raw, boost = bm.group(1), float(bm.group(2))
         fz = _re.fullmatch(r"(.+?)~([012])?", raw)
         kind = None
         if "*" in raw or "?" in raw:
@@ -132,11 +154,17 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
                     "prefix/wildcard/fuzzy clauses are supported as bare "
                     "(SHOULD) or negated (MUST_NOT), not '+' (MUST)"
                 )
+            if boost is not None:
+                raise ValueError(
+                    "boost on a prefix/wildcard/fuzzy clause is not supported"
+                )
             multi.append((*kind, role))
             continue
         dest = {"must": must, "should": should, "must_not": must_not}[role]
         for term in analyzer.analyze(raw):
             dest.append(term)
+            if boost is not None:
+                boosts.append((term, boost))
     if mode_all:
         if any(role == "should" for *_k, role in multi):
             raise ValueError(
@@ -147,7 +175,7 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         should = []
     return BooleanQuery(
         must=tuple(must), should=tuple(should), must_not=tuple(must_not),
-        minimum_should_match=msm, multi=tuple(multi),
+        minimum_should_match=msm, multi=tuple(multi), boosts=tuple(boosts),
     )
 
 
@@ -409,6 +437,7 @@ def _prepare(reader, query: BooleanQuery):
     is_must = []
     # cross-query scored-list cache lives on the reader (warm actor state)
     full_cache = reader.__dict__.setdefault("_scored_full", {})
+    boost_map = dict(getattr(query, "boosts", ()))
     for term, m in roles:
         df, _ = reader.term_stats(term)
         if df == 0:
@@ -416,7 +445,8 @@ def _prepare(reader, query: BooleanQuery):
                 return None
             continue
         scorer = make_scorer(
-            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
+            boost=boost_map.get(term, 1.0),
         )
         cursors.append(
             TermCursor(term, reader.postings(term), scorer, full_cache)
@@ -596,6 +626,68 @@ def score_exhaustive(reader, query, k: int = 10, _prep=None):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     cand, acc, _ = r
     return _topk_from(cand, acc, k)
+
+
+def score_dismax(reader, query: DisMaxQuery, k: int = 10):
+    """DisjunctionMaxQuery executor: per doc, max matching term score plus
+    ``tie_breaker`` times the remaining matching scores (reference:
+    search/DisjunctionMaxQuery.java, DisjunctionMaxScorer.java). Max and
+    sum accumulate densely per term in canonical sorted-term order; the
+    final combine is one vectorized expression."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if k <= 0:
+        return empty
+    full_cache = reader.__dict__.setdefault("_scored_full", {})
+    cursors = []
+    for t in sorted(set(query.terms)):
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            continue
+        scorer = make_scorer(
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
+        )
+        cursors.append(TermCursor(t, reader.postings(t), scorer, full_cache))
+    if not cursors:
+        return empty
+    per_term = [c.decode_all() for c in cursors]
+    tie = np.dtype(dtype).type(query.tie_breaker)
+    if len(per_term) == 1:
+        docs, scores = per_term[0]
+        return _topk_from(docs, scores.astype(dtype, copy=False), k)
+    doc_space = int(reader.doc_count)
+    max_doc = max((int(d[-1]) for d, _ in per_term if len(d)), default=-1)
+    if 0 < doc_space <= DENSE_DOC_LIMIT and max_doc < doc_space:
+        acc_sum = np.zeros(doc_space, dtype=dtype)
+        acc_max = np.zeros(doc_space, dtype=dtype)
+        cnt = np.zeros(doc_space, dtype=np.uint8)
+        for docs, scores in per_term:
+            if len(docs) == 0:
+                continue
+            s = scores.astype(dtype, copy=False)
+            acc_sum[docs] += s
+            # docs are unique within a term, so gather-max-scatter is exact
+            acc_max[docs] = np.maximum(acc_max[docs], s)
+            cnt[docs] += 1
+        cand = np.flatnonzero(cnt)
+        m = acc_max[cand]
+        score = m + tie * (acc_sum[cand] - m)
+    else:
+        alld = np.concatenate([d for d, _ in per_term])
+        cand = np.unique(alld)
+        acc_sum = np.zeros(len(cand), dtype=dtype)
+        acc_max = np.zeros(len(cand), dtype=dtype)
+        for docs, scores in per_term:
+            if len(docs) == 0:
+                continue
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == cand
+            s = scores[pos_c[hit]].astype(dtype, copy=False)
+            acc_sum[hit] += s
+            acc_max[hit] = np.maximum(acc_max[hit], s)
+        score = acc_max + tie * (acc_sum - acc_max)
+    return _topk_from(cand, score, k)
 
 
 def matching_docs(reader, query) -> np.ndarray:

@@ -95,10 +95,12 @@ class OracleIndex:
         if len(cand) == 0:
             return cand, np.empty(0, dtype)
         acc = np.zeros(len(cand), dtype=dtype)
+        boost_map = dict(getattr(query, "boosts", ()))
         for t in scoring:
             docs, tfs, keys = self.postings[t]
             scorer = make_scorer(
-                self.norm_kind, self.doc_count, self.sum_total_tf, len(docs)
+                self.norm_kind, self.doc_count, self.sum_total_tf, len(docs),
+                boost=boost_map.get(t, 1.0),
             )
             pos = np.searchsorted(docs, cand)
             pos_c = np.minimum(pos, len(docs) - 1)
@@ -107,6 +109,36 @@ class OracleIndex:
                 acc[hit] += scorer.score_array(tfs[pos_c[hit]], keys[pos_c[hit]]).astype(dtype)
         order = np.lexsort((cand, -acc.astype(np.float64)))[:k]
         return cand[order], acc[order]
+
+    def topk_dismax(self, query, k: int = 10):
+        """Brute-force DisjunctionMaxQuery: per doc, max matching score
+        plus tie_breaker * (sum - max), canonical sorted-term order."""
+        dtype = np.float32 if self.norm_kind == "byte4" else np.float64
+        terms = [t for t in sorted(set(query.terms)) if t in self.postings]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, dtype)
+        cand = np.unique(
+            np.concatenate([self.postings[t][0] for t in terms])
+        )
+        acc_sum = np.zeros(len(cand), dtype=dtype)
+        acc_max = np.zeros(len(cand), dtype=dtype)
+        for t in terms:
+            docs, tfs, keys = self.postings[t]
+            scorer = make_scorer(
+                self.norm_kind, self.doc_count, self.sum_total_tf, len(docs)
+            )
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == cand
+            s = scorer.score_array(
+                tfs[pos_c[hit]], keys[pos_c[hit]]
+            ).astype(dtype)
+            acc_sum[hit] += s
+            acc_max[hit] = np.maximum(acc_max[hit], s)
+        tie = np.dtype(dtype).type(query.tie_breaker)
+        score = acc_max + tie * (acc_sum - acc_max)
+        order = np.lexsort((cand, -score.astype(np.float64)))[:k]
+        return cand[order], score[order]
 
 
 def oracle_from_parquet(sf_dir: str, analyzer: str = "standard_en",

@@ -1,0 +1,93 @@
+"""DisjunctionMaxQuery and query-time boosts vs the brute-force oracle
+(reference: search/DisjunctionMaxQuery.java, search/BoostQuery.java)."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.query import (
+    DisMaxQuery,
+    parse_query,
+    score_blockmax,
+    score_dismax,
+    score_exhaustive,
+)
+from lucene_ray.pipelines.build import IndexConfig
+from lucene_ray.pipelines.oracle import OracleIndex
+from lucene_ray.state.reader import IndexReader
+
+from test_engine_oracle import build_from_lists, make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    doc_ids, texts = make_corpus(n_docs=300, seed=31)
+    out = tmp_path_factory.mktemp("dm") / "idx"
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=4,
+        heavy_df_threshold=64, sample_rate=1.0,
+    )
+    build_from_lists(out, doc_ids, texts, cfg)
+    return IndexReader(str(out)), OracleIndex(doc_ids, texts, analyzer="standard_en")
+
+
+def test_dismax_matches_oracle(corpus):
+    reader, oracle = corpus
+    cases = [
+        (("alpha", "beta"), 0.0),
+        (("alpha", "beta", "gamma"), 0.3),
+        (("kappa", "mu"), 1.0),       # tie=1 == plain sum
+        (("alpha",), 0.5),            # single clause
+        (("zzz", "alpha"), 0.2),      # missing clause drops out
+        (("zzz",), 0.0),              # all missing -> empty
+    ]
+    for terms, tie in cases:
+        q = DisMaxQuery(terms=terms, tie_breaker=tie)
+        od, osc = oracle.topk_dismax(q, 10)
+        bd, bsc = score_dismax(reader, q, 10)
+        assert np.array_equal(od, bd), (terms, tie)
+        assert np.array_equal(np.asarray(osc), np.asarray(bsc)), (terms, tie)
+
+
+def test_dismax_tie1_equals_boolean_or(corpus):
+    reader, oracle = corpus
+    an = make_analyzer("standard_en")
+    q_or = parse_query("alpha beta", an)
+    d_or, s_or = score_blockmax(reader, q_or, 10)
+    d_dm, s_dm = score_dismax(
+        reader, DisMaxQuery(terms=("alpha", "beta"), tie_breaker=1.0), 10
+    )
+    # same ranking; scores agree to float32 rounding (max + (sum-max) vs sum)
+    assert np.array_equal(d_or, d_dm)
+    np.testing.assert_allclose(s_or, s_dm, rtol=1e-6)
+
+
+def test_boost_parsing_and_scoring(corpus):
+    reader, oracle = corpus
+    an = make_analyzer("standard_en")
+    q = parse_query("alpha^2 beta", an)
+    assert q.boosts == (("alpha", 2.0),)
+    od, osc = oracle.topk(q, 10)
+    for fn in (score_exhaustive, score_blockmax):
+        bd, bsc = fn(reader, q, 10)
+        assert np.array_equal(od, bd)
+        assert np.array_equal(np.asarray(osc), np.asarray(bsc))
+    # boosted single term: ranks unchanged, scores scaled by exactly 2f
+    d1, s1 = score_blockmax(reader, parse_query("alpha", an), 10)
+    d2, s2 = score_blockmax(reader, parse_query("alpha^2", an), 10)
+    assert np.array_equal(d1, d2)
+    # float32: w2 = 2f*idf, score = w - w/(1+x) scales linearly only up to
+    # rounding; check within 1 ulp-ish
+    np.testing.assert_allclose(s2, 2.0 * s1, rtol=2e-7)
+    with pytest.raises(ValueError):
+        parse_query("alp*^2", an)
+
+
+def test_boost_fractional_and_multi(corpus):
+    reader, oracle = corpus
+    an = make_analyzer("standard_en")
+    q = parse_query("+alpha^0.5 beta^3 -gamma", an)
+    od, osc = oracle.topk(q, 10)
+    bd, bsc = score_blockmax(reader, q, 10)
+    assert np.array_equal(od, bd)
+    assert np.array_equal(np.asarray(osc), np.asarray(bsc))
