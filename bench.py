@@ -69,11 +69,12 @@ def _init_ray(num_cpus: int):
     return ray
 
 
-def _bench_input(sf_dir: str, replicate: int):
+def _bench_input(sf_dir: str, replicate: int, copy_lo: int = 0):
     """documents replicated ``replicate``x with distinct doc_ids —
     deterministic synthetic upscaling for measurable parallelism. Each copy
     is its own lazy ``read_parquet`` (union keeps the block count high and
-    adds no shuffle)."""
+    adds no shuffle). ``copy_lo`` offsets the copy indices so disjoint
+    doc-range shards can be built from slices of the same corpus."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -86,6 +87,7 @@ def _bench_input(sf_dir: str, replicate: int):
         # one task per copy: read the base file, offset doc_ids
         out = []
         for c in batch.column("id").to_pylist():
+            c += copy_lo
             t = pq.read_table(path, columns=["doc_id", "text"])
             out.append(
                 pa.table(
@@ -276,6 +278,71 @@ def run_suite() -> dict:
     return result
 
 
+def run_sharded() -> dict:
+    """Doc-range-sharded query scaling: the same corpus as ONE monolithic
+    index vs 4 disjoint doc-range shards, per-query latency through the
+    same scatter-gather path (search_sharded). This is the 10^12-doc
+    query scale model: each node holds a shard, so per-node bytes/query
+    FALL with cluster size (unlike replicating searchers over one copy,
+    which only multiplies bandwidth demand). Results are rank/score
+    identical by construction (tests/test_sharded.py)."""
+    _init_ray(NUM_CPUS)
+    import ray
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "600"))
+    n_shards = 4
+    per = replicate // n_shards
+    heavy = _base_heavy_terms(SF_DIR, 50_000 // max(1, replicate))
+    base = "/tmp/lucene_ray_bench/sharded"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def cfg(parts):
+        return IndexConfig(
+            analyzer="standard_en", norm_kind="byte4", num_partitions=parts,
+            heavy_df_threshold=50_000, bucket_shift=14, sample_rate=0.02,
+            exchange="files",
+        )
+
+    mono_dir = f"{base}/mono"
+    ds, docs = _bench_input(SF_DIR, replicate)
+    build_index(ds, mono_dir, cfg(32), doc_count=docs, heavy_terms=heavy)
+    shard_dirs = []
+    for s in range(n_shards):
+        d = f"{base}/shard-{s}"
+        dsi, di = _bench_input(SF_DIR, per, copy_lo=s * per)
+        build_index(dsi, d, cfg(8), doc_count=di, heavy_terms=heavy)
+        shard_dirs.append(d)
+
+    queries = list(QUERY_SET)
+    out = {}
+    for label, dirs in (("mono", [mono_dir]), (f"sharded{n_shards}", shard_dirs)):
+        from lucene_ray.pipelines.distributed_search import ShardedSearchService
+
+        svc = ShardedSearchService(dirs)
+        svc.search(queries, k=10)  # warm the per-shard actors
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            svc.search(queries, k=10)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        svc.shutdown()
+        out[f"{label}_ms_per_query"] = round(1000 * best / len(queries), 2)
+        log(f"{label}: {out[f'{label}_ms_per_query']} ms/query")
+    speed = out["mono_ms_per_query"] / out[f"sharded{n_shards}_ms_per_query"]
+    return {
+        "metric": f"doc-sharded query speedup (1 -> {n_shards} shards, same corpus)",
+        "value": round(speed, 2),
+        "unit": "x",
+        "queries": out,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": docs,
+    }
+
+
 def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     # default 4->16: beyond ~16 cores this single node saturates memory
     # bandwidth (~160k docs/s regardless of cores) — on a real N->4N *node*
@@ -361,6 +428,7 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--stage", choices=["build"], default=None)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
@@ -368,6 +436,8 @@ def main() -> None:
         out = run_build(num_cpus=NUM_CPUS)
     elif args.scaling:
         out = run_scaling()
+    elif args.sharded:
+        out = run_sharded()
     else:
         out = run_suite()
     print(json.dumps(out))

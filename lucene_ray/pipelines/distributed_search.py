@@ -72,41 +72,127 @@ def _get_reader(index_dir: str):
     return r
 
 
-@ray.remote
-def _shard_term_stats(index_dir: str, terms: List[str]) -> Dict[str, Tuple[int, int]]:
-    reader = _get_reader(index_dir)
-    return {t: reader.term_stats(t) for t in terms}
+class ShardedSearchService:
+    """Persistent per-shard searcher actors + driver-side TopDocs.merge.
 
+    The 10^12-doc serving architecture: each node (here: actor) holds ONE
+    doc-range shard resident — term dict, hot postings, champion lists —
+    and every query fans out to all shards, so per-shard bytes/query fall
+    as 1/num_shards. Results are exactly equal to searching one monolithic
+    index over the union of the shards (global stats are summed before any
+    scoring, and disjoint doc ranges make (score desc, doc asc) total)."""
 
-@ray.remote
-def _shard_expand(index_dir: str, keys: List[tuple]) -> Dict[tuple, List[str]]:
-    """Per-shard multi-term expansion against the local term dictionary
-    (the reference intersects the automaton with each leaf's terms dict;
-    the driver unions the per-leaf matches)."""
-    from ..functions.multiterm import expand
+    def __init__(self, index_dirs: Sequence[str], mode: str = "blockmax"):
+        from ..state.reader import IndexReader
 
-    reader = _get_reader(index_dir)
-    vocab = reader.__dict__.get("_vocab")
-    if vocab is None:
-        vocab = reader.all_terms()
-        reader.__dict__["_vocab"] = vocab
-    return {k: expand(*k, vocab) for k in keys}
+        @ray.remote
+        class _ShardSearcher:
+            def __init__(self, index_dir: str):
+                self.reader = _get_reader(index_dir)
 
+            def term_stats(self, terms: List[str]):
+                return {t: self.reader.term_stats(t) for t in terms}
 
-@ray.remote
-def _shard_topk(
-    index_dir: str,
-    queries: List[Tuple[int, BooleanQuery]],
-    k: int,
-    doc_count: int,
-    sum_total_tf: int,
-    df_map: Dict[str, int],
-) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-    view = GlobalStatsView(_get_reader(index_dir), doc_count, sum_total_tf, df_map)
-    out = {}
-    for qid, q in queries:
-        out[qid] = score_blockmax(view, q, k)
-    return out
+            def expand(self, keys: List[tuple]):
+                from ..functions.multiterm import expand
+
+                vocab = self.reader.__dict__.get("_vocab")
+                if vocab is None:
+                    vocab = self.reader.all_terms()
+                    self.reader.__dict__["_vocab"] = vocab
+                return {kk: expand(*kk, vocab) for kk in keys}
+
+            def topk(self, queries, k, doc_count, sum_total_tf, df_map):
+                view = GlobalStatsView(
+                    self.reader, doc_count, sum_total_tf, df_map
+                )
+                return {
+                    qid: score_blockmax(view, q, k) for qid, q in queries
+                }
+
+        self.index_dirs = list(index_dirs)
+        manifests = [IndexReader(d).manifest for d in self.index_dirs]
+        self.doc_count = sum(m["doc_count"] for m in manifests)
+        self.sum_total_tf = sum(m["sum_total_tf"] for m in manifests)
+        self.analyzer = make_analyzer(manifests[0]["analyzer"])
+        self._actors = [_ShardSearcher.remote(d) for d in self.index_dirs]
+
+    def search(
+        self, query_texts: Sequence[str], k: int = 10
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        queries: List[Tuple[int, BooleanQuery]] = [
+            (i, parse_query(t, self.analyzer))
+            for i, t in enumerate(query_texts)
+        ]
+        # phase 0 (only when needed): resolve prefix/wildcard/fuzzy
+        # clauses against the UNION of the shards' term dictionaries so
+        # every shard scores the same expanded set under the same stats
+        multi_keys = sorted(
+            {(kk, p, a) for _, q in queries for (kk, p, a, _r) in q.multi}
+        )
+        if multi_keys:
+            from ..functions.multiterm import MAX_EXPANSIONS, resolve_multi
+
+            merged: Dict[tuple, set] = {kk: set() for kk in multi_keys}
+            for shard_exp in ray.get(
+                [a.expand.remote(multi_keys) for a in self._actors]
+            ):
+                for key, terms in shard_exp.items():
+                    merged[key].update(terms)
+            cache = {
+                kk: sorted(v)[:MAX_EXPANSIONS] for kk, v in merged.items()
+            }
+            queries = [
+                (qid, resolve_multi(q, (), cache)) for qid, q in queries
+            ]
+        all_terms = sorted(
+            {
+                t
+                for _, q in queries
+                for t in (*q.must, *q.should, *q.must_not)
+            }
+        )
+
+        # phase 1: global term stats (one round trip per shard, parallel)
+        df_map: Dict[str, int] = {}
+        for shard_stats in ray.get(
+            [a.term_stats.remote(all_terms) for a in self._actors]
+        ):
+            for t, (df, _ttf) in shard_stats.items():
+                df_map[t] = df_map.get(t, 0) + df
+
+        # phase 2: per-shard top-k under global stats
+        per_shard = ray.get(
+            [
+                a.topk.remote(
+                    queries, k, self.doc_count, self.sum_total_tf, df_map
+                )
+                for a in self._actors
+            ]
+        )
+
+        # phase 3: TopDocs.merge — (score desc, global docID asc)
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        for qid, _ in queries:
+            entries = []
+            for shard_out in per_shard:
+                docs, scores = shard_out[qid]
+                entries.extend(
+                    zip((-s for s in scores.tolist()), docs.tolist())
+                )
+            entries.sort()  # (-score asc, doc asc) == (score desc, doc asc)
+            top = entries[:k]
+            dtype = per_shard[0][qid][1].dtype if per_shard else np.float32
+            out[qid] = (
+                np.asarray([d for _, d in top], dtype=np.int64),
+                np.asarray([-s for s, _ in top], dtype=dtype),
+            )
+        return out
+
+    def shutdown(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
 
 
 def search_sharded(
@@ -114,72 +200,10 @@ def search_sharded(
     query_texts: Sequence[str],
     k: int = 10,
 ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-    """-> {query_id: (doc_ids, scores)} — exactly equal to searching one
-    monolithic index over the union of the shards."""
-    from ..state.reader import IndexReader
-
-    # manifests are tiny: read driver-side for global doc stats + analyzer
-    manifests = [IndexReader(d).manifest for d in index_dirs]
-    doc_count = sum(m["doc_count"] for m in manifests)
-    sum_total_tf = sum(m["sum_total_tf"] for m in manifests)
-    analyzer = make_analyzer(manifests[0]["analyzer"])
-
-    queries: List[Tuple[int, BooleanQuery]] = [
-        (i, parse_query(t, analyzer)) for i, t in enumerate(query_texts)
-    ]
-    # phase 0 (only when needed): resolve prefix/wildcard/fuzzy clauses
-    # against the UNION of the shards' term dictionaries so every shard
-    # scores the same expanded term set under the same global stats
-    multi_keys = sorted(
-        {(k, p, a) for _, q in queries for (k, p, a, _r) in q.multi}
-    )
-    if multi_keys:
-        from ..functions.multiterm import MAX_EXPANSIONS, resolve_multi
-
-        merged: Dict[tuple, set] = {k: set() for k in multi_keys}
-        for shard_exp in ray.get(
-            [_shard_expand.remote(d, multi_keys) for d in index_dirs]
-        ):
-            for key, terms in shard_exp.items():
-                merged[key].update(terms)
-        cache = {k: sorted(v)[:MAX_EXPANSIONS] for k, v in merged.items()}
-        queries = [
-            (qid, resolve_multi(q, (), cache)) for qid, q in queries
-        ]
-    all_terms = sorted(
-        {
-            t
-            for _, q in queries
-            for t in (*q.must, *q.should, *q.must_not)
-        }
-    )
-
-    # phase 1: global term stats (one round trip per shard, in parallel)
-    stats_refs = [_shard_term_stats.remote(d, all_terms) for d in index_dirs]
-    df_map: Dict[str, int] = {}
-    for shard_stats in ray.get(stats_refs):
-        for t, (df, _ttf) in shard_stats.items():
-            df_map[t] = df_map.get(t, 0) + df
-
-    # phase 2: per-shard top-k under global stats
-    topk_refs = [
-        _shard_topk.remote(d, queries, k, doc_count, sum_total_tf, df_map)
-        for d in index_dirs
-    ]
-    per_shard = ray.get(topk_refs)
-
-    # phase 3: TopDocs.merge — (score desc, global docID asc)
-    merged: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-    for qid, _ in queries:
-        entries = []
-        for shard_out in per_shard:
-            docs, scores = shard_out[qid]
-            entries.extend(zip((-s for s in scores.tolist()), docs.tolist()))
-        entries.sort()  # (-score asc, doc asc) == (score desc, doc asc)
-        top = entries[:k]
-        dtype = per_shard[0][qid][1].dtype if per_shard else np.float32
-        merged[qid] = (
-            np.asarray([d for _, d in top], dtype=np.int64),
-            np.asarray([-s for s, _ in top], dtype=dtype),
-        )
-    return merged
+    """One-shot wrapper: transient ShardedSearchService (cold actors).
+    Hold a ShardedSearchService yourself for warm repeated serving."""
+    svc = ShardedSearchService(index_dirs)
+    try:
+        return svc.search(query_texts, k=k)
+    finally:
+        svc.shutdown()
