@@ -253,6 +253,35 @@ def _bm25_dismax(sf_dir: str):
     )
 
 
+def _constant_score(sf_dir: str):
+    """ConstantScoreQuery: matching docs of each count-set query with a
+    constant score of 1.0 (first TOPK by doc id)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_constant
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids, docs, scores = [], [], []
+    for qid in sorted(COUNT_QUERY_SETS):
+        d, s = score_constant(
+            reader, parse_query(COUNT_QUERY_SETS[qid], an), TOPK
+        )
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        scores.extend(float(x) for x in s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def _bm25_count(sf_dir: str):
     """Total hit count per query (IndexSearcher.count analogue)."""
     import pyarrow as pa
@@ -461,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_dismax"] = lambda sf: _bm25_dismax(sf)
     q["bm25_boost"] = lambda sf: _run_query_strings(sf, BOOST_QUERY_SETS)
     q["bm25_count"] = lambda sf: _bm25_count(sf)
+    q["constant_score"] = lambda sf: _constant_score(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
@@ -944,6 +974,21 @@ def _count_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _constant_score_sql() -> str:
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = [
+        f"""(SELECT {qid} AS query_id, doc_id, 1.0 AS score
+  FROM ({_match_docs_sql(parse_query(qs, an))})
+  ORDER BY doc_id ASC LIMIT {TOPK})"""
+        for qid, qs in sorted(COUNT_QUERY_SETS.items())
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _facet_sql() -> str:
     from lucene_ray.functions.analysis import make_analyzer
     from lucene_ray.functions.query import parse_query
@@ -994,6 +1039,7 @@ FROM tf GROUP BY term"""
     sql["bm25_dismax"] = _dismax_sql()
     sql["bm25_boost"] = _boost_sql()
     sql["bm25_count"] = _count_sql()
+    sql["constant_score"] = _constant_score_sql()
     sql["search_facets"] = _facet_sql()
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"

@@ -706,6 +706,15 @@ def count_matches(reader, query) -> int:
     return int(len(matching_docs(reader, query)))
 
 
+def score_constant(reader, query, k: int = 10, boost: float = 1.0):
+    """ConstantScoreQuery: every matching doc scores ``boost`` (reference:
+    search/ConstantScoreQuery.java — the wrapped query contributes matches,
+    not scores). With all scores equal, top-k under (score desc, doc asc)
+    is simply the k smallest matching doc IDs."""
+    docs = matching_docs(reader, query)[: max(k, 0)]
+    return docs, np.full(len(docs), boost, dtype=np.float32)
+
+
 def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
