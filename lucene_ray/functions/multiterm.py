@@ -125,9 +125,13 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]
     raise ValueError(f"unknown multi-term kind: {kind}")
 
 
-def resolve_multi(query, vocab: Sequence[str], cache: dict = None):
+def resolve_multi(query, expander, cache: dict = None):
     """-> a plain BooleanQuery with every (kind, pattern, arg, role) clause
-    in ``query.multi`` expanded into concrete should / must_not terms."""
+    in ``query.multi`` expanded into concrete should / must_not terms.
+
+    ``expander`` is either a callable ``(kind, pattern, arg) -> [terms]``
+    (e.g. ``IndexReader.expand_multi``) or a sorted vocabulary sequence
+    (tests / the brute-force oracle). ``cache`` memoizes per clause."""
     from .query import BooleanQuery
 
     if not getattr(query, "multi", ()):
@@ -138,7 +142,10 @@ def resolve_multi(query, vocab: Sequence[str], cache: dict = None):
         key = (kind, pattern, arg)
         terms = cache.get(key) if cache is not None else None
         if terms is None:
-            terms = expand(kind, pattern, arg, vocab)
+            if callable(expander):
+                terms = expander(kind, pattern, arg)
+            else:
+                terms = expand(kind, pattern, arg, expander)
             if cache is not None:
                 cache[key] = terms
         (must_not if role == "must_not" else should).extend(terms)

@@ -422,12 +422,10 @@ def _prepare(reader, query: BooleanQuery):
     if getattr(query, "multi", ()):
         from .multiterm import resolve_multi
 
-        vocab = reader.__dict__.get("_vocab")
-        if vocab is None:
-            vocab = reader.all_terms()
-            reader.__dict__["_vocab"] = vocab
         query = resolve_multi(
-            query, vocab, reader.__dict__.setdefault("_expansions", {})
+            query,
+            reader.expand_multi,
+            reader.__dict__.setdefault("_expansions", {}),
         )
     must = sorted(set(query.must))
     should = sorted(set(query.should) - set(must))

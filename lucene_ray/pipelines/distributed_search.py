@@ -58,6 +58,9 @@ class GlobalStatsView:
     def all_terms(self):
         return self._local.all_terms()
 
+    def expand_multi(self, kind: str, pattern: str, arg: int):
+        return self._local.expand_multi(kind, pattern, arg)
+
 
 _READER_CACHE: Dict[str, object] = {}
 
@@ -94,13 +97,9 @@ class ShardedSearchService:
                 return {t: self.reader.term_stats(t) for t in terms}
 
             def expand(self, keys: List[tuple]):
-                from ..functions.multiterm import expand
-
-                vocab = self.reader.__dict__.get("_vocab")
-                if vocab is None:
-                    vocab = self.reader.all_terms()
-                    self.reader.__dict__["_vocab"] = vocab
-                return {kk: expand(*kk, vocab) for kk in keys}
+                return {
+                    kk: self.reader.expand_multi(*kk) for kk in keys
+                }
 
             def topk(self, queries, k, doc_count, sum_total_tf, df_map):
                 view = GlobalStatsView(

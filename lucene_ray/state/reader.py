@@ -82,3 +82,17 @@ class IndexReader:
             if seg is not None:
                 out.extend(seg.terms())
         return sorted(set(out))
+
+    def expand_multi(self, kind: str, pattern: str, arg: int) -> List[str]:
+        """Multi-term expansion per segment (each segment's term list is
+        already sorted, so prefix ranges bisect locally) — avoids ever
+        materializing a merged global vocabulary (at 10^8+ terms the
+        merged sorted set would cost GBs per searcher)."""
+        from ..functions.multiterm import MAX_EXPANSIONS, expand
+
+        out = set()
+        for g in range(self.num_partitions):
+            seg = self._segment(g)
+            if seg is not None:
+                out.update(expand(kind, pattern, arg, seg.sorted_terms()))
+        return sorted(out)[:MAX_EXPANSIONS]

@@ -377,6 +377,15 @@ class SegmentReader:
     def terms(self) -> Iterator[str]:
         return iter(self._row_range)
 
+    def sorted_terms(self) -> List[str]:
+        """The segment's term list, ascending (rows are written term-sorted,
+        so insertion order IS sorted order); cached references, no copies."""
+        st = getattr(self, "_sorted_terms", None)
+        if st is None:
+            st = list(self._row_range)
+            self._sorted_terms = st
+        return st
+
     def term_stats(self, term: str) -> Optional[Tuple[int, int]]:
         rng = self._row_range.get(term)
         if rng is None:

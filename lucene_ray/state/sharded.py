@@ -88,3 +88,11 @@ class ShardedReader:
         for sh in self.shards:
             terms.update(sh.all_terms())
         return sorted(terms)
+
+    def expand_multi(self, kind: str, pattern: str, arg: int) -> List[str]:
+        from ..functions.multiterm import MAX_EXPANSIONS
+
+        out = set()
+        for sh in self.shards:
+            out.update(sh.expand_multi(kind, pattern, arg))
+        return sorted(out)[:MAX_EXPANSIONS]
