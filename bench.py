@@ -232,6 +232,63 @@ def run_suite() -> dict:
     stages["bm25_topk_dataset_cold"] = round(time.time() - t0, 3)
     log(f"dataset path: {stages['bm25_topk_dataset_cold']}s")
 
+    # 2c. multi-term (prefix/wildcard/fuzzy) + dismax on the same index
+    from lucene_ray.functions.query import DisMaxQuery, score_dismax
+    from lucene_ray.pipelines.search import get_reader
+
+    mt_queries = ["s*", "d?p", "merg~1", "c* dup", "*er"] * 10
+    svc2 = SearchService(out_dir, num_searchers=4)
+    svc2.warm(mt_queries[:5])
+    t0 = time.time()
+    svc2.search(mt_queries, k=10, batch_size=5)
+    stages["bm25_multiterm"] = round(time.time() - t0, 3)
+    svc2.shutdown()
+    log(f"multiterm: {stages['bm25_multiterm']}s / {len(mt_queries)} queries")
+    reader = get_reader(out_dir)
+    dm = [DisMaxQuery(("data", "stream"), 0.0),
+          DisMaxQuery(("batch", "small", "scan"), 0.3)]
+    for q in dm:
+        score_dismax(reader, q, 10)  # warm
+    t0 = time.time()
+    for _ in range(5):
+        for q in dm:
+            score_dismax(reader, q, 10)
+    stages["bm25_dismax"] = round(time.time() - t0, 3)
+    log(f"dismax: {stages['bm25_dismax']}s / 10 queries")
+
+    # 2d. facet counts + highlighting over the base (unreplicated) table
+    from lucene_ray.functions.highlight import HighlightStage
+    from lucene_ray.pipelines.facets import facet_counts
+
+    base_idx = f"/tmp/lucene_ray_bench/idx-base-{NUM_CPUS}"
+    shutil.rmtree(base_idx, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    base_docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_base = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    build_index(
+        base_docs.select_columns(["doc_id", "text"]),
+        base_idx,
+        IndexConfig(analyzer="standard_en", norm_kind="byte4", num_partitions=8),
+        doc_count=n_base,
+    )
+    t0 = time.time()
+    for qtext, col in (("data stream", "source"), ("batch", "lang")):
+        facet_counts(base_idx, qtext, base_docs, col).materialize()
+    stages["facet_counts"] = round(time.time() - t0, 3)
+    log(f"facets: {stages['facet_counts']}s")
+    t0 = time.time()
+    base_docs.select_columns(["doc_id", "text"]).map_batches(
+        HighlightStage,
+        fn_constructor_args=("standard_en", ("data", "stream", "batch")),
+        batch_format="pyarrow",
+        concurrency=4,
+    ).count()
+    stages["highlight_all_docs"] = round(time.time() - t0, 3)
+    log(f"highlight: {stages['highlight_all_docs']}s / {n_base} docs")
+
     # 3. data ops over the raw sf tables
     import ray.data
 
