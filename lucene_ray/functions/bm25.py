@@ -62,6 +62,12 @@ class BM25Float32:
         per-term bulk scores across queries (the map is query-independent)."""
         return self._key
 
+    def ratio_key(self):
+        """Identity of the monotone ratio map (frontier_m): depends on
+        norm_kind, collection stats, k1, b — NOT on df or boost."""
+        return (self._key[0], self._key[1], self._key[2], self._key[4],
+                self._key[5])
+
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         """Bulk score: tfs int array, keys = norm bytes (0..255)."""
         freq = tfs.astype(np.float32)
@@ -113,6 +119,10 @@ class BM25Float64:
 
     def cache_key(self):
         return self._key
+
+    def ratio_key(self):
+        return (self._key[0], self._key[1], self._key[2], self._key[4],
+                self._key[5])
 
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)

@@ -206,12 +206,16 @@ class TermCursor:
             else np.empty(0, dtype=np.int32)
         )
         firsts, lasts, ms = [], [], []
+        rk = scorer.ratio_key() if scorer is not None else None
         for pi, tp in enumerate(postings_list):
             if scorer is not None:
                 if tp.frontier_m is None:
-                    # query-independent: cache on the postings object.
-                    # One vectorized ratio pass over ALL frontier pairs +
-                    # a reduceat per-block max (frontiers are never empty)
+                    tp.frontier_m = {}
+                fm = tp.frontier_m.get(rk)
+                if fm is None:
+                    # cache on the postings object per ratio_key: one
+                    # vectorized ratio pass over ALL frontier pairs + a
+                    # reduceat per-block max (frontiers are never empty)
                     sizes = np.fromiter(
                         (len(x) for x in tp.frontier_tfs),
                         dtype=np.int64,
@@ -225,9 +229,9 @@ class TermCursor:
                         starts = np.concatenate(
                             ([0], np.cumsum(sizes)[:-1])
                         )
-                        tp.frontier_m = np.maximum.reduceat(flat, starts)
+                        fm = np.maximum.reduceat(flat, starts)
                     else:
-                        tp.frontier_m = np.asarray(
+                        fm = np.asarray(
                             [
                                 scorer.frontier_m(
                                     tp.frontier_tfs[lb], tp.frontier_keys[lb]
@@ -236,7 +240,8 @@ class TermCursor:
                             ],
                             dtype=np.float64,
                         )
-                ms.append(tp.frontier_m)
+                    tp.frontier_m[rk] = fm
+                ms.append(fm)
             firsts.append(tp.first_docs)
             lasts.append(tp.last_docs)
         self.first_docs = (
@@ -436,6 +441,10 @@ def _prepare(reader, query: BooleanQuery):
     # cross-query scored-list cache lives on the reader (warm actor state)
     full_cache = reader.__dict__.setdefault("_scored_full", {})
     boost_map = dict(getattr(query, "boosts", ()))
+    # query-time similarity parameters (reference: IndexSearcher
+    # .setSimilarity(new BM25Similarity(k1, b)) — per-searcher, not
+    # per-index); set via the search APIs' k1/b kwargs
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
     for term, m in roles:
         df, _ = reader.term_stats(term)
         if df == 0:
@@ -444,7 +453,7 @@ def _prepare(reader, query: BooleanQuery):
             continue
         scorer = make_scorer(
             reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
-            boost=boost_map.get(term, 1.0),
+            k1=k1, b=b, boost=boost_map.get(term, 1.0),
         )
         cursors.append(
             TermCursor(term, reader.postings(term), scorer, full_cache)
@@ -656,9 +665,14 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
     doc_space = int(reader.doc_count)
     max_doc = max((int(d[-1]) for d, _ in per_term if len(d)), default=-1)
     if 0 < doc_space <= DENSE_DOC_LIMIT and max_doc < doc_space:
+        # when every clause's min score is positive, matched == acc_max > 0
+        # exactly (max of positives is positive) — skip the count scatter
+        pos = all(
+            c._full_min is not None and c._full_min > 0 for c in cursors
+        )
         acc_sum = np.zeros(doc_space, dtype=dtype)
         acc_max = np.zeros(doc_space, dtype=dtype)
-        cnt = np.zeros(doc_space, dtype=np.uint8)
+        cnt = None if pos else np.zeros(doc_space, dtype=np.uint8)
         for docs, scores in per_term:
             if len(docs) == 0:
                 continue
@@ -666,8 +680,9 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
             acc_sum[docs] += s
             # docs are unique within a term, so gather-max-scatter is exact
             acc_max[docs] = np.maximum(acc_max[docs], s)
-            cnt[docs] += 1
-        cand = np.flatnonzero(cnt)
+            if cnt is not None:
+                cnt[docs] += 1
+        cand = np.flatnonzero(acc_max > 0 if cnt is None else cnt)
         m = acc_max[cand]
         score = m + tie * (acc_sum[cand] - m)
     else:

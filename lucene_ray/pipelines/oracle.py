@@ -52,6 +52,7 @@ class OracleIndex:
             self.postings[t] = (arr[:, 0], arr[:, 1], arr[:, 2])
         self._analyzer = an
         self._vocab: List[str] = sorted(self.postings)
+        self.bm25_params = (1.2, 0.75)  # query-time similarity params
 
     def topk(self, query, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Exhaustive scoring with the canonical sorted-term accumulation
@@ -96,11 +97,12 @@ class OracleIndex:
             return cand, np.empty(0, dtype)
         acc = np.zeros(len(cand), dtype=dtype)
         boost_map = dict(getattr(query, "boosts", ()))
+        k1, b = self.bm25_params
         for t in scoring:
             docs, tfs, keys = self.postings[t]
             scorer = make_scorer(
                 self.norm_kind, self.doc_count, self.sum_total_tf, len(docs),
-                boost=boost_map.get(t, 1.0),
+                k1=k1, b=b, boost=boost_map.get(t, 1.0),
             )
             pos = np.searchsorted(docs, cand)
             pos_c = np.minimum(pos, len(docs) - 1)

@@ -47,9 +47,13 @@ def get_reader(index_dir: str):
 
 
 def search(index_dir: str, query_text: str, k: int = 10,
-           mode: str = "blockmax") -> pa.Table:
-    """-> Arrow table (rank, doc_id, score) for one query string."""
+           mode: str = "blockmax",
+           k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """-> Arrow table (rank, doc_id, score) for one query string. ``k1``/
+    ``b`` set the searcher's BM25 parameters (IndexSearcher.setSimilarity
+    analogue; caches key on them, so mixing values is safe)."""
     reader = get_reader(index_dir)
+    reader.bm25_params = (k1, b)
     analyzer = make_analyzer(reader.analyzer_name)
     q = parse_query(query_text, analyzer)
     exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive
@@ -66,8 +70,10 @@ def search(index_dir: str, query_text: str, k: int = 10,
 class QueryExecStage:
     """Stateful actor: warm index + analyzer, executes query batches."""
 
-    def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax"):
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax",
+                 k1: float = 1.2, b: float = 0.75):
         self.reader = get_reader(index_dir)
+        self.reader.bm25_params = (k1, b)
         self.analyzer = make_analyzer(self.reader.analyzer_name)
         self.k = k
         self.exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive

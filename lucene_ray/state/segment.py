@@ -237,10 +237,10 @@ class TermPostings:
     frontier_tfs: List[np.ndarray]
     frontier_keys: List[np.ndarray]
     blocks_base: int
-    # query-independent per-block max of the scorer's monotone ratio
-    # (freq * inv_len_factor); filled lazily by the first TermCursor —
-    # valid for every query because idf/boost only scale it monotonically
-    frontier_m: Optional[np.ndarray] = None
+    # per-block max of the scorer's monotone ratio (freq * inv_len_factor),
+    # keyed by the scorer's ratio_key() — idf/boost only scale it
+    # monotonically, but k1/b/collection stats change the ratio itself
+    frontier_m: Optional[Dict[tuple, np.ndarray]] = None
     # decoded-block cache (actor-resident readers serve repeated queries)
     _block_cache: Optional[Dict[int, tuple]] = None
 

@@ -83,6 +83,22 @@ def test_boost_parsing_and_scoring(corpus):
         parse_query("alp*^2", an)
 
 
+def test_custom_k1_b_matches_oracle(corpus):
+    reader, oracle = corpus
+    an = make_analyzer("standard_en")
+    for k1, b in [(0.9, 0.4), (2.0, 1.0), (1.2, 0.0)]:
+        reader.bm25_params = (k1, b)
+        oracle.bm25_params = (k1, b)
+        for qt in ["alpha", "alpha beta", "alpha AND beta"]:
+            q = parse_query(qt, an)
+            od, osc = oracle.topk(q, 10)
+            bd, bsc = score_blockmax(reader, q, 10)
+            assert np.array_equal(od, bd), (qt, k1, b)
+            assert np.array_equal(np.asarray(osc), np.asarray(bsc)), (qt, k1, b)
+    reader.bm25_params = (1.2, 0.75)
+    oracle.bm25_params = (1.2, 0.75)
+
+
 def test_boost_fractional_and_multi(corpus):
     reader, oracle = corpus
     an = make_analyzer("standard_en")
