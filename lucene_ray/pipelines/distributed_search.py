@@ -45,6 +45,7 @@ class GlobalStatsView:
         self.avgdl = sum_total_tf / max(doc_count, 1)
         self.norm_kind = local_reader.norm_kind
         self.analyzer_name = local_reader.analyzer_name
+        self.bm25_params = getattr(local_reader, "bm25_params", (1.2, 0.75))
         self._df = df_map
 
     def term_stats(self, term: str) -> Tuple[int, int]:
@@ -85,13 +86,15 @@ class ShardedSearchService:
     index over the union of the shards (global stats are summed before any
     scoring, and disjoint doc ranges make (score desc, doc asc) total)."""
 
-    def __init__(self, index_dirs: Sequence[str], mode: str = "blockmax"):
+    def __init__(self, index_dirs: Sequence[str], mode: str = "blockmax",
+                 k1: float = 1.2, b: float = 0.75):
         from ..state.reader import IndexReader
 
         @ray.remote
         class _ShardSearcher:
-            def __init__(self, index_dir: str):
+            def __init__(self, index_dir: str, k1: float, b: float):
                 self.reader = _get_reader(index_dir)
+                self.reader.bm25_params = (k1, b)
 
             def term_stats(self, terms: List[str]):
                 return {t: self.reader.term_stats(t) for t in terms}
@@ -114,7 +117,9 @@ class ShardedSearchService:
         self.doc_count = sum(m["doc_count"] for m in manifests)
         self.sum_total_tf = sum(m["sum_total_tf"] for m in manifests)
         self.analyzer = make_analyzer(manifests[0]["analyzer"])
-        self._actors = [_ShardSearcher.remote(d) for d in self.index_dirs]
+        self._actors = [
+            _ShardSearcher.remote(d, k1, b) for d in self.index_dirs
+        ]
 
     def search(
         self, query_texts: Sequence[str], k: int = 10

@@ -130,13 +130,15 @@ class SearchService:
     """
 
     def __init__(self, index_dir: str, num_searchers: int = 4,
-                 mode: str = "blockmax"):
+                 mode: str = "blockmax", k1: float = 1.2, b: float = 0.75):
         import ray
 
         @ray.remote
         class _Searcher:
-            def __init__(self, index_dir: str, mode: str):
+            def __init__(self, index_dir: str, mode: str,
+                         k1: float, b: float):
                 self.reader = get_reader(index_dir)
+                self.reader.bm25_params = (k1, b)
                 self.analyzer = make_analyzer(self.reader.analyzer_name)
                 self.exec_fn = (
                     score_blockmax if mode == "blockmax" else score_exhaustive
@@ -153,7 +155,8 @@ class SearchService:
                 return out
 
         self._actors = [
-            _Searcher.remote(index_dir, mode) for _ in range(num_searchers)
+            _Searcher.remote(index_dir, mode, k1, b)
+            for _ in range(num_searchers)
         ]
 
     def warm(self, queries: Sequence[str], k: int = 10) -> None:
