@@ -372,6 +372,14 @@ def _highlight_top(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _doc_map(sf_dir: str):
+    """Per-doc analyzed length + norm (doc_map / norms sidecar)."""
+    from lucene_ray.pipelines.build import IndexConfig, build_doc_map
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return build_doc_map(_load_documents(sf_dir), cfg)
+
+
 def _load_documents(sf_dir: str):
     import ray.data
 
@@ -491,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_boost"] = lambda sf: _run_query_strings(sf, BOOST_QUERY_SETS)
     q["bm25_count"] = lambda sf: _bm25_count(sf)
     q["constant_score"] = lambda sf: _constant_score(sf)
+    q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
@@ -1040,6 +1049,11 @@ FROM tf GROUP BY term"""
     sql["bm25_boost"] = _boost_sql()
     sql["bm25_count"] = _count_sql()
     sql["constant_score"] = _constant_score_sql()
+    sql["doc_map"] = f"""WITH {_BASE_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,
+       CAST(COALESCE(dl.dl, 0) AS BIGINT) AS norm
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"

@@ -184,6 +184,50 @@ class AnalyzerStage:
         )
 
 
+class DocMapStage:
+    """Per-doc metadata column pass: analyzed length + norm key — the
+    norms/stored-fields sidecar (SURVEY.md §1.2 doc_map; reference:
+    Similarity.computeNorm per doc, Similarity.java:153-163, and the
+    stored-fields column files). One vectorized map_batches over the
+    corpus; written as partitioned Parquet next to the segments when
+    requested."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.cfg = cfg
+        self.analyzer = make_analyzer(cfg.analyzer)
+        self.byte4 = cfg.norm_kind == "byte4"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column(cfg.text_col).to_pylist()
+        analyze = self.analyzer.analyze
+        lens = np.fromiter(
+            (len(analyze(t)) if t else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        norms = int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
+        return pa.table(
+            {
+                "doc_id": batch.column(cfg.id_col),
+                "doc_len": pa.array(lens),
+                "norm": pa.array(norms),
+            }
+        )
+
+
+def build_doc_map(ds, cfg: Optional[IndexConfig] = None):
+    """-> Dataset(doc_id, doc_len, norm) for every input doc (docs that
+    analyze to nothing get doc_len 0), streaming, no shuffle."""
+    cfg = cfg or IndexConfig()
+    return ds.select_columns([cfg.id_col, cfg.text_col]).map_batches(
+        DocMapStage(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.analyzer_batch_size,
+        concurrency=cfg.analyzer_concurrency,
+    )
+
+
 class DfSampleStage:
     """Detection pass for heavy terms: per-batch distinct-doc counts per term
     over a sample — one (term, partial df) row per term per batch, then a tiny
