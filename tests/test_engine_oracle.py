@@ -133,6 +133,54 @@ def test_engine_matches_oracle(ray_session, tmp_path_factory, corpus, norm_kind)
             assert np.array_equal(osc, bsc), (q, k)
 
 
+def test_extended_surface_random(ray_session, tmp_path_factory, corpus):
+    """Randomized equivalence over the extended query surface: query-time
+    boosts, prefix/fuzzy expansion clauses, and DisjunctionMax."""
+    from lucene_ray.functions.query import DisMaxQuery, score_dismax
+
+    doc_ids, texts = corpus
+    oracle = OracleIndex(doc_ids, texts)
+    out = tmp_path_factory.mktemp("ext")
+    build_from_lists(
+        out, doc_ids, texts,
+        IndexConfig(num_partitions=5, heavy_df_threshold=60, sample_rate=1.0),
+    )
+    reader = IndexReader(str(out))
+    an = make_analyzer("standard_en")
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        words = list(rng.choice(WORDS, size=3, replace=False))
+        terms = tuple(t for w in words for t in an.analyze(w))
+        if not terms:
+            continue
+        kind = trial % 3
+        if kind == 0:  # boosted boolean
+            boosts = tuple(
+                (t, float(rng.choice([0.5, 2.0, 3.5])))
+                for t in terms[: int(rng.integers(1, len(terms) + 1))]
+            )
+            q = BooleanQuery(should=terms, boosts=boosts)
+        elif kind == 1:  # expansion clause + plain term
+            w = words[0]
+            if rng.integers(0, 2):
+                clause = ("prefix", w[: int(rng.integers(1, 4))], 0, "should")
+            else:
+                clause = ("fuzzy", w, int(rng.integers(1, 3)), "should")
+            q = BooleanQuery(should=terms[1:], multi=(clause,))
+        else:  # dismax
+            q = DisMaxQuery(terms=terms, tie_breaker=float(rng.uniform(0, 1)))
+            od, osc = oracle.topk_dismax(q, 10)
+            bd, bsc = score_dismax(reader, q, 10)
+            assert np.array_equal(od, bd), q
+            assert np.array_equal(np.asarray(osc), np.asarray(bsc)), q
+            continue
+        od, osc = oracle.topk(q, 10)
+        for fn in (score_exhaustive, score_blockmax):
+            bd, bsc = fn(reader, q, 10)
+            assert np.array_equal(od, bd), (q, fn.__name__)
+            assert np.array_equal(np.asarray(osc), np.asarray(bsc)), q
+
+
 def test_partition_invariance(ray_session, tmp_path_factory, corpus, oracle):
     """Results must not depend on partition count or heavy-term splitting
     (SURVEY.md §5(d))."""
