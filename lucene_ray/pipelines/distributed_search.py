@@ -15,15 +15,16 @@ search/TopDocs.java:75-122):
    (score desc, global docID asc); doc ranges are disjoint so the order is
    total and equals the single-index result exactly.
 
-Tasks are plain ``@ray.remote`` here because the unit of work is "one shard
-x one query batch" with actor-cached readers — the Dataset API adds nothing
-for a handful of shards; for thousands of shards the same two phases pipe
-through ``map_batches`` over a (query, shard) product Dataset.
+Shards are PERSISTENT named actors (``ShardedSearchService``), one per
+shard, because warm state — term dict, decoded hot postings, champion
+lists — must live with the shard across queries; stateless tasks lose it
+to worker scheduling (measured slower than a monolithic index). For
+thousands of shards the same phases pipe through ``map_batches`` over a
+(query, shard) product Dataset.
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
