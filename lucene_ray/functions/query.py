@@ -719,6 +719,24 @@ def count_matches(reader, query) -> int:
     return int(len(matching_docs(reader, query)))
 
 
+def score_after(reader, query, k: int = 10, after=None):
+    """searchAfter paging: top-k strictly AFTER the ``after =
+    (score, doc_id)`` anchor in the (score desc, doc asc) total order
+    (reference: IndexSearcher.searchAfter, used by the demo's result
+    paging, demo/.../SearchFiles.java). ``after=None`` == first page."""
+    if after is None:
+        return score_exhaustive(reader, query, k)
+    r = _exhaustive_candidates(reader, query)
+    if r is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    cand, acc, _ = r
+    a_s = np.float64(after[0])
+    a_d = int(after[1])
+    s64 = acc.astype(np.float64)
+    mask = (s64 < a_s) | ((s64 == a_s) & (np.asarray(cand) > a_d))
+    return _topk_from(cand[mask], acc[mask], k)
+
+
 def score_constant(reader, query, k: int = 10, boost: float = 1.0):
     """ConstantScoreQuery: every matching doc scores ``boost`` (reference:
     search/ConstantScoreQuery.java — the wrapped query contributes matches,

@@ -75,6 +75,33 @@ def test_sharded_service_warm_repeat(idx, tmp_path, ray_session):
             ), qt
 
 
+def test_search_after_paging(idx):
+    from lucene_ray.functions.query import score_after, score_exhaustive
+
+    reader = IndexReader(idx)
+    an = make_analyzer("standard_en")
+    for qt in ["alpha", "alpha beta", "alpha AND beta"]:
+        q = parse_query(qt, an)
+        full_d, full_s = score_exhaustive(reader, q, 15)
+        pages_d, pages_s = [], []
+        after = None
+        for _ in range(3):
+            d, s = score_after(reader, q, 5, after=after)
+            if len(d) == 0:
+                break
+            pages_d.append(d)
+            pages_s.append(s)
+            after = (float(s[-1]), int(d[-1]))
+        got_d = np.concatenate(pages_d) if pages_d else np.empty(0, np.int64)
+        got_s = np.concatenate(pages_s) if pages_s else np.empty(0)
+        assert np.array_equal(full_d, got_d), qt
+        assert np.array_equal(np.asarray(full_s), np.asarray(got_s)), qt
+        # anchored past the end -> empty
+        if len(full_d):
+            d, s = score_after(reader, q, 5, after=(-1.0, 0))
+            assert len(d) == 0 or (np.asarray(s, dtype=np.float64) < -1.0).all()
+
+
 def test_constant_score(idx):
     reader = IndexReader(idx)
     an = make_analyzer("standard_en")
