@@ -4,7 +4,14 @@ batch). Implementations live beside their pipelines; this module is the
 discovery surface for users composing their own Dataset plans.
 """
 
-from ..pipelines.build import AnalyzerStage, DfSampleStage, RunWriter, SegmentEncoder
+from ..functions.highlight import HighlightStage
+from ..pipelines.build import (
+    AnalyzerStage,
+    DfSampleStage,
+    DocMapStage,
+    RunWriter,
+    SegmentEncoder,
+)
 from ..pipelines.dedup import MinHashStage, SimHashStage
 from ..pipelines.multimodal import ImageDecodeStage
 from ..pipelines.search import QueryExecStage
@@ -12,10 +19,12 @@ from ..pipelines.search import QueryExecStage
 __all__ = [
     "AnalyzerStage",
     "DfSampleStage",
+    "DocMapStage",
     "RunWriter",
     "SegmentEncoder",
     "MinHashStage",
     "SimHashStage",
     "ImageDecodeStage",
     "QueryExecStage",
+    "HighlightStage",
 ]
