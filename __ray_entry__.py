@@ -373,9 +373,14 @@ def _highlight_top(sf_dir: str):
 
 
 def _doc_map(sf_dir: str):
-    """Per-doc analyzed length + norm (doc_map / norms sidecar)."""
-    from lucene_ray.pipelines.build import IndexConfig, build_doc_map
+    """Per-doc analyzed length + norm (doc_map / norms sidecar). Served from
+    the index build's own analyzer-pass side output (one analysis pass, not
+    two); falls back to a standalone pass for indexes built without it."""
+    from lucene_ray.pipelines.build import IndexConfig, build_doc_map, read_doc_map
 
+    dm = read_doc_map(_ensure_index(sf_dir))
+    if dm is not None:
+        return dm
     cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
     return build_doc_map(_load_documents(sf_dir), cfg)
 

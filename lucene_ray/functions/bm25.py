@@ -51,9 +51,13 @@ class BM25Float32:
         k1f = np.float32(k1)
         bf = np.float32(b)
         one = np.float32(1.0)
-        # cache[j] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[j] / avgdl))
-        self.cache = (one / (k1f * ((one - bf) + (bf * LENGTH_TABLE) / avgdl))
-                      ).astype(np.float32)
+        # cache[j] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[j] / avgdl));
+        # k1=0 divides to +inf, which cancels correctly downstream
+        # (w - w/(1+f*inf) = w) — silence the benign warning only
+        with np.errstate(divide="ignore"):
+            self.cache = (
+                one / (k1f * ((one - bf) + (bf * LENGTH_TABLE) / avgdl))
+            ).astype(np.float32)
         self.weight = np.float32(boost) * self.idf
         self._key = ("byte4", doc_count, sum_total_tf, doc_freq, k1, b, boost)
 

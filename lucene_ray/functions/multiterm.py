@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import bisect
 import re
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -55,6 +55,20 @@ def literal_prefix(pattern: str) -> str:
         if ch in "*?":
             return pattern[:i]
     return pattern
+
+
+def prefix_successor(prefix: str) -> Optional[str]:
+    """Smallest string strictly greater than every string starting with
+    ``prefix`` — the exact upper bound for a sorted-vocab prefix scan.
+    Appending U+FFFF (the old bound) missed terms whose first post-prefix
+    codepoint is supplementary-plane (e.g. emoji with keyword analyzers);
+    incrementing the last non-U+10FFFF codepoint is exact. None means
+    'no upper bound' (prefix of all-U+10FFFF)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def levenshtein_within(
@@ -112,12 +126,14 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]
     capped at MAX_EXPANSIONS."""
     if kind == "prefix":
         lo = bisect.bisect_left(vocab, pattern)
-        hi = bisect.bisect_right(vocab, pattern + "￿")
+        succ = prefix_successor(pattern)
+        hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
         return list(vocab[lo:hi])[:MAX_EXPANSIONS]
     if kind == "wildcard":
         pre = literal_prefix(pattern)
         lo = bisect.bisect_left(vocab, pre)
-        hi = bisect.bisect_right(vocab, pre + "￿") if pre else len(vocab)
+        succ = prefix_successor(pre) if pre else None
+        hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
         rx = re.compile(wildcard_regex(pattern))
         return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
     if kind == "fuzzy":

@@ -42,6 +42,37 @@ import numpy as np
 
 from .bm25 import make_scorer
 
+
+class LruDict(dict):
+    """Size-bounded LRU mapping for warm-reader caches (``_scored_full`` /
+    ``_champions`` / ``_expansions``): a long-lived searcher actor serving a
+    high-cardinality or multi-(k1,b) query stream must not accumulate full
+    decoded+scored posting copies without bound (reference analogue:
+    search/LRUQueryCache.java — the reference also caps its per-reader query
+    cache). dict insertion order + pop/reinsert gives move-to-end; eviction
+    drops the least-recently-used entry. Changing ``bm25_params`` retires
+    old-keyed entries naturally via this eviction."""
+
+    def __init__(self, max_entries: int = 256):
+        super().__init__()
+        self.max_entries = max_entries
+
+    def get(self, key, default=None):
+        try:
+            val = super().pop(key)
+        except KeyError:
+            return default
+        super().__setitem__(key, val)  # reinsert == most-recently-used
+        return val
+
+    def __setitem__(self, key, value):
+        if super().__contains__(key):
+            super().pop(key)
+        elif len(self) >= self.max_entries:
+            super().pop(next(iter(self)))
+        super().__setitem__(key, value)
+
+
 # ---------------------------------------------------------------------------
 # Query model + mini parser
 # ---------------------------------------------------------------------------
@@ -148,6 +179,14 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
             )
         elif fz is not None:
             kind = ("fuzzy", fz.group(1).lower(), int(fz.group(2) or 2))
+        elif "~" in raw:
+            # 'term~5' / classic float similarity 'roam~0.8': the reference
+            # parser clamps/rejects such distances — silently analyzing the
+            # raw string would turn it into unrelated SHOULD terms
+            raise ValueError(
+                f"unsupported fuzzy distance in {raw!r}: only ~, ~0, ~1, ~2 "
+                "are supported"
+            )
         if kind is not None:
             if role == "must":
                 raise ValueError(
@@ -430,7 +469,7 @@ def _prepare(reader, query: BooleanQuery):
         query = resolve_multi(
             query,
             reader.expand_multi,
-            reader.__dict__.setdefault("_expansions", {}),
+            reader.__dict__.setdefault("_expansions", LruDict(256)),
         )
     must = sorted(set(query.must))
     should = sorted(set(query.should) - set(must))
@@ -438,8 +477,9 @@ def _prepare(reader, query: BooleanQuery):
     roles.sort()  # canonical order over all scoring terms
     cursors = []
     is_must = []
-    # cross-query scored-list cache lives on the reader (warm actor state)
-    full_cache = reader.__dict__.setdefault("_scored_full", {})
+    # cross-query scored-list cache lives on the reader (warm actor state);
+    # LRU-bounded so a long-lived searcher can't accumulate scored copies
+    full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
     boost_map = dict(getattr(query, "boosts", ()))
     # query-time similarity parameters (reference: IndexSearcher
     # .setSimilarity(new BM25Similarity(k1, b)) — per-searcher, not
@@ -593,7 +633,7 @@ CHAMPION_K = 1024
 
 
 def _champion_topk(reader, cursor, k: int):
-    champs = reader.__dict__.setdefault("_champions", {})
+    champs = reader.__dict__.setdefault("_champions", LruDict(4096))
     key = (cursor.term, cursor.scorer.cache_key())
     hit = champs.get(key)
     if hit is None:
@@ -645,7 +685,7 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
     if k <= 0:
         return empty
-    full_cache = reader.__dict__.setdefault("_scored_full", {})
+    full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
     cursors = []
     for t in sorted(set(query.terms)):
         df, _ = reader.term_stats(t)

@@ -89,6 +89,10 @@ class IndexConfig:
     id_col: str = "doc_id"
     analyzer_concurrency: Optional[int] = None  # None = let Ray size the pool
     analyzer_batch_size: int = 2048
+    # emit the (doc_id, doc_len, norm) doc_map sidecar from the build's own
+    # analyzer pass (one analysis pass, not two — VERDICT r1 #5); files land
+    # under <out_dir>/docmap/ with deterministic atomic names
+    emit_doc_map: bool = True
 
 
 class AnalyzerStage:
@@ -102,16 +106,46 @@ class AnalyzerStage:
     entry* (memoized across batches — the Zipf head costs nothing after the
     first batch), never once per posting."""
 
-    def __init__(self, cfg: IndexConfig, heavy_terms: Optional[Set[str]] = None):
+    def __init__(self, cfg: IndexConfig, heavy_terms: Optional[Set[str]] = None,
+                 doc_map_dir: Optional[str] = None):
         self.cfg = cfg
         self.analyzer = make_analyzer(cfg.analyzer)
         self.heavy = heavy_terms or set()
         self.byte4 = cfg.norm_kind == "byte4"
+        self.doc_map_dir = doc_map_dir
         # term -> (crc32, is_heavy), grown lazily per actor
         self._term_meta: Dict[str, tuple] = {}
 
     def _empty(self) -> pa.Table:
         return POSTINGS_SCHEMA.empty_table()
+
+    def _write_doc_map(self, doc_ids: np.ndarray, lens: np.ndarray) -> None:
+        """Side output of the analysis pass: one (doc_id, doc_len, norm)
+        parquet per batch. Deterministic content-derived name + tmp/replace
+        makes retries overwrite rather than duplicate (same discipline as
+        RunWriter)."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        if len(doc_ids) == 0:
+            return
+        ids64 = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        norms = int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids64),
+                "doc_len": pa.array(lens.astype(np.int64)),
+                "norm": pa.array(norms.astype(np.int64)),
+            }
+        )
+        crc = zlib.crc32(ids64.tobytes())
+        name = f"dm-{int(ids64.min())}-{int(ids64.max())}-{len(ids64)}-{crc:08x}.parquet"
+        os.makedirs(self.doc_map_dir, exist_ok=True)
+        path = os.path.join(self.doc_map_dir, name)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import itertools
@@ -125,6 +159,8 @@ class AnalyzerStage:
         lens = np.fromiter(
             (len(x) for x in term_lists), dtype=np.int64, count=len(term_lists)
         )
+        if self.doc_map_dir is not None:
+            self._write_doc_map(doc_ids, lens)
         total = int(lens.sum())
         if total == 0:
             return self._empty()
@@ -412,19 +448,38 @@ def _meta_row(meta: dict) -> pa.Table:
 
 
 RUNS_DIR = "runs"
+DOC_MAP_DIR = "docmap"
+
+
+def read_doc_map(index_dir: str):
+    """-> Dataset(doc_id, doc_len, norm) from the build's sidecar (written by
+    the analyzer pass when ``cfg.emit_doc_map``), or None if absent."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(index_dir, DOC_MAP_DIR, "*.parquet")))
+    if not files:
+        return None
+    return ray.data.read_parquet(files)
 
 
 class RunWriter:
     """Map-side of the file exchange: split each postings batch by gpart and
     append one Arrow IPC run file per partition. Run files are transient
     scratch (cleared at build start, deleted after encode); the durable
-    resume unit stays the per-segment checkpoint."""
+    resume unit stays the per-segment checkpoint.
+
+    Idempotent + atomic writes: the file name is derived deterministically
+    from the slice's content (doc range + row count + content crc), and the
+    file lands via tmp + ``os.replace``. A Ray task that fails mid-batch and
+    is retried re-derives the same names and overwrites rather than adds —
+    no duplicated postings (doubled df/tf) and no partially-written feather
+    file can survive into the merge."""
 
     def __init__(self, run_root: str):
         self.run_root = run_root
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import uuid
+        import zlib
 
         import pyarrow.feather as feather
 
@@ -432,10 +487,11 @@ class RunWriter:
         order = np.argsort(gparts, kind="stable")
         sorted_batch = batch.take(pa.array(order))
         sg = sorted_batch.column("gpart").to_numpy()
+        sdocs = sorted_batch.column("doc_id").to_numpy()
+        stfs = sorted_batch.column("tf").to_numpy()
         bounds = np.flatnonzero(np.diff(sg)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(sg)]))
-        tag = uuid.uuid4().hex
         out_g: List[int] = []
         out_rows: List[int] = []
         for lo, hi in zip(starts, ends):
@@ -444,10 +500,18 @@ class RunWriter:
             g = int(sg[lo])
             gdir = os.path.join(self.run_root, f"{g:05d}")
             os.makedirs(gdir, exist_ok=True)
-            path = os.path.join(gdir, f"run-{tag}.arrow")
-            feather.write_feather(
-                sorted_batch.slice(lo, hi - lo), path, compression="lz4"
+            d = sdocs[lo:hi]
+            crc = zlib.crc32(
+                np.ascontiguousarray(stfs[lo:hi], dtype=np.int64).tobytes(),
+                zlib.crc32(np.ascontiguousarray(d, dtype=np.int64).tobytes()),
             )
+            name = f"run-{int(d.min())}-{int(d.max())}-{hi - lo}-{crc:08x}"
+            path = os.path.join(gdir, name + ".arrow")
+            tmp = path + ".tmp"
+            feather.write_feather(
+                sorted_batch.slice(lo, hi - lo), tmp, compression="lz4"
+            )
+            os.replace(tmp, path)
             out_g.append(g)
             out_rows.append(hi - lo)
         return pa.table(
@@ -529,8 +593,16 @@ def build_index(
     if heavy_terms is None and cfg.heavy_df_threshold is not None:
         heavy = detect_heavy_terms(ds, cfg)
 
+    doc_map_dir = None
+    if cfg.emit_doc_map:
+        import shutil
+
+        doc_map_dir = os.path.join(out_dir, DOC_MAP_DIR)
+        shutil.rmtree(doc_map_dir, ignore_errors=True)
+        os.makedirs(doc_map_dir, exist_ok=True)
+
     postings = ds.map_batches(
-        AnalyzerStage(cfg, heavy or None),
+        AnalyzerStage(cfg, heavy or None, doc_map_dir),
         batch_format="pyarrow",
         batch_size=cfg.analyzer_batch_size,
         concurrency=cfg.analyzer_concurrency,

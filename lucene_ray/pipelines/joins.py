@@ -26,6 +26,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import crc32_array
+from ..util import pool_concurrency
 
 
 def _key_bucket(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
@@ -54,7 +55,9 @@ def broadcast_join(
                 join_type="inner",
             )
 
-    return large.map_batches(JoinStage, batch_format="pyarrow", concurrency=4)
+    return large.map_batches(
+        JoinStage, batch_format="pyarrow", concurrency=pool_concurrency()
+    )
 
 
 def hash_join(

@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from ..functions.rounding import round_half_away
+from ..util import pool_concurrency
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -76,7 +77,14 @@ class _TopKScoreStage:
         out_s: List[np.ndarray] = []
         for qi in range(scores.shape[0]):
             row = scores[qi]
-            top = np.argpartition(-row, k - 1)[:k] if len(row) > k else np.arange(len(row))
+            if len(row) > k:
+                # keep every row at/above the kth score so boundary ties
+                # survive to the final (cosine desc, vec_id asc) sort —
+                # mirrors query.py's _topk_from tie handling
+                kth = np.partition(row, len(row) - k)[len(row) - k]
+                top = np.flatnonzero(row >= kth)
+            else:
+                top = np.arange(len(row))
             out_q.extend([int(self.qids[qi])] * len(top))
             out_v.append(ids[top])
             out_s.append(row[top])
@@ -135,7 +143,7 @@ def knn_cosine(
         _TopKScoreStage,
         fn_constructor_args=(queries_ref, k + 1),  # +1 to survive self-match
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=pool_concurrency(),
     )
 
     def topk_no_self(group: pa.Table) -> pa.Table:
