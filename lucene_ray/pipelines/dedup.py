@@ -3,26 +3,31 @@
 All four follow the same distributed shape, designed for 100 TB inputs:
 
 1. a stateless ``map_batches`` pass derives per-doc keys (fingerprint /
-   shingles / minhash bands / simhash bands) — pure streaming, no shuffle;
+   shingle hashes / minhash bands / simhash bands) — pure streaming;
 2. ONE ``groupby`` on a bounded hash-bucket key co-locates potential
    duplicates (never the raw key: bucket count is fixed, so group count —
    and per-group Python overhead — is O(buckets), not O(keys));
-3. candidate pairs are verified exactly; only near-dup *candidates* (a tiny
-   fraction of the corpus by construction) ever leave the distributed plan.
+3. candidate pairs stay a **Dataset**: they are deduplicated by a second
+   bounded-bucket groupby, joined back to per-doc signatures with the
+   partitioned ``hash_join``, and verified **vectorized inside the plan**.
+   Nothing corpus-sized — and no candidate set — is ever materialized on
+   the driver; only the final verified pair table (tiny by construction)
+   leaves the plan.
 
-Determinism: every hash is content-derived (md5 / blake2b / crc32), never
-Python ``hash``; the MinHash permutations come from a fixed-seed generator —
-re-runs and retries are byte-stable (SURVEY.md §7.5.7).
+Determinism: every hash is content-derived (md5 / keyed siphash via
+``pandas.util.hash_array`` / crc32), never Python ``hash``; the MinHash
+permutations come from a fixed-seed generator — re-runs and retries are
+byte-stable (SURVEY.md §7.5.7).
 """
 
 from __future__ import annotations
 
 import hashlib
-import itertools
 import re
-from typing import Dict, Iterable, List, Sequence, Set, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,12 +36,32 @@ import ray.data
 
 from ..functions.hashing import crc32_array
 from ..functions.rounding import round_half_away
+from ..util import pool_concurrency
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+#: pandas.util.hash_array key (keyed siphash, stable across processes and
+#: pandas versions) — must be exactly 16 bytes
+_HASH_KEY = "lucene_ray_dedup"
+
+#: 64-bit odd multiplier (splitmix64 / golden-ratio constant) for key mixing
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 PAIRS_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
 )
+
+_PAIR_KEY_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("key", pa.uint64()), ("_bucket", pa.int32())]
+)
+
+
+def _hash_strings_u64(values: Sequence[str]) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hash (keyed siphash)."""
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
 
 
 # ---------------------------------------------------------------------------
@@ -98,119 +123,345 @@ def shingle_strings(text: str, k: int = 3) -> List[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-def _shingle_rows(batch: pa.Table, k: int, num_buckets: int) -> pa.Table:
-    """(doc_id, text) -> distinct (doc_id, shingle, _bucket) rows."""
-    out_doc: List[int] = []
-    out_sh: List[str] = []
+def _doc_shingle_flat(
+    batch: pa.Table, k: int
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """-> (doc_ids_nonempty, counts_per_doc, flat distinct shingles)."""
+    out_docs: List[int] = []
+    counts: List[int] = []
+    flat: List[str] = []
     for did, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        for s in set(shingle_strings(text, k)):
-            out_doc.append(did)
-            out_sh.append(s)
-    bucket = crc32_array(out_sh) % num_buckets if out_sh else np.empty(0, np.int64)
+        sh = set(shingle_strings(text, k))
+        if not sh:
+            continue
+        out_docs.append(did)
+        counts.append(len(sh))
+        flat.extend(sh)
+    return (
+        np.asarray(out_docs, dtype=np.int64),
+        np.asarray(counts, dtype=np.int64),
+        flat,
+    )
+
+
+def _shingle_hash_rows(batch: pa.Table, k: int, num_buckets: int) -> pa.Table:
+    """(doc_id, text) -> distinct (doc_id, key=hash64(shingle), _bucket)."""
+    docs, counts, flat = _doc_shingle_flat(batch, k)
+    h = _hash_strings_u64(flat)
+    doc_rep = np.repeat(docs, counts)
+    bucket = (h % np.uint64(num_buckets)).astype(np.int32)
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "shingle": pa.array(out_sh, pa.string()),
-            "_bucket": pa.array(bucket.astype(np.int32)),
-        }
+            "doc_id": pa.array(doc_rep),
+            "key": pa.array(h, pa.uint64()),
+            "_bucket": pa.array(bucket),
+        },
+        schema=_PAIR_KEY_SCHEMA,
     )
 
 
-def _pairs_table(pairs: Iterable[Tuple[int, int]]) -> pa.Table:
-    a, b = [], []
-    for da, db in pairs:
-        a.append(da)
-        b.append(db)
-    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+# ---------------------------------------------------------------------------
+# Dataset-native candidate pair machinery
+# ---------------------------------------------------------------------------
 
 
-def _candidate_pairs_by_key(
-    keyed: "ray.data.Dataset", key_col: str, df_min: int, df_max: int
-) -> List[Tuple[int, int]]:
-    """groupby(_bucket) -> within-bucket vectorized grouping by ``key_col``;
-    keys shared by df_min..df_max docs emit all doc pairs. Returns the
-    deduplicated pair list (driver-side: candidates are small by design —
-    ``df_max`` bounds the per-key blowup exactly like the heavy-term split
-    bounds posting groups)."""
-
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        g = group.group_by(key_col).aggregate([("doc_id", "list")])
-        pairs: Set[Tuple[int, int]] = set()
-        for docs in g.column("doc_id_list").to_pylist():
-            if df_min <= len(docs) <= df_max:
-                for da, db in itertools.combinations(sorted(set(docs)), 2):
-                    pairs.add((da, db))
-        return _pairs_table(sorted(pairs))
-
-    pair_ds = keyed.groupby("_bucket").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
-    )
-    seen: Set[Tuple[int, int]] = set()
-    for batch in pair_ds.iter_batches(batch_format="pyarrow"):
-        seen.update(
-            zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist())
-        )
-    return sorted(seen)
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, fully vectorized."""
+    if len(counts) == 0:
+        return np.empty(0, dtype=np.int64)
+    cs = np.cumsum(counts)
+    total = int(cs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(cs - counts, counts)
 
 
-def _exact_jaccard_for_pairs(
-    ds: "ray.data.Dataset",
-    pairs: Sequence[Tuple[int, int]],
-    k: int,
+def _pairs_in_group(
+    group: pa.Table,
+    df_min: int,
+    df_max: int,
+    value_col: Optional[str] = None,
 ) -> pa.Table:
-    """Exact shingle-set Jaccard for candidate pairs: the shingle sets of
-    only the implicated docs are gathered (broadcast doc-id filter pushed
-    into the scan), then compared on the driver."""
-    if not pairs:
-        return PAIRS_SCHEMA.empty_table()
-    docs_needed = sorted({d for p in pairs for d in p})
-    needed_ref = ray.put(np.asarray(docs_needed, dtype=np.int64))
+    """All within-key doc pairs for keys shared by df_min..df_max docs.
 
-    def collect_sets(batch: pa.Table) -> pa.Table:
-        needed = ray.get(needed_ref)
-        ids = batch.column("doc_id").to_numpy()
-        mask = np.isin(ids, needed)
-        sub = batch.filter(pa.array(mask))
-        out_doc, out_sh = [], []
-        for did, text in zip(
-            sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()
-        ):
-            out_doc.append(did)
-            out_sh.append(list(set(shingle_strings(text, k))))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "shingles": pa.array(out_sh, pa.list_(pa.string())),
-            }
+    Vectorized: one sort by (key, doc_id), run-length key slicing, and the
+    standard repeat/arange construction of all O(df^2) pairs per qualifying
+    run — no per-key Python loop. ``df_max`` bounds the per-key blowup
+    exactly like the heavy-term split bounds posting groups. docs are
+    ascending within a run, so doc_a < doc_b by construction.
+
+    ``value_col`` (optional) carries a per-doc payload through as
+    ``val_a`` / ``val_b`` (used by simhash verification).
+    """
+    cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    if value_col is not None:
+        cols["val_a"] = pa.array([], pa.uint64())
+        cols["val_b"] = pa.array([], pa.uint64())
+    empty = pa.table(cols)
+    n = len(group)
+    if n == 0:
+        return empty
+    g = group.sort_by([("key", "ascending"), ("doc_id", "ascending")])
+    keys = g.column("key").to_numpy()
+    docs = g.column("doc_id").to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    lengths = np.diff(np.append(starts, n))
+    ok = (lengths >= max(df_min, 2)) & (lengths <= df_max)
+    starts, lengths = starts[ok], lengths[ok]
+    if len(starts) == 0:
+        return empty
+    # per kept element: its run start and local position 0..len-1
+    elem_start = np.repeat(starts, lengths)
+    local = _concat_aranges(lengths)
+    gidx = elem_start + local  # global row of each kept element
+    # element at local pos p pairs (as doc_b) with its p predecessors
+    b_idx = np.repeat(gidx, local)
+    a_idx = np.repeat(elem_start, local) + _concat_aranges(local)
+    out = {
+        "doc_a": pa.array(docs[a_idx].astype(np.int64)),
+        "doc_b": pa.array(docs[b_idx].astype(np.int64)),
+    }
+    if value_col is not None:
+        vals = g.column(value_col).to_numpy()
+        out["val_a"] = pa.array(vals[a_idx], pa.uint64())
+        out["val_b"] = pa.array(vals[b_idx], pa.uint64())
+    return pa.table(out)
+
+
+def _dedup_pairs_ds(
+    pair_ds: "ray.data.Dataset", num_buckets: int
+) -> "ray.data.Dataset":
+    """Distinct (doc_a, doc_b) rows, computed in-plan: re-bucket by a pair
+    hash (bounded key space), then one vectorized lexsort-dedupe per group.
+    Extra columns ride along (their values are equal for equal pairs)."""
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = ((a * _GOLD) ^ b) % np.uint64(num_buckets)
+        return batch.append_column("_pbucket", pa.array(h.astype(np.int32)))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return group.drop_columns(["_pbucket"])
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        taken = group.take(pa.array(order[keep]))
+        return taken.drop_columns(["_pbucket"])
+
+    return (
+        pair_ds.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("_pbucket")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def candidate_pairs_ds(
+    keyed: "ray.data.Dataset",
+    df_min: int,
+    df_max: int,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """(doc_id, key, _bucket) rows -> distinct Dataset(doc_a, doc_b) of doc
+    pairs sharing >=1 key with df_min..df_max holders. Entirely in-plan."""
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        return _pairs_in_group(group, df_min, df_max)
+
+    raw = keyed.groupby("_bucket").map_groups(pairs_fn, batch_format="pyarrow")
+    return _dedup_pairs_ds(raw, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard verification, Dataset-native
+# ---------------------------------------------------------------------------
+
+
+class ShingleSigStage:
+    """(doc_id, text) -> (doc_id, sig: binary) — each doc's distinct shingle
+    set as sorted 64-bit hashes packed little-endian into one binary value
+    (binary, not list<uint64>: Arrow's hash join can't carry list payload
+    columns). 64-bit keyed siphash makes a cross-shingle collision (which
+    could perturb one intersection count by 1) a ~2^-64-per-pair event —
+    negligible against the exact-string oracle."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs, counts, flat = _doc_shingle_flat(batch, self.k)
+        h = _hash_strings_u64(flat)
+        nd = len(docs)
+        if nd == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        keep = np.empty(len(hs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+        hs, ds_ = hs[keep], ds_[keep]
+        new_counts = np.bincount(ds_, minlength=nd)
+        offsets = (
+            np.concatenate(([0], np.cumsum(new_counts))) * 8
+        ).astype(np.int32)
+        sig = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            nd,
+            [
+                None,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(np.ascontiguousarray(hs, dtype="<u8").tobytes()),
+            ],
         )
+        return pa.table({"doc_id": pa.array(docs), "sig": sig})
 
-    sets: Dict[int, Set[str]] = {}
-    for batch in (
-        ds.select_columns(["doc_id", "text"])
-        .map_batches(collect_sets, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        for did, sh in zip(
-            batch.column("doc_id").to_pylist(), batch.column("shingles").to_pylist()
-        ):
-            sets[did] = set(sh)
-    rows_a, rows_b, rows_j = [], [], []
-    for da, db in pairs:
-        sa, sb = sets.get(da, set()), sets.get(db, set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        rows_a.append(da)
-        rows_b.append(db)
-        rows_j.append(float(round_half_away(j, 4)))
+
+def _binary_u64_matrix(col) -> Tuple[np.ndarray, np.ndarray]:
+    """binary column of packed uint64 runs -> (flat values in row order,
+    per-row element counts). Buffer-level gather — no per-row Python."""
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(la)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    bufs = la.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[la.offset : la.offset + n + 1]
+    nbytes = len(bufs[2])
+    data = np.frombuffer(bufs[2], dtype=np.uint64, count=nbytes // 8)
+    lens = ((offs[1:] - offs[:-1]) // 8).astype(np.int64)
+    starts = (offs[:-1] // 8).astype(np.int64)
+    idx = np.repeat(starts, lens) + _concat_aranges(lens)
+    return data[idx], lens
+
+
+def _jaccard_verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b) -> verified (doc_a, doc_b, jaccard).
+
+    Fully vectorized across pairs: both signature lists are flattened with a
+    pair-id column, sorted by (pair, value); adjacent duplicates within a
+    pair are exactly the intersection elements (each side is internally
+    unique), counted with one bincount. Threshold applies to the UNROUNDED
+    jaccard (matching the SQL oracle); the output value is rounded."""
+    npairs = len(batch)
+    if npairs == 0:
+        return PAIRS_SCHEMA.empty_table()
+    va, na = _binary_u64_matrix(batch.column("sig_a"))
+    vb, nb = _binary_u64_matrix(batch.column("sig_b"))
+    pid = np.concatenate(
+        [
+            np.repeat(np.arange(npairs, dtype=np.int64), na),
+            np.repeat(np.arange(npairs, dtype=np.int64), nb),
+        ]
+    )
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pid))
+    pid, vals = pid[order], vals[order]
+    dup = np.zeros(len(vals), dtype=bool)
+    dup[1:] = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    inter = np.bincount(pid[dup], minlength=npairs).astype(np.float64)
+    union = na.astype(np.float64) + nb.astype(np.float64) - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    keep = j >= threshold
     return pa.table(
         {
-            "doc_a": pa.array(rows_a, pa.int64()),
-            "doc_b": pa.array(rows_b, pa.int64()),
-            "jaccard": pa.array(rows_j, pa.float64()),
-        }
+            "doc_a": batch.column("doc_a").to_numpy()[keep],
+            "doc_b": batch.column("doc_b").to_numpy()[keep],
+            "jaccard": pa.array(round_half_away(j[keep], 4), pa.float64()),
+        },
+        schema=PAIRS_SCHEMA,
     )
+
+
+def _jaccard_verify_ds(
+    ds: "ray.data.Dataset",
+    pairs_ds: "ray.data.Dataset",
+    k: int,
+    threshold: float,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Join candidate pairs to per-doc shingle signatures (partitioned hash
+    join, both sides stay distributed) and verify exactly, in-plan."""
+    from .joins import hash_join
+
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        ShingleSigStage,
+        fn_constructor_args=(k,),
+        batch_format="pyarrow",
+        concurrency=pool_concurrency(),
+    )
+
+    def rename(mapping):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [mapping.get(c, c) for c in batch.schema.names]
+            )
+
+        return fn
+
+    j1 = hash_join(
+        pairs_ds, sigs, "doc_a", "doc_id", num_buckets=num_buckets
+    ).map_batches(rename({"sig": "sig_a"}), batch_format="pyarrow")
+    j2 = hash_join(
+        j1, sigs, "doc_b", "doc_id", num_buckets=num_buckets
+    ).map_batches(rename({"sig": "sig_b"}), batch_format="pyarrow")
+    return j2.map_batches(
+        _jaccard_verify_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"threshold": threshold},
+    )
+
+
+def _collect_pairs_table(
+    out_ds: "ray.data.Dataset", sort_cols, schema: pa.Schema
+) -> pa.Table:
+    """Materialize the FINAL verified pair set (tiny by construction) as a
+    sorted Arrow table — the only point where results leave the plan."""
+    rows = out_ds.take_all()
+    if not rows:
+        return schema.empty_table()
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    return tbl.sort_by([(c, "ascending") for c in sort_cols])
+
+
+def jaccard_neardup_pairs_ds(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    df_max: int = 10,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by exact word-``k``-gram Jaccard, fully in-plan.
+
+    Candidates = doc pairs sharing >=1 *rare* shingle (2 <= df <= df_max —
+    common shingles prove nothing and would blow up quadratically); each
+    candidate is verified with the exact Jaccard over full shingle-hash
+    signatures via a distributed pairs⋈signatures join.
+    -> Dataset(doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    keyed = ds.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_hash_rows,
+        batch_format="pyarrow",
+        fn_kwargs={"k": k, "num_buckets": num_buckets},
+    )
+    pairs = candidate_pairs_ds(keyed, 2, df_max, num_buckets)
+    return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
 def jaccard_neardup_pairs(
@@ -220,21 +471,12 @@ def jaccard_neardup_pairs(
     threshold: float = 0.8,
     num_buckets: int = 64,
 ) -> pa.Table:
-    """Near-dup pairs by exact word-``k``-gram Jaccard.
-
-    Candidates = doc pairs sharing >=1 *rare* shingle (2 <= df <= df_max —
-    common shingles prove nothing and would blow up quadratically); each
-    candidate is verified with the exact Jaccard over full shingle sets.
-    -> Arrow table (doc_a, doc_b, jaccard) with jaccard >= threshold.
-    """
-    sh = ds.select_columns(["doc_id", "text"]).map_batches(
-        _shingle_rows, batch_format="pyarrow", fn_kwargs={"k": k, "num_buckets": num_buckets}
+    """:func:`jaccard_neardup_pairs_ds` collected to a sorted Arrow table."""
+    return _collect_pairs_table(
+        jaccard_neardup_pairs_ds(ds, k, df_max, threshold, num_buckets),
+        ["doc_a", "doc_b"],
+        PAIRS_SCHEMA,
     )
-    pairs = _candidate_pairs_by_key(sh, "shingle", 2, df_max)
-    verified = _exact_jaccard_for_pairs(ds, pairs, k)
-    keep = pc.greater_equal(verified.column("jaccard"), threshold)
-    out = verified.filter(keep)
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -251,62 +493,86 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def _hash64(values: List[str]) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
-            for v in values
-        ),
-        dtype=np.uint64,
-        count=len(values),
-    )
-
-
 def minhash_signature(shingles: List[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm minima of universal hashes (a*h + b) mod 2^31-1, fully
     vectorized in uint64 (31-bit operands can't overflow the products)."""
     if not shingles:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = _hash64(shingles) & np.uint64(_MERSENNE31)
-    # (n_shingles, num_perm) matrix of (a*h+b) mod p, min along shingles
+    h = _hash_strings_u64(shingles) & np.uint64(_MERSENNE31)
     m = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE31)
     return m.min(axis=0)
 
 
 class MinHashStage:
-    """Actor stage: permutation params generated once per worker."""
+    """Actor stage: permutation params generated once per worker; per batch
+    the signature matrix is computed for ALL docs at once — one universal
+    hash per permutation over the batch's flat shingle rows and a
+    ``np.minimum.reduceat`` per doc (no per-doc Python loop or matmul)."""
 
     def __init__(self, k: int, num_perm: int, bands: int, num_buckets: int):
         self.k = k
         self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc: List[int] = []
-        out_key: List[str] = []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sh = list(set(shingle_strings(text, self.k)))
-            if not sh:
-                continue
-            sig = minhash_signature(sh, self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                out_doc.append(did)
-                out_key.append(f"{band}:{chunk.tobytes().hex()}")
-        bucket = (
-            crc32_array(out_key) % self.num_buckets if out_key else np.empty(0, np.int64)
-        )
+        docs, counts, flat = _doc_shingle_flat(batch, self.k)
+        nd = len(docs)
+        if nd == 0:
+            return _PAIR_KEY_SCHEMA.empty_table()
+        h = _hash_strings_u64(flat) & np.uint64(_MERSENNE31)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sig = np.empty((self.num_perm, nd), dtype=np.uint64)
+        for p in range(self.num_perm):
+            v = (h * self.a[p] + self.b[p]) % np.uint64(_MERSENNE31)
+            sig[p] = np.minimum.reduceat(v, starts)
+        # band key: salted polynomial mix of the band's rows (lossless
+        # equality up to a ~2^-64 mixing collision; verification is exact)
+        keys = np.empty((self.bands, nd), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = np.full(nd, np.uint64(band + 1), dtype=np.uint64)
+            for r in range(band * self.rows, (band + 1) * self.rows):
+                acc = acc * _GOLD + sig[r]
+            keys[band] = acc
+        out_doc = np.tile(docs, self.bands)
+        out_key = keys.reshape(-1)
+        bucket = (out_key % np.uint64(self.num_buckets)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_key": pa.array(out_key, pa.string()),
-                "_bucket": pa.array(bucket.astype(np.int32)),
-            }
+                "doc_id": pa.array(out_doc),
+                "key": pa.array(out_key, pa.uint64()),
+                "_bucket": pa.array(bucket),
+            },
+            schema=_PAIR_KEY_SCHEMA,
         )
+
+
+def minhash_neardup_pairs_ds(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+    max_band_df: int = 50,
+) -> "ray.data.Dataset":
+    """MinHash+LSH candidate generation, exact-Jaccard verification, in-plan.
+
+    shingle -> 64-perm minhash -> 16 bands x 4 rows; docs colliding in any
+    band become candidates (P[collide] = 1-(1-j^4)^16, ~0.99 at j=0.8);
+    verification makes the output exact: (doc_a, doc_b, jaccard>=threshold),
+    identical to :func:`jaccard_neardup_pairs` whenever LSH recall holds.
+    """
+    banded = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHashStage,
+        fn_constructor_args=(k, num_perm, bands, num_buckets),
+        batch_format="pyarrow",
+        concurrency=pool_concurrency(),
+    )
+    pairs = candidate_pairs_ds(banded, 2, max_band_df, num_buckets)
+    return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
 def minhash_neardup_pairs(
@@ -318,23 +584,14 @@ def minhash_neardup_pairs(
     num_buckets: int = 64,
     max_band_df: int = 50,
 ) -> pa.Table:
-    """MinHash+LSH candidate generation, exact-Jaccard verification.
-
-    shingle -> 64-perm minhash -> 16 bands x 4 rows; docs colliding in any
-    band become candidates (P[collide] = 1-(1-j^4)^16, ~0.99 at j=0.8);
-    verification makes the output exact: (doc_a, doc_b, jaccard>=threshold),
-    identical to :func:`jaccard_neardup_pairs` whenever LSH recall holds.
-    """
-    banded = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_args=(k, num_perm, bands, num_buckets),
-        batch_format="pyarrow",
-        concurrency=4,
+    """:func:`minhash_neardup_pairs_ds` collected to a sorted Arrow table."""
+    return _collect_pairs_table(
+        minhash_neardup_pairs_ds(
+            ds, k, num_perm, bands, threshold, num_buckets, max_band_df
+        ),
+        ["doc_a", "doc_b"],
+        PAIRS_SCHEMA,
     )
-    pairs = _candidate_pairs_by_key(banded, "band_key", 2, max_band_df)
-    verified = _exact_jaccard_for_pairs(ds, pairs, k)
-    out = verified.filter(pc.greater_equal(verified.column("jaccard"), threshold))
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -346,10 +603,10 @@ def simhash64(tokens: List[str]) -> int:
     """Charikar simhash over the token multiset (weight = tf)."""
     if not tokens:
         return 0
-    uniq: Dict[str, int] = {}
+    uniq = {}
     for t in tokens:
         uniq[t] = uniq.get(t, 0) + 1
-    h = _hash64(list(uniq.keys()))
+    h = _hash_strings_u64(list(uniq.keys()))
     w = np.fromiter(uniq.values(), dtype=np.float64, count=len(uniq))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.float64
@@ -362,41 +619,138 @@ def simhash64(tokens: List[str]) -> int:
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount."""
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int64)
+    out = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
+    for _ in range(64):
+        out += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return out
+
+
 class SimHashStage:
+    """(doc_id, text) -> one (doc_id, key, sim, _bucket) row per band.
+
+    Batch-vectorized simhash: per-(doc, token) tf weights once, then 64
+    ``np.add.reduceat`` passes (one per bit) over the flat rows — no
+    per-doc Python loop. Pigeonhole banding: the 64-bit simhash is cut
+    into hamming_max+1 bands; any pair within distance h agrees on >=1
+    band (reference-free standard construction, Charikar 2002 / Manku
+    et al. 2007)."""
+
     def __init__(self, hamming_max: int, num_buckets: int):
-        self.n_bands = hamming_max + 1  # pigeonhole: <=h bits differ =>
-        self.num_buckets = num_buckets  # some band of h+1 is identical
+        self.n_bands = hamming_max + 1
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc: List[int] = []
-        out_key: List[str] = []
-        out_sim: List[int] = []
-        width = 64 // self.n_bands
+        docs_out: List[int] = []
+        counts: List[int] = []
+        flat: List[str] = []
+        weights: List[int] = []
         for did, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             toks = _TOKEN_RE.findall((text or "").lower())
             if not toks:
                 continue
-            sh = simhash64(toks)
-            for band in range(self.n_bands):
-                lo = band * width
-                hi = 64 if band == self.n_bands - 1 else lo + width
-                chunk = (sh >> lo) & ((1 << (hi - lo)) - 1)
-                out_doc.append(did)
-                out_key.append(f"{band}:{chunk:x}")
-                out_sim.append(sh)
-        bucket = (
-            crc32_array(out_key) % self.num_buckets if out_key else np.empty(0, np.int64)
-        )
-        return pa.table(
+            uniq = {}
+            for t in toks:
+                uniq[t] = uniq.get(t, 0) + 1
+            docs_out.append(did)
+            counts.append(len(uniq))
+            flat.extend(uniq.keys())
+            weights.extend(uniq.values())
+        nd = len(docs_out)
+        empty = pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_key": pa.array(out_key, pa.string()),
-                "simhash": pa.array(out_sim, pa.uint64()),
-                "_bucket": pa.array(bucket.astype(np.int32)),
+                "doc_id": pa.array([], pa.int64()),
+                "key": pa.array([], pa.uint64()),
+                "sim": pa.array([], pa.uint64()),
+                "_bucket": pa.array([], pa.int32()),
             }
         )
+        if nd == 0:
+            return empty
+        docs = np.asarray(docs_out, dtype=np.int64)
+        cnt = np.asarray(counts, dtype=np.int64)
+        w = np.asarray(weights, dtype=np.float64)
+        h = _hash_strings_u64(flat)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        wtot = np.add.reduceat(w, starts)
+        sim = np.zeros(nd, dtype=np.uint64)
+        for j in range(64):
+            bit = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+            s1 = np.add.reduceat(w * bit, starts)
+            # sign of sum((2b-1)w) = 2*s1 - wtot
+            sim |= (2.0 * s1 > wtot).astype(np.uint64) << np.uint64(j)
+        # band rows
+        width = 64 // self.n_bands
+        out_doc = np.tile(docs, self.n_bands)
+        out_sim = np.tile(sim, self.n_bands)
+        keys = np.empty((self.n_bands, nd), dtype=np.uint64)
+        for band in range(self.n_bands):
+            lo = band * width
+            hi = 64 if band == self.n_bands - 1 else lo + width
+            chunk = (sim >> np.uint64(lo)) & (
+                (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+                if hi - lo < 64
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
+            )
+            keys[band] = (np.uint64(band + 1) * _GOLD) ^ (chunk * _GOLD + chunk)
+        out_key = keys.reshape(-1)
+        bucket = (out_key % np.uint64(self.num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "key": pa.array(out_key, pa.uint64()),
+                "sim": pa.array(out_sim, pa.uint64()),
+                "_bucket": pa.array(bucket),
+            }
+        )
+
+
+def simhash_neardup_pairs_ds(
+    ds: "ray.data.Dataset",
+    hamming_max: int = 3,
+    num_buckets: int = 64,
+    max_band_df: int = 50,
+) -> "ray.data.Dataset":
+    """Near-dup pairs with simhash Hamming distance <= hamming_max, in-plan.
+
+    Band collisions generate candidates (with each doc's simhash riding
+    along), the popcount verification happens vectorized inside the plan,
+    and the verified pairs are distinct-ed by a bounded-bucket groupby.
+    -> Dataset(doc_a, doc_b, hamming)."""
+    banded = ds.select_columns(["doc_id", "text"]).map_batches(
+        SimHashStage,
+        fn_constructor_args=(hamming_max, num_buckets),
+        batch_format="pyarrow",
+        concurrency=pool_concurrency(),
+    )
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        return _pairs_in_group(group, 2, max_band_df, value_col="sim")
+
+    cand = banded.groupby("_bucket").map_groups(pairs_fn, batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sa = batch.column("val_a").to_numpy().astype(np.uint64)
+        sb = batch.column("val_b").to_numpy().astype(np.uint64)
+        ham = _popcount64(sa ^ sb)
+        keep = ham <= hamming_max
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").to_numpy()[keep],
+                "doc_b": batch.column("doc_b").to_numpy()[keep],
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    return _dedup_pairs_ds(verified, num_buckets)
 
 
 def simhash_neardup_pairs(
@@ -405,65 +759,17 @@ def simhash_neardup_pairs(
     num_buckets: int = 64,
     max_band_df: int = 50,
 ) -> pa.Table:
-    """Near-dup pairs with simhash Hamming distance <= hamming_max.
-
-    Pigeonhole blocking: the 64-bit simhash is cut into hamming_max+1 bands;
-    any pair within distance h agrees on at least one band, so candidates =
-    band collisions, verified by popcount. -> (doc_a, doc_b, hamming).
-    """
-    banded = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHashStage,
-        fn_constructor_args=(hamming_max, num_buckets),
-        batch_format="pyarrow",
-        concurrency=4,
-    )
-
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        g = group.group_by("band_key").aggregate(
-            [("doc_id", "list"), ("simhash", "list")]
-        )
-        a_out, b_out, ha, hb = [], [], [], []
-        for docs, hashes in zip(
-            g.column("doc_id_list").to_pylist(), g.column("simhash_list").to_pylist()
-        ):
-            if 2 <= len(docs) <= max_band_df:
-                items = sorted(set(zip(docs, hashes)))
-                for (da, sa), (db, sb) in itertools.combinations(items, 2):
-                    a_out.append(da)
-                    b_out.append(db)
-                    ha.append(sa)
-                    hb.append(sb)
-        return pa.table(
-            {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "sim_a": pa.array(ha, pa.uint64()),
-                "sim_b": pa.array(hb, pa.uint64()),
-            }
-        )
-
-    cand = banded.groupby("_bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    rows: Dict[Tuple[int, int], int] = {}
-    for batch in cand.iter_batches(batch_format="pyarrow"):
-        da = batch.column("doc_a").to_numpy()
-        db = batch.column("doc_b").to_numpy()
-        xa = batch.column("sim_a").to_numpy()
-        xb = batch.column("sim_b").to_numpy()
-        ham = np.zeros(len(da), dtype=np.int64)
-        x = xa ^ xb
-        for _ in range(64):  # vectorized popcount
-            ham += (x & 1).astype(np.int64)
-            x >>= np.uint64(1)
-        for i in range(len(da)):
-            if ham[i] <= hamming_max:
-                rows[(int(da[i]), int(db[i]))] = int(ham[i])
-    out = sorted((p, h) for p, h in rows.items())
-    return pa.table(
-        {
-            "doc_a": pa.array([p[0] for p, h in out], pa.int64()),
-            "doc_b": pa.array([p[1] for p, h in out], pa.int64()),
-            "hamming": pa.array([h for p, h in out], pa.int64()),
-        }
+    """:func:`simhash_neardup_pairs_ds` collected to a sorted Arrow table."""
+    return _collect_pairs_table(
+        simhash_neardup_pairs_ds(ds, hamming_max, num_buckets, max_band_df),
+        ["doc_a", "doc_b"],
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("hamming", pa.int64()),
+            ]
+        ),
     )
 
 
