@@ -592,9 +592,21 @@ def _knn(sf_dir: str):
 
 
 def _knn_ivf(sf_dir: str):
+    """IVF path: the centroid-partitioned layout is written once per sf
+    under /tmp and every query batch reads only its probed partitions."""
+    import pyarrow.parquet as pq
+
     from lucene_ray.pipelines.knn import knn_cosine_ivf
 
-    return knn_cosine_ivf(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    n = pq.ParquetFile(f"{sf_dir.rstrip('/')}/embeddings.parquet").metadata.num_rows
+    return knn_cosine_ivf(
+        _load_embeddings(sf_dir),
+        KNN_QUERY_IDS,
+        k=TOPK,
+        layout_dir=f"/tmp/lucene_ray_ivf/{tag}",
+        layout_fingerprint=f"rows={n};c=16;it=2",
+    )
 
 
 def _textop(sf_dir: str, cols: List[str]):

@@ -156,53 +156,94 @@ def knn_cosine(
     )
 
 
-class _PairStage:
-    """All (ref_block, batch) cosine pairs >= threshold; the full matrix is
-    broadcast once (fine up to ~10M rows x small dim; beyond that use
-    :func:`knn_cosine_ivf`-style bucketing)."""
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    def __init__(self, mat_ref, threshold: float):
-        d = ray.get(mat_ref)
-        self.ids = d["ids"]
-        self.mat = d["mat"]
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(_batch_matrix(batch, "embedding"))
-        ids = batch.column("vec_id").to_numpy()
-        out_a, out_b, out_c = [], [], []
-        if len(ids):
-            scores = mat @ self.mat.T  # (nbatch, N)
-            bi, ri = np.nonzero(scores >= self.threshold)
-            for b, r in zip(bi, ri):
-                a_id, b_id = int(ids[b]), int(self.ids[r])
-                if a_id < b_id:  # dedupe + drop self
-                    out_a.append(a_id)
-                    out_b.append(b_id)
-                    out_c.append(float(round_half_away(scores[b, r], 6)))
-        return pa.table(
-            {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
-            }
-        )
+_PAIRS_OUT_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+)
 
 
 def cosine_pairs(
-    ds: "ray.data.Dataset", threshold: float = 0.45
+    ds: "ray.data.Dataset",
+    threshold: float = 0.45,
+    rows_per_block: int = 8192,
+    n_rows: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """All embedding pairs with cosine >= threshold (near-dup by embedding)."""
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
-    order = np.argsort(ids)
-    mat_ref = ray.put({"ids": ids[order], "mat": mat[order]})
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _PairStage,
-        fn_constructor_args=(mat_ref, threshold),
-        batch_format="pyarrow",
-        concurrency=4,
+    """All embedding pairs with cosine >= threshold (near-dup by embedding).
+
+    EXACT distributed all-pairs via block-pair grouping (block nested-loop):
+    rows are hashed into B blocks of ~``rows_per_block``; each row is
+    replicated to the B pair-groups its block participates in; one
+    ``groupby`` co-locates every (block_i, block_j) pair exactly once and a
+    single matmul scores it. Nothing is materialized on the driver and no
+    full-corpus broadcast exists — per-group memory is 2*rows_per_block*dim
+    floats regardless of corpus size. Exact all-pairs is inherently O(N^2)
+    compute; shuffled volume is O(N * B) = O(N^2 / rows_per_block), the
+    standard exact-block-join tradeoff (raise ``rows_per_block`` to trade
+    group memory for replication). For approximate web-scale near-dup at
+    high thresholds, LSH/IVF blocking bounds candidates instead (see
+    :func:`knn_cosine_ivf`); this operator stays exact to its oracle.
+    """
+    if n_rows is None:
+        n_rows = ds.count()
+    nb = max(1, -(-int(n_rows) // rows_per_block))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        blk = ((ids.astype(np.uint64) * _GOLD) % np.uint64(nb)).astype(np.int64)
+        # row in block b joins pair-groups {(min(b,j), max(b,j)) : j}
+        reps = pa.array(np.repeat(np.arange(len(ids), dtype=np.int64), nb))
+        wide = batch.take(reps)
+        b_rep = np.repeat(blk, nb)
+        j_rep = np.tile(np.arange(nb, dtype=np.int64), len(ids))
+        lo = np.minimum(b_rep, j_rep)
+        hi = np.maximum(b_rep, j_rep)
+        gkey = lo * nb + hi
+        return wide.append_column(
+            "_blk", pa.array(b_rep)
+        ).append_column("_pgroup", pa.array(gkey))
+
+    def pair_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _PAIRS_OUT_SCHEMA.empty_table()
+        gkey = int(group.column("_pgroup")[0].as_py())
+        gi, gj = divmod(gkey, nb)
+        ids = group.column("vec_id").to_numpy()
+        blk = group.column("_blk").to_numpy()
+        mat = _normalize(_batch_matrix(group, "embedding"))
+        if gi == gj:
+            # diagonal block: upper triangle in ascending-id order
+            order = np.argsort(ids)
+            m, idv = mat[order], ids[order]
+            s = m @ m.T
+            ai, bi = np.nonzero(np.triu(s >= threshold, k=1))
+            a_id, b_id = idv[ai], idv[bi]
+            cosv = s[ai, bi]
+        else:
+            selA = np.flatnonzero(blk == gi)
+            selB = np.flatnonzero(blk == gj)
+            mA, idA = mat[selA], ids[selA]
+            mB, idB = mat[selB], ids[selB]
+            s = mA @ mB.T
+            ai, bi = np.nonzero(s >= threshold)
+            a_id, b_id = idA[ai], idB[bi]
+            cosv = s[ai, bi]
+            flip = a_id > b_id
+            a_id, b_id = np.where(flip, b_id, a_id), np.where(flip, a_id, b_id)
+        return pa.table(
+            {
+                "vec_a": pa.array(a_id.astype(np.int64)),
+                "vec_b": pa.array(b_id.astype(np.int64)),
+                "cosine": pa.array(round_half_away(cosv, 6)),
+            },
+            schema=_PAIRS_OUT_SCHEMA,
+        )
+
+    return (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_pgroup")
+        .map_groups(pair_group, batch_format="pyarrow")
     )
 
 
@@ -211,25 +252,128 @@ def cosine_pairs(
 # ---------------------------------------------------------------------------
 
 
-def knn_cosine_ivf(
-    ds: "ray.data.Dataset",
-    query_ids: Sequence[int],
-    k: int = 10,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-) -> "ray.data.Dataset":
-    """Approximate top-k: rows bucketed by nearest of ``num_centroids``
-    fixed-seed sampled centroids; queries probe the ``nprobe`` nearest
-    buckets only. One groupby shuffle builds the buckets; at 10^12 rows the
-    bucketed layout would be written once and reused across query batches."""
-    qids, qmat = load_queries(ds, query_ids)
-    qn = _normalize(qmat)
+def _sample_rows(ds: "ray.data.Dataset", count: int) -> np.ndarray:
+    """Deterministic pseudo-random sample of ``count`` embedding rows: each
+    batch keeps its local ``count`` smallest by a fixed multiplicative hash
+    of vec_id, then only those candidates (count * num_blocks rows — tiny)
+    are globally sorted and cut. No full-dataset sort or materialization."""
 
-    # deterministic centroid sample: first num_centroids rows by vec_id
-    cand = ds.select_columns(["vec_id", "embedding"]).sort("vec_id").limit(
-        num_centroids
-    ).take_all()
-    cents = _normalize(np.asarray([r["embedding"] for r in cand], dtype=np.float64))
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        if len(ids) == 0:
+            return batch.append_column("_h", pa.array([], pa.uint64()))
+        h = ids.astype(np.uint64) * _GOLD
+        kk = min(count, len(ids))
+        idx = np.argpartition(h, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+        return batch.take(pa.array(idx)).append_column(
+            "_h", pa.array(h[idx], pa.uint64())
+        )
+
+    rows = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(local_top, batch_format="pyarrow")
+        .sort("_h")
+        .limit(count)
+        .take_all()
+    )
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+class _KMeansPartialStage:
+    """One spherical-k-means assignment pass, emitting per-batch partial
+    (centroid, count, sum-vector) rows — K rows per batch, so the reduce
+    input is O(K * num_blocks), never corpus-sized."""
+
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref)  # normalized (K, dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kc, dim = self.cents.shape
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        if len(mat) == 0:
+            return pa.table(
+                {
+                    "centroid": pa.array([], pa.int32()),
+                    "count": pa.array([], pa.int64()),
+                    "vecsum": pa.array([], pa.binary()),
+                }
+            )
+        assign = (mat @ self.cents.T).argmax(axis=1)
+        counts = np.bincount(assign, minlength=kc).astype(np.int64)
+        sums = np.zeros((kc, mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, assign, mat)
+        return pa.table(
+            {
+                "centroid": pa.array(np.arange(kc, dtype=np.int32)),
+                "count": pa.array(counts),
+                "vecsum": pa.array([row.tobytes() for row in sums], pa.binary()),
+            }
+        )
+
+
+def ivf_centroids(
+    ds: "ray.data.Dataset",
+    num_centroids: int = 16,
+    kmeans_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF centroids: hash-sampled seeds + ``kmeans_iters``
+    Lloyd refinement passes (spherical k-means). Each pass is one streaming
+    ``map_batches`` whose partials are K small rows per batch; only the
+    (K, dim) centroid matrix ever reaches the driver."""
+    cents = _normalize(_sample_rows(ds, num_centroids))
+    for _ in range(max(0, kmeans_iters)):
+        cents_ref = ray.put(cents)
+        partials = (
+            ds.select_columns(["vec_id", "embedding"])
+            .map_batches(
+                _KMeansPartialStage,
+                fn_constructor_args=(cents_ref,),
+                batch_format="pyarrow",
+                concurrency=pool_concurrency(),
+            )
+            .take_all()
+        )  # K rows per block — tiny
+        kc, dim = cents.shape
+        counts = np.zeros(kc, dtype=np.int64)
+        sums = np.zeros((kc, dim), dtype=np.float64)
+        for r in partials:
+            c = int(r["centroid"])
+            counts[c] += int(r["count"])
+            sums[c] += np.frombuffer(r["vecsum"], dtype=np.float64)
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+    return cents
+
+
+IVF_META = "ivf_meta.json"
+
+
+def build_ivf_layout(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    num_centroids: int = 16,
+    kmeans_iters: int = 2,
+    fingerprint: str = "",
+) -> np.ndarray:
+    """Write the centroid-partitioned IVF layout ONCE: parquet partitioned
+    by assigned centroid (hive dirs ``centroid=N``) + the centroid matrix in
+    a small meta file. Query batches then read ONLY their probed partitions
+    — the write-once / probe-few layout the scale path requires. A matching
+    fingerprint short-circuits the build (resume discipline)."""
+    import json
+    import os
+
+    meta_path = os.path.join(out_dir, IVF_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fingerprint and meta.get(
+            "num_centroids"
+        ) == num_centroids:
+            return np.asarray(meta["centroids"], dtype=np.float64)
+
+    cents = ivf_centroids(ds, num_centroids, kmeans_iters)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -240,52 +384,179 @@ def knn_cosine_ivf(
             if len(batch)
             else np.empty(0, np.int32)
         )
-        return batch.append_column("_centroid", pa.array(bucket))
+        # partition col (consumed by the writer) + an in-data copy
+        return batch.append_column("centroid", pa.array(bucket)).append_column(
+            "_centroid", pa.array(bucket)
+        )
 
-    bucketed = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        assign, batch_format="pyarrow"
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["centroid"])
     )
-    # per-query probe set
-    probes = {
-        int(q): set(np.argsort(-(qn[i] @ cents.T))[:nprobe].tolist())
-        for i, q in enumerate(qids)
-    }
-    probes_ref = ray.put(probes)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "num_centroids": num_centroids,
+                "centroids": cents.tolist(),
+            },
+            f,
+        )
+    os.replace(tmp, meta_path)
+    return cents
+
+
+class _ProbeScoreStage:
+    """Scores ALL queries against each batch in ONE matmul; rows outside a
+    query's probe set are masked out before its per-batch top-k cut."""
+
+    def __init__(self, queries_ref, probe_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = q["mat"]
+        self.probe_mask = ray.get(probe_ref)  # (nq, K) bool
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(batch) == 0 or self.qmat.size == 0:
+            return empty
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        cent = batch.column("_centroid").to_numpy().astype(np.int64)
+        scores = self.qmat @ mat.T  # (nq, nbatch) — one matmul, all queries
+        allowed = self.probe_mask[:, cent]  # (nq, nbatch)
+        out_q: List[int] = []
+        out_v: List[np.ndarray] = []
+        out_s: List[np.ndarray] = []
+        for qi in range(scores.shape[0]):
+            sel = np.flatnonzero(allowed[qi])
+            if len(sel) == 0:
+                continue
+            row = scores[qi, sel]
+            if len(row) > self.k:
+                kth = np.partition(row, len(row) - self.k)[len(row) - self.k]
+                top = np.flatnonzero(row >= kth)
+            else:
+                top = np.arange(len(row))
+            out_q.extend([int(self.qids[qi])] * len(top))
+            out_v.append(ids[sel[top]])
+            out_s.append(row[top])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_cosine_ivf(
+    ds: "ray.data.Dataset",
+    query_ids: Sequence[int],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    layout_dir: Optional[str] = None,
+    layout_fingerprint: str = "",
+) -> "ray.data.Dataset":
+    """Approximate top-k via IVF: hash-sampled + Lloyd-refined centroids,
+    rows bucketed to their nearest centroid, queries probing only their
+    ``nprobe`` nearest buckets.
+
+    With ``layout_dir`` the centroid-partitioned layout is written once
+    (see :func:`build_ivf_layout`) and this call READS ONLY the probed
+    partitions — IO proportional to nprobe/num_centroids of the corpus.
+    Without it, assignment happens in-plan and non-probed rows are dropped
+    before any scoring arithmetic (full scan, reduced compute) — the
+    testing / ad-hoc path. Recall measured against :func:`knn_cosine`."""
+    qids, qmat = load_queries(ds, query_ids)
+    qn = _normalize(qmat)
+
+    if layout_dir is not None:
+        cents = build_ivf_layout(
+            ds, layout_dir, num_centroids, kmeans_iters, layout_fingerprint
+        )
+    else:
+        cents = ivf_centroids(ds, num_centroids, kmeans_iters)
+
+    qc = qn @ cents.T  # (nq, K)
+    nprobe = min(nprobe, cents.shape[0])
+    probe_mask = np.zeros((len(qids), cents.shape[0]), dtype=bool)
+    for i in range(len(qids)):
+        probe_mask[i, np.argsort(-qc[i])[:nprobe]] = True
+    probed_union = np.flatnonzero(probe_mask.any(axis=0))
+
     queries_ref = ray.put({"qids": qids, "mat": qn})
+    probe_ref = ray.put(probe_mask)
 
-    class ProbeStage(_TopKScoreStage):
-        def __init__(self):
-            super().__init__(queries_ref, k + 1)
-            self.probes = ray.get(probes_ref)
+    if layout_dir is not None:
+        import glob
+        import os
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cent = batch.column("_centroid").to_numpy()
-            outs = []
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(cent, np.asarray(sorted(self.probes[int(qid)])))
-                sub = batch.filter(pa.array(mask))
-                one = _TopKScoreStage.__call__(
-                    _SingleQueryView(self, qi), sub
-                )
-                outs.append(one)
-            return pa.concat_tables(outs) if outs else _TopKScoreStage.__call__(self, batch.slice(0, 0))
+        files = [
+            f
+            for c in probed_union
+            for f in sorted(
+                glob.glob(os.path.join(layout_dir, f"centroid={c}", "*.parquet"))
+            )
+        ]
+        source = ray.data.read_parquet(files) if files else None
+    else:
+        cents_ref = ray.put(cents)
+        union_ref = ray.put(probed_union)
+
+        def assign_filter(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            keep_set = ray.get(union_ref)
+            mat = _normalize(_batch_matrix(batch, "embedding"))
+            if len(batch) == 0:
+                return batch.append_column("_centroid", pa.array([], pa.int32()))
+            bucket = (mat @ c.T).argmax(axis=1).astype(np.int32)
+            out = batch.append_column("_centroid", pa.array(bucket))
+            return out.filter(pa.array(np.isin(bucket, keep_set)))
+
+        source = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            assign_filter, batch_format="pyarrow"
+        )
 
     def topk_no_self(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
         mask = pc.not_equal(group.column("vec_id"), qid)
         return _final_topk(group.filter(mask), k)
 
+    if source is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     return (
-        bucketed.map_batches(ProbeStage, batch_format="pyarrow", concurrency=4)
+        source.map_batches(
+            _ProbeScoreStage,
+            fn_constructor_args=(queries_ref, probe_ref, k + 1),
+            batch_format="pyarrow",
+            concurrency=pool_concurrency(),
+        )
         .groupby("query_id")
         .map_groups(topk_no_self, batch_format="pyarrow")
     )
-
-
-class _SingleQueryView:
-    """View of a _TopKScoreStage restricted to one query row."""
-
-    def __init__(self, stage: _TopKScoreStage, qi: int):
-        self.qids = stage.qids[qi : qi + 1]
-        self.qmat = stage.qmat[qi : qi + 1]
-        self.k = stage.k
