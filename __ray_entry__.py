@@ -124,6 +124,23 @@ HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
     1: "customer value",
 }
 
+# Update/delete pipeline (IndexWriter.updateDocument + liveDocs analogue):
+# every doc with doc_id % UPDATE_MOD == 0 is re-ingested with a new doc id
+# (+UPDATE_ID_OFFSET) and amended text; the old version is tombstoned.
+# Queries run against the updated incremental root — results must exclude
+# tombstoned docs while collection stats still include them (pre-merge
+# reference semantics; see lucene_ray/state/deletes.py).
+UPDATE_MOD = 20
+UPDATE_ID_OFFSET = 10_000_000
+UPDATE_SUFFIX = " refreshed update pending"
+UPDATE_QUERY_SETS: Dict[int, str] = {
+    0: "refreshed",            # only updated docs match
+    1: "update pending",       # boolean OR over update-only terms
+    2: "dup",                  # old corpus term: tombstoned docs must drop out
+    3: "+data -stream",        # MUST/MUST_NOT over the updated corpus
+    4: "batch small scan ~2",  # minimum_should_match
+}
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -195,13 +212,16 @@ def _multi_result(sf_dir: str, set_name: str):
     return _run_query_strings(sf_dir, MULTI_QUERY_SETS[set_name])
 
 
-def _run_query_strings(sf_dir: str, id_to_query: Dict[int, str]):
+def _run_query_strings(
+    sf_dir: str, id_to_query: Dict[int, str], index_dir: str = None
+):
     import pyarrow as pa
 
     from lucene_ray.functions.rounding import round_half_away
     from lucene_ray.pipelines.search import QueryExecStage
 
-    index_dir = _ensure_index(sf_dir)
+    if index_dir is None:
+        index_dir = _ensure_index(sf_dir)
     stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax")
     batch = pa.table(
         {
@@ -372,6 +392,79 @@ def _highlight_top(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _ensure_update_root(sf_dir: str) -> str:
+    """Incremental root with the update scenario applied: base corpus as
+    shard 0, the modified docs as shard 1, old versions tombstoned."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.incremental import add_batch, update_batch
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/lucene_ray_upd/{tag}"
+    n = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint = f"docs={n};mod={UPDATE_MOD};off={UPDATE_ID_OFFSET};v=1"
+    marker = os.path.join(root, "update_marker.json")
+    try:
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fingerprint:
+                return root
+    except Exception:
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8
+    )
+    base = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    add_batch(root, base, cfg, doc_count=n)
+
+    def modified(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % UPDATE_MOD == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), UPDATE_ID_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    sub.column("text").cast(pa.string()),
+                    pa.array([UPDATE_SUFFIX] * len(sub), pa.string()),
+                    "",
+                ),
+            }
+        )
+
+    upd = base.map_batches(modified, batch_format="pyarrow")
+    old_ids = pq.read_table(_docs_path(sf_dir), columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    old_ids = old_ids[old_ids % UPDATE_MOD == 0]
+    update_batch(root, upd, old_ids, cfg)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fingerprint}, f)
+    os.replace(tmp, marker)
+    return root
+
+
+def _bm25_update_latest(sf_dir: str):
+    """BM25 top-k over the updated corpus: tombstoned originals excluded
+    from results, stats pre-merge (include dead docs) — the engine and the
+    DuckDB oracle implement the identical semantics."""
+    return _run_query_strings(
+        sf_dir, UPDATE_QUERY_SETS, index_dir=_ensure_update_root(sf_dir)
+    )
+
+
 def _doc_map(sf_dir: str):
     """Per-doc analyzed length + norm (doc_map / norms sidecar). Served from
     the index build's own analyzer-pass side output (one analysis pass, not
@@ -504,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_boost"] = lambda sf: _run_query_strings(sf, BOOST_QUERY_SETS)
     q["bm25_count"] = lambda sf: _bm25_count(sf)
     q["constant_score"] = lambda sf: _constant_score(sf)
+    q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -766,10 +860,15 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPS) + ")"
 
 # Shared token/stat CTEs — the literal SQL image of the en_nostem_simple
 # analyzer + BM25Float64 statistics (lucene_ray/functions/{analysis,bm25}.py).
-_BASE_CTES = f"""
+# Parametrized by the docs relation so update/delete oracles can run the
+# same arithmetic over a modified corpus.
+
+
+def _base_ctes(docs_rel: str = "documents") -> str:
+    return f"""
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
+  FROM {docs_rel}
 ),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
@@ -777,11 +876,14 @@ tf AS (
 ),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+  SELECT (SELECT COUNT(*) FROM {docs_rel}) AS n_docs,
          (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_tf
 ),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
 """.strip()
+
+
+_BASE_CTES = _base_ctes()
 
 # Per-(doc, term) float64 BM25 score in the engine's exact op order:
 #   idf * (tf / (tf + k1*((1-b) + b*dl/avgdl)))
@@ -836,6 +938,59 @@ def _bm25_sql(set_name: str) -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _parsed_bm25_select(qid: int, q, extra_where: str = "") -> str:
+    """One UNION-ALL arm over the ``sc`` CTE for a parsed plain-term
+    BooleanQuery (the literal SQL image of _bm25_sql's per-spec arm)."""
+    must = sorted(set(q.must))
+    should = sorted(set(q.should) - set(must))
+    must_not = sorted(set(q.must_not))
+    scoring = sorted(set(must) | set(should))
+    all_terms = sorted(set(scoring) | set(must_not))
+    msm = q.minimum_should_match
+    msm_req = msm if must else max(1, msm)
+    return f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN term IN {_in_list(scoring)} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must_not)} THEN term END) AS n_not
+    FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0{extra_where}
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+
+
+def _update_sql() -> str:
+    """Oracle for bm25_update_latest: the SAME BM25 arithmetic over the
+    post-update corpus (base ∪ re-ingested docs), with tombstoned doc IDs
+    excluded from RESULTS only — stats keep them, mirroring the engine's
+    (and the reference's) pre-merge liveDocs semantics."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    docs_all = f"""docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {UPDATE_ID_OFFSET} AS doc_id,
+         text || '{UPDATE_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {UPDATE_MOD} = 0
+)"""
+    extra = (
+        f" AND doc_id NOT IN (SELECT doc_id FROM documents "
+        f"WHERE doc_id % {UPDATE_MOD} = 0)"
+    )
+    selects = [
+        _parsed_bm25_select(qid, parse_query(qs, an), extra)
+        for qid, qs in sorted(UPDATE_QUERY_SETS.items())
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {docs_all},\n{_base_ctes('docs_all')},\n{_SC_CTE}\n{body}"
 
 
 def _clause_pred(kind: str, pattern: str, arg: int) -> str:
@@ -1066,6 +1221,7 @@ FROM tf GROUP BY term"""
     sql["bm25_boost"] = _boost_sql()
     sql["bm25_count"] = _count_sql()
     sql["constant_score"] = _constant_score_sql()
+    sql["bm25_update_latest"] = _update_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

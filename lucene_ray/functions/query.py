@@ -227,10 +227,14 @@ class TermCursor:
     """Flattens a term's bucket blobs into one global block sequence with
     per-block (first_doc, last_doc, max_score) arrays — our MaxScoreCache."""
 
-    def __init__(self, term: str, postings_list, scorer, full_cache=None):
+    def __init__(self, term: str, postings_list, scorer, full_cache=None,
+                 deleted=None):
         self.term = term
         self.scorer = scorer
         self._parts = postings_list
+        # liveDocs tombstones (sorted doc-id array): filtered out of every
+        # decoded slice; block_max/impact bounds stay valid upper bounds
+        self.deleted = deleted if deleted is not None and len(deleted) else None
         # reader-level cross-query cache of the full scored list (keyed by
         # (term, scorer params)); None -> per-part caches only
         self._full_cache = full_cache
@@ -303,6 +307,22 @@ class TermCursor:
     def n_blocks(self) -> int:
         return len(self._part_id)
 
+    def _live(self, docs: np.ndarray, scores: np.ndarray):
+        """Drop tombstoned docs from a decoded+scored slice (liveDocs)."""
+        dead = self.deleted
+        if dead is None or len(docs) == 0:
+            return docs, scores
+        lo = int(np.searchsorted(dead, docs[0]))
+        hi = int(np.searchsorted(dead, docs[-1], side="right"))
+        dn = dead[lo:hi]
+        if len(dn) == 0:
+            return docs, scores
+        pos = np.minimum(np.searchsorted(dn, docs), len(dn) - 1)
+        keep = dn[pos] != docs
+        if keep.all():
+            return docs, scores
+        return docs[keep], scores[keep]
+
     def scored_block(self, b: int) -> Tuple[np.ndarray, np.ndarray]:
         """-> (doc_ids, scores) of block b, decoded+scored once, cached."""
         hit = self._cache.get(b)
@@ -311,6 +331,7 @@ class TermCursor:
         pi, lb = int(self._part_id[b]), int(self._local_b[b])
         docs, tfs, keys = self._parts[pi].decode_block(lb)
         scores = self.scorer.score_array(tfs, keys)
+        docs, scores = self._live(docs, scores)
         self._cache[b] = (docs, scores)
         return docs, scores
 
@@ -340,6 +361,7 @@ class TermCursor:
         else:
             docs = np.concatenate(docs_parts)
             scores = np.concatenate(score_parts)
+        docs, scores = self._live(docs, scores)
         self._full_min = float(scores.min()) if len(scores) else 0.0
         if self._full_cache is not None:
             self._full_cache[key] = (docs, scores, self._full_min)
@@ -485,6 +507,7 @@ def _prepare(reader, query: BooleanQuery):
     # .setSimilarity(new BM25Similarity(k1, b)) — per-searcher, not
     # per-index); set via the search APIs' k1/b kwargs
     k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    deleted = getattr(reader, "deleted", None)
     for term, m in roles:
         df, _ = reader.term_stats(term)
         if df == 0:
@@ -496,7 +519,8 @@ def _prepare(reader, query: BooleanQuery):
             k1=k1, b=b, boost=boost_map.get(term, 1.0),
         )
         cursors.append(
-            TermCursor(term, reader.postings(term), scorer, full_cache)
+            TermCursor(term, reader.postings(term), scorer, full_cache,
+                       deleted=deleted)
         )
         is_must.append(m)
     not_cursors = [
@@ -686,6 +710,7 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
     if k <= 0:
         return empty
     full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
+    deleted = getattr(reader, "deleted", None)
     cursors = []
     for t in sorted(set(query.terms)):
         df, _ = reader.term_stats(t)
@@ -694,7 +719,10 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
         scorer = make_scorer(
             reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
         )
-        cursors.append(TermCursor(t, reader.postings(t), scorer, full_cache))
+        cursors.append(
+            TermCursor(t, reader.postings(t), scorer, full_cache,
+                       deleted=deleted)
+        )
     if not cursors:
         return empty
     per_term = [c.decode_all() for c in cursors]

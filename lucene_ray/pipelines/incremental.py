@@ -97,8 +97,29 @@ def add_batch(
 
 
 def open_index(root: str) -> ShardedReader:
-    """Reader over every published shard (global stats summed)."""
+    """Reader over every published shard (global stats summed), honoring
+    root-level liveDocs tombstones."""
+    from ..state.deletes import read_deletes
+
     shards = list_shards(root)
     if not shards:
         raise FileNotFoundError(f"no shards published under {root}")
-    return ShardedReader([s["dir"] for s in shards])
+    return ShardedReader([s["dir"] for s in shards], deleted=read_deletes(root))
+
+
+def update_batch(
+    root: str,
+    ds: "ray.data.Dataset",
+    old_doc_ids,
+    cfg: Optional[IndexConfig] = None,
+    doc_count: Optional[int] = None,
+) -> dict:
+    """updateDocument analogue (reference: IndexWriter.java:1845): tombstone
+    the superseded doc IDs, then append the replacement docs as a fresh
+    shard (fresh doc-id range). Readers opened after the publish see only
+    the newest versions; stats include the dead docs until compaction."""
+    from ..state.deletes import delete_docs
+
+    manifest = add_batch(root, ds, cfg, doc_count=doc_count)
+    delete_docs(root, old_doc_ids)
+    return manifest

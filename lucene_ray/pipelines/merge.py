@@ -37,7 +37,8 @@ from ..state.segment import (
 
 @ray.remote
 def _merge_gpart(
-    shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int
+    shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int,
+    deleted=None,
 ) -> dict:
     import time
 
@@ -86,6 +87,14 @@ def _merge_gpart(
         keys = np.concatenate(key_parts)
         order = np.argsort(docs, kind="stable")
         docs, tfs, keys = docs[order], tfs[order], keys[order]
+        if deleted is not None and len(deleted) and len(docs):
+            # physically drop tombstoned postings (the reference's merge
+            # consults liveDocs the same way, index/SegmentMerger.java)
+            pos = np.minimum(np.searchsorted(deleted, docs), len(deleted) - 1)
+            keep = deleted[pos] != docs
+            docs, tfs, keys = docs[keep], tfs[keep], keys[keep]
+        if len(docs) == 0:
+            continue
         off, length = encode_term_postings(blob, docs, tfs, keys)
         rows["term"].append(term)
         rows["bucket"].append(0)
@@ -120,8 +129,8 @@ def _merge_gpart(
     os.replace(tmp, base + ".terms.parquet")
     return {
         "gpart": gpart,
-        "num_terms": len(terms),
-        "num_term_buckets": len(terms),
+        "num_terms": len(rows["term"]),
+        "num_term_buckets": len(rows["term"]),
         "num_postings": num_postings,
         "sum_tf": sum_tf,
         "blob_bytes": len(blob),
@@ -130,9 +139,51 @@ def _merge_gpart(
     }
 
 
-def compact_shards(shard_dirs: Sequence[str], out_dir: str) -> dict:
+def _live_doc_count(shard_dirs: Sequence[str], total: int, deleted) -> int:
+    """Live doc count after dropping tombstones: counted from the shards'
+    doc_map sidecars (streaming Ray pipeline, partial counts per batch)
+    when available; falls back to assuming every tombstoned id existed."""
+    import glob
+
+    if deleted is None or len(deleted) == 0:
+        return total
+    files = [
+        f
+        for d in shard_dirs
+        for f in sorted(glob.glob(os.path.join(d, "docmap", "*.parquet")))
+    ]
+    if not files:
+        return total - int(len(deleted))
+    import pyarrow as pa
+
+    import ray.data
+
+    dead_ref = ray.put(np.asarray(deleted, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dead = ray.get(dead_ref)
+        ids = batch.column("doc_id").to_numpy()
+        n = int(len(ids) - np.isin(ids, dead).sum())
+        return pa.table({"live": pa.array([n], pa.int64())})
+
+    parts = (
+        ray.data.read_parquet(files, columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    return int(sum(r["live"] for r in parts))
+
+
+def compact_shards(
+    shard_dirs: Sequence[str], out_dir: str, deleted=None
+) -> dict:
     """Merge ``shard_dirs`` (disjoint ascending doc ranges, same config,
-    no heavy splits) into one index at ``out_dir``; returns its manifest."""
+    no heavy splits) into one index at ``out_dir``; returns its manifest.
+
+    ``deleted`` (sorted doc-id array) physically drops tombstoned postings
+    and removes them from the output's collection statistics — compaction
+    is the point where liveDocs semantics becomes stats-visible, exactly
+    like the reference's merge."""
     manifests = [IndexReader(d).manifest for d in shard_dirs]
     first = manifests[0]
     for m in manifests[1:]:
@@ -141,14 +192,23 @@ def compact_shards(shard_dirs: Sequence[str], out_dir: str) -> dict:
                 raise ValueError(f"shards disagree on {key}")
     num_partitions = first["num_partitions"]
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
+    dead = (
+        np.unique(np.asarray(list(deleted), dtype=np.int64))
+        if deleted is not None
+        else None
+    )
     metas = ray.get(
         [
-            _merge_gpart.remote(list(shard_dirs), out_dir, g, num_partitions)
+            _merge_gpart.remote(
+                list(shard_dirs), out_dir, g, num_partitions, dead
+            )
             for g in range(num_partitions)
         ]
     )
     metas.sort(key=lambda s: s["gpart"])
-    doc_count = sum(m["doc_count"] for m in manifests)
+    doc_count = _live_doc_count(
+        shard_dirs, sum(m["doc_count"] for m in manifests), dead
+    )
     manifest = {
         "version": 1,
         "analyzer": first["analyzer"],
@@ -168,3 +228,17 @@ def compact_shards(shard_dirs: Sequence[str], out_dir: str) -> dict:
     }
     write_manifest(out_dir, manifest)
     return manifest
+
+
+def compact_root(root: str, out_dir: str) -> dict:
+    """Compact an incremental root (shards.json + root tombstones) into one
+    tombstone-free index at ``out_dir``."""
+    from ..state.deletes import read_deletes
+    from .incremental import list_shards
+
+    shards = list_shards(root)
+    if not shards:
+        raise FileNotFoundError(f"no shards published under {root}")
+    return compact_shards(
+        [s["dir"] for s in shards], out_dir, deleted=read_deletes(root)
+    )

@@ -33,8 +33,15 @@ _READER_CACHE: Dict[str, object] = {}
 
 
 def get_reader(index_dir: str):
-    """Reader for a single-index dir OR an incremental root (shards.json)."""
-    r = _READER_CACHE.get(index_dir)
+    """Reader for a single-index dir OR an incremental root (shards.json).
+
+    Cached per (dir, tombstone fingerprint): publishing new deletes yields
+    a fresh reader on the next call (the reference's reopen-after-commit),
+    so warm caches never serve stale liveDocs."""
+    from ..state.deletes import deletes_fingerprint
+
+    key = (index_dir, deletes_fingerprint(index_dir))
+    r = _READER_CACHE.get(key)
     if r is None:
         if os.path.exists(os.path.join(index_dir, "shards.json")):
             from .incremental import open_index
@@ -42,7 +49,7 @@ def get_reader(index_dir: str):
             r = open_index(index_dir)
         else:
             r = IndexReader(index_dir)
-        _READER_CACHE[index_dir] = r
+        _READER_CACHE[key] = r
     return r
 
 

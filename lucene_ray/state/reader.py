@@ -26,8 +26,14 @@ from .segment import SEGMENT_DIR, SegmentReader, TermPostings, read_manifest
 
 class IndexReader:
     def __init__(self, index_dir: str):
+        from .deletes import read_deletes
+
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
+        # liveDocs tombstones: filtered out of every decoded posting slice;
+        # stats keep deleted docs until compaction (reference pre-merge
+        # semantics, index/SegmentReader.java liveDocs)
+        self.deleted = read_deletes(index_dir)
         self.doc_count: int = self.manifest["doc_count"]
         self.sum_total_tf: int = self.manifest["sum_total_tf"]
         self.norm_kind: str = self.manifest["norm_kind"]

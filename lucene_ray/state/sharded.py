@@ -31,10 +31,19 @@ from .reader import IndexReader
 
 
 class ShardedReader:
-    def __init__(self, index_dirs: Sequence[str]):
+    def __init__(self, index_dirs: Sequence[str], deleted=None):
+        import numpy as np
+
         if not index_dirs:
             raise ValueError("at least one index dir required")
         self.shards: List[IndexReader] = [IndexReader(d) for d in index_dirs]
+        # liveDocs: root-level tombstones (doc IDs are global, so they apply
+        # across shards) unioned with any per-shard tombstones
+        parts = [d for d in [deleted] + [sh.deleted for sh in self.shards]
+                 if d is not None and len(d)]
+        self.deleted = (
+            np.unique(np.concatenate(parts)).astype(np.int64) if parts else None
+        )
         first = self.shards[0]
         for sh in self.shards[1:]:
             if sh.norm_kind != first.norm_kind:
