@@ -141,6 +141,34 @@ UPDATE_QUERY_SETS: Dict[int, str] = {
     4: "batch small scan ~2",  # minimum_should_match
 }
 
+# Range-filter queries (PointRangeQuery / IntPoint analogue) over the
+# warc_ts doc-values column: warc_ts = 2025-01-01 + doc_id seconds
+# (sources/web_pages.py), stored as epoch microseconds.
+EPOCH_2025_US = 1_735_689_600_000_000
+
+
+def _ts(sec: int) -> int:
+    return EPOCH_2025_US + sec * 1_000_000
+
+
+RANGE_QUERY_SETS: Dict[int, str] = {
+    0: f"dup warc_ts:[{_ts(100)} TO {_ts(299)}]",       # term + mid range
+    1: f"data stream warc_ts:[{_ts(0)} TO {_ts(49)}]",  # OR + narrow range
+    2: f"warc_ts:[{_ts(480)} TO {_ts(999)}]",           # pure filter, score 0
+    3: f"+batch -small warc_ts:[{_ts(0)} TO {_ts(10**6)}]",  # full range
+    4: f"customer warc_ts:[{_ts(600_000)} TO {_ts(700_000)}]",  # empty range
+}
+
+# Sort-by-field + searchAfter paging (TopFieldCollector / Sort analogue):
+# matching docs by (warc_ts DESC, doc_id ASC); two pages of 10 via the
+# (value, doc_id) searchAfter anchor.
+SORT_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "c* dup",
+    2: "zzzmissing",
+}
+SORT_PAGE = 10
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -189,14 +217,32 @@ def _ensure_index(
         mf = read_manifest(out)
         # version guards against stale /tmp indexes from older code rounds
         if mf.get("fingerprint") == fingerprint and mf.get("version") == 1:
+            _ensure_doc_values(sf_dir, out)
             _INDEX_CACHE[key] = out
             return out
     except Exception:
         pass
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     build_index(ds, out, cfg, doc_count=doc_count)
+    _ensure_doc_values(sf_dir, out)
     _INDEX_CACHE[key] = out
     return out
+
+
+def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
+    """warc_ts doc-values sidecar (epoch us) for range/sort queries."""
+    from lucene_ray.sources.web_pages import load_web_pages
+    from lucene_ray.state.docvalues import has_doc_values, write_doc_values
+
+    if has_doc_values(index_dir, "warc_ts"):
+        return
+    write_doc_values(
+        load_web_pages(sf_dir, include_html=False).select_columns(
+            ["doc_id", "warc_ts"]
+        ),
+        index_dir,
+        "warc_ts",
+    )
 
 
 def _bm25_result(sf_dir: str, set_name: str):
@@ -465,6 +511,51 @@ def _bm25_update_latest(sf_dir: str):
     )
 
 
+def _bm25_range_filter(sf_dir: str):
+    """BM25 top-k with a warc_ts range FILTER clause (PointRangeQuery as a
+    non-scoring BooleanClause); set 2 is a pure-filter query scoring 0."""
+    return _run_query_strings(sf_dir, RANGE_QUERY_SETS)
+
+
+def _sort_by_ts(sf_dir: str):
+    """Matching docs sorted by (warc_ts desc, doc_id asc), two pages of
+    SORT_PAGE via the searchAfter (value, doc) anchor — TopFieldCollector +
+    paging. -> (query_id, rank, doc_id, ts_us)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_sort_by_field
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, ts_out = [], [], [], []
+    for qid in sorted(SORT_QUERY_SETS):
+        q = parse_query(SORT_QUERY_SETS[qid], an)
+        docs, vals = score_sort_by_field(reader, q, "warc_ts", k=SORT_PAGE)
+        if len(docs) == SORT_PAGE:
+            d2, v2 = score_sort_by_field(
+                reader, q, "warc_ts", k=SORT_PAGE,
+                after=(int(vals[-1]), int(docs[-1])),
+            )
+            docs = np.concatenate([docs, d2])
+            vals = np.concatenate([vals, v2])
+        qids.extend([qid] * len(docs))
+        ranks.extend(range(1, len(docs) + 1))
+        docs_out.extend(docs.tolist())
+        ts_out.extend(vals.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "ts_us": pa.array(ts_out, pa.int64()),
+        }
+    )
+
+
 def _doc_map(sf_dir: str):
     """Per-doc analyzed length + norm (doc_map / norms sidecar). Served from
     the index build's own analyzer-pass side output (one analysis pass, not
@@ -598,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_count"] = lambda sf: _bm25_count(sf)
     q["constant_score"] = lambda sf: _constant_score(sf)
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
+    q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
+    q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -993,6 +1086,63 @@ def _update_sql() -> str:
     return f"WITH {docs_all},\n{_base_ctes('docs_all')},\n{_SC_CTE}\n{body}"
 
 
+_TSV_CTE = (
+    f"tsv AS (SELECT doc_id, {EPOCH_2025_US} + doc_id * 1000000 AS ts "
+    "FROM documents)"
+)
+
+
+def _range_sql() -> str:
+    """Oracle for bm25_range_filter: the same BM25 arithmetic with each
+    query's parsed ts range as a doc-id filter (warc_ts is derived
+    deterministically from doc_id, so the oracle derives it too)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(RANGE_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert len(q.filters) == 1 and q.filters[0][0] == "warc_ts"
+        _, lo, hi = q.filters[0]
+        in_range = (
+            f"doc_id IN (SELECT doc_id FROM tsv WHERE ts BETWEEN {lo} AND {hi})"
+        )
+        if not (q.must or q.should or q.multi):
+            selects.append(
+                f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank,
+       doc_id, 0.0 AS score
+  FROM tsv WHERE ts BETWEEN {lo} AND {hi}
+  ORDER BY doc_id ASC LIMIT {TOPK})"""
+            )
+        else:
+            selects.append(_parsed_bm25_select(qid, q, f" AND {in_range}"))
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _sort_sql() -> str:
+    """Oracle for sort_by_ts: matching docs by (ts desc, doc asc), first
+    2*SORT_PAGE rows (the engine produces them as two searchAfter pages)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(SORT_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY ts DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, CAST(ts AS BIGINT) AS ts_us
+  FROM tsv WHERE doc_id IN ({match})
+  QUALIFY rank <= {2 * SORT_PAGE})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
 def _clause_pred(kind: str, pattern: str, arg: int) -> str:
     """SQL image of one multi-term clause over the sc term column. Terms
     are [a-z0-9]+ so LIKE needs no escaping; fuzzy = plain Levenshtein,
@@ -1222,6 +1372,8 @@ FROM tf GROUP BY term"""
     sql["bm25_count"] = _count_sql()
     sql["constant_score"] = _constant_score_sql()
     sql["bm25_update_latest"] = _update_sql()
+    sql["bm25_range_filter"] = _range_sql()
+    sql["sort_by_ts"] = _sort_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

@@ -171,4 +171,5 @@ def resolve_multi(query, expander, cache: dict = None):
         must_not=tuple(must_not),
         minimum_should_match=query.minimum_should_match,
         boosts=getattr(query, "boosts", ()),
+        filters=getattr(query, "filters", ()),
     )

@@ -113,6 +113,12 @@ class BooleanQuery:
     # BM25Similarity boost param, search/BoostQuery.java,
     # BM25Similarity.java:221 w = boost * idf)
     boosts: Tuple[Tuple[str, float], ...] = ()
+    # numeric range FILTER clauses: (field, lo, hi) over an int64
+    # doc-values column, candidates-intersecting and non-scoring
+    # (reference: PointRangeQuery as a BooleanClause.Occur.FILTER,
+    # search/PointRangeQuery.java, document/IntPoint.java; parsed from
+    # the classic `field:[lo TO hi]` syntax)
+    filters: Tuple[Tuple[str, int, int], ...] = ()
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
@@ -139,6 +145,16 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     must_not: List[str] = []
     multi: List[Tuple[str, str, int, str]] = []
     boosts: List[Tuple[str, float]] = []
+    filters: List[Tuple[str, int, int]] = []
+
+    def _grab_range(m) -> str:
+        filters.append((m.group(1), int(m.group(2)), int(m.group(3))))
+        return " "
+
+    # `field:[lo TO hi]` inclusive numeric range filter (classic parser's
+    # range syntax; values are the field's int64 doc-values encoding, e.g.
+    # epoch microseconds for timestamps)
+    text = _re.sub(r"(\w+):\[(-?\d+)\s+TO\s+(-?\d+)\]", _grab_range, text)
     mode_all = False
     msm = 0
     tokens = text.split()
@@ -215,6 +231,7 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     return BooleanQuery(
         must=tuple(must), should=tuple(should), must_not=tuple(must_not),
         minimum_should_match=msm, multi=tuple(multi), boosts=tuple(boosts),
+        filters=tuple(filters),
     )
 
 
@@ -615,7 +632,31 @@ def _exhaustive_candidates(reader, query, _prep=None):
     if prep is None:
         return None
     cursors, is_must, not_cursors, dtype = prep
+    filters = getattr(query, "filters", ())
     if len(cursors) == 0:
+        # pure-filter query (only range FILTER clauses): matches every doc
+        # passing the filters, scoring 0 — reference FILTER-occur semantics
+        if filters and not (
+            getattr(query, "must", ())
+            or getattr(query, "should", ())
+            or getattr(query, "multi", ())
+        ):
+            fdocs = reader.filter_docs(filters)
+            if fdocs is None:
+                return None
+            deleted = getattr(reader, "deleted", None)
+            if deleted is not None and len(deleted) and len(fdocs):
+                pos = np.minimum(
+                    np.searchsorted(deleted, fdocs), len(deleted) - 1
+                )
+                fdocs = fdocs[deleted[pos] != fdocs]
+            not_docs = _NotCursorView.all_docs(not_cursors)
+            if not_docs is not None and len(not_docs) and len(fdocs):
+                pos = np.minimum(
+                    np.searchsorted(not_docs, fdocs), len(not_docs) - 1
+                )
+                fdocs = fdocs[not_docs[pos] != fdocs]
+            return fdocs, np.zeros(len(fdocs), dtype=dtype), dtype
         return None
     per_term = [c.decode_all() for c in cursors]
     not_docs = _NotCursorView.all_docs(not_cursors)
@@ -645,6 +686,14 @@ def _exhaustive_candidates(reader, query, _prep=None):
         cand, acc = _combine(
             per_term, is_must, n_must, msm, not_docs, dtype
         )
+    if filters and len(cand):
+        # FILTER-occur intersection: range docs are sorted unique
+        fdocs = reader.filter_docs(filters)
+        if fdocs is None or len(fdocs) == 0:
+            return cand[:0], acc[:0], dtype
+        pos = np.minimum(np.searchsorted(fdocs, cand), len(fdocs) - 1)
+        keep = fdocs[pos] == cand
+        cand, acc = cand[keep], acc[keep]
     return cand, acc, dtype
 
 
@@ -676,6 +725,8 @@ def _single_term_shortcut(prep, query, k: int):
     cursors, is_must, not_cursors, _ = prep
     if len(cursors) != 1 or not_cursors or not (0 < k <= CHAMPION_K):
         return None
+    if getattr(query, "filters", ()):
+        return None  # champion lists are unfiltered prefixes
     msm = getattr(query, "minimum_should_match", 0)
     n_must = int(is_must.sum())
     if (n_must == 0 and msm <= 1) or (n_must == 1 and msm == 0):
@@ -814,10 +865,40 @@ def score_constant(reader, query, k: int = 10, boost: float = 1.0):
     return docs, np.full(len(docs), boost, dtype=np.float32)
 
 
+def score_sort_by_field(
+    reader, query, field: str, k: int = 10, descending: bool = True,
+    after: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort-by-field top-k: matching docs ordered by (doc-values field
+    desc|asc, doc asc) — the TopFieldCollector / Sort analogue (reference:
+    search/TopFieldCollector.java, search/Sort.java, SortField.java).
+    ``after = (value, doc_id)`` pages strictly past the anchor in the same
+    total order (searchAfter on a field sort). Returns (docs, values)."""
+    docs = matching_docs(reader, query)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if len(docs) == 0 or k <= 0:
+        return empty
+    vals = np.asarray(reader.doc_values_for(field, docs), dtype=np.int64)
+    if after is not None:
+        a_v, a_d = int(after[0]), int(after[1])
+        if descending:
+            mask = (vals < a_v) | ((vals == a_v) & (docs > a_d))
+        else:
+            mask = (vals > a_v) | ((vals == a_v) & (docs > a_d))
+        docs, vals = docs[mask], vals[mask]
+    order = np.lexsort((docs, -vals if descending else vals))[:k]
+    return np.asarray(docs[order], dtype=np.int64), vals[order]
+
+
 def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    if getattr(query, "filters", ()):
+        # range FILTER clauses cut the candidate set doc-wise; interval
+        # bounds don't model them, so the exhaustive executor (which
+        # intersects exactly) is the correct engine here
+        return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)

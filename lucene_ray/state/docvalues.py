@@ -1,0 +1,119 @@
+"""Numeric doc-values sidecar: per-doc column for range filters + sorting.
+
+Reference analogues: numeric points / PointRangeQuery
+(core/src/java/org/apache/lucene/document/IntPoint.java,
+search/PointRangeQuery.java — the BKD tree is a 1-D sorted structure for a
+single dimension) and numeric doc values / sort-by-field
+(index/DocValuesType.java, search/SortField.java,
+search/TopFieldCollector.java).
+
+Layout: ``<index>/docvalues/<field>/*.parquet`` with (doc_id:int64,
+value:int64) rows, written by a streaming ``map_batches`` pass. The reader
+loads the column once into two sorted views:
+
+* value-sorted (value, doc_id) — a 1-D BKD analogue: a range query is two
+  ``searchsorted`` cuts, returning the matching doc IDs;
+* doc-sorted (doc_id, value) — the doc-values gather used by
+  sort-by-field and per-hit value output.
+
+Scale note: both views are O(docs in THIS index) int64 arrays. At 10^12
+docs the index is doc-range-sharded (state/sharded.py) and each searcher
+holds only its shard's column — per-node memory stays bounded, and range
+results concatenate across shards in global doc order.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DOCVALUES_DIR = "docvalues"
+
+
+def write_doc_values(
+    ds, index_dir: str, field: str, value_col: Optional[str] = None
+) -> None:
+    """Write the (doc_id, value) sidecar for ``field`` from a Dataset with
+    a ``doc_id`` column and ``value_col`` (default = field). Values must be
+    int64-codable (timestamps are stored as epoch microseconds). Streaming:
+    one deterministic atomic parquet per batch, same retry discipline as
+    the build's RunWriter."""
+    value_col = value_col or field
+    out_dir = os.path.join(index_dir, DOCVALUES_DIR, field)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        col = batch.column(value_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        vals = col.to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        tbl = pa.table({"doc_id": pa.array(ids), "value": pa.array(vals)})
+        crc = zlib.crc32(ids.tobytes())
+        name = f"dv-{int(ids.min())}-{int(ids.max())}-{len(ids)}-{crc:08x}.parquet"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(ids)], pa.int64())})
+
+    ds.map_batches(write_batch, batch_format="pyarrow").count()
+
+
+def has_doc_values(index_dir: str, field: str) -> bool:
+    return bool(
+        glob.glob(os.path.join(index_dir, DOCVALUES_DIR, field, "*.parquet"))
+    )
+
+
+class DocValues:
+    """One field's column, loaded once per reader (warm searcher state)."""
+
+    def __init__(self, index_dir: str, field: str):
+        files = sorted(
+            glob.glob(os.path.join(index_dir, DOCVALUES_DIR, field, "*.parquet"))
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"no doc values for field {field!r} under {index_dir}"
+            )
+        ids_parts, val_parts = [], []
+        for f in files:
+            t = pq.read_table(f)
+            ids_parts.append(t.column("doc_id").to_numpy())
+            val_parts.append(t.column("value").to_numpy())
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        vals = np.concatenate(val_parts).astype(np.int64)
+        by_doc = np.argsort(ids, kind="stable")
+        self.doc_sorted_ids = ids[by_doc]
+        self.doc_sorted_vals = vals[by_doc]
+        by_val = np.lexsort((ids, vals))
+        self.val_sorted_vals = vals[by_val]
+        self.val_sorted_ids = ids[by_val]
+
+    def range_docs(self, lo: int, hi: int) -> np.ndarray:
+        """Sorted doc IDs with lo <= value <= hi (PointRangeQuery)."""
+        i = int(np.searchsorted(self.val_sorted_vals, lo, side="left"))
+        j = int(np.searchsorted(self.val_sorted_vals, hi, side="right"))
+        return np.sort(self.val_sorted_ids[i:j])
+
+    def values_for(self, docs: np.ndarray) -> np.ndarray:
+        """Doc-values gather: value per doc (docs must exist in the column;
+        missing docs gather as the nearest row — callers pass docs that came
+        out of the index, which the sidecar covers by construction)."""
+        if len(docs) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = np.minimum(
+            np.searchsorted(self.doc_sorted_ids, docs),
+            len(self.doc_sorted_ids) - 1,
+        )
+        return self.doc_sorted_vals[pos]

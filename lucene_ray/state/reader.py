@@ -89,6 +89,31 @@ class IndexReader:
                 out.extend(seg.terms())
         return sorted(set(out))
 
+    def doc_values(self, field: str):
+        """Lazily-loaded numeric doc-values column (state/docvalues.py)."""
+        cache = self.__dict__.setdefault("_doc_values", {})
+        dv = cache.get(field)
+        if dv is None:
+            from .docvalues import DocValues
+
+            dv = DocValues(self.index_dir, field)
+            cache[field] = dv
+        return dv
+
+    def doc_values_for(self, field: str, docs):
+        return self.doc_values(field).values_for(docs)
+
+    def filter_docs(self, filters) -> Optional["np.ndarray"]:
+        """Sorted doc IDs satisfying EVERY (field, lo, hi) range filter
+        (PointRangeQuery conjunction), or None when there are no filters."""
+        import numpy as np
+
+        out = None
+        for field, lo, hi in filters:
+            docs = self.doc_values(field).range_docs(int(lo), int(hi))
+            out = docs if out is None else np.intersect1d(out, docs, assume_unique=True)
+        return out
+
     def expand_multi(self, kind: str, pattern: str, arg: int) -> List[str]:
         """Multi-term expansion per segment (each segment's term list is
         already sorted, so prefix ranges bisect locally) — avoids ever

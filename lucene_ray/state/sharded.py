@@ -105,3 +105,29 @@ class ShardedReader:
         for sh in self.shards:
             out.update(sh.expand_multi(kind, pattern, arg))
         return sorted(out)[:MAX_EXPANSIONS]
+
+    def filter_docs(self, filters):
+        """Per-shard range results concatenate in global doc order (shard
+        doc ranges are disjoint ascending)."""
+        import numpy as np
+
+        parts = [sh.filter_docs(filters) for sh in self.shards]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return np.concatenate(parts)
+
+    def doc_values_for(self, field: str, docs):
+        """Doc-values gather across shards (each doc belongs to exactly one
+        shard's range; a single concatenated gather stays correct because
+        values_for searches each shard's own doc-sorted view)."""
+        import numpy as np
+
+        out = np.empty(len(docs), dtype=np.int64)
+        for sh in self.shards:
+            m = sh.manifest
+            lo, hi = m.get("doc_min", 0), m.get("doc_max", -1)
+            mask = (docs >= lo) & (docs <= hi)
+            if mask.any():
+                out[mask] = sh.doc_values(field).values_for(docs[mask])
+        return out

@@ -1,0 +1,149 @@
+"""Numeric doc values: range FILTER clauses + sort-by-field + paging.
+
+Reference analogues: document/IntPoint.java + search/PointRangeQuery.java
+(range), search/Sort.java + search/TopFieldCollector.java (field sort),
+IndexSearcher.searchAfter (paging). Checked against brute-force python
+recomputation on a synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+TEXTS = [
+    "alpha beta gamma",
+    "alpha beta",
+    "gamma delta",
+    "alpha delta delta",
+    "beta gamma gamma",
+    "alpha",
+    "delta beta",
+    "gamma alpha beta",
+]
+# synthetic int64 "timestamp" per doc (deliberately with a duplicate value)
+VALS = [50, 10, 70, 30, 70, 20, 60, 40]
+
+
+@pytest.fixture()
+def dv_index(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.docvalues import write_doc_values
+
+    out = str(tmp_path / "idx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "ts": pa.array(VALS, pa.int64()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4
+    )
+    build_index(
+        ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS)
+    )
+    write_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "ts"])), out, "ts"
+    )
+    return out
+
+
+def _reader(index_dir):
+    from lucene_ray.pipelines.search import get_reader
+
+    return get_reader(index_dir)
+
+
+def _brute_match(term, lo=None, hi=None):
+    out = []
+    for d, t in enumerate(TEXTS):
+        if term in t.split() and (lo is None or lo <= VALS[d] <= hi):
+            out.append(d)
+    return out
+
+
+def test_range_filter_parse_and_match(dv_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query("alpha ts:[20 TO 50]", an)
+    assert q.filters == (("ts", 20, 50),)
+    got = matching_docs(_reader(dv_index), q).tolist()
+    assert got == _brute_match("alpha", 20, 50)
+
+
+def test_range_filter_topk_blockmax_equals_exhaustive(dv_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_index)
+    for qs in ("alpha ts:[20 TO 50]", "beta gamma ts:[40 TO 70]",
+               "+alpha -delta ts:[10 TO 60]"):
+        q = parse_query(qs, an)
+        bd, bs = score_blockmax(r, q, 10)
+        ed, es = score_exhaustive(r, q, 10)
+        assert bd.tolist() == ed.tolist()
+        assert bs.tolist() == es.tolist()
+        lo, hi = q.filters[0][1], q.filters[0][2]
+        assert all(lo <= VALS[d] <= hi for d in bd)
+
+
+def test_pure_filter_query_scores_zero(dv_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+
+    an = make_analyzer("en_nostem_simple")
+    docs, scores = score_exhaustive(
+        _reader(dv_index), parse_query("ts:[30 TO 60]", an), 10
+    )
+    expect = sorted(d for d in range(len(TEXTS)) if 30 <= VALS[d] <= 60)
+    assert docs.tolist() == expect
+    assert all(s == 0.0 for s in scores)
+
+
+def test_range_filter_respects_deletes(dv_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.state.deletes import delete_docs
+
+    delete_docs(dv_index, [3])
+    an = make_analyzer("en_nostem_simple")
+    got = matching_docs(
+        _reader(dv_index), parse_query("ts:[10 TO 70]", an)
+    ).tolist()
+    assert 3 not in got and len(got) == len(TEXTS) - 1
+
+
+def test_sort_by_field_and_search_after(dv_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_sort_by_field
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_index)
+    q = parse_query("alpha beta gamma delta", an)  # matches every doc
+    ref = sorted(range(len(TEXTS)), key=lambda d: (-VALS[d], d))
+
+    docs, vals = score_sort_by_field(r, q, "ts", k=3)
+    assert docs.tolist() == ref[:3]
+    assert vals.tolist() == [VALS[d] for d in ref[:3]]
+    # duplicate-value tie (70) must break by doc asc
+    assert docs.tolist()[0:2] == [2, 4]
+
+    d2, v2 = score_sort_by_field(
+        r, q, "ts", k=3, after=(int(vals[-1]), int(docs[-1]))
+    )
+    assert d2.tolist() == ref[3:6]
+
+    asc, _ = score_sort_by_field(r, q, "ts", k=len(TEXTS), descending=False)
+    assert asc.tolist() == sorted(range(len(TEXTS)), key=lambda d: (VALS[d], d))
