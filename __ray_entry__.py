@@ -169,6 +169,26 @@ SORT_QUERY_SETS: Dict[int, str] = {
 }
 SORT_PAGE = 10
 
+# MUST multi-term clauses (`+pre*`): required-OR groups — the nested
+# boolean of SCORING_BOOLEAN_REWRITE under a MUST occur. Sets avoid
+# plain-term/expansion overlap so each clause scores exactly once.
+MUST_MULTI_QUERY_SETS: Dict[int, str] = {
+    0: "+s* dup",          # required prefix group + optional bare term
+    1: "+c* +dup",         # group AND plain MUST
+    2: "+zzznope* data",   # empty expansion -> unsatisfiable -> empty
+    3: "+d?p -key",        # wildcard group + exclusion
+    4: "+merge~2 batch",   # fuzzy group + optional bare term
+}
+
+# explain() entry: per top-EXPLAIN_TOPK hit, one row per matching scoring
+# term with the BM25 factor decomposition (Explanation.java analogue).
+EXPLAIN_QUERY_SETS: Dict[int, str] = {
+    0: "dup key",
+    1: "batch small scan ~2",
+    2: "+data -stream",
+}
+EXPLAIN_TOPK = 5
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -556,6 +576,51 @@ def _sort_by_ts(sf_dir: str):
     )
 
 
+def _bm25_explain(sf_dir: str):
+    """Score decomposition for each query's top hits: one row per matching
+    scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
+    Explanation, flattened to an oracle-checkable table."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import explain, parse_query, score_exhaustive
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    cols = {k: [] for k in (
+        "query_id", "doc_id", "term", "tf", "dl", "doc_freq", "idf", "part"
+    )}
+    for qid in sorted(EXPLAIN_QUERY_SETS):
+        q = parse_query(EXPLAIN_QUERY_SETS[qid], an)
+        docs, _ = score_exhaustive(reader, q, EXPLAIN_TOPK)
+        for d in docs.tolist():
+            ex = explain(reader, q, d)
+            for det in ex["details"]:
+                cols["query_id"].append(qid)
+                cols["doc_id"].append(int(d))
+                cols["term"].append(det["term"])
+                cols["tf"].append(det["tf"])
+                cols["dl"].append(det["norm_key"])  # exact chain: key == dl
+                cols["doc_freq"].append(det["doc_freq"])
+                cols["idf"].append(float(round_half_away(det["idf"], 6)))
+                cols["part"].append(float(round_half_away(det["value"], 4)))
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "term": pa.array(cols["term"], pa.string()),
+            "tf": pa.array(cols["tf"], pa.int64()),
+            "dl": pa.array(cols["dl"], pa.int64()),
+            "doc_freq": pa.array(cols["doc_freq"], pa.int64()),
+            "idf": pa.array(cols["idf"], pa.float64()),
+            "part": pa.array(cols["part"], pa.float64()),
+        }
+    )
+
+
 def _doc_map(sf_dir: str):
     """Per-doc analyzed length + norm (doc_map / norms sidecar). Served from
     the index build's own analyzer-pass side output (one analysis pass, not
@@ -691,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
+    q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
+    q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -1194,6 +1261,113 @@ def _multi_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _must_multi_sql() -> str:
+    """Oracle for MUST multi-term groups: each `+pattern` clause becomes a
+    per-group matched-count column required >= 1; group-matched terms score
+    like SHOULD terms; bare terms are optional once a group exists."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+
+    def or_(preds):
+        return "(" + (" OR ".join(preds) or "FALSE") + ")"
+
+    selects = []
+    for qid, qs in sorted(MUST_MULTI_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        group_preds = [
+            _clause_pred(kind, pattern, arg)
+            for kind, pattern, arg, role in q.multi
+            if role == "must"
+        ]
+        plain_preds = [f"term = '{t}'" for t in sorted(set(must) | set(should))]
+        not_preds = [f"term = '{t}'" for t in sorted(set(q.must_not))]
+        for kind, pattern, arg, role in q.multi:
+            if role == "must_not":
+                not_preds.append(_clause_pred(kind, pattern, arg))
+            elif role == "should":
+                plain_preds.append(_clause_pred(kind, pattern, arg))
+        scoring = or_(plain_preds + group_preds)
+        neg = or_(not_preds)
+        gcols = "".join(
+            f",\n           COUNT(CASE WHEN {p} THEN term END) AS g{i}"
+            for i, p in enumerate(group_preds)
+        )
+        gcond = " AND ".join(f"g{i} >= 1" for i in range(len(group_preds)))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN {scoring} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(CASE WHEN {neg} THEN term END) AS n_not{gcols}
+    FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_not = 0 AND {gcond}
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+_SCX_CTE = f"""
+scx AS (
+  SELECT tf.doc_id, tf.term, tf.tf AS tf, dl.dl AS dl, df.df AS doc_freq,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * dl.dl
+                / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+""".strip()
+
+
+def _explain_sql() -> str:
+    """Oracle for bm25_explain: per (query, top-hit, matching scoring term)
+    the BM25 factor decomposition from an extended sc CTE."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(EXPLAIN_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        scoring = sorted(set(must) | set(should))
+        all_terms = sorted(set(scoring) | set(q.must_not))
+        msm = q.minimum_should_match
+        msm_req = msm if must else max(1, msm)
+        topk = f"""SELECT doc_id FROM (
+      SELECT doc_id,
+             SUM(CASE WHEN term IN {_in_list(scoring)} THEN score ELSE 0 END) AS score,
+             COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+             COUNT(DISTINCT CASE WHEN term IN {_in_list(should)} THEN term END) AS n_should,
+             COUNT(DISTINCT CASE WHEN term IN {_in_list(sorted(set(q.must_not)))} THEN term END) AS n_not
+      FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
+    )
+    WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
+    ORDER BY score DESC, doc_id ASC LIMIT {EXPLAIN_TOPK}"""
+        selects.append(
+            f"""(SELECT {qid} AS query_id, t.doc_id, x.term,
+       CAST(x.tf AS BIGINT) AS tf, CAST(x.dl AS BIGINT) AS dl,
+       CAST(x.doc_freq AS BIGINT) AS doc_freq,
+       round(x.idf, 6) AS idf, round(x.score, 4) AS part
+  FROM ({topk}) t JOIN scx x ON x.doc_id = t.doc_id
+  WHERE x.term IN {_in_list(scoring)})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_SCX_CTE}\n{body}"
+
+
 def _dismax_sql() -> str:
     selects = []
     for qid in sorted(DISMAX_QUERY_SETS):
@@ -1374,6 +1548,8 @@ FROM tf GROUP BY term"""
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
     sql["sort_by_ts"] = _sort_sql()
+    sql["bm25_must_multi"] = _must_multi_sql()
+    sql["bm25_explain"] = _explain_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

@@ -47,7 +47,11 @@ class BM25Float32:
         # idf computed in double then narrowed, like the reference
         idf64 = math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
         self.idf = np.float32(idf64)
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.boost = float(boost)
         avgdl = np.float32(sum_total_tf / float(doc_count))
+        self.avgdl = float(avgdl)
         k1f = np.float32(k1)
         bf = np.float32(b)
         one = np.float32(1.0)

@@ -154,6 +154,7 @@ def resolve_multi(query, expander, cache: dict = None):
         return query
     should = list(query.should)
     must_not = list(query.must_not)
+    groups = list(getattr(query, "must_groups", ()))
     for kind, pattern, arg, role in query.multi:
         key = (kind, pattern, arg)
         terms = cache.get(key) if cache is not None else None
@@ -164,7 +165,13 @@ def resolve_multi(query, expander, cache: dict = None):
                 terms = expand(kind, pattern, arg, expander)
             if cache is not None:
                 cache[key] = terms
-        (must_not if role == "must_not" else should).extend(terms)
+        if role == "must":
+            # required-OR group: doc must match >=1 expansion (nested
+            # boolean under a MUST occur); empty expansion = no possible
+            # match, represented as an empty group the executor rejects
+            groups.append(tuple(terms))
+        else:
+            (must_not if role == "must_not" else should).extend(terms)
     return BooleanQuery(
         must=query.must,
         should=tuple(should),
@@ -172,4 +179,5 @@ def resolve_multi(query, expander, cache: dict = None):
         minimum_should_match=query.minimum_should_match,
         boosts=getattr(query, "boosts", ()),
         filters=getattr(query, "filters", ()),
+        must_groups=tuple(groups),
     )

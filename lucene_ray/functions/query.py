@@ -119,6 +119,12 @@ class BooleanQuery:
     # search/PointRangeQuery.java, document/IntPoint.java; parsed from
     # the classic `field:[lo TO hi]` syntax)
     filters: Tuple[Tuple[str, int, int], ...] = ()
+    # required-OR term groups — the nested boolean a MUST multi-term clause
+    # (`+pre*`) rewrites to: each group is a disjunction that the doc MUST
+    # match at least once; its terms score individually like SHOULD terms
+    # (reference: MultiTermQuery SCORING_BOOLEAN_REWRITE wrapped in a MUST
+    # occur, search/ScoringRewrite.java + BooleanQuery nesting)
+    must_groups: Tuple[Tuple[str, ...], ...] = ()
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
@@ -135,9 +141,10 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     Multi-term syntax (expanded at execution time, see multiterm.py):
     ``pre*`` prefix, ``t?rm`` / ``t*rm`` wildcard, ``term~`` / ``term~1`` /
     ``term~2`` fuzzy. Patterns are lowercased but NOT analyzed (the classic
-    parser's lowercase_expanded_terms). Supported as bare or ``-`` clauses;
-    a ``+`` multi-term clause ("at least one expansion required") needs
-    nested boolean structure our flat model doesn't have -> ValueError."""
+    parser's lowercase_expanded_terms). Supported as bare (SHOULD), ``-``
+    (MUST_NOT) or ``+`` (MUST) clauses; a ``+`` clause becomes a required-OR
+    group (``must_groups``) — the nested boolean the reference's
+    SCORING_BOOLEAN_REWRITE produces under a MUST occur."""
     import re as _re
 
     must: List[str] = []
@@ -204,11 +211,6 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
                 "are supported"
             )
         if kind is not None:
-            if role == "must":
-                raise ValueError(
-                    "prefix/wildcard/fuzzy clauses are supported as bare "
-                    "(SHOULD) or negated (MUST_NOT), not '+' (MUST)"
-                )
             if boost is not None:
                 raise ValueError(
                     "boost on a prefix/wildcard/fuzzy clause is not supported"
@@ -499,7 +501,8 @@ def _topk_from(cand: np.ndarray, scores: np.ndarray, k: int):
 
 def _prepare(reader, query: BooleanQuery):
     """-> (scoring cursors in canonical order, is_must flags, not_cursors,
-    dtype) or None when a MUST term is missing from the index."""
+    dtype, must-group cursor lists) or None when a MUST term — or every
+    expansion of a MUST multi-term group — is missing from the index."""
     if isinstance(query, TermQuery):
         query = BooleanQuery(should=(query.term,))
     if getattr(query, "multi", ()):
@@ -546,7 +549,28 @@ def _prepare(reader, query: BooleanQuery):
         if reader.term_stats(t)[0] > 0
     ]
     dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
-    return cursors, np.asarray(is_must, dtype=bool), not_cursors, dtype
+    # required-OR groups (MUST multi-term clauses): cursors per group term;
+    # a group with zero indexed expansions makes the query unsatisfiable
+    group_cursors: List[List[TermCursor]] = []
+    for g in getattr(query, "must_groups", ()):
+        gc = []
+        for t in sorted(set(g)):
+            df, _ = reader.term_stats(t)
+            if df == 0:
+                continue
+            scorer = make_scorer(
+                reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
+                k1=k1, b=b, boost=boost_map.get(t, 1.0),
+            )
+            gc.append(
+                TermCursor(t, reader.postings(t), scorer, full_cache,
+                           deleted=deleted)
+            )
+        if not gc:
+            return None
+        group_cursors.append(gc)
+    return (cursors, np.asarray(is_must, dtype=bool), not_cursors, dtype,
+            group_cursors)
 
 
 class _NotCursorView:
@@ -624,6 +648,78 @@ def _dense_combine(
     return cand, acc[cand]
 
 
+def _group_candidates(
+    reader, query, cursors, is_must, not_cursors, dtype, groups, filters
+):
+    """Nested-boolean path for required-OR groups (MUST multi-term clauses):
+    candidates = (MUST intersection) ∩ (each group's union) [∩ msm-SHOULD
+    when msm>0]; plain SHOULD terms become optional scorers once a required
+    group exists (the reference's BooleanQuery semantics with a MUST
+    sub-query present). Scores accumulate over ALL scoring clauses in
+    canonical sorted-term order."""
+    per_term = [c.decode_all() for c in cursors]
+    msm = query.minimum_should_match if isinstance(query, BooleanQuery) else 0
+    n_must = int(is_must.sum())
+    cand = None
+    if n_must:
+        for (docs, _), m in zip(per_term, is_must):
+            if not m:
+                continue
+            cand = docs if cand is None else np.intersect1d(
+                cand, docs, assume_unique=True
+            )
+            if len(cand) == 0:
+                return cand, np.empty(0, dtype=dtype), dtype
+    if msm > 0:
+        should_docs = [
+            d for (d, _), m in zip(per_term, is_must) if not m
+        ]
+        if should_docs:
+            u, c = np.unique(np.concatenate(should_docs), return_counts=True)
+            ok = u[c >= msm]
+        else:
+            ok = np.empty(0, dtype=np.int64)
+        cand = ok if cand is None else cand[
+            np.isin(cand, ok, assume_unique=True)
+        ]
+    for g in groups:
+        gdocs = np.unique(np.concatenate([c.decode_all()[0] for c in g]))
+        if len(gdocs) == 0:
+            return gdocs, np.empty(0, dtype=dtype), dtype
+        cand = gdocs if cand is None else np.intersect1d(
+            cand, gdocs, assume_unique=True
+        )
+        if len(cand) == 0:
+            return cand, np.empty(0, dtype=dtype), dtype
+    not_docs = _NotCursorView.all_docs(not_cursors)
+    if not_docs is not None and len(not_docs) and len(cand):
+        pos = np.minimum(np.searchsorted(not_docs, cand), len(not_docs) - 1)
+        cand = cand[not_docs[pos] != cand]
+    if filters and len(cand):
+        fdocs = reader.filter_docs(filters)
+        if fdocs is None or len(fdocs) == 0:
+            cand = cand[:0]
+        else:
+            pos = np.minimum(np.searchsorted(fdocs, cand), len(fdocs) - 1)
+            cand = cand[fdocs[pos] == cand]
+    cand = np.asarray(cand, dtype=np.int64)
+    acc = np.zeros(len(cand), dtype=dtype)
+    if len(cand):
+        allc = sorted(
+            list(cursors) + [c for g in groups for c in g],
+            key=lambda c: c.term,
+        )
+        for c in allc:
+            docs, scores = c.decode_all()
+            if len(docs) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+            hit = docs[pos] == cand
+            if hit.any():
+                acc[hit] += scores[pos[hit]].astype(dtype)
+    return cand, acc, dtype
+
+
 def _exhaustive_candidates(reader, query, _prep=None):
     """Shared exhaustive body -> (cand, acc, dtype) or None (no possible
     match). Uses the dense bulk accumulator when the searcher's doc space
@@ -631,8 +727,13 @@ def _exhaustive_candidates(reader, query, _prep=None):
     prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
         return None
-    cursors, is_must, not_cursors, dtype = prep
+    cursors, is_must, not_cursors, dtype, groups = prep
     filters = getattr(query, "filters", ())
+    if groups:
+        return _group_candidates(
+            reader, query, cursors, is_must, not_cursors, dtype, groups,
+            filters,
+        )
     if len(cursors) == 0:
         # pure-filter query (only range FILTER clauses): matches every doc
         # passing the filters, scoring 0 — reference FILTER-occur semantics
@@ -722,8 +823,8 @@ def _champion_topk(reader, cursor, k: int):
 def _single_term_shortcut(prep, query, k: int):
     """-> cursor if the query is a pure single-term top-k a champion list
     answers exactly, else None."""
-    cursors, is_must, not_cursors, _ = prep
-    if len(cursors) != 1 or not_cursors or not (0 < k <= CHAMPION_K):
+    cursors, is_must, not_cursors, _, groups = prep
+    if len(cursors) != 1 or not_cursors or groups or not (0 < k <= CHAMPION_K):
         return None
     if getattr(query, "filters", ()):
         return None  # champion lists are unfiltered prefixes
@@ -865,6 +966,70 @@ def score_constant(reader, query, k: int = 10, boost: float = 1.0):
     return docs, np.full(len(docs), boost, dtype=np.float32)
 
 
+def _posting_payload(cursor: TermCursor, doc_id: int):
+    """(tf, norm_key) of ``doc_id`` in this cursor's postings, or None."""
+    for tp in cursor._parts:
+        d, tfs, keys = tp.decode_all()
+        i = int(np.searchsorted(d, doc_id))
+        if i < len(d) and d[i] == doc_id:
+            return int(tfs[i]), int(keys[i])
+    return None
+
+
+def explain(reader, query, doc_id: int) -> dict:
+    """Per-hit score decomposition (reference: search/Explanation.java and
+    BM25Similarity.explain — "score(freq), computed as boost * idf * tf /
+    (tf + k1*(1-b+b*dl/avgdl))"). Returns
+
+        {"match": bool, "value": float, "details": [
+            {"term", "value", "tf", "norm_key", "doc_freq", "idf",
+             "weight", "k1", "b", "avgdl"}, ...]}
+
+    ``value`` accumulates in the SAME canonical sorted-term order and dtype
+    as the executors, so explain(doc).value == the doc's top-k score
+    bit-for-bit (the CheckHits validation pattern, tested in pytest)."""
+    prep = _prepare(reader, query)
+    no_match = {"match": False, "value": 0.0, "details": []}
+    if prep is None:
+        return no_match
+    cursors, is_must, not_cursors, dtype, groups = prep
+    allc = sorted(
+        list(cursors) + [c for g in groups for c in g], key=lambda c: c.term
+    )
+    details = []
+    total = np.zeros(1, dtype=dtype)
+    for c in allc:
+        docs, scores = c.decode_all()
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or docs[i] != doc_id:
+            continue
+        payload = _posting_payload(c, doc_id)
+        tf, key = payload if payload is not None else (0, 0)
+        sc = c.scorer
+        total[0] += scores[i]
+        details.append(
+            {
+                "term": c.term,
+                "value": float(scores[i]),
+                "tf": tf,
+                "norm_key": key,
+                "doc_freq": int(c.df),
+                "idf": float(sc.idf),
+                "weight": float(sc.weight),
+                "k1": float(sc.k1),
+                "b": float(sc.b),
+                "avgdl": float(sc.avgdl),
+            }
+        )
+    # candidacy under the full boolean/filter/liveDocs semantics
+    cand = matching_docs(reader, query)
+    pos = int(np.searchsorted(cand, doc_id))
+    match = pos < len(cand) and int(cand[pos]) == int(doc_id)
+    if not match:
+        return {"match": False, "value": 0.0, "details": details}
+    return {"match": True, "value": float(total[0]), "details": details}
+
+
 def score_sort_by_field(
     reader, query, field: str, k: int = 10, descending: bool = True,
     after: Optional[Tuple[int, int]] = None,
@@ -905,7 +1070,11 @@ def score_blockmax(reader, query, k: int = 10):
     single = _single_term_shortcut(prep, query, k)
     if single is not None and single.n_blocks > 0:
         return _champion_topk(reader, single, k)
-    cursors, is_must, not_cursors, dtype = prep
+    cursors, is_must, not_cursors, dtype, groups = prep
+    if groups:
+        # nested required-OR groups aren't modeled by interval bounds;
+        # the exhaustive group path is exact
+        return score_exhaustive(reader, query, k, _prep=prep)
     # a cursor can be block-less locally even with global df > 0 (sharded
     # search under global stats): an empty MUST list empties the result;
     # empty SHOULD lists just drop out
@@ -976,7 +1145,7 @@ def score_blockmax(reader, query, k: int = 10):
             if alive > 0.25 * n_feasible:
                 return score_exhaustive(
                     reader, query, k,
-                    _prep=(cursors, is_must, not_cursors, dtype),
+                    _prep=(cursors, is_must, not_cursors, dtype, []),
                 )
         probed += 1
         lo = int(starts[i])

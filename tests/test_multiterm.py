@@ -83,10 +83,16 @@ def test_parser_multi_syntax():
         ("prefix", "merg", 0, "should"),
         ("fuzzy", "the", 1, "should"),
     )
-    with pytest.raises(ValueError):
-        parse_query("+mer*", an)
+    # '+' multi-term clause = required-OR group (nested-boolean rewrite)
+    q_must = parse_query("+mer* dup", an)
+    assert q_must.multi == (("prefix", "mer", 0, "must"),)
     with pytest.raises(ValueError):
         parse_query("mer* AND dup", an)
+    # invalid fuzzy distances are rejected, not silently analyzed
+    with pytest.raises(ValueError):
+        parse_query("term~5", an)
+    with pytest.raises(ValueError):
+        parse_query("roam~0.8", an)
     # standalone ~N stays minimum_should_match
     q3 = parse_query("alpha beta ~2", an)
     assert q3.minimum_should_match == 2 and not q3.multi
