@@ -189,6 +189,19 @@ EXPLAIN_QUERY_SETS: Dict[int, str] = {
 }
 EXPLAIN_TOPK = 5
 
+# Exact phrase queries over the positions-enabled index (PhraseQuery /
+# ExactPhraseMatcher analogue). Set 3 exercises StopFilter position
+# increments ('a' is dropped but leaves a gap); sets stay at two distinct
+# terms so the float64 idf sum is order-independent (IEEE commutativity),
+# matching the SQL SUM exactly.
+PHRASE_QUERY_SETS: Dict[int, str] = {
+    0: '"table hash"',
+    1: '"customer join"',
+    2: '"hash table"',
+    3: '"sort a table"',
+    4: '"zzz missing"',
+}
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -212,7 +225,8 @@ def _docs_path(sf_dir: str) -> str:
 
 
 def _ensure_index(
-    sf_dir: str, analyzer: str = "en_nostem_simple", norm_kind: str = "exact"
+    sf_dir: str, analyzer: str = "en_nostem_simple", norm_kind: str = "exact",
+    positions: bool = False,
 ) -> str:
     """Build (or reuse via checkpoint fingerprint) the index for sf_dir."""
     import ray.data
@@ -220,18 +234,24 @@ def _ensure_index(
     from lucene_ray.pipelines.build import IndexConfig, build_index
     from lucene_ray.state.segment import read_manifest
 
-    key = (sf_dir, analyzer, norm_kind)
+    key = (sf_dir, analyzer, norm_kind, positions)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/lucene_ray_idx/{tag}-{analyzer}-{norm_kind}"
-    cfg = IndexConfig(analyzer=analyzer, norm_kind=norm_kind, num_partitions=8)
+    out = f"/tmp/lucene_ray_idx/{tag}-{analyzer}-{norm_kind}" + (
+        "-pos" if positions else ""
+    )
+    cfg = IndexConfig(
+        analyzer=analyzer, norm_kind=norm_kind, num_partitions=8,
+        positions=positions,
+    )
     import pyarrow.parquet as pq
 
     doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
     fingerprint = (
         f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
         f"parts={cfg.num_partitions}"
+        + (";pos=1" if positions else "")
     )
     try:
         mf = read_manifest(out)
@@ -576,6 +596,15 @@ def _sort_by_ts(sf_dir: str):
     )
 
 
+def _bm25_phrase(sf_dir: str):
+    """Exact phrase top-k over the positions-enabled index."""
+    return _run_query_strings(
+        sf_dir,
+        PHRASE_QUERY_SETS,
+        index_dir=_ensure_index(sf_dir, positions=True),
+    )
+
+
 def _bm25_explain(sf_dir: str):
     """Score decomposition for each query's top hits: one row per matching
     scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
@@ -758,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
+    q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -1261,6 +1291,69 @@ def _multi_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _phrase_sql() -> str:
+    """Oracle for bm25_phrase: positions via generate_subscripts over the
+    simple-token array (stopwords dropped AFTER positions are assigned —
+    the StopFilter increment semantics), phrase occurrences via an
+    offset-shifted self-join, BM25 with idf = sum of the terms' idfs and
+    tf = phraseFreq — the engine's exact arithmetic."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, qs in sorted(PHRASE_QUERY_SETS.items()):
+        q = parse_query(qs, an)  # PhraseQuery(terms, offsets)
+        if not q.terms:
+            selects.append(
+                f"(SELECT {qid} AS query_id, CAST(NULL AS INTEGER) AS rank, "
+                "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score "
+                "WHERE FALSE)"
+            )
+            continue
+        t0 = q.terms[0]
+        joins = "".join(
+            f"""
+      JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id
+                    AND t{i}.pos = t0.pos + {q.offsets[i]}
+                    AND t{i}.term = '{q.terms[i]}'"""
+            for i in range(1, len(q.terms))
+        )
+        vals = ", ".join(f"('{t}')" for t in q.terms)
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
+              FROM (VALUES {vals}) v(term) JOIN df d USING (term)
+              CROSS JOIN stats s2)
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT t0.doc_id, COUNT(*) AS pf
+      FROM ptok t0{joins}
+      WHERE t0.term = '{t0}'
+      GROUP BY t0.doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _must_multi_sql() -> str:
     """Oracle for MUST multi-term groups: each `+pattern` clause becomes a
     per-group matched-count column required >= 1; group-matched terms score
@@ -1550,6 +1643,7 @@ FROM tf GROUP BY term"""
     sql["sort_by_ts"] = _sort_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
     sql["bm25_explain"] = _explain_sql()
+    sql["bm25_phrase"] = _phrase_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

@@ -97,6 +97,21 @@ class StandardEnglishAnalyzer:
         term = self._term
         return [t for t in (term(r) for r in tokenize(text)) if t is not None]
 
+    def analyze_positions(self, text: str):
+        """(terms, positions): position = the token's index in the RAW
+        token stream, so dropped stopwords advance positions (StopFilter's
+        position-increment semantics, core/.../analysis/StopFilter.java +
+        FilteringTokenFilter.java:49-63)."""
+        term = self._term
+        terms: List[str] = []
+        pos: List[int] = []
+        for i, raw in enumerate(tokenize(text)):
+            t = term(raw)
+            if t is not None:
+                terms.append(t)
+                pos.append(i)
+        return terms, pos
+
 
 class SimpleAnalyzer:
     """lower(text) then extract [a-z0-9]+ runs — SQL-parity analyzer."""
@@ -106,6 +121,10 @@ class SimpleAnalyzer:
 
     def analyze(self, text: str) -> List[str]:
         return self._RE.findall(text.lower())
+
+    def analyze_positions(self, text: str):
+        toks = self._RE.findall(text.lower())
+        return toks, list(range(len(toks)))
 
 
 class SimpleStopAnalyzer(SimpleAnalyzer):
@@ -121,6 +140,16 @@ class SimpleStopAnalyzer(SimpleAnalyzer):
     def analyze(self, text: str) -> List[str]:
         stop = ENGLISH_STOP_WORDS
         return [t for t in self._RE.findall(text.lower()) if t not in stop]
+
+    def analyze_positions(self, text: str):
+        stop = ENGLISH_STOP_WORDS
+        terms: List[str] = []
+        pos: List[int] = []
+        for i, t in enumerate(self._RE.findall(text.lower())):
+            if t not in stop:
+                terms.append(t)
+                pos.append(i)
+        return terms, pos
 
 
 class WhitespaceAnalyzer:

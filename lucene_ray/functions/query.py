@@ -84,6 +84,19 @@ class TermQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Exact phrase over a positions-enabled index (reference:
+    search/PhraseQuery.java + ExactPhraseMatcher.java). ``offsets`` are the
+    analyzed terms' position increments relative to the first kept term —
+    a dropped stopword leaves a gap (``"data the stream"`` -> terms
+    (data, stream), offsets (0, 2)), exactly the reference's
+    QueryParser-built phrase with position gaps."""
+
+    terms: Tuple[str, ...]
+    offsets: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Disjunction-max: candidates = union of terms; score per doc =
     max(term scores) + tie_breaker * (sum of the other matching scores)
@@ -158,6 +171,21 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         filters.append((m.group(1), int(m.group(2)), int(m.group(3))))
         return " "
 
+    # quoted phrase: `"exact phrase"` as the WHOLE query -> PhraseQuery
+    # (mixing phrase and term clauses needs nested boolean structure the
+    # flat model doesn't have; the reference demo queries are pure too)
+    stripped = text.strip()
+    if stripped.startswith('"') and stripped.endswith('"') and len(stripped) >= 2:
+        body = stripped[1:-1]
+        if '"' in body:
+            raise ValueError("only one quoted phrase per query is supported")
+        terms, pos = analyzer.analyze_positions(body)
+        offsets = tuple(p - pos[0] for p in pos) if pos else ()
+        return PhraseQuery(terms=tuple(terms), offsets=offsets)
+    if '"' in text:
+        raise ValueError(
+            "quoted phrases are supported only as the whole query"
+        )
     # `field:[lo TO hi]` inclusive numeric range filter (classic parser's
     # range syntax; values are the field's int64 doc-values encoding, e.g.
     # epoch microseconds for timestamps)
@@ -720,10 +748,110 @@ def _group_candidates(
     return cand, acc, dtype
 
 
+#: phrase key packing: key = doc * 2^POS_SHIFT + (pos - offset + pad);
+#: positions must stay below 2^POS_SHIFT - pad (4M-token docs; the
+#: reference's IndexWriter.MAX_POSITION is 2^31-1 — ours is narrower and
+#: guarded)
+_POS_SHIFT = 22
+
+
+def _phrase_scored(reader, phrase: PhraseQuery):
+    """-> (docs, scores, dtype) for an exact phrase, or None when any term
+    is absent / the index lacks positions. Vectorized ExactPhraseMatcher:
+    clause i contributes the sorted key set doc*2^s + (pos - offset_i);
+    the iterated sorted intersection leaves one key per phrase occurrence,
+    and a bincount per doc yields phraseFreq. BM25 scores with
+    idf = sum of the terms' idfs (BM25Similarity.idfExplain over the
+    phrase's term statistics) and tf = phraseFreq, norm from the first
+    term's posting payload (reference: PhraseWeight + BM25Similarity)."""
+    import math
+
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "phrase queries need a positions-enabled index "
+            "(IndexConfig.positions=True)"
+        )
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype), dtype)
+    if not phrase.terms:
+        return None
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    pad = max(phrase.offsets) + 1
+    pos_cache: Dict[str, tuple] = {}
+    key_sets = []
+    idf64 = 0.0
+    for t, off in zip(phrase.terms, phrase.offsets):
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            return empty
+        idf64 += math.log(
+            1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+        )
+        tp = pos_cache.get(t)
+        if tp is None:
+            tp = reader.term_positions(t)
+            pos_cache[t] = tp
+        docs, tfs, flat = tp
+        if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
+            raise ValueError("document too long for phrase key packing")
+        doc_rep = np.repeat(docs, tfs)
+        key = (doc_rep << np.int64(_POS_SHIFT)) + (
+            flat.astype(np.int64) - off + pad
+        )
+        key_sets.append(key)  # ascending by construction (doc asc, pos asc)
+    key_sets.sort(key=len)
+    inter = key_sets[0]
+    for ks in key_sets[1:]:
+        if len(inter) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ks, inter), len(ks) - 1)
+        inter = inter[ks[pos] == inter]
+    if len(inter) == 0:
+        return empty
+    occ_docs = inter >> np.int64(_POS_SHIFT)
+    docs_u, pf = np.unique(occ_docs, return_counts=True)
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs_u):
+        pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
+        keep = deleted[pos] != docs_u
+        docs_u, pf = docs_u[keep], pf[keep]
+    if len(docs_u) == 0:
+        return empty
+    # norm payload: every phrase doc carries the first term; gather its key
+    keys = _gather_norm_keys(reader, phrase.terms[0], docs_u)
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    scores = scorer.score_array(pf.astype(np.int64), keys)
+    return docs_u.astype(np.int64), scores.astype(dtype, copy=False), dtype
+
+
+def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:
+    """Norm keys of ``docs_u`` from one term's postings (docs_u ⊆ its doc
+    set by construction)."""
+    parts = []
+    for tp in reader.postings(term):
+        d, _, k = tp.decode_all()
+        parts.append((d, k))
+    alld = np.concatenate([d for d, _ in parts])
+    allk = np.concatenate([k for _, k in parts])
+    pos = np.minimum(np.searchsorted(alld, docs_u), len(alld) - 1)
+    return allk[pos]
+
+
 def _exhaustive_candidates(reader, query, _prep=None):
     """Shared exhaustive body -> (cand, acc, dtype) or None (no possible
     match). Uses the dense bulk accumulator when the searcher's doc space
     allows, the sparse unique/searchsorted combine otherwise."""
+    if isinstance(query, PhraseQuery):
+        return _phrase_scored(reader, query)
     prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
         return None
@@ -838,6 +966,12 @@ def _single_term_shortcut(prep, query, k: int):
 def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
+    if isinstance(query, PhraseQuery):
+        r = _exhaustive_candidates(reader, query)
+        if r is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        cand, acc, _ = r
+        return _topk_from(cand, acc, k)
     prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -988,8 +1122,23 @@ def explain(reader, query, doc_id: int) -> dict:
     ``value`` accumulates in the SAME canonical sorted-term order and dtype
     as the executors, so explain(doc).value == the doc's top-k score
     bit-for-bit (the CheckHits validation pattern, tested in pytest)."""
-    prep = _prepare(reader, query)
     no_match = {"match": False, "value": 0.0, "details": []}
+    if isinstance(query, PhraseQuery):
+        r = _phrase_scored(reader, query)
+        if r is None:
+            return no_match
+        docs, scores, _ = r
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or int(docs[i]) != int(doc_id):
+            return no_match
+        return {
+            "match": True,
+            "value": float(scores[i]),
+            "details": [
+                {"term": " ".join(query.terms), "value": float(scores[i])}
+            ],
+        }
+    prep = _prepare(reader, query)
     if prep is None:
         return no_match
     cursors, is_must, not_cursors, dtype, groups = prep
@@ -1059,6 +1208,9 @@ def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    if isinstance(query, PhraseQuery):
+        # positional verification isn't modeled by interval bounds
+        return score_exhaustive(reader, query, k)
     if getattr(query, "filters", ()):
         # range FILTER clauses cut the candidate set doc-wise; interval
         # bounds don't model them, so the exhaustive executor (which

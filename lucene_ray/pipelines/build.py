@@ -65,6 +65,11 @@ POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+#: positions variant: + per-(term, doc) ascending positions as int32-LE bytes
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA.append(
+    pa.field("positions", pa.binary())
+)
+
 
 @dataclass
 class IndexConfig:
@@ -93,6 +98,12 @@ class IndexConfig:
     # analyzer pass (one analysis pass, not two — VERDICT r1 #5); files land
     # under <out_dir>/docmap/ with deterministic atomic names
     emit_doc_map: bool = True
+    # index positions: per (term, doc) the token positions (StopFilter
+    # increments preserved) ride the shuffle as a binary column and land in
+    # a per-segment .pos sidecar — enables PhraseQuery
+    # (reference: IndexOptions.DOCS_AND_FREQS_AND_POSITIONS,
+    # Lucene104PostingsWriter.java:237-298 positions stream)
+    positions: bool = False
 
 
 class AnalyzerStage:
@@ -117,6 +128,8 @@ class AnalyzerStage:
         self._term_meta: Dict[str, tuple] = {}
 
     def _empty(self) -> pa.Table:
+        if self.cfg.positions:
+            return POSTINGS_POS_SCHEMA.empty_table()
         return POSTINGS_SCHEMA.empty_table()
 
     def _write_doc_map(self, doc_ids: np.ndarray, lens: np.ndarray) -> None:
@@ -154,8 +167,15 @@ class AnalyzerStage:
         cfg = self.cfg
         texts = batch.column(cfg.text_col).to_pylist()
         doc_ids = batch.column(cfg.id_col).to_numpy()
-        analyze = self.analyzer.analyze
-        term_lists = [analyze(t) if t else [] for t in texts]
+        pos_lists: Optional[List[List[int]]] = None
+        if cfg.positions:
+            analyze_p = self.analyzer.analyze_positions
+            pairs_tp = [analyze_p(t) if t else ([], []) for t in texts]
+            term_lists = [tp[0] for tp in pairs_tp]
+            pos_lists = [tp[1] for tp in pairs_tp]
+        else:
+            analyze = self.analyzer.analyze
+            term_lists = [analyze(t) if t else [] for t in texts]
         lens = np.fromiter(
             (len(x) for x in term_lists), dtype=np.int64, count=len(term_lists)
         )
@@ -178,6 +198,31 @@ class AnalyzerStage:
         uniq, tfs = np.unique(pair, return_counts=True)
         u_doc = uniq // nv
         u_code = uniq % nv
+
+        pos_col = None
+        if pos_lists is not None:
+            # per-(doc, term) ascending positions, packed int32-LE binary;
+            # np.unique's ascending pair order == lexsort's primary order,
+            # so slices line up with (uniq, tfs) row-for-row
+            pos_flat = np.fromiter(
+                itertools.chain.from_iterable(pos_lists),
+                dtype=np.int32,
+                count=total,
+            )
+            order = np.lexsort((pos_flat, pair))
+            pos_sorted = np.ascontiguousarray(pos_flat[order], dtype="<i4")
+            offsets = (
+                np.concatenate(([0], np.cumsum(tfs))) * 4
+            ).astype(np.int32)
+            pos_col = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                len(uniq),
+                [
+                    None,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(pos_sorted.tobytes()),
+                ],
+            )
 
         keys_doc = (
             int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
@@ -207,17 +252,18 @@ class AnalyzerStage:
             bucket = np.zeros(len(uniq), dtype=np.int32)
         gpart = ((vhash[u_code] + bucket) % cfg.num_partitions).astype(np.int32)
         terms_out = pc.take(denc.dictionary, pa.array(u_code, pa.int64()))
-        return pa.table(
-            {
-                "term": terms_out,
-                "doc_id": pa.array(out_docs),
-                "tf": pa.array(tfs.astype(np.int32)),
-                "key": pa.array(out_keys),
-                "bucket": pa.array(bucket),
-                "gpart": pa.array(gpart),
-            },
-            schema=POSTINGS_SCHEMA,
-        )
+        cols = {
+            "term": terms_out,
+            "doc_id": pa.array(out_docs),
+            "tf": pa.array(tfs.astype(np.int32)),
+            "key": pa.array(out_keys),
+            "bucket": pa.array(bucket),
+            "gpart": pa.array(gpart),
+        }
+        if pos_col is not None:
+            cols["positions"] = pos_col
+            return pa.table(cols, schema=POSTINGS_POS_SCHEMA)
+        return pa.table(cols, schema=POSTINGS_SCHEMA)
 
 
 class DocMapStage:
@@ -356,6 +402,12 @@ class SegmentEncoder:
         doc_ids = group.column("doc_id").to_numpy()
         tfs = group.column("tf").to_numpy()
         keys = group.column("key").to_numpy()
+        has_pos = "positions" in group.schema.names
+        if has_pos:
+            from ..util import binary_flat_i32
+
+            pos_flat, pos_lens = binary_flat_i32(group.column("positions"))
+            pos_row_starts = np.concatenate(([0], np.cumsum(pos_lens)))
 
         # run boundaries where (term, bucket) changes
         change = np.empty(len(term_codes), dtype=bool)
@@ -369,6 +421,7 @@ class SegmentEncoder:
         ends = np.append(starts[1:], len(term_codes))
 
         blob = bytearray()
+        pos_blob = bytearray()
         rows_term: List[str] = []
         rows_bucket: List[int] = []
         rows_df: List[int] = []
@@ -376,6 +429,8 @@ class SegmentEncoder:
         rows_maxtf: List[int] = []
         rows_off: List[int] = []
         rows_len: List[int] = []
+        rows_poff: List[int] = []
+        rows_plen: List[int] = []
         for lo, hi in zip(starts, ends):
             off, length = encode_term_postings(
                 blob, doc_ids[lo:hi], tfs[lo:hi], keys[lo:hi]
@@ -387,24 +442,41 @@ class SegmentEncoder:
             rows_maxtf.append(int(tfs[lo:hi].max()))
             rows_off.append(off)
             rows_len.append(length)
+            if has_pos:
+                s, e = int(pos_row_starts[lo]), int(pos_row_starts[hi])
+                rows_poff.append(len(pos_blob))
+                pos_blob.extend(
+                    np.ascontiguousarray(pos_flat[s:e], dtype="<i4").tobytes()
+                )
+                rows_plen.append((e - s) * 4)
 
         os.makedirs(self.seg_dir, exist_ok=True)
         tmp = base + ".post.tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, base + ".post")
-        terms_tbl = pa.table(
-            {
-                "term": pa.array(rows_term, pa.string()),
-                "bucket": pa.array(rows_bucket, pa.int32()),
-                "doc_freq": pa.array(rows_df, pa.int64()),
-                "total_tf": pa.array(rows_ttf, pa.int64()),
-                "max_tf": pa.array(rows_maxtf, pa.int32()),
-                "offset": pa.array(rows_off, pa.int64()),
-                "length": pa.array(rows_len, pa.int64()),
-            },
-            schema=TERMS_SCHEMA,
-        )
+        if has_pos:
+            tmp = base + ".pos.tmp"
+            with open(tmp, "wb") as f:
+                f.write(pos_blob)
+            os.replace(tmp, base + ".pos")
+        cols = {
+            "term": pa.array(rows_term, pa.string()),
+            "bucket": pa.array(rows_bucket, pa.int32()),
+            "doc_freq": pa.array(rows_df, pa.int64()),
+            "total_tf": pa.array(rows_ttf, pa.int64()),
+            "max_tf": pa.array(rows_maxtf, pa.int32()),
+            "offset": pa.array(rows_off, pa.int64()),
+            "length": pa.array(rows_len, pa.int64()),
+        }
+        schema = TERMS_SCHEMA
+        if has_pos:
+            cols["pos_offset"] = pa.array(rows_poff, pa.int64())
+            cols["pos_length"] = pa.array(rows_plen, pa.int64())
+            schema = TERMS_SCHEMA.append(
+                pa.field("pos_offset", pa.int64())
+            ).append(pa.field("pos_length", pa.int64()))
+        terms_tbl = pa.table(cols, schema=schema)
         import pyarrow.parquet as pq
 
         tmp = base + ".terms.parquet.tmp"
@@ -587,7 +659,11 @@ def build_index(
 
     if doc_count is None:
         doc_count = ds.count()
-    fingerprint = f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};parts={cfg.num_partitions}"
+    fingerprint = (
+        f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
+        f"parts={cfg.num_partitions}"
+        + (";pos=1" if cfg.positions else "")
+    )
 
     heavy: Set[str] = set(heavy_terms) if heavy_terms is not None else set()
     if heavy_terms is None and cfg.heavy_df_threshold is not None:
@@ -666,6 +742,7 @@ def build_index(
         "version": 1,
         "analyzer": cfg.analyzer,
         "norm_kind": cfg.norm_kind,
+        "positions": bool(cfg.positions),
         "num_partitions": cfg.num_partitions,
         "bucket_shift": cfg.bucket_shift,
         "heavy_terms": sorted(heavy),

@@ -89,6 +89,31 @@ class IndexReader:
                 out.extend(seg.terms())
         return sorted(set(out))
 
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.manifest.get("positions", False))
+
+    def term_positions(self, term: str):
+        """-> (docs:int64, tfs:int64, flat_positions:int32) in global doc
+        order; flat positions are each doc's ascending positions
+        concatenated, with per-doc slice widths given by ``tfs``."""
+        import numpy as np
+
+        tagged = []
+        for seg in self._segments_for(term):
+            pos_by_bucket = dict(seg.positions_with_buckets(term))
+            for b, tp in seg.postings_with_buckets(term):
+                d, t, _ = tp.decode_all()
+                tagged.append((b, d, t, pos_by_bucket[b]))
+        tagged.sort(key=lambda x: x[0])
+        if not tagged:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int32)
+        docs = np.concatenate([x[1] for x in tagged]).astype(np.int64)
+        tfs = np.concatenate([x[2] for x in tagged]).astype(np.int64)
+        flat = np.concatenate([x[3] for x in tagged]).astype(np.int32)
+        return docs, tfs, flat
+
     def doc_values(self, field: str):
         """Lazily-loaded numeric doc-values column (state/docvalues.py)."""
         cache = self.__dict__.setdefault("_doc_values", {})

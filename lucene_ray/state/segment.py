@@ -360,6 +360,15 @@ class SegmentReader:
         self._max_tf = tbl.column("max_tf").to_numpy()
         self._offset = tbl.column("offset").to_numpy()
         self._length = tbl.column("length").to_numpy()
+        # optional positions sidecar (.pos blob + per-run pointers)
+        if "pos_offset" in tbl.schema.names:
+            self._pos_offset = tbl.column("pos_offset").to_numpy()
+            self._pos_length = tbl.column("pos_length").to_numpy()
+        else:
+            self._pos_offset = None
+            self._pos_length = None
+        self._pos_path = base + ".pos"
+        self._pos_blob: Optional[memoryview] = None
         # rows are written sorted by (term, bucket); index term -> row range
         self._row_range: Dict[str, Tuple[int, int]] = {}
         start = 0
@@ -418,6 +427,41 @@ class SegmentReader:
     def postings(self, term: str) -> List[TermPostings]:
         """All bucket blobs for ``term``, in ascending bucket (= doc) order."""
         return [tp for _, tp in self.postings_with_buckets(term)]
+
+    @property
+    def has_positions(self) -> bool:
+        return self._pos_offset is not None
+
+    def positions_with_buckets(self, term: str) -> List[Tuple[int, np.ndarray]]:
+        """(bucket, flat int32 positions) per (term, bucket) run, ascending
+        bucket order. The flat array holds each doc's ascending positions
+        concatenated in doc order — per-doc slice bounds come from the
+        postings' tf column (same sorted rows wrote both streams)."""
+        if self._pos_offset is None:
+            raise ValueError(
+                "index was built without positions "
+                "(IndexConfig.positions=True required for phrase queries)"
+            )
+        rng = self._row_range.get(term)
+        if rng is None:
+            return []
+        if self._pos_blob is None:
+            with open(self._pos_path, "rb") as f:
+                self._pos_blob = memoryview(f.read())
+        lo, hi = rng
+        order = np.argsort(self._buckets[lo:hi], kind="stable") + lo
+        return [
+            (
+                int(self._buckets[i]),
+                np.frombuffer(
+                    self._pos_blob,
+                    dtype="<i4",
+                    count=int(self._pos_length[i]) // 4,
+                    offset=int(self._pos_offset[i]),
+                ),
+            )
+            for i in order
+        ]
 
 
 def write_manifest(index_dir: str, manifest: dict) -> None:

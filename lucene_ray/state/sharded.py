@@ -106,6 +106,26 @@ class ShardedReader:
             out.update(sh.expand_multi(kind, pattern, arg))
         return sorted(out)[:MAX_EXPANSIONS]
 
+    @property
+    def has_positions(self) -> bool:
+        return all(sh.has_positions for sh in self.shards)
+
+    def term_positions(self, term: str):
+        """Concatenated per-shard (docs, tfs, flat positions), global doc
+        order (shards sorted by disjoint ascending doc ranges)."""
+        import numpy as np
+
+        parts = [sh.term_positions(term) for sh in self.shards]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int32)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
     def filter_docs(self, filters):
         """Per-shard range results concatenate in global doc order (shard
         doc ranges are disjoint ascending)."""

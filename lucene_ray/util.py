@@ -4,6 +4,41 @@ from __future__ import annotations
 
 from typing import Optional, Tuple, Union
 
+import numpy as np
+
+
+def concat_aranges(counts: "np.ndarray") -> "np.ndarray":
+    """[arange(c) for c in counts] concatenated, fully vectorized."""
+    if len(counts) == 0:
+        return np.empty(0, dtype=np.int64)
+    cs = np.cumsum(counts)
+    total = int(cs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(cs - counts, counts)
+
+
+def binary_flat_i32(col) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Arrow binary column of packed int32-LE runs -> (flat values in row
+    order, per-row element counts). Buffer-level gather, no per-row Python."""
+    import pyarrow as pa
+
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(la)
+    if n == 0:
+        return np.empty(0, dtype=np.int32), np.zeros(0, dtype=np.int64)
+    bufs = la.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[la.offset : la.offset + n + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.int32, count=len(bufs[2]) // 4)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.int32)
+    )
+    lens = ((offs[1:] - offs[:-1]) // 4).astype(np.int64)
+    starts = (offs[:-1] // 4).astype(np.int64)
+    idx = np.repeat(starts, lens) + concat_aranges(lens)
+    return data[idx], lens
+
 
 def pool_concurrency(
     concurrency: Optional[Union[int, Tuple[int, int]]] = None,

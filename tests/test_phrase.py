@@ -1,0 +1,157 @@
+"""Positions index + exact PhraseQuery (reference: search/PhraseQuery.java,
+ExactPhraseMatcher.java; positions stream analogue of
+codecs/lucene104/Lucene104PostingsWriter.java:237-298).
+
+Brute-force checked: phrase frequency and matching docs recomputed in
+python over the analyzed token stream with StopFilter increments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+TEXTS = [
+    "data stream over the data stream",   # pf("data stream") = 2
+    "stream data",                        # reversed only
+    "data the stream",                    # stopword gap (increment 2)
+    "plain data row",
+    "stream of data stream extra words here",
+    "the data stream",                    # leading stopword
+]
+
+
+def _brute_phrase(analyzer, texts, phrase_terms, offsets):
+    out = {}
+    for d, text in enumerate(texts):
+        terms, pos = analyzer.analyze_positions(text)
+        index = {}
+        for t, p in zip(terms, pos):
+            index.setdefault(t, set()).add(p)
+        pf = 0
+        for p0 in sorted(index.get(phrase_terms[0], ())):
+            if all(
+                (p0 + off) in index.get(t, ())
+                for t, off in zip(phrase_terms[1:], offsets[1:])
+            ):
+                pf += 1
+        if pf:
+            out[d] = pf
+    return out
+
+
+@pytest.fixture(params=["exact", "byte4"])
+def pos_index(ray_session, tmp_path, request):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    analyzer = "en_nostem_simple" if request.param == "exact" else "standard_en"
+    out = str(tmp_path / f"pidx-{request.param}")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer=analyzer, norm_kind=request.param, num_partitions=4,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    return out, analyzer
+
+
+def _reader(index_dir):
+    from lucene_ray.pipelines.search import get_reader
+
+    return get_reader(index_dir)
+
+
+def test_phrase_matching_docs_and_freqs(pos_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        count_matches,
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+
+    index_dir, analyzer = pos_index
+    an = make_analyzer(analyzer)
+    r = _reader(index_dir)
+    for qs in ('"data stream"', '"stream data"', '"data the stream"',
+               '"the data stream"'):
+        q = parse_query(qs, an)
+        ref = _brute_phrase(an, TEXTS, q.terms, q.offsets)
+        docs, scores = score_exhaustive(r, q, 10)
+        assert sorted(docs.tolist()) == sorted(ref)
+        assert count_matches(r, q) == len(ref)
+        bd, bs = score_blockmax(r, q, 10)
+        assert bd.tolist() == docs.tolist()
+        assert bs.tolist() == scores.tolist()
+
+
+def test_phrase_freq_drives_score(pos_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+
+    index_dir, analyzer = pos_index
+    an = make_analyzer(analyzer)
+    r = _reader(index_dir)
+    q = parse_query('"data stream"', an)
+    docs, scores = score_exhaustive(r, q, 10)
+    by_doc = dict(zip(docs.tolist(), scores.tolist()))
+    # doc 0 has pf=2 and similar length to doc 5 (pf=1): higher score
+    assert 0 in by_doc and by_doc[0] == max(by_doc.values())
+
+
+def test_phrase_empty_and_oov(pos_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+
+    index_dir, analyzer = pos_index
+    an = make_analyzer(analyzer)
+    r = _reader(index_dir)
+    d, _ = score_exhaustive(r, parse_query('"zzz missing"', an), 10)
+    assert d.tolist() == []
+    d2, _ = score_exhaustive(r, parse_query('"the of"', an), 10)
+    assert d2.tolist() == []  # all-stopword phrase analyzes to nothing
+
+
+def test_phrase_respects_deletes(pos_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+    from lucene_ray.state.deletes import delete_docs
+
+    index_dir, analyzer = pos_index
+    delete_docs(index_dir, [0])
+    an = make_analyzer(analyzer)
+    docs, _ = score_exhaustive(
+        _reader(index_dir), parse_query('"data stream"', an), 10
+    )
+    assert 0 not in docs.tolist()
+
+
+def test_phrase_requires_positions(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    out = str(tmp_path / "nopos")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    an = make_analyzer("en_nostem_simple")
+    with pytest.raises(ValueError, match="positions"):
+        score_exhaustive(_reader(out), parse_query('"data stream"', an), 10)
