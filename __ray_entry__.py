@@ -84,6 +84,13 @@ MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
         2: "dup~1 -key",    # fuzzy union minus exclusion
         3: "batch~0",       # 0 edits = exact vocab match
     },
+    "bm25_regexp": {
+        0: "/[db]up/",          # character class
+        1: "/sc.n|batch/",      # alternation + any-char
+        2: "/quer(y|ies)/",     # group alternation
+        3: "/zzz+/",            # no vocab match -> empty
+        4: "/s.*m/ -small",     # regexp union minus exclusion
+    },
 }
 
 
@@ -1250,6 +1257,8 @@ def _clause_pred(kind: str, pattern: str, arg: int) -> str:
     if kind == "wildcard":
         like = pattern.replace("*", "%").replace("?", "_")
         return f"term LIKE '{like}'"
+    if kind == "regexp":
+        return f"regexp_full_match(term, '{pattern}')"
     if arg == 0:
         return f"term = '{pattern}'"
     return f"editdist3(term, '{pattern}') <= {arg}"

@@ -32,7 +32,28 @@ import numpy as np
 MAX_EXPANSIONS = 1024
 
 #: (kind, pattern, arg) clause kinds
-KINDS = ("prefix", "wildcard", "fuzzy")
+KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Conservative literal prefix of a regex — bounds the sorted-vocab scan
+    like AutomatonQuery's common-prefix optimization (search/RegexpQuery.java
+    + the automaton's getCommonPrefix). Conservatisms: a top-level-looking
+    ``|`` anywhere voids the prefix (either branch may start differently),
+    and a quantifier (``? * {``) right after the prefix makes its last char
+    optional, so that char is dropped."""
+    if "|" in pattern:
+        return ""
+    out = []
+    stop = None
+    for ch in pattern:
+        if ch in ".?*+()[]{}\\^$":
+            stop = ch
+            break
+        out.append(ch)
+    if out and stop in ("?", "*", "{"):
+        out.pop()  # quantifier makes the preceding char optional
+    return "".join(out)
 
 
 def wildcard_regex(pattern: str) -> str:
@@ -138,6 +159,15 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]
         return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
     if kind == "fuzzy":
         return sorted(levenshtein_within(vocab, pattern, arg))[:MAX_EXPANSIONS]
+    if kind == "regexp":
+        # reference: search/RegexpQuery.java — regex anchored over the full
+        # term; the literal prefix bounds the dictionary scan
+        pre = regex_literal_prefix(pattern)
+        lo = bisect.bisect_left(vocab, pre)
+        succ = prefix_successor(pre) if pre else None
+        hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
+        rx = re.compile(pattern)
+        return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
     raise ValueError(f"unknown multi-term kind: {kind}")
 
 

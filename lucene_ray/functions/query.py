@@ -221,7 +221,11 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
             raw, boost = bm.group(1), float(bm.group(2))
         fz = _re.fullmatch(r"(.+?)~([012])?", raw)
         kind = None
-        if "*" in raw or "?" in raw:
+        if len(raw) >= 3 and raw.startswith("/") and raw.endswith("/"):
+            # classic parser's /regexp/ syntax (RegexpQuery); pattern
+            # lowercased like other expanded clauses, never analyzed
+            kind = ("regexp", raw[1:-1].lower(), 0)
+        elif "*" in raw or "?" in raw:
             body = raw.lower()
             kind = (
                 ("prefix", body[:-1], 0)

@@ -86,6 +86,21 @@ def test_parser_multi_syntax():
     # '+' multi-term clause = required-OR group (nested-boolean rewrite)
     q_must = parse_query("+mer* dup", an)
     assert q_must.multi == (("prefix", "mer", 0, "must"),)
+    # /regexp/ syntax (RegexpQuery)
+    q_rx = parse_query("/[mb]oat/ -/sc.n/", an)
+    assert q_rx.multi == (
+        ("regexp", "[mb]oat", 0, "should"),
+        ("regexp", "sc.n", 0, "must_not"),
+    )
+    # regexp expansion against a sorted vocab, incl. alternation (no
+    # literal-prefix cut may drop a branch)
+    from lucene_ray.functions.multiterm import expand
+
+    vocab = ["batch", "boat", "moat", "scan", "scon", "scratch"]
+    assert expand("regexp", "[mb]oat", 0, vocab) == ["boat", "moat"]
+    assert expand("regexp", "sc.n|batch", 0, vocab) == ["batch", "scan", "scon"]
+    assert expand("regexp", "scr?an", 0, vocab) == ["scan"]
+    assert expand("regexp", "zzz+", 0, vocab) == []
     with pytest.raises(ValueError):
         parse_query("mer* AND dup", an)
     # invalid fuzzy distances are rejected, not silently analyzed
