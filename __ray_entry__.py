@@ -670,16 +670,27 @@ def _doc_map(sf_dir: str):
     return build_doc_map(_load_documents(sf_dir), cfg)
 
 
-def _load_documents(sf_dir: str):
+def _read_sized(path: str, rows_per_block: int = 1024):
+    """read_parquet with ~1k-row blocks: Ray's default splits tiny files
+    into num_cpus*2 near-empty blocks and every downstream all-to-all then
+    pays O(blocks^2) scheduling — the small-input clamp (bench.py has the
+    same; at real scale blocks are naturally MB-sized)."""
+    import pyarrow.parquet as pq
+
     import ray.data
 
-    return ray.data.read_parquet(_docs_path(sf_dir))
+    n = pq.ParquetFile(path).metadata.num_rows
+    return ray.data.read_parquet(
+        path, override_num_blocks=max(1, min(64, n // rows_per_block))
+    )
+
+
+def _load_documents(sf_dir: str):
+    return _read_sized(_docs_path(sf_dir))
 
 
 def _load_embeddings(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    return _read_sized(f"{sf_dir.rstrip('/')}/embeddings.parquet")
 
 
 def _top_docs_by_lang(sf_dir: str):

@@ -69,6 +69,21 @@ def _init_ray(num_cpus: int):
     return ray
 
 
+def _read_sized(path: str, rows_per_block: int = 1024, columns=None):
+    """read_parquet with ~rows_per_block-row blocks. Ray's default splits a
+    tiny file into num_cpus*2 near-empty blocks, and every downstream
+    all-to-all then schedules O(blocks^2) micro-tasks — at sf0.1 that fixed
+    cost dominates the dedup suite 3-5x. At real scale blocks are naturally
+    MB-sized and the default is right; this is the small-input clamp."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    nb = max(1, min(64, n // rows_per_block))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def _bench_input(sf_dir: str, replicate: int, copy_lo: int = 0):
     """documents replicated ``replicate``x with distinct doc_ids —
     deterministic synthetic upscaling for measurable parallelism. Each copy
@@ -289,16 +304,86 @@ def run_suite() -> dict:
     stages["highlight_all_docs"] = round(time.time() - t0, 3)
     log(f"highlight: {stages['highlight_all_docs']}s / {n_base} docs")
 
+    # 2e. phrase + range + sort on a positions-enabled base index with
+    # warc_ts doc values (PhraseQuery / PointRangeQuery / TopFieldCollector)
+    import numpy as np
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        parse_query,
+        score_blockmax,
+        score_sort_by_field,
+    )
+    from lucene_ray.state.docvalues import write_doc_values
+
+    pos_idx = f"/tmp/lucene_ray_bench/idx-pos-{NUM_CPUS}"
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    build_index(
+        base_docs.select_columns(["doc_id", "text"]),
+        pos_idx,
+        IndexConfig(
+            analyzer="standard_en", norm_kind="byte4", num_partitions=8,
+            positions=True,
+        ),
+        doc_count=n_base,
+    )
+
+    def ts_batch(batch):
+        import pyarrow as pa
+
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "ts": pa.array((1_735_689_600_000_000 + ids * 1_000_000))}
+        )
+
+    write_doc_values(
+        base_docs.select_columns(["doc_id"]).map_batches(
+            ts_batch, batch_format="pyarrow"
+        ),
+        pos_idx,
+        "ts",
+    )
+    reader_pos = get_reader(pos_idx)
+    an_pos = make_analyzer(reader_pos.analyzer_name)
+    phrase_qs = ['"table hash"', '"customer join"', '"slow key"', '"merge group"']
+    for qs in phrase_qs:
+        score_blockmax(reader_pos, parse_query(qs, an_pos), 10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for qs in phrase_qs:
+            score_blockmax(reader_pos, parse_query(qs, an_pos), 10)
+    stages["bm25_phrase"] = round(time.time() - t0, 3)
+    log(f"phrase: {stages['bm25_phrase']}s / 40 queries")
+    lo, hi = 1_735_689_600_000_000, 1_735_689_600_000_000 + 2_500_000_000
+    range_qs = [f"data ts:[{lo} TO {hi}]", f"batch stream ts:[{lo} TO {hi}]",
+                f"ts:[{lo} TO {hi}]"]
+    for qs in range_qs:
+        score_blockmax(reader_pos, parse_query(qs, an_pos), 10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for qs in range_qs:
+            score_blockmax(reader_pos, parse_query(qs, an_pos), 10)
+        score_sort_by_field(
+            reader_pos, parse_query("data stream", an_pos), "ts", k=10
+        )
+    stages["bm25_range_sort"] = round(time.time() - t0, 3)
+    log(f"range+sort: {stages['bm25_range_sort']}s / 40 queries")
+
     # 3. data ops over the raw sf tables
     import ray.data
 
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = _read_sized(f"{SF_DIR}/documents.parquet")
+    emb = _read_sized(f"{SF_DIR}/embeddings.parquet")
 
     from lucene_ray.pipelines.build import IndexConfig as IC
-    from lucene_ray.pipelines.dedup import exact_dedup, minhash_neardup_pairs
+    from lucene_ray.pipelines.dedup import (
+        exact_dedup,
+        jaccard_neardup_pairs,
+        minhash_neardup_pairs,
+    )
     from lucene_ray.pipelines.events import window_aggregate
-    from lucene_ray.pipelines.knn import knn_cosine
+    from lucene_ray.pipelines.knn import build_ivf_layout, cosine_pairs, knn_cosine, knn_cosine_ivf
     from lucene_ray.pipelines.stats import term_stats
     from lucene_ray.pipelines.textops import doc_stats
 
@@ -313,7 +398,21 @@ def run_suite() -> dict:
     timed("doc_stats", lambda: doc_stats(docs).count())
     timed("dedup_exact", lambda: exact_dedup(docs).count())
     timed("neardup_minhash", lambda: minhash_neardup_pairs(docs).num_rows)
+    timed("neardup_jaccard", lambda: jaccard_neardup_pairs(docs).num_rows)
     timed("knn_cosine", lambda: knn_cosine(emb, (0, 1, 2), k=10).count())
+    ivf_dir = f"/tmp/lucene_ray_bench/ivf-{NUM_CPUS}"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    timed(
+        "knn_ivf_build",
+        lambda: build_ivf_layout(emb, ivf_dir, num_centroids=16).shape,
+    )
+    timed(
+        "knn_ivf_query",
+        lambda: knn_cosine_ivf(
+            emb, (0, 1, 2), k=10, layout_dir=ivf_dir
+        ).count(),
+    )
+    timed("cosine_pairs", lambda: cosine_pairs(emb, 0.45).count())
     timed(
         "events_window",
         lambda: window_aggregate(

@@ -36,7 +36,6 @@ import ray.data
 
 from ..functions.hashing import crc32_array
 from ..functions.rounding import round_half_away
-from ..util import pool_concurrency
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -272,20 +271,29 @@ def candidate_pairs_ds(
     df_min: int,
     df_max: int,
     num_buckets: int,
+    dedupe: bool = True,
 ) -> "ray.data.Dataset":
-    """(doc_id, key, _bucket) rows -> distinct Dataset(doc_a, doc_b) of doc
-    pairs sharing >=1 key with df_min..df_max holders. Entirely in-plan."""
+    """(doc_id, key, _bucket) rows -> Dataset(doc_a, doc_b) of doc pairs
+    sharing >=1 key with df_min..df_max holders. Entirely in-plan.
+    ``dedupe=False`` skips the distinct pass (one less shuffle) when the
+    consumer dedupes anyway — the Jaccard verifier does, in the same
+    groupby that gathers each pair's signatures."""
 
     def pairs_fn(group: pa.Table) -> pa.Table:
         return _pairs_in_group(group, df_min, df_max)
 
     raw = keyed.groupby("_bucket").map_groups(pairs_fn, batch_format="pyarrow")
-    return _dedup_pairs_ds(raw, num_buckets)
+    return _dedup_pairs_ds(raw, num_buckets) if dedupe else raw
 
 
 # ---------------------------------------------------------------------------
 # Exact Jaccard verification, Dataset-native
 # ---------------------------------------------------------------------------
+
+
+def _shingle_sig_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Task-pool wrapper (cheap init — see _minhash_batch)."""
+    return ShingleSigStage(k)(batch)
 
 
 class ShingleSigStage:
@@ -389,6 +397,28 @@ def _jaccard_verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+_GATHER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("slot", pa.int8()),  # 0 = doc_a side, 1 = doc_b side, -1 = sig row
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("sig", pa.binary()),
+        ("_dbucket", pa.int32()),
+    ]
+)
+
+_ATTACH_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("slot", pa.int8()),
+        ("sig", pa.binary()),
+        ("_pbucket", pa.int32()),
+    ]
+)
+
+
 def _jaccard_verify_ds(
     ds: "ray.data.Dataset",
     pairs_ds: "ray.data.Dataset",
@@ -396,35 +426,139 @@ def _jaccard_verify_ds(
     threshold: float,
     num_buckets: int,
 ) -> "ray.data.Dataset":
-    """Join candidate pairs to per-doc shingle signatures (partitioned hash
-    join, both sides stay distributed) and verify exactly, in-plan."""
-    from .joins import hash_join
-
+    """Exact-Jaccard verification in TWO shuffles, signatures computed and
+    shuffled exactly once: candidate pairs explode into one row per member
+    doc, union with the per-doc signature rows, a doc-hash groupby attaches
+    each row's signature, and a pair-hash groupby deduplicates candidates
+    and verifies them vectorized. (A pairs⋈sigs double hash_join would
+    re-execute the signature pipeline per join and add two more all-to-all
+    rounds.) Pairs may arrive duplicated (cross-band collisions) — the
+    verify group dedupes them for free in its own shuffle."""
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        ShingleSigStage,
-        fn_constructor_args=(k,),
-        batch_format="pyarrow",
-        concurrency=pool_concurrency(),
+        _shingle_sig_batch, batch_format="pyarrow", fn_kwargs={"k": k}
     )
 
-    def rename(mapping):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                [mapping.get(c, c) for c in batch.schema.names]
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        n = len(a)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "sig": pa.nulls(2 * n, pa.binary()),
+                "_dbucket": pa.array(
+                    (
+                        (doc.astype(np.uint64) * _GOLD)
+                        % np.uint64(num_buckets)
+                    ).astype(np.int32)
+                ),
+            },
+            schema=_GATHER_SCHEMA,
+        )
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        n = len(doc)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "slot": pa.array(np.full(n, -1, np.int8)),
+                "doc_a": pa.array(np.zeros(n, np.int64)),
+                "doc_b": pa.array(np.zeros(n, np.int64)),
+                "sig": batch.column("sig"),
+                "_dbucket": pa.array(
+                    (
+                        (doc.astype(np.uint64) * _GOLD)
+                        % np.uint64(num_buckets)
+                    ).astype(np.int32)
+                ),
+            },
+            schema=_GATHER_SCHEMA,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        slots = group.column("slot").to_numpy()
+        is_sig = slots == -1
+        pair_tbl = group.filter(pa.array(~is_sig))
+        if len(pair_tbl) == 0:
+            return _ATTACH_SCHEMA.empty_table()
+        sig_tbl = group.filter(pa.array(is_sig))
+        sdocs = sig_tbl.column("doc_id").to_numpy()
+        order = np.argsort(sdocs, kind="stable")
+        sdocs_s = sdocs[order]
+        pdocs = pair_tbl.column("doc_id").to_numpy()
+        if len(sdocs_s):
+            pos = np.minimum(
+                np.searchsorted(sdocs_s, pdocs), len(sdocs_s) - 1
             )
+            found = sdocs_s[pos] == pdocs
+            sig_col = sig_tbl.column("sig").take(pa.array(order[pos]))
+            sig_col = pc.if_else(
+                pa.array(found), sig_col.combine_chunks(), pa.scalar(b"", pa.binary())
+            )
+        else:
+            sig_col = pa.array([b""] * len(pair_tbl), pa.binary())
+        a = pair_tbl.column("doc_a").to_numpy()
+        b = pair_tbl.column("doc_b").to_numpy()
+        pbucket = (
+            ((a.astype(np.uint64) * _GOLD) ^ b.astype(np.uint64))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_a": pair_tbl.column("doc_a"),
+                "doc_b": pair_tbl.column("doc_b"),
+                "slot": pair_tbl.column("slot"),
+                "sig": sig_col,
+                "_pbucket": pa.array(pbucket),
+            },
+            schema=_ATTACH_SCHEMA,
+        )
 
-        return fn
+    def verify_group(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return PAIRS_SCHEMA.empty_table()
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        s = group.column("slot").to_numpy()
+        order = np.lexsort((s, b, a))
+        a, b, s = a[order], b[order], s[order]
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+        taken = group.take(pa.array(order[keep]))
+        s_k = s[keep]
+        half_a = taken.filter(pa.array(s_k == 0))
+        half_b = taken.filter(pa.array(s_k == 1))
+        # after dedupe every pair has exactly one row per slot, both sorted
+        # by (doc_a, doc_b) — sides align row-for-row
+        batch = pa.table(
+            {
+                "doc_a": half_a.column("doc_a"),
+                "doc_b": half_a.column("doc_b"),
+                "sig_a": half_a.column("sig"),
+                "sig_b": half_b.column("sig"),
+            }
+        )
+        return _jaccard_verify_batch(batch, threshold)
 
-    j1 = hash_join(
-        pairs_ds, sigs, "doc_a", "doc_id", num_buckets=num_buckets
-    ).map_batches(rename({"sig": "sig_a"}), batch_format="pyarrow")
-    j2 = hash_join(
-        j1, sigs, "doc_b", "doc_id", num_buckets=num_buckets
-    ).map_batches(rename({"sig": "sig_b"}), batch_format="pyarrow")
-    return j2.map_batches(
-        _jaccard_verify_batch,
-        batch_format="pyarrow",
-        fn_kwargs={"threshold": threshold},
+    gathered = (
+        pairs_ds.map_batches(explode_pairs, batch_format="pyarrow")
+        .union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+        .groupby("_dbucket")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return gathered.groupby("_pbucket").map_groups(
+        verify_group, batch_format="pyarrow"
     )
 
 
@@ -460,7 +594,7 @@ def jaccard_neardup_pairs_ds(
         batch_format="pyarrow",
         fn_kwargs={"k": k, "num_buckets": num_buckets},
     )
-    pairs = candidate_pairs_ds(keyed, 2, df_max, num_buckets)
+    pairs = candidate_pairs_ds(keyed, 2, df_max, num_buckets, dedupe=False)
     return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
@@ -503,11 +637,20 @@ def minhash_signature(shingles: List[str], a: np.ndarray, b: np.ndarray) -> np.n
     return m.min(axis=0)
 
 
+def _minhash_batch(
+    batch: pa.Table, k: int, num_perm: int, bands: int, num_buckets: int
+) -> pa.Table:
+    """Task-pool wrapper: MinHash setup (fixed-seed permutation params) is
+    trivially cheap, so a plain function avoids actor-pool startup — the
+    stateful-actor rule applies to EXPENSIVE init only (ray_guide)."""
+    return MinHashStage(k, num_perm, bands, num_buckets)(batch)
+
+
 class MinHashStage:
-    """Actor stage: permutation params generated once per worker; per batch
-    the signature matrix is computed for ALL docs at once — one universal
-    hash per permutation over the batch's flat shingle rows and a
-    ``np.minimum.reduceat`` per doc (no per-doc Python loop or matmul)."""
+    """Per batch the signature matrix is computed for ALL docs at once —
+    one universal hash per permutation over the batch's flat shingle rows
+    and a ``np.minimum.reduceat`` per doc (no per-doc Python loop or
+    matmul)."""
 
     def __init__(self, k: int, num_perm: int, bands: int, num_buckets: int):
         self.k = k
@@ -566,12 +709,14 @@ def minhash_neardup_pairs_ds(
     identical to :func:`jaccard_neardup_pairs` whenever LSH recall holds.
     """
     banded = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_args=(k, num_perm, bands, num_buckets),
+        _minhash_batch,
         batch_format="pyarrow",
-        concurrency=pool_concurrency(),
+        fn_kwargs={
+            "k": k, "num_perm": num_perm, "bands": bands,
+            "num_buckets": num_buckets,
+        },
     )
-    pairs = candidate_pairs_ds(banded, 2, max_band_df, num_buckets)
+    pairs = candidate_pairs_ds(banded, 2, max_band_df, num_buckets, dedupe=False)
     return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
@@ -629,6 +774,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         out += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return out
+
+
+def _simhash_batch(batch: pa.Table, hamming_max: int, num_buckets: int) -> pa.Table:
+    """Task-pool wrapper (cheap init — see _minhash_batch)."""
+    return SimHashStage(hamming_max, num_buckets)(batch)
 
 
 class SimHashStage:
@@ -699,7 +849,10 @@ class SimHashStage:
                 if hi - lo < 64
                 else np.uint64(0xFFFFFFFFFFFFFFFF)
             )
-            keys[band] = (np.uint64(band + 1) * _GOLD) ^ (chunk * _GOLD + chunk)
+            salt = np.uint64(
+                ((band + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            )
+            keys[band] = salt ^ (chunk * _GOLD + chunk)
         out_key = keys.reshape(-1)
         bucket = (out_key % np.uint64(self.num_buckets)).astype(np.int32)
         return pa.table(
@@ -725,10 +878,9 @@ def simhash_neardup_pairs_ds(
     and the verified pairs are distinct-ed by a bounded-bucket groupby.
     -> Dataset(doc_a, doc_b, hamming)."""
     banded = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHashStage,
-        fn_constructor_args=(hamming_max, num_buckets),
+        _simhash_batch,
         batch_format="pyarrow",
-        concurrency=pool_concurrency(),
+        fn_kwargs={"hamming_max": hamming_max, "num_buckets": num_buckets},
     )
 
     def pairs_fn(group: pa.Table) -> pa.Table:

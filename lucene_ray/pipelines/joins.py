@@ -26,7 +26,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import crc32_array
-from ..util import pool_concurrency
 
 
 def _key_bucket(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
@@ -45,19 +44,15 @@ def broadcast_join(
     cols = list(small_cols or [c for c in small.schema.names if c != key_small])
     small_ref = ray.put(small.select([key_small] + cols))
 
-    class JoinStage:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    def join_batch(batch: pa.Table) -> pa.Table:
+        # zero-copy plasma read per task — no actor pool needed for a
+        # broadcast whose "setup" is one ray.get
+        return batch.join(
+            ray.get(small_ref), keys=key_large, right_keys=key_small,
+            join_type="inner",
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(
-                self.small, keys=key_large, right_keys=key_small,
-                join_type="inner",
-            )
-
-    return large.map_batches(
-        JoinStage, batch_format="pyarrow", concurrency=pool_concurrency()
-    )
+    return large.map_batches(join_batch, batch_format="pyarrow")
 
 
 def hash_join(

@@ -29,7 +29,6 @@ import ray
 import ray.data
 
 from ..functions.rounding import round_half_away
-from ..util import pool_concurrency
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -48,6 +47,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _topk_score_batch(batch: pa.Table, queries_ref, k: int) -> pa.Table:
+    """Task-pool wrapper: init is one zero-copy ``ray.get`` of the broadcast
+    query matrix, so a plain function avoids actor-pool startup cost (the
+    stateful-actor rule applies to EXPENSIVE init only)."""
+    return _TopKScoreStage(queries_ref, k)(batch)
 
 
 class _TopKScoreStage:
@@ -140,10 +146,10 @@ def knn_cosine(
     qids, qmat = load_queries(ds, query_ids)
     queries_ref = ray.put({"qids": qids, "mat": _normalize(qmat)})
     partial = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _TopKScoreStage,
-        fn_constructor_args=(queries_ref, k + 1),  # +1 to survive self-match
+        _topk_score_batch,
         batch_format="pyarrow",
-        concurrency=pool_concurrency(),
+        # +1 to survive self-match
+        fn_kwargs={"queries_ref": queries_ref, "k": k + 1},
     )
 
     def topk_no_self(group: pa.Table) -> pa.Table:
@@ -279,6 +285,11 @@ def _sample_rows(ds: "ray.data.Dataset", count: int) -> np.ndarray:
     return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
 
 
+def _kmeans_partial_batch(batch: pa.Table, cents_ref) -> pa.Table:
+    """Task-pool wrapper (cheap init — see _topk_score_batch)."""
+    return _KMeansPartialStage(cents_ref)(batch)
+
+
 class _KMeansPartialStage:
     """One spherical-k-means assignment pass, emitting per-batch partial
     (centroid, count, sum-vector) rows — K rows per batch, so the reduce
@@ -326,10 +337,9 @@ def ivf_centroids(
         partials = (
             ds.select_columns(["vec_id", "embedding"])
             .map_batches(
-                _KMeansPartialStage,
-                fn_constructor_args=(cents_ref,),
+                _kmeans_partial_batch,
                 batch_format="pyarrow",
-                concurrency=pool_concurrency(),
+                fn_kwargs={"cents_ref": cents_ref},
             )
             .take_all()
         )  # K rows per block — tiny
@@ -407,6 +417,11 @@ def build_ivf_layout(
         )
     os.replace(tmp, meta_path)
     return cents
+
+
+def _probe_score_batch(batch: pa.Table, queries_ref, probe_ref, k: int) -> pa.Table:
+    """Task-pool wrapper (cheap init — see _topk_score_batch)."""
+    return _ProbeScoreStage(queries_ref, probe_ref, k)(batch)
 
 
 class _ProbeScoreStage:
@@ -552,10 +567,13 @@ def knn_cosine_ivf(
         )
     return (
         source.map_batches(
-            _ProbeScoreStage,
-            fn_constructor_args=(queries_ref, probe_ref, k + 1),
+            _probe_score_batch,
             batch_format="pyarrow",
-            concurrency=pool_concurrency(),
+            fn_kwargs={
+                "queries_ref": queries_ref,
+                "probe_ref": probe_ref,
+                "k": k + 1,
+            },
         )
         .groupby("query_id")
         .map_groups(topk_no_self, batch_format="pyarrow")
