@@ -482,6 +482,8 @@ class SegmentEncoder:
         tmp = base + ".terms.parquet.tmp"
         pq.write_table(terms_tbl, tmp)
         os.replace(tmp, base + ".terms.parquet")
+        import zlib
+
         meta = {
             "gpart": gpart,
             "num_terms": len(set(rows_term)),
@@ -491,6 +493,10 @@ class SegmentEncoder:
             "doc_min": int(doc_ids.min()),
             "doc_max": int(doc_ids.max()),
             "blob_bytes": len(blob),
+            # per-file integrity (CodecUtil CRC32 footer analogue,
+            # codecs/CodecUtil.java) — validated by state/checkindex.py
+            "post_crc32": zlib.crc32(bytes(blob)),
+            "pos_crc32": zlib.crc32(bytes(pos_blob)) if has_pos else -1,
             "wall_sec": round(time.time() - t0, 3),
             "fingerprint": self.fingerprint,  # lineage: ties segment to input
             "resumed": False,
@@ -513,6 +519,8 @@ def _meta_row(meta: dict) -> pa.Table:
             "doc_min": pa.array([meta.get("doc_min", 0)], pa.int64()),
             "doc_max": pa.array([meta.get("doc_max", -1)], pa.int64()),
             "blob_bytes": pa.array([meta["blob_bytes"]], pa.int64()),
+            "post_crc32": pa.array([int(meta.get("post_crc32", -1))], pa.int64()),
+            "pos_crc32": pa.array([int(meta.get("pos_crc32", -1))], pa.int64()),
             "wall_sec": pa.array([float(meta["wall_sec"])], pa.float64()),
             "resumed": pa.array([bool(meta.get("resumed", False))], pa.bool_()),
         }
@@ -731,6 +739,8 @@ def build_index(
                 "doc_min": int(r["doc_min"]),
                 "doc_max": int(r["doc_max"]),
                 "blob_bytes": int(r["blob_bytes"]),
+                "post_crc32": int(r.get("post_crc32", -1)),
+                "pos_crc32": int(r.get("pos_crc32", -1)),
                 "wall_sec": float(r["wall_sec"]),
                 "resumed": bool(r["resumed"]),
             }

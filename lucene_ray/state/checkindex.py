@@ -100,11 +100,29 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
             f"manifest sum_total_tf={manifest['sum_total_tf']} != decoded {sum_tf}"
         )
     seg_dir = os.path.join(index_dir, SEGMENT_DIR)
+    import zlib
+
     for seg in manifest["segments"]:
         base = os.path.join(seg_dir, f"seg-{seg['gpart']:05d}")
         for suffix in (".post", ".terms.parquet"):
             if not os.path.exists(base + suffix):
                 errors.append(f"missing segment file {base + suffix}")
+        # per-file CRC32 (CodecUtil header/footer checksum analogue,
+        # codecs/CodecUtil.java) — recorded at encode time
+        for suffix, key in ((".post", "post_crc32"), (".pos", "pos_crc32")):
+            want = int(seg.get(key, -1))
+            if want < 0:
+                continue
+            path = base + suffix
+            if not os.path.exists(path):
+                errors.append(f"missing {path} (crc recorded)")
+                continue
+            with open(path, "rb") as f:
+                got = zlib.crc32(f.read())
+            if got != want:
+                errors.append(
+                    f"{path}: crc32 mismatch (recorded {want}, file {got})"
+                )
 
     report = {
         "index_dir": index_dir,

@@ -116,6 +116,28 @@ def test_check_index_detects_tamper(built_indexes, tmp_path):
     assert not report["ok"]
 
 
+def test_check_index_detects_bitflip_via_crc(built_indexes, tmp_path):
+    """Per-file CRC32 (CodecUtil footer analogue) catches a single flipped
+    byte in a posting blob even when the decode still 'succeeds'."""
+    from lucene_ray.state.checkindex import check_index
+
+    full_dir, _, _ = built_indexes
+    bad_dir = str(tmp_path / "bitflip")
+    shutil.copytree(full_dir, bad_dir)
+    post = sorted(
+        f for f in os.listdir(os.path.join(bad_dir, "segments"))
+        if f.endswith(".post")
+    )[0]
+    path = os.path.join(bad_dir, "segments", post)
+    with open(path, "r+b") as f:
+        f.seek(-1, os.SEEK_END)
+        last = f.read(1)
+        f.seek(-1, os.SEEK_END)
+        f.write(bytes([last[0] ^ 0xFF]))
+    report = check_index(bad_dir, raise_on_error=False)
+    assert any("crc32 mismatch" in e for e in report["errors"])
+
+
 def test_distributed_search_matches_single(built_indexes):
     from lucene_ray.functions.analysis import make_analyzer
     from lucene_ray.functions.query import parse_query, score_blockmax
