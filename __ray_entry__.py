@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- similarity search ---
     q["knn_cosine"] = lambda sf: _knn(sf)
     q["knn_cosine_ivf"] = lambda sf: _knn_ivf(sf)  # rows-only (approximate)
+    q["knn_cosine_hnsw"] = lambda sf: _knn_hnsw(sf)  # rows-only (approximate)
 
     # --- text analysis ---
     q["token_count"] = lambda sf: _textop(sf, ["doc_id", "n_tokens", "n_chars", "mean_token_len"])
@@ -908,6 +909,24 @@ def _knn_ivf(sf_dir: str):
         k=TOPK,
         layout_dir=f"/tmp/lucene_ray_ivf/{tag}",
         layout_fingerprint=f"rows={n};c=16;it=2",
+    )
+
+
+def _knn_hnsw(sf_dir: str):
+    """Per-partition HNSW graphs (Lucene per-segment HNSW analogue),
+    write-once layout per sf; rows-only (approximate, pytest recall-gated)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.hnsw import knn_cosine_hnsw
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    n = pq.ParquetFile(f"{sf_dir.rstrip('/')}/embeddings.parquet").metadata.num_rows
+    return knn_cosine_hnsw(
+        _load_embeddings(sf_dir),
+        KNN_QUERY_IDS,
+        k=TOPK,
+        layout_dir=f"/tmp/lucene_ray_hnsw/{tag}",
+        layout_fingerprint=f"rows={n};m=16;efc=100;p=8",
     )
 
 

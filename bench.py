@@ -161,6 +161,8 @@ def run_build(num_cpus: int, out_dir: str | None = None) -> dict:
         analyzer_concurrency=None,
         analyzer_batch_size=1024,
         exchange="files",  # external run-file exchange (see build.py)
+        emit_doc_map=False,  # sidecar is a separate ingest concern; r1
+        # baseline built without it — keeps the comparison apples-to-apples
     )
     t0 = time.time()
     manifest = build_index(ds, out_dir, cfg, doc_count=doc_count, heavy_terms=heavy)
@@ -219,6 +221,7 @@ def run_suite() -> dict:
         sample_rate=0.02,
         analyzer_batch_size=1024,
         exchange="files",
+        emit_doc_map=False,
     )
     t0 = time.time()
     build_index(ds, out_dir, cfg, doc_count=doc_count, heavy_terms=heavy)
@@ -413,6 +416,16 @@ def run_suite() -> dict:
         ).count(),
     )
     timed("cosine_pairs", lambda: cosine_pairs(emb, 0.45).count())
+    from lucene_ray.pipelines.hnsw import knn_cosine_hnsw
+
+    hnsw_dir = f"/tmp/lucene_ray_bench/hnsw-{NUM_CPUS}"
+    shutil.rmtree(hnsw_dir, ignore_errors=True)
+    timed(
+        "knn_hnsw_build_query",
+        lambda: knn_cosine_hnsw(
+            emb, (0, 1, 2), k=10, layout_dir=hnsw_dir, num_partitions=8
+        ).count(),
+    )
     timed(
         "events_window",
         lambda: window_aggregate(
@@ -458,7 +471,7 @@ def run_sharded() -> dict:
         return IndexConfig(
             analyzer="standard_en", norm_kind="byte4", num_partitions=parts,
             heavy_df_threshold=50_000, bucket_shift=14, sample_rate=0.02,
-            exchange="files",
+            exchange="files", emit_doc_map=False,
         )
 
     mono_dir = f"{base}/mono"

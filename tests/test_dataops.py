@@ -206,6 +206,29 @@ def test_knn_ivf_recall(ray_session):
     assert recall >= 0.7  # probing half the centroids on clustered data
 
 
+def test_knn_hnsw_recall(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.pipelines.hnsw import knn_cosine_hnsw
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    tbl, mat = _clustered_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_cosine(ds, [0, 5], k=10).take_all()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_cosine_hnsw(
+            ds, [0, 5], k=10, num_partitions=4,
+            layout_dir=str(tmp_path / "hnsw"),
+        ).take_all()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8  # graph beam search on clustered data
+
+
 def test_cosine_pairs_threshold(ray_session):
     import ray.data
 
