@@ -20,7 +20,7 @@ every term becomes one contiguous posting list in its home partition.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -38,7 +38,7 @@ from ..state.segment import (
 @ray.remote
 def _merge_gpart(
     shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int,
-    deleted=None,
+    deleted=None, with_positions: bool = False,
 ) -> dict:
     import time
 
@@ -46,6 +46,7 @@ def _merge_gpart(
     import pyarrow.parquet as pq
 
     from ..state.segment import TERMS_SCHEMA
+    from ..util import concat_aranges
 
     t0 = time.time()
     readers = [IndexReader(d) for d in shard_dirs]
@@ -68,30 +69,52 @@ def _merge_gpart(
         )
     terms = sorted(term_set)
     blob = bytearray()
+    pos_blob = bytearray()
     rows: Dict[str, list] = {
         "term": [], "bucket": [], "doc_freq": [], "total_tf": [],
         "max_tf": [], "offset": [], "length": [],
+        "pos_offset": [], "pos_length": [],
     }
     num_postings = 0
     sum_tf = 0
     for term in terms:
-        docs_parts, tf_parts, key_parts = [], [], []
+        docs_parts, tf_parts, key_parts, pos_parts = [], [], [], []
         for r in readers:
             for tp in r.postings(term):  # IndexReader restores bucket order
                 d, t, k = tp.decode_all()
                 docs_parts.append(d)
                 tf_parts.append(t)
                 key_parts.append(k)
+            if with_positions:
+                pos_parts.append(r.term_positions(term)[2])
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         keys = np.concatenate(key_parts)
         order = np.argsort(docs, kind="stable")
+        flat_pos = None
+        if with_positions:
+            # permute doc-level position runs into the merged doc order
+            widths = np.concatenate(tf_parts).astype(np.int64)
+            flat_all = (
+                np.concatenate(pos_parts)
+                if pos_parts
+                else np.empty(0, np.int32)
+            )
+            starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+            w_o = widths[order]
+            idx = np.repeat(starts[order], w_o) + concat_aranges(w_o)
+            flat_pos = flat_all[idx]
         docs, tfs, keys = docs[order], tfs[order], keys[order]
         if deleted is not None and len(deleted) and len(docs):
             # physically drop tombstoned postings (the reference's merge
             # consults liveDocs the same way, index/SegmentMerger.java)
             pos = np.minimum(np.searchsorted(deleted, docs), len(deleted) - 1)
             keep = deleted[pos] != docs
+            if with_positions and not keep.all():
+                starts2 = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                w_k = tfs[keep].astype(np.int64)
+                idx2 = np.repeat(starts2[keep], w_k) + concat_aranges(w_k)
+                flat_pos = flat_pos[idx2]
             docs, tfs, keys = docs[keep], tfs[keep], keys[keep]
         if len(docs) == 0:
             continue
@@ -103,6 +126,12 @@ def _merge_gpart(
         rows["max_tf"].append(int(tfs.max()))
         rows["offset"].append(off)
         rows["length"].append(length)
+        if with_positions:
+            rows["pos_offset"].append(len(pos_blob))
+            pos_blob.extend(
+                np.ascontiguousarray(flat_pos, dtype="<i4").tobytes()
+            )
+            rows["pos_length"].append(len(flat_pos) * 4)
         num_postings += len(docs)
         sum_tf += int(tfs.sum())
     seg_dir = os.path.join(out_dir, SEGMENT_DIR)
@@ -112,21 +141,33 @@ def _merge_gpart(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, base + ".post")
-    tbl = pa.table(
-        {
-            "term": pa.array(rows["term"], pa.string()),
-            "bucket": pa.array(rows["bucket"], pa.int32()),
-            "doc_freq": pa.array(rows["doc_freq"], pa.int64()),
-            "total_tf": pa.array(rows["total_tf"], pa.int64()),
-            "max_tf": pa.array(rows["max_tf"], pa.int32()),
-            "offset": pa.array(rows["offset"], pa.int64()),
-            "length": pa.array(rows["length"], pa.int64()),
-        },
-        schema=TERMS_SCHEMA,
-    )
+    if with_positions:
+        tmp = base + ".pos.tmp"
+        with open(tmp, "wb") as f:
+            f.write(pos_blob)
+        os.replace(tmp, base + ".pos")
+    cols = {
+        "term": pa.array(rows["term"], pa.string()),
+        "bucket": pa.array(rows["bucket"], pa.int32()),
+        "doc_freq": pa.array(rows["doc_freq"], pa.int64()),
+        "total_tf": pa.array(rows["total_tf"], pa.int64()),
+        "max_tf": pa.array(rows["max_tf"], pa.int32()),
+        "offset": pa.array(rows["offset"], pa.int64()),
+        "length": pa.array(rows["length"], pa.int64()),
+    }
+    schema = TERMS_SCHEMA
+    if with_positions:
+        cols["pos_offset"] = pa.array(rows["pos_offset"], pa.int64())
+        cols["pos_length"] = pa.array(rows["pos_length"], pa.int64())
+        schema = TERMS_SCHEMA.append(pa.field("pos_offset", pa.int64())).append(
+            pa.field("pos_length", pa.int64())
+        )
+    tbl = pa.table(cols, schema=schema)
     tmp = base + ".terms.parquet.tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, base + ".terms.parquet")
+    import zlib
+
     return {
         "gpart": gpart,
         "num_terms": len(rows["term"]),
@@ -134,6 +175,8 @@ def _merge_gpart(
         "num_postings": num_postings,
         "sum_tf": sum_tf,
         "blob_bytes": len(blob),
+        "post_crc32": zlib.crc32(bytes(blob)),
+        "pos_crc32": zlib.crc32(bytes(pos_blob)) if with_positions else -1,
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -191,6 +234,7 @@ def compact_shards(
             if m[key] != first[key]:
                 raise ValueError(f"shards disagree on {key}")
     num_partitions = first["num_partitions"]
+    with_positions = all(m.get("positions", False) for m in manifests)
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     dead = (
         np.unique(np.asarray(list(deleted), dtype=np.int64))
@@ -200,7 +244,8 @@ def compact_shards(
     metas = ray.get(
         [
             _merge_gpart.remote(
-                list(shard_dirs), out_dir, g, num_partitions, dead
+                list(shard_dirs), out_dir, g, num_partitions, dead,
+                with_positions,
             )
             for g in range(num_partitions)
         ]
@@ -213,6 +258,7 @@ def compact_shards(
         "version": 1,
         "analyzer": first["analyzer"],
         "norm_kind": first["norm_kind"],
+        "positions": with_positions,
         "num_partitions": num_partitions,
         "bucket_shift": first.get("bucket_shift", 16),
         "heavy_terms": [],
@@ -242,3 +288,75 @@ def compact_root(root: str, out_dir: str) -> dict:
     return compact_shards(
         [s["dir"] for s in shards], out_dir, deleted=read_deletes(root)
     )
+
+
+def select_merge(
+    shards: Sequence[dict], segs_per_tier: int = 8, max_merge_at_once: int = 8
+):
+    """Tiered merge selection adapted to the ordered-shard invariant
+    (reference: index/TieredMergePolicy.java:30-90 — segsPerTier budget,
+    maxMergeAtOnce, cost favors merging SMALL segments). Our shards carry
+    disjoint ascending doc ranges, so a merge candidate must be a
+    CONTIGUOUS window in doc order (the LSM adaptation of the tiered
+    policy); among the windows large enough to bring the count back under
+    budget we pick the one with the fewest total docs."""
+    if len(shards) <= segs_per_tier:
+        return None
+    ordered = sorted(shards, key=lambda s: s["doc_min"])
+    w = min(max_merge_at_once, len(ordered) - segs_per_tier + 1)
+    w = max(w, 2)
+    best = None
+    best_cost = None
+    for i in range(len(ordered) - w + 1):
+        window = ordered[i : i + w]
+        cost = sum(s["doc_count"] for s in window)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = window, cost
+    return best
+
+
+def maintain_root(
+    root: str, segs_per_tier: int = 8, max_merge_at_once: int = 8
+) -> Optional[dict]:
+    """One TieredMergePolicy maintenance step on an incremental root: when
+    the shard count exceeds ``segs_per_tier``, merge the cheapest
+    contiguous window of up to ``max_merge_at_once`` shards into one shard
+    and republish the registry atomically (old shard dirs stay on disk for
+    readers opened before the publish — immutable segments, like the
+    reference). Root tombstones falling inside the merged doc range are
+    physically dropped there; the tombstone files stay (filtering an
+    already-purged doc is a no-op for the other shards). Returns the new
+    shard entry, or None when the root is within budget. Call in a loop to
+    fully converge (ConcurrentMergeScheduler analogue: each call is one
+    merge; callers may run them from separate processes against disjoint
+    windows)."""
+    from ..state.deletes import read_deletes
+    from .incremental import _publish, list_shards
+
+    shards = list_shards(root)
+    window = select_merge(shards, segs_per_tier, max_merge_at_once)
+    if window is None:
+        return None
+    merged_id = max(s["shard_id"] for s in shards) + 1
+    out_dir = os.path.join(root, "shards", f"shard-{merged_id:05d}")
+    dead = read_deletes(root)
+    lo = min(s["doc_min"] for s in window)
+    hi = max(s["doc_max"] for s in window)
+    if dead is not None:
+        dead = dead[(dead >= lo) & (dead <= hi)]
+    manifest = compact_shards(
+        [s["dir"] for s in window], out_dir, deleted=dead
+    )
+    entry = {
+        "shard_id": merged_id,
+        "dir": out_dir,
+        "doc_count": manifest["doc_count"],
+        "doc_min": lo,
+        "doc_max": hi,
+        "analyzer": manifest["analyzer"],
+        "norm_kind": manifest["norm_kind"],
+    }
+    window_ids = {s["shard_id"] for s in window}
+    remaining = [s for s in shards if s["shard_id"] not in window_ids]
+    _publish(root, sorted(remaining + [entry], key=lambda s: s["doc_min"]))
+    return entry
