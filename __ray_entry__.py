@@ -306,7 +306,8 @@ def _multi_result(sf_dir: str, set_name: str):
 
 
 def _run_query_strings(
-    sf_dir: str, id_to_query: Dict[int, str], index_dir: str = None
+    sf_dir: str, id_to_query: Dict[int, str], index_dir: str = None,
+    k1: float = K1, b: float = B,
 ):
     import pyarrow as pa
 
@@ -315,7 +316,7 @@ def _run_query_strings(
 
     if index_dir is None:
         index_dir = _ensure_index(sf_dir)
-    stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax")
+    stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax", k1=k1, b=b)
     batch = pa.table(
         {
             "query_id": pa.array(list(id_to_query.keys()), pa.int64()),
@@ -804,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
+    q["bm25_k1b"] = lambda sf: _run_query_strings(
+        sf, K1B_QUERY_SETS, k1=K1B_PARAMS[0], b=K1B_PARAMS[1]
+    )
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
@@ -1114,11 +1118,14 @@ _BASE_CTES = _base_ctes()
 
 # Per-(doc, term) float64 BM25 score in the engine's exact op order:
 #   idf * (tf / (tf + k1*((1-b) + b*dl/avgdl)))
-_SC_CTE = f"""
+
+
+def _sc_cte(k1: float = K1, b: float = B) -> str:
+    return f"""
 sc AS (
   SELECT tf.doc_id, tf.term,
          ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * (tf.tf / (tf.tf + {K1} * ((1 - {B}) + {B} * dl.dl
+           * (tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * dl.dl
                 / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
   FROM tf
   JOIN df USING (term)
@@ -1126,6 +1133,20 @@ sc AS (
   CROSS JOIN stats s
 )
 """.strip()
+
+
+_SC_CTE = _sc_cte()
+
+# setSimilarity entry: the SAME boolean queries under non-default BM25
+# parameters (reference: IndexSearcher.setSimilarity(new BM25Similarity(
+# k1, b)) — per-searcher, not per-index)
+K1B_PARAMS = (0.9, 0.4)
+K1B_QUERY_SETS: Dict[int, str] = {
+    0: "dup",
+    1: "batch small scan",
+    2: "+data -stream",
+    3: "dup key fast line ~2",
+}
 
 
 def _in_list(terms: Sequence[str]) -> str:
@@ -1391,6 +1412,21 @@ def _phrase_sql() -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
+def _k1b_sql() -> str:
+    """Oracle for bm25_k1b: identical arithmetic with k1/b swapped in."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    k1, b = K1B_PARAMS
+    selects = [
+        _parsed_bm25_select(qid, parse_query(qs, an))
+        for qid, qs in sorted(K1B_QUERY_SETS.items())
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_sc_cte(k1, b)}\n{body}"
 
 
 def _must_multi_sql() -> str:
@@ -1681,6 +1717,7 @@ FROM tf GROUP BY term"""
     sql["bm25_range_filter"] = _range_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
+    sql["bm25_k1b"] = _k1b_sql()
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
