@@ -626,6 +626,9 @@ def _bm25_explain(sf_dir: str):
 
     index_dir = _ensure_index(sf_dir)
     reader = get_reader(index_dir)
+    # readers are process-cached and bm25_params is per-searcher state —
+    # reset it so a prior bm25_k1b run can't leak its parameters here
+    reader.bm25_params = (K1, B)
     an = make_analyzer(reader.analyzer_name)
     cols = {k: [] for k in (
         "query_id", "doc_id", "term", "tf", "dl", "doc_freq", "idf", "part"
