@@ -55,6 +55,23 @@ def broadcast_join(
     return large.map_batches(join_batch, batch_format="pyarrow")
 
 
+def _ipc_pack(tbl: pa.Table) -> bytes:
+    import io
+
+    import pyarrow.ipc as ipc
+
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def _ipc_unpack(blob: bytes) -> pa.Table:
+    import pyarrow.ipc as ipc
+
+    return ipc.open_stream(blob).read_all()
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -65,58 +82,82 @@ def hash_join(
     """Partitioned hash join of two large Datasets (inner).
 
     Output columns = left columns + right columns minus ``key_right``.
+
+    Block exchange: each map task splits its batch by key bucket and ships
+    ONE row per (batch, bucket) whose payload is the bucket's sub-table in
+    Arrow IPC bytes — both sides keep their own schema (no null-widened
+    union doubling the shuffled bytes) and the all-to-all moves a few
+    packed rows per task instead of every data row. The groupby co-locates
+    each bucket's packed slices from both sides; the group fn unpacks,
+    concatenates and joins vectorized. Bucket count bounds per-group
+    memory; salt hot keys by widening ``num_buckets``.
     """
 
-    def tag(side: str, key: str):
-        def add(batch: pa.Table) -> pa.Table:
+    def pack(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {
+                        "_jbucket": pa.array([], pa.int32()),
+                        "_jside": pa.array([], pa.string()),
+                        "_payload": pa.array([], pa.binary()),
+                    }
+                )
             b = _key_bucket(batch.column(key), num_buckets)
-            return batch.append_column(
-                "_jbucket", pa.array(b)
-            ).append_column("_jside", pa.array([side] * len(batch)))
-
-        return add
-
-    # align schemas for the union: nulls for the other side's columns
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_names = list(l_schema.names)
-    r_names = [n for n in r_schema.names if n != key_right]
-
-    def widen_left(batch: pa.Table) -> pa.Table:
-        for name in r_names:
-            idx = r_schema.names.index(name)
-            batch = batch.append_column(
-                name, pa.nulls(len(batch), r_schema.types[idx])
+            order = np.argsort(b, kind="stable")
+            sb = batch.take(pa.array(order))
+            bs = b[order]
+            bounds = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            out_b, out_p = [], []
+            for lo, hi in zip(starts, ends):
+                out_b.append(int(bs[lo]))
+                out_p.append(_ipc_pack(sb.slice(lo, hi - lo)))
+            return pa.table(
+                {
+                    "_jbucket": pa.array(out_b, pa.int32()),
+                    "_jside": pa.array([side] * len(out_b), pa.string()),
+                    "_payload": pa.array(out_p, pa.binary()),
+                }
             )
-        return batch
 
-    def widen_right(batch: pa.Table) -> pa.Table:
-        out = {key_left: batch.column(key_right)}
-        for name, typ in zip(l_schema.names, l_schema.types):
-            if name != key_left:
-                out[name] = pa.nulls(len(batch), typ)
-        for name in r_names:
-            out[name] = batch.column(name)
-        return pa.table(out)
+        return fn
 
-    lt = left.map_batches(widen_left, batch_format="pyarrow").map_batches(
-        tag("l", key_left), batch_format="pyarrow"
-    )
-    rt = right.map_batches(widen_right, batch_format="pyarrow").map_batches(
-        tag("l2", key_left), batch_format="pyarrow"
-    )
+    lt = left.map_batches(pack("l", key_left), batch_format="pyarrow")
+    rt = right.map_batches(pack("r", key_right), batch_format="pyarrow")
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        side = group.column("_jside")
-        is_left = pc.equal(side, "l")
-        lpart = group.filter(is_left).select(l_names)
-        rpart = group.filter(pc.invert(is_left)).select([key_left] + r_names)
+        sides = group.column("_jside").to_pylist()
+        payloads = group.column("_payload").to_pylist()
+        l_parts = [_ipc_unpack(p) for s, p in zip(sides, payloads) if s == "l"]
+        r_parts = [_ipc_unpack(p) for s, p in zip(sides, payloads) if s == "r"]
+        if not l_parts or not r_parts:
+            return None  # empty group contribution (map_groups drops None? no)
+        lpart = pa.concat_tables(l_parts)
+        rpart = pa.concat_tables(r_parts)
         return lpart.join(
-            rpart, keys=key_left, right_keys=key_left, join_type="inner"
+            rpart, keys=key_left, right_keys=key_right, join_type="inner"
         )
 
+    # an inner join over a bucket missing one side is empty — emit a
+    # zero-row table with the joined schema so every group yields a block
+    l_schema = left.schema()
+    r_schema = right.schema()
+    joined_fields = [
+        (n, l_schema.types[l_schema.names.index(n)]) for n in l_schema.names
+    ] + [
+        (n, r_schema.types[r_schema.names.index(n)])
+        for n in r_schema.names
+        if n != key_right
+    ]
+    empty_schema = pa.schema(joined_fields)
+
+    def join_bucket_safe(group: pa.Table) -> pa.Table:
+        out = join_bucket(group)
+        return empty_schema.empty_table() if out is None else out
+
     return lt.union(rt).groupby("_jbucket").map_groups(
-        join_bucket, batch_format="pyarrow"
+        join_bucket_safe, batch_format="pyarrow"
     )
