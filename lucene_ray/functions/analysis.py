@@ -234,6 +234,73 @@ class ShingleAnalyzer:
         return out
 
 
+class SynonymAnalyzer:
+    """Single-token synonym expansion over a base chain (reference:
+    analysis/common/.../synonym/SynonymFilter.java — the non-graph subset:
+    each matching token additionally emits its synonyms at the SAME
+    position, position-increment 0, so phrase queries match either form).
+
+    Mapping keys match the BASE chain's output terms (apply to stemmed
+    forms under standard_en). Deviation, documented: synonym tokens count
+    toward the length norm (the reference's discountOverlaps=false
+    configuration; discountOverlaps=true would skip posInc==0 tokens).
+
+    Serializable by name — ``synonym:<base>:<k>=<v1>|<v2>,<k2>=...`` —
+    so Ray workers reconstruct the exact analyzer from the config string
+    (the registry is per-process; a driver-side register_analyzer wouldn't
+    reach map workers).
+
+    Usage note: boolean queries expand to a SHOULD union (SynonymQuery-ish
+    semantics). PHRASE queries through this analyzer require the index to
+    be synonym-expanded too — query-side expansions become additional
+    same-offset phrase terms, which only match because the index emitted
+    the mirror tokens (use bidirectional mappings for phrase workloads,
+    e.g. ``car=auto,auto=car``)."""
+
+    def __init__(self, base, mapping: Dict[str, List[str]], name: str = "synonym"):
+        self.base = base
+        self.mapping = {k: list(v) for k, v in mapping.items()}
+        self.name = name
+
+    def analyze(self, text: str) -> List[str]:
+        out: List[str] = []
+        mapping = self.mapping
+        for t in self.base.analyze(text):
+            out.append(t)
+            syns = mapping.get(t)
+            if syns:
+                out.extend(syns)
+        return out
+
+    def analyze_positions(self, text: str):
+        terms: List[str] = []
+        pos: List[int] = []
+        mapping = self.mapping
+        for t, p in zip(*self.base.analyze_positions(text)):
+            terms.append(t)
+            pos.append(p)
+            syns = mapping.get(t)
+            if syns:
+                terms.extend(syns)
+                pos.extend([p] * len(syns))  # posInc = 0
+        return terms, pos
+
+
+def _parse_synonym_name(name: str) -> SynonymAnalyzer:
+    try:
+        _, base, spec = name.split(":", 2)
+        mapping: Dict[str, List[str]] = {}
+        for pair in spec.split(","):
+            k, v = pair.split("=", 1)
+            mapping[k] = v.split("|")
+    except ValueError:
+        raise KeyError(
+            f"bad synonym analyzer spec {name!r}; expected "
+            "'synonym:<base>:<term>=<syn1>|<syn2>,...'"
+        ) from None
+    return SynonymAnalyzer(make_analyzer(base), mapping, name=name)
+
+
 _REGISTRY: Dict[str, Callable[[], object]] = {
     "standard_en": StandardEnglishAnalyzer,
     "standard_en_nostem": lambda: StandardEnglishAnalyzer(stem=False),
@@ -253,6 +320,8 @@ def register_analyzer(name: str, factory: Callable[[], object]) -> None:
 
 
 def make_analyzer(name: str):
+    if name.startswith("synonym:"):
+        return _parse_synonym_name(name)
     try:
         return _REGISTRY[name]()
     except KeyError:

@@ -107,3 +107,48 @@ def test_sessionize_reference(ray_session):
     assert rows[0] == (1, 1) and rows[1] == (1, 1)
     assert rows[2] == (1, 2) and rows[3] == (1, 3)
     assert rows[4] == (2, 1) and rows[5] == (2, 2)
+
+
+def test_synonym_analyzer_unit():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("synonym:en_nostem_simple:car=auto|vehicle,quick=fast")
+    assert an.analyze("the quick car") == ["quick", "fast", "car", "auto", "vehicle"]
+    terms, pos = an.analyze_positions("the quick car")
+    # synonyms share their original's position (posInc = 0)
+    assert list(zip(terms, pos)) == [
+        ("quick", 1), ("fast", 1), ("car", 2), ("auto", 2), ("vehicle", 2)
+    ]
+
+
+def test_synonym_index_and_phrase(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    name = "synonym:en_nostem_simple:car=auto,auto=car"
+    texts = ["fast car on road", "fast auto lane", "slow bike"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = str(tmp_path / "syn")
+    cfg = IndexConfig(
+        analyzer=name, norm_kind="exact", num_partitions=4, positions=True
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=3)
+    r = get_reader(out)
+    an = make_analyzer(name)
+    # a query for either form matches both docs (same-position expansion)
+    for q in ("car", "auto"):
+        got = score_exhaustive(r, parse_query(q, an), 10)[0].tolist()
+        assert sorted(got) == [0, 1]
+    # phrase across the synonym position: "fast car" matches "fast auto"
+    got = score_exhaustive(r, parse_query('"fast car"', an), 10)[0].tolist()
+    assert sorted(got) == [0, 1]
