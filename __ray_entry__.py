@@ -1185,7 +1185,7 @@ def _bm25_sql(set_name: str) -> str:
     FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
   )
   WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
@@ -1213,7 +1213,7 @@ def _parsed_bm25_select(qid: int, q, extra_where: str = "") -> str:
     FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
   )
   WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0{extra_where}
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
 
 
 def _update_sql() -> str:
@@ -1348,7 +1348,7 @@ def _multi_sql(set_name: str) -> str:
     FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
   )
   WHERE n_should >= 1 AND n_not = 0
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
@@ -1411,7 +1411,7 @@ def _phrase_sql() -> str:
     JOIN dl ON dl.doc_id = p.doc_id
     CROSS JOIN stats s
   )
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
@@ -1480,7 +1480,7 @@ def _must_multi_sql() -> str:
     FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
   )
   WHERE n_must = {len(must)} AND n_not = 0 AND {gcond}
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
@@ -1551,7 +1551,7 @@ def _dismax_sql() -> str:
     SELECT doc_id, MAX(score) + {tie} * (SUM(score) - MAX(score)) AS score
     FROM sc WHERE term IN {_in_list(sorted(set(terms)))} GROUP BY doc_id
   )
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
@@ -1593,7 +1593,7 @@ def _boost_sql() -> str:
     FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
   )
   WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
-  ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+  ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
