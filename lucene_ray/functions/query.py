@@ -85,15 +85,27 @@ class TermQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
-    """Exact phrase over a positions-enabled index (reference:
-    search/PhraseQuery.java + ExactPhraseMatcher.java). ``offsets`` are the
-    analyzed terms' position increments relative to the first kept term —
-    a dropped stopword leaves a gap (``"data the stream"`` -> terms
-    (data, stream), offsets (0, 2)), exactly the reference's
-    QueryParser-built phrase with position gaps."""
+    """Phrase over a positions-enabled index (reference:
+    search/PhraseQuery.java + ExactPhraseMatcher.java /
+    SloppyPhraseMatcher.java). ``offsets`` are the analyzed terms' position
+    increments relative to the first kept term — a dropped stopword leaves
+    a gap (``"data the stream"`` -> terms (data, stream), offsets (0, 2)),
+    exactly the reference's QueryParser-built phrase with position gaps.
+
+    ``slop > 0`` (``"a b"~N`` syntax) allows per-term displacement: a match
+    anchored at a position of the first term picks each other term's
+    nearest-displacement position; matchLength L = max(displacement) -
+    min(displacement) must be <= slop, and each match contributes the
+    reference's sloppyWeight 1/(1+L) to the (float) phrase frequency
+    (BM25Similarity feeds float freqs). The classic behavior follows:
+    adjacent extra word needs slop 1, reversed order needs slop 2. For 3+
+    terms the nearest-displacement pick is a deterministic greedy
+    approximation of the reference's minimal-window enumeration
+    (documented deviation; slop=0 is the exact matcher)."""
 
     terms: Tuple[str, ...]
     offsets: Tuple[int, ...]
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -171,17 +183,18 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         filters.append((m.group(1), int(m.group(2)), int(m.group(3))))
         return " "
 
-    # quoted phrase: `"exact phrase"` as the WHOLE query -> PhraseQuery
-    # (mixing phrase and term clauses needs nested boolean structure the
-    # flat model doesn't have; the reference demo queries are pure too)
+    # quoted phrase: `"exact phrase"` or `"sloppy phrase"~N` as the WHOLE
+    # query -> PhraseQuery (mixing phrase and term clauses needs nested
+    # boolean structure the flat model doesn't have)
     stripped = text.strip()
-    if stripped.startswith('"') and stripped.endswith('"') and len(stripped) >= 2:
-        body = stripped[1:-1]
-        if '"' in body:
-            raise ValueError("only one quoted phrase per query is supported")
-        terms, pos = analyzer.analyze_positions(body)
+    pm = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', stripped)
+    if pm is not None:
+        terms, pos = analyzer.analyze_positions(pm.group(1))
         offsets = tuple(p - pos[0] for p in pos) if pos else ()
-        return PhraseQuery(terms=tuple(terms), offsets=offsets)
+        return PhraseQuery(
+            terms=tuple(terms), offsets=offsets,
+            slop=int(pm.group(2) or 0),
+        )
     if '"' in text:
         raise ValueError(
             "quoted phrases are supported only as the whole query"
@@ -782,38 +795,42 @@ def _phrase_scored(reader, phrase: PhraseQuery):
     k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
     pad = max(phrase.offsets) + 1
     pos_cache: Dict[str, tuple] = {}
-    key_sets = []
     idf64 = 0.0
-    for t, off in zip(phrase.terms, phrase.offsets):
+    for t in phrase.terms:
         df, _ = reader.term_stats(t)
         if df == 0:
             return empty
         idf64 += math.log(
             1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
         )
-        tp = pos_cache.get(t)
-        if tp is None:
-            tp = reader.term_positions(t)
-            pos_cache[t] = tp
-        docs, tfs, flat = tp
-        if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
-            raise ValueError("document too long for phrase key packing")
-        doc_rep = np.repeat(docs, tfs)
-        key = (doc_rep << np.int64(_POS_SHIFT)) + (
-            flat.astype(np.int64) - off + pad
-        )
-        key_sets.append(key)  # ascending by construction (doc asc, pos asc)
-    key_sets.sort(key=len)
-    inter = key_sets[0]
-    for ks in key_sets[1:]:
+        if t not in pos_cache:
+            pos_cache[t] = reader.term_positions(t)
+    if getattr(phrase, "slop", 0) > 0:
+        docs_u, pf = _sloppy_freqs(pos_cache, phrase)
+        if len(docs_u) == 0:
+            return empty
+    else:
+        key_sets = []
+        for t, off in zip(phrase.terms, phrase.offsets):
+            docs, tfs, flat = pos_cache[t]
+            if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
+                raise ValueError("document too long for phrase key packing")
+            doc_rep = np.repeat(docs, tfs)
+            key = (doc_rep << np.int64(_POS_SHIFT)) + (
+                flat.astype(np.int64) - off + pad
+            )
+            key_sets.append(key)  # ascending (doc asc, pos asc)
+        key_sets.sort(key=len)
+        inter = key_sets[0]
+        for ks in key_sets[1:]:
+            if len(inter) == 0:
+                return empty
+            pos = np.minimum(np.searchsorted(ks, inter), len(ks) - 1)
+            inter = inter[ks[pos] == inter]
         if len(inter) == 0:
             return empty
-        pos = np.minimum(np.searchsorted(ks, inter), len(ks) - 1)
-        inter = inter[ks[pos] == inter]
-    if len(inter) == 0:
-        return empty
-    occ_docs = inter >> np.int64(_POS_SHIFT)
-    docs_u, pf = np.unique(occ_docs, return_counts=True)
+        occ_docs = inter >> np.int64(_POS_SHIFT)
+        docs_u, pf = np.unique(occ_docs, return_counts=True)
     deleted = getattr(reader, "deleted", None)
     if deleted is not None and len(deleted) and len(docs_u):
         pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
@@ -833,8 +850,57 @@ def _phrase_scored(reader, phrase: PhraseQuery):
     else:
         scorer.idf = idf64
         scorer.weight = idf64
-    scores = scorer.score_array(pf.astype(np.int64), keys)
+    # sloppy freqs are floats (sum of 1/(1+L) weights) — the reference's
+    # Similarity.score(freq, norm) takes float freq too
+    scores = scorer.score_array(np.asarray(pf), keys)
     return docs_u.astype(np.int64), scores.astype(dtype, copy=False), dtype
+
+
+def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
+    """Sloppy phrase frequencies (SloppyPhraseMatcher analogue): for each
+    candidate doc (boolean AND of the phrase terms), each anchor position
+    of the first term picks every other term's nearest-displacement
+    position; matchLength L = displacement window width; matches with
+    L <= slop contribute 1/(1+L). -> (docs, float freqs)."""
+    per_term = [pos_cache[t] for t in phrase.terms]
+    cand = per_term[0][0]
+    for docs, _, _ in per_term[1:]:
+        cand = np.intersect1d(cand, docs, assume_unique=True)
+        if len(cand) == 0:
+            return cand, np.empty(0, np.float64)
+    # per term: row index of each candidate doc + position-slice bounds
+    slices = []
+    for (docs, tfs, flat), off in zip(per_term, phrase.offsets):
+        starts = np.concatenate(([0], np.cumsum(tfs)))
+        rows = np.searchsorted(docs, cand)
+        slices.append((starts, rows, flat.astype(np.int64) - off))
+    slop = phrase.slop
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    for ci in range(len(cand)):
+        plists = []
+        for starts, rows, disp in slices:
+            r = int(rows[ci])
+            plists.append(disp[int(starts[r]) : int(starts[r + 1])])
+        f = 0.0
+        p0s = plists[0]
+        for p0 in p0s.tolist():
+            lo = hi = p0
+            for pi in plists[1:]:
+                j = int(np.searchsorted(pi, p0))
+                best = None
+                for jj in (j - 1, j):
+                    if 0 <= jj < len(pi):
+                        v = int(pi[jj])
+                        if best is None or abs(v - p0) < abs(best - p0):
+                            best = v
+                lo = min(lo, best)
+                hi = max(hi, best)
+            L = hi - lo
+            if L <= slop:
+                f += 1.0 / (1.0 + L)
+        freqs[ci] = f
+    keep = freqs > 0
+    return cand[keep], freqs[keep]
 
 
 def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:

@@ -134,6 +134,41 @@ def test_phrase_respects_deletes(pos_index):
     assert 0 not in docs.tolist()
 
 
+def test_sloppy_phrase_classic_behavior(pos_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        matching_docs,
+        parse_query,
+        score_exhaustive,
+    )
+
+    index_dir, analyzer = pos_index
+    an = make_analyzer(analyzer)
+    r = _reader(index_dir)
+
+    q0 = parse_query('"data stream"~0', an)
+    assert q0.slop == 0
+    exact = matching_docs(r, parse_query('"data stream"', an)).tolist()
+    assert matching_docs(r, q0).tolist() == exact
+
+    # slop 1 admits one extra (non-stopword) word between the terms — but
+    # TEXTS has the stopword-gap case at distance 2 with increments, which
+    # slop>=1 also admits (doc 2: data@0 stream@2 -> L=1)
+    s1 = matching_docs(r, parse_query('"data stream"~1', an)).tolist()
+    assert set(exact) <= set(s1) and 2 in s1
+
+    # reversed order needs slop 2 (the classic Lucene behavior)
+    rev0 = matching_docs(r, parse_query('"stream data"', an)).tolist()
+    assert rev0 == [1]  # only the literally reversed doc
+    rev2 = set(matching_docs(r, parse_query('"stream data"~2', an)).tolist())
+    assert {0, 1, 4}.issubset(rev2)
+
+    # closer matches score higher at equal frequency: sloppyWeight 1/(1+L)
+    docs, scores = score_exhaustive(r, parse_query('"data stream"~3', an), 10)
+    by_doc = dict(zip(docs.tolist(), scores.tolist()))
+    assert by_doc[5] > by_doc[2]  # adjacent (L=0) beats stopword gap (L=1)
+
+
 def test_phrase_requires_positions(ray_session, tmp_path):
     import ray.data
 
