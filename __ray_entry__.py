@@ -209,6 +209,16 @@ PHRASE_QUERY_SETS: Dict[int, str] = {
     4: '"zzz missing"',
 }
 
+# Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
+# terms, where the engine's greedy nearest-displacement pick IS the exact
+# minimal window — the SQL oracle expresses it as a per-anchor MIN.
+PHRASE_SLOPPY_QUERY_SETS: Dict[int, str] = {
+    0: '"data stream"~1',
+    1: '"stream data"~2',   # reversed order admitted at slop 2
+    2: '"table hash"~3',
+    3: '"customer join"~0', # slop 0 == exact matcher
+}
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -613,6 +623,15 @@ def _bm25_phrase(sf_dir: str):
     )
 
 
+def _bm25_phrase_sloppy(sf_dir: str):
+    """Sloppy phrase top-k over the positions-enabled index."""
+    return _run_query_strings(
+        sf_dir,
+        PHRASE_SLOPPY_QUERY_SETS,
+        index_dir=_ensure_index(sf_dir, positions=True),
+    )
+
+
 def _bm25_explain(sf_dir: str):
     """Score decomposition for each query's top hits: one row per matching
     scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
@@ -813,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
+    q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -1432,6 +1452,60 @@ def _k1b_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_sc_cte(k1, b)}\n{body}"
 
 
+def _phrase_sloppy_sql() -> str:
+    """Oracle for bm25_phrase_sloppy (two-term phrases): per anchor
+    position of the first term, L = MIN over the second term's positions of
+    |displacement difference|; anchors with L <= slop contribute the
+    sloppyWeight 1/(1+L) to a float phrase frequency fed to the same BM25
+    arithmetic."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, qs in sorted(PHRASE_SLOPPY_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert len(q.terms) == 2, "sloppy oracle covers two-term phrases"
+        t0, t1 = q.terms
+        o1 = q.offsets[1]
+        vals = ", ".join(f"('{t}')" for t in q.terms)
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
+              FROM (VALUES {vals}) v(term) JOIN df d USING (term)
+              CROSS JOIN stats s2)
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, SUM(1.0 / (1.0 + L)) AS pf FROM (
+        SELECT a.doc_id, a.pos,
+               MIN(ABS((b.pos - {o1}) - a.pos)) AS L
+        FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.term = '{t1}'
+        WHERE a.term = '{t0}'
+        GROUP BY a.doc_id, a.pos
+      ) WHERE L <= {q.slop} GROUP BY doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _must_multi_sql() -> str:
     """Oracle for MUST multi-term groups: each `+pattern` clause becomes a
     per-group matched-count column required >= 1; group-matched terms score
@@ -1723,6 +1797,7 @@ FROM tf GROUP BY term"""
     sql["bm25_k1b"] = _k1b_sql()
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
+    sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,
