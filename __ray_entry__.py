@@ -772,6 +772,25 @@ def _media_meta(sf_dir: str):
     )
 
 
+N_FRAMES = 4
+
+
+def _media_frames(sf_dir: str):
+    """Frame sampling over the opaque html payload (video-pipeline shape:
+    row-expanding actor stage, payload dropped after slicing). The SQL
+    oracle slices the same derivation with varchar substring — exact
+    because the synthetic corpus is pure ASCII (byte == codepoint),
+    asserted in the oracle via octet_length = length."""
+    from lucene_ray.pipelines.multimodal import sample_frames
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    return sample_frames(
+        load_web_pages(sf_dir, include_html=True),
+        payload_col="html",
+        n_frames=N_FRAMES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -841,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
     q["media_meta"] = _media_meta
+    q["media_frames"] = _media_frames
 
     # --- dedup suite ---
     q["dedup_exact"] = lambda sf: _dedup_exact(sf)
@@ -1812,6 +1832,23 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
   TRUE AS is_markup,
   md5('<html><body>' || text || '</body></html>') AS digest
 FROM documents"""
+
+    sql["media_frames"] = f"""WITH h AS (
+  SELECT doc_id, '<html><body>' || text || '</body></html>' AS html
+  FROM documents
+),
+checked AS (
+  -- ASCII assumption that makes varchar slicing == byte slicing
+  SELECT doc_id, html, length(html) AS n FROM h
+  WHERE octet_length(CAST(html AS BLOB)) = length(html)
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST((i * n) // {N_FRAMES} AS BIGINT) AS frame_off,
+       CAST(((i + 1) * n) // {N_FRAMES} - (i * n) // {N_FRAMES} AS BIGINT) AS frame_bytes,
+       md5(substring(html, (i * n) // {N_FRAMES} + 1,
+                     ((i + 1) * n) // {N_FRAMES} - (i * n) // {N_FRAMES})) AS digest
+FROM checked, range(0, {N_FRAMES}) s(i)"""
 
     sql["dedup_exact"] = """SELECT doc_id, fingerprint FROM (
   SELECT doc_id, md5(text) AS fingerprint,

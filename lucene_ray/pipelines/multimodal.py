@@ -130,3 +130,100 @@ def decode_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FrameSampleStage:
+    """Row-expanding stage: one binary "video" payload -> ``n_frames``
+    evenly-spaced frame rows (doc_id, frame_idx, frame_off, frame_bytes,
+    digest). A real container demuxer would seek keyframes here (loaded
+    once per actor); without one the deterministic fallback slices the
+    payload into even byte ranges — same schema, same row expansion, same
+    memory profile (output rows carry a SLICE, never the whole payload),
+    so downstream embed/filter stages are end-to-end testable. This is the
+    canonical frame-sampling shape for a 100 TB video corpus: small
+    ``batch_size`` (payloads dominate block memory), payload dropped after
+    slicing."""
+
+    def __init__(self, payload_col: str = "payload", n_frames: int = 4):
+        self.payload_col = payload_col
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": [], "frame_idx": [], "frame_off": [],
+            "frame_bytes": [], "digest": [],
+        }
+        ids = batch.column("doc_id").to_pylist()
+        for did, blob in zip(ids, batch.column(self.payload_col).to_pylist()):
+            b = bytes(blob or b"")
+            n = len(b)
+            for i in range(self.n_frames):
+                lo = i * n // self.n_frames
+                hi = (i + 1) * n // self.n_frames
+                frame = b[lo:hi]
+                out["doc_id"].append(did)
+                out["frame_idx"].append(i)
+                out["frame_off"].append(lo)
+                out["frame_bytes"].append(hi - lo)
+                out["digest"].append(hashlib.md5(frame).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "frame_off": pa.array(out["frame_off"], pa.int64()),
+                "frame_bytes": pa.array(out["frame_bytes"], pa.int64()),
+                "digest": pa.array(out["digest"], pa.string()),
+            }
+        )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(payload_col, n_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioFeatureStage:
+    """Binary "audio" payload -> fixed-dim windowed features (one row per
+    payload, features = list<float> of ``dim`` values). A real decoder +
+    MFCC would load once per actor; the deterministic fallback hashes even
+    byte windows (one value per window) so the schema/batch plumbing and
+    the feature-vector contract (usable by knn/hnsw pipelines directly)
+    are real and tested."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, payload_col: str = "payload", dim: int = FEATURE_DIM):
+        self.payload_col = payload_col
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats: List[np.ndarray] = []
+        for blob in batch.column(self.payload_col).to_pylist():
+            b = bytes(blob or b"")
+            n = max(len(b), 1)
+            vals = np.empty(self.dim, dtype=np.float32)
+            for i in range(self.dim):
+                w = b[i * n // self.dim : (i + 1) * n // self.dim]
+                h = hashlib.blake2b(w, digest_size=4).digest()
+                vals[i] = int.from_bytes(h, "big") / 2**32
+            feats.append(vals)
+        out_cols = {
+            name: batch.column(name)
+            for name in batch.schema.names
+            if name != self.payload_col
+        }
+        out_cols["features"] = pa.array(
+            [f.tolist() for f in feats], pa.list_(pa.float32())
+        )
+        return pa.table(out_cols)

@@ -386,3 +386,48 @@ def test_joins_match_pandas(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, ref[["k", "v", "name"]])
+
+
+def test_frame_sample_and_audio_features(ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.multimodal import AudioFeatureStage, sample_frames
+
+    payloads = [b"0123456789abcdef", b"xyz", b""]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = sorted(
+        sample_frames(ds, n_frames=4, concurrency=1).take_all(),
+        key=lambda r: (r["doc_id"], r["frame_idx"]),
+    )
+    assert len(rows) == 12  # 3 docs x 4 frames (empty payload -> 4 empty)
+    r0 = [r for r in rows if r["doc_id"] == 0]
+    assert [r["frame_off"] for r in r0] == [0, 4, 8, 12]
+    assert [r["frame_bytes"] for r in r0] == [4, 4, 4, 4]
+    assert r0[0]["digest"] == hashlib.md5(b"0123").hexdigest()
+    # empty payload: 4 zero-length frames, digest of b""
+    r2 = [r for r in rows if r["doc_id"] == 2]
+    assert all(r["frame_bytes"] == 0 for r in r2)
+
+    feats = ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_args=("payload",),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    by_doc = {r["doc_id"]: r["features"] for r in feats}
+    assert len(by_doc[0]) == AudioFeatureStage.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in by_doc[0])
+    # deterministic: same payload -> same features
+    feats2 = ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_args=("payload",),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert {r["doc_id"]: r["features"] for r in feats2} == by_doc
