@@ -423,7 +423,9 @@ def run_suite() -> dict:
     timed(
         "knn_hnsw_build_query",
         lambda: knn_cosine_hnsw(
-            emb, (0, 1, 2), k=10, layout_dir=hnsw_dir, num_partitions=8
+            # partition count is the build-parallelism lever (each graph
+            # inserts sequentially, like the reference's per-segment builds)
+            emb, (0, 1, 2), k=10, layout_dir=hnsw_dir, num_partitions=16
         ).count(),
     )
     timed(
