@@ -284,7 +284,7 @@ def run_suite() -> dict:
 
     import ray.data
 
-    base_docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    base_docs = _read_sized(f"{SF_DIR}/documents.parquet")
     n_base = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
     build_index(
         base_docs.select_columns(["doc_id", "text"]),
