@@ -221,9 +221,23 @@ def _pairs_in_group(
     # element at local pos p pairs (as doc_b) with its p predecessors
     b_idx = np.repeat(gidx, local)
     a_idx = np.repeat(elem_start, local) + _concat_aranges(local)
+    a = docs[a_idx].astype(np.int64)
+    b = docs[b_idx].astype(np.int64)
+    # in-group dedupe: near-dup docs share MANY keys, so the same pair is
+    # emitted once per shared key — collapsing here (one lexsort) keeps the
+    # downstream pair shuffle proportional to distinct pairs, not shared
+    # keys (measured 45x blowup on a 0.8-threshold corpus without it)
+    if len(a) > 1:
+        order = np.lexsort((b, a))
+        a, b, a_idx = a[order], b[order], a_idx[order]
+        keep = np.empty(len(a), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b, a_idx = a[keep], b[keep], a_idx[keep]
+        b_idx = b_idx[order][keep]
     out = {
-        "doc_a": pa.array(docs[a_idx].astype(np.int64)),
-        "doc_b": pa.array(docs[b_idx].astype(np.int64)),
+        "doc_a": pa.array(a),
+        "doc_b": pa.array(b),
     }
     if value_col is not None:
         vals = g.column(value_col).to_numpy()
@@ -594,7 +608,10 @@ def jaccard_neardup_pairs_ds(
         batch_format="pyarrow",
         fn_kwargs={"k": k, "num_buckets": num_buckets},
     )
-    pairs = candidate_pairs_ds(keyed, 2, df_max, num_buckets, dedupe=False)
+    # dedupe BEFORE the signature gather: pair rows are 16 bytes, attach
+    # rows carry signatures — the small extra shuffle is far cheaper than
+    # exploding duplicated pairs through the two gather shuffles
+    pairs = candidate_pairs_ds(keyed, 2, df_max, num_buckets, dedupe=True)
     return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
@@ -716,7 +733,7 @@ def minhash_neardup_pairs_ds(
             "num_buckets": num_buckets,
         },
     )
-    pairs = candidate_pairs_ds(banded, 2, max_band_df, num_buckets, dedupe=False)
+    pairs = candidate_pairs_ds(banded, 2, max_band_df, num_buckets, dedupe=True)
     return _jaccard_verify_ds(ds, pairs, k, threshold, num_buckets)
 
 
