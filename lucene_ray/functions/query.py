@@ -875,6 +875,8 @@ def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
         rows = np.searchsorted(docs, cand)
         slices.append((starts, rows, flat.astype(np.int64) - off))
     slop = phrase.slop
+    offsets = phrase.offsets
+    terms = phrase.terms
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         plists = []
@@ -882,22 +884,33 @@ def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
             r = int(rows[ci])
             plists.append(disp[int(starts[r]) : int(starts[r + 1])])
         f = 0.0
-        p0s = plists[0]
-        for p0 in p0s.tolist():
+        for p0 in plists[0].tolist():
             lo = hi = p0
-            for pi in plists[1:]:
+            # a repeated term must occupy DISTINCT token positions (the
+            # reference's repeats handling in SloppyPhraseMatcher) — track
+            # each term's claimed raw positions per anchor
+            used = {terms[0]: {p0 + offsets[0]}}
+            ok = True
+            for i in range(1, len(plists)):
+                pi = plists[i]
+                taken = used.setdefault(terms[i], set())
                 j = int(np.searchsorted(pi, p0))
                 best = None
-                for jj in (j - 1, j):
+                for jj in (j - 1, j, j - 2, j + 1):
                     if 0 <= jj < len(pi):
                         v = int(pi[jj])
+                        if (v + offsets[i]) in taken:
+                            continue
                         if best is None or abs(v - p0) < abs(best - p0):
                             best = v
+                if best is None:
+                    ok = False
+                    break
+                taken.add(best + offsets[i])
                 lo = min(lo, best)
                 hi = max(hi, best)
-            L = hi - lo
-            if L <= slop:
-                f += 1.0 / (1.0 + L)
+            if ok and hi - lo <= slop:
+                f += 1.0 / (1.0 + (hi - lo))
         freqs[ci] = f
     keep = freqs > 0
     return cand[keep], freqs[keep]

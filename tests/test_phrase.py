@@ -169,6 +169,26 @@ def test_sloppy_phrase_classic_behavior(pos_index):
     assert by_doc[5] > by_doc[2]  # adjacent (L=0) beats stopword gap (L=1)
 
 
+def test_sloppy_repeated_term_needs_distinct_positions(pos_index):
+    """'"data data"~N' must not match a doc with a single 'data' occurrence
+    by claiming the same token position twice (SloppyPhraseMatcher repeats
+    handling)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+
+    index_dir, analyzer = pos_index
+    an = make_analyzer(analyzer)
+    r = _reader(index_dir)
+    got = matching_docs(r, parse_query('"data data"~4', an)).tolist()
+    # only docs with >= 2 'data' tokens can match
+    multi_data = [
+        d for d, t in enumerate(TEXTS)
+        if sum(1 for w in t.split() if w == "data") >= 2
+    ]
+    assert set(got) <= set(multi_data)
+    assert 0 in got  # doc 0 has two 'data' tokens within slop
+
+
 def test_phrase_requires_positions(ray_session, tmp_path):
     import ray.data
 
