@@ -43,8 +43,14 @@ def write_doc_values(
     int64-codable (timestamps are stored as epoch microseconds). Streaming:
     one deterministic atomic parquet per batch, same retry discipline as
     the build's RunWriter."""
+    import shutil
+
     value_col = value_col or field
     out_dir = os.path.join(index_dir, DOCVALUES_DIR, field)
+    # wipe-and-rewrite: a re-run with different batching must not leave a
+    # mix of old and new files (same transient-scratch discipline as the
+    # build's run files); per-file writes below stay atomic for retries
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:
