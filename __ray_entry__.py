@@ -116,6 +116,7 @@ COUNT_QUERY_SETS: Dict[int, str] = {
     2: "dup -key",
     3: "s*",
     4: "zzzmissing",
+    5: "*:*",  # MatchAllDocsQuery
 }
 
 # Facet counting (facet module analogue): (query, facet column)
@@ -1711,6 +1712,10 @@ def _parsed_preds(q) -> Tuple[List[str], List[str], List[str]]:
 def _match_docs_sql(q) -> str:
     """Subquery yielding every matching doc_id under the engine's boolean
     candidate semantics (functions/query.py matching_docs)."""
+    from lucene_ray.functions.query import MatchAllQuery
+
+    if isinstance(q, MatchAllQuery):
+        return "SELECT doc_id FROM documents"
     must, should, notp = _parsed_preds(q)
 
     def or_(preds):

@@ -109,6 +109,12 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MatchAllQuery:
+    """Every live document, constant score 1.0 (reference:
+    search/MatchAllDocsQuery.java); parsed from the classic `*:*`."""
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Disjunction-max: candidates = union of terms; score per doc =
     max(term scores) + tie_breaker * (sum of the other matching scores)
@@ -183,10 +189,12 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         filters.append((m.group(1), int(m.group(2)), int(m.group(3))))
         return " "
 
+    stripped = text.strip()
+    if stripped == "*:*":
+        return MatchAllQuery()
     # quoted phrase: `"exact phrase"` or `"sloppy phrase"~N` as the WHOLE
     # query -> PhraseQuery (mixing phrase and term clauses needs nested
     # boolean structure the flat model doesn't have)
-    stripped = text.strip()
     pm = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', stripped)
     if pm is not None:
         terms, pos = analyzer.analyze_positions(pm.group(1))
@@ -935,6 +943,14 @@ def _exhaustive_candidates(reader, query, _prep=None):
     allows, the sparse unique/searchsorted combine otherwise."""
     if isinstance(query, PhraseQuery):
         return _phrase_scored(reader, query)
+    if isinstance(query, MatchAllQuery):
+        dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+        docs = np.asarray(reader.all_doc_ids(), dtype=np.int64)
+        deleted = getattr(reader, "deleted", None)
+        if deleted is not None and len(deleted) and len(docs):
+            pos = np.minimum(np.searchsorted(deleted, docs), len(deleted) - 1)
+            docs = docs[deleted[pos] != docs]
+        return docs, np.ones(len(docs), dtype=dtype), dtype
     prep = _prep if _prep is not None else _prepare(reader, query)
     if prep is None:
         return None
@@ -1049,7 +1065,7 @@ def _single_term_shortcut(prep, query, k: int):
 def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
-    if isinstance(query, PhraseQuery):
+    if isinstance(query, (PhraseQuery, MatchAllQuery)):
         r = _exhaustive_candidates(reader, query)
         if r is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -1291,8 +1307,9 @@ def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    if isinstance(query, PhraseQuery):
-        # positional verification isn't modeled by interval bounds
+    if isinstance(query, (PhraseQuery, MatchAllQuery)):
+        # positional verification / whole-corpus enumeration aren't
+        # modeled by interval bounds
         return score_exhaustive(reader, query, k)
     if getattr(query, "filters", ()):
         # range FILTER clauses cut the candidate set doc-wise; interval

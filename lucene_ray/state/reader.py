@@ -93,6 +93,40 @@ class IndexReader:
     def has_positions(self) -> bool:
         return bool(self.manifest.get("positions", False))
 
+    def all_doc_ids(self):
+        """Sorted doc IDs of every indexed doc (MatchAllDocsQuery /
+        liveDocs-universe enumeration): from the doc_map sidecar when the
+        build emitted one; otherwise the dense [0, doc_count) assumption
+        (true for all corpus-rooted builds; incremental shards always have
+        the sidecar)."""
+        import glob
+
+        import numpy as np
+
+        cached = self.__dict__.get("_all_doc_ids")
+        if cached is not None:
+            return cached
+        files = sorted(
+            glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
+        )
+        if files:
+            import pyarrow.parquet as pq
+
+            ids = np.sort(
+                np.concatenate(
+                    [
+                        pq.read_table(f, columns=["doc_id"])
+                        .column("doc_id")
+                        .to_numpy()
+                        for f in files
+                    ]
+                ).astype(np.int64)
+            )
+        else:
+            ids = np.arange(int(self.doc_count), dtype=np.int64)
+        self.__dict__["_all_doc_ids"] = ids
+        return ids
+
     def term_positions(self, term: str):
         """-> (docs:int64, tfs:int64, flat_positions:int32) in global doc
         order; flat positions are each doc's ascending positions

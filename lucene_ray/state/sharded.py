@@ -110,6 +110,12 @@ class ShardedReader:
     def has_positions(self) -> bool:
         return all(sh.has_positions for sh in self.shards)
 
+    def all_doc_ids(self):
+        """Concatenated per-shard doc IDs (disjoint ascending ranges)."""
+        import numpy as np
+
+        return np.concatenate([sh.all_doc_ids() for sh in self.shards])
+
     def term_positions(self, term: str):
         """Concatenated per-shard (docs, tfs, flat positions), global doc
         order (shards sorted by disjoint ascending doc ranges)."""

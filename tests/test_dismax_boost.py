@@ -107,3 +107,42 @@ def test_boost_fractional_and_multi(corpus):
     bd, bsc = score_blockmax(reader, q, 10)
     assert np.array_equal(od, bd)
     assert np.array_equal(np.asarray(osc), np.asarray(bsc))
+
+
+def test_match_all_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        MatchAllQuery,
+        count_matches,
+        parse_query,
+        score_exhaustive,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.deletes import delete_docs
+
+    # non-dense doc ids: all_doc_ids must come from the doc_map sidecar
+    ids = [3, 7, 100, 205]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["a b", "c d", "e f", "g h"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=4)
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query("*:*", an)
+    assert isinstance(q, MatchAllQuery)
+    r = get_reader(out)
+    d, s = score_exhaustive(r, q, 10)
+    assert d.tolist() == ids and all(v == 1.0 for v in s)
+    assert count_matches(r, q) == 4
+    delete_docs(out, [100])
+    assert count_matches(get_reader(out), q) == 3
