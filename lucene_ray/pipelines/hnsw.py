@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.rounding import round_half_away
+
 from .knn import _batch_matrix, _final_topk, _normalize, load_queries
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)

@@ -6,18 +6,19 @@ Two shapes, matching the scale playbook:
   (``ray.put``); every map task reads it zero-copy and joins per batch with
   a vectorized Arrow join. No shuffle. Use for dimension tables, vocab
   maps, blocklists.
-* :func:`hash_join` — both sides large: a deterministic crc32 bucket column
-  is added to each side, the bucketed sides are unioned with a side tag,
-  and ONE ``groupby(bucket)`` co-locates matching keys; each bucket group
-  joins vectorized. Bucket count bounds per-group memory; salt hot keys by
-  widening ``num_buckets`` (same playbook as the heavy-term split).
+* :func:`hash_join` — both sides large: each map task splits its batch by
+  a deterministic crc32 key bucket and ships per-bucket Arrow-IPC packed
+  slices; ONE ``groupby(bucket)`` co-locates both sides' slices and each
+  group unpacks + joins vectorized. Bucket count bounds per-group memory;
+  salt hot keys by widening ``num_buckets`` (same playbook as the
+  heavy-term split).
 
 Determinism: crc32 of the decimal key string — never Python ``hash``.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
