@@ -197,6 +197,23 @@ EXPLAIN_QUERY_SETS: Dict[int, str] = {
 }
 EXPLAIN_TOPK = 5
 
+# FunctionScoreQuery analogue: final = BM25 + W * ((warc_ts - EPOCH)/SCALE)
+# — the recency-boost idiom over the doc-values column.
+BOOST_FIELD_WEIGHT = 0.05
+BOOST_FIELD_SCALE = 1_000_000_000.0
+BOOST_FIELD_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "dup key",
+    2: "customer value",
+}
+
+# grouping module analogue: top-k hits PER group value.
+GROUPED_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream", "lang"),
+    1: ("c* dup", "source"),
+}
+GROUP_TOPK = 2
+
 # Exact phrase queries over the positions-enabled index (PhraseQuery /
 # ExactPhraseMatcher analogue). Set 3 exercises StopFilter position
 # increments ('a' is dropped but leaves a gap); sets stay at two distinct
@@ -633,6 +650,64 @@ def _bm25_phrase_sloppy(sf_dir: str):
     )
 
 
+def _bm25_recency_boost(sf_dir: str):
+    """Function-scored top-k: BM25 + recency term from warc_ts doc values."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_boost_by_field
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    reader.bm25_params = (K1, B)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid in sorted(BOOST_FIELD_QUERY_SETS):
+        q = parse_query(BOOST_FIELD_QUERY_SETS[qid], an)
+        d, s = score_boost_by_field(
+            reader, q, "warc_ts",
+            weight=BOOST_FIELD_WEIGHT, scale=BOOST_FIELD_SCALE,
+            offset=EPOCH_2025_US, k=TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        scores_out.extend(round_half_away(np.asarray(s), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(scores_out, pa.float64()),
+        }
+    )
+
+
+def _search_grouped(sf_dir: str):
+    """Top-GROUP_TOPK hits per group value (grouping module analogue)."""
+    import pandas as pd
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.facets import grouped_search
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    outs = []
+    for qid in sorted(GROUPED_QUERY_SETS):
+        qs, col = GROUPED_QUERY_SETS[qid]
+        t = grouped_search(
+            index_dir, qs, _load_documents(sf_dir), col,
+            k_per_group=GROUP_TOPK,
+        ).to_pandas()
+        t["score"] = round_half_away(t["score"].to_numpy(), 4)
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _bm25_explain(sf_dir: str):
     """Score decomposition for each query's top hits: one row per matching
     scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
@@ -853,6 +928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
+    q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
+    q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
@@ -1458,6 +1535,85 @@ def _phrase_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+def _scored_match_sub(q) -> Tuple[str, str]:
+    """(scored-match subquery over sc, WHERE cond) mirroring the engine's
+    boolean candidates WITH the summed score column."""
+    must, should, notp = _parsed_preds(q)
+
+    def or_(preds):
+        return "(" + (" OR ".join(preds) or "FALSE") + ")"
+
+    msm = q.minimum_should_match
+    msm_req = msm if must else max(1, msm)
+    cond = f"n_must = {len(set(q.must))} AND n_not = 0"
+    if not must or msm > 0:
+        cond += f" AND n_should >= {msm_req}"
+    scoring = or_(must + should)
+    sub = f"""SELECT doc_id,
+           SUM(CASE WHEN {scoring} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN {or_(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN {or_(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN {or_(notp)} THEN term END) AS n_not
+    FROM sc WHERE {or_(must + should + notp)} GROUP BY doc_id"""
+    return sub, cond
+
+
+def _boost_field_sql() -> str:
+    """Oracle for bm25_recency_boost: the same boolean sums plus the
+    additive per-doc recency term."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(BOOST_FIELD_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT m.doc_id,
+           m.score + {BOOST_FIELD_WEIGHT} * ((t.ts - {EPOCH_2025_US})
+             / {BOOST_FIELD_SCALE}) AS score
+    FROM ({sub}) m JOIN tsv t USING (doc_id)
+    WHERE {cond.replace('n_must', 'm.n_must').replace('n_should', 'm.n_should').replace('n_not', 'm.n_not')}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _grouped_sql() -> str:
+    """Oracle for search_grouped: top-k per group value by the boolean
+    score, tie-broken by doc id inside each group."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, col) in sorted(GROUPED_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        cond_m = (
+            cond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        selects.append(
+            f"""(SELECT query_id, grp, rank, doc_id, score FROM (
+    SELECT {qid} AS query_id, CAST(d.{col} AS VARCHAR) AS grp,
+           CAST(row_number() OVER (PARTITION BY d.{col}
+                ORDER BY m.score DESC, m.doc_id ASC) AS INTEGER) AS rank,
+           m.doc_id, round(m.score, 4) AS score
+    FROM ({sub}) m JOIN documents d ON d.doc_id = m.doc_id
+    WHERE {cond_m}
+  ) WHERE rank <= {GROUP_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _k1b_sql() -> str:
     """Oracle for bm25_k1b: identical arithmetic with k1/b swapped in."""
     from lucene_ray.functions.analysis import make_analyzer
@@ -1823,6 +1979,8 @@ FROM tf GROUP BY term"""
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
+    sql["bm25_recency_boost"] = _boost_field_sql()
+    sql["search_grouped"] = _grouped_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

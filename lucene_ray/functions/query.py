@@ -1278,6 +1278,29 @@ def explain(reader, query, doc_id: int) -> dict:
     return {"match": True, "value": float(total[0]), "details": details}
 
 
+def score_boost_by_field(
+    reader, query, field: str, weight: float = 1.0, scale: float = 1.0,
+    offset: int = 0, k: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Function-scored query: final = BM25 + weight * ((docvalue - offset)
+    / scale) — the FunctionScoreQuery + DoubleValuesSource.fromLongField
+    analogue (reference: queries/.../function/FunctionScoreQuery.java,
+    search/DoubleValuesSource.java; the recency-boost idiom). Candidates
+    and BM25 sums are the boolean executor's; the additive term is a pure
+    per-doc formula so distributed evaluation stays embarrassingly
+    parallel. Returns (docs, boosted float64 scores) top-k."""
+    r = _exhaustive_candidates(reader, query)
+    if r is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand, acc, _ = r
+    cand = np.asarray(cand, dtype=np.int64)
+    if len(cand) == 0:
+        return cand, np.empty(0, dtype=np.float64)
+    dv = np.asarray(reader.doc_values_for(field, cand), dtype=np.float64)
+    boosted = acc.astype(np.float64) + weight * ((dv - offset) / scale)
+    return _topk_from(cand, boosted, k)
+
+
 def score_sort_by_field(
     reader, query, field: str, k: int = 10, descending: bool = True,
     after: Optional[Tuple[int, int]] = None,

@@ -92,3 +92,82 @@ def facet_counts(
     if top_n is not None:
         out = out.limit(top_n)
     return out
+
+
+def grouped_search(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <group_col>)
+    group_col: str,
+    k_per_group: int = 2,
+    id_col: str = "doc_id",
+):
+    """Top-k hits PER GROUP VALUE — the grouping module analogue
+    (reference: grouping/src/java/org/apache/lucene/search/grouping/ —
+    first-pass collector picks group heads, second pass top-k per group;
+    4,566 LoC inventoried in SURVEY §2.6).
+
+    Shape mirrors :func:`facet_counts`: ALL matching (doc, score) pairs
+    are broadcast once (ints+floats, not rows); one ``map_batches`` over
+    the metadata table attaches group values to hits; a groupby on the
+    group value cuts each group's top-k by (score desc, doc asc).
+    -> Dataset(grp, rank, doc_id, score[unrounded float64])."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import _exhaustive_candidates, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    r = _exhaustive_candidates(reader, q)
+    empty = pa.table(
+        {
+            "grp": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if r is None or len(r[0]) == 0:
+        return ray.data.from_arrow(empty)
+    cand, acc, _ = r
+    hits_ref = ray.put(
+        (np.asarray(cand, dtype=np.int64), acc.astype(np.float64))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids_sorted, scores = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        mask = ids_sorted[pos] == ids
+        sub = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "grp": sub.column(group_col).cast(pa.string()),
+                "doc_id": sub.column(id_col),
+                "score": pa.array(scores[pos[mask]]),
+            }
+        )
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        g = g.slice(0, k_per_group)
+        return pa.table(
+            {
+                "grp": g.column("grp"),
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int32)
+                ),
+                "doc_id": g.column("doc_id"),
+                "score": g.column("score"),
+            }
+        )
+
+    return (
+        docs_ds.select_columns([id_col, group_col])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(topk_group, batch_format="pyarrow")
+    )
