@@ -91,6 +91,15 @@ MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
         3: "/zzz+/",            # no vocab match -> empty
         4: "/s.*m/ -small",     # regexp union minus exclusion
     },
+    # TermRangeQuery (search/TermRangeQuery.java via the classic parser's
+    # [lo TO hi] / {lo TO hi} syntax on the default field)
+    "bm25_term_range": {
+        0: "[da TO dz]",        # inclusive range over the d-words
+        1: "{batch TO dup}",    # exclusive both ends
+        2: "[sm TO *] -stream", # open upper bound + exclusion
+        3: "[qa TO qz] key",    # range union with a plain term
+        4: "[zz TO zza]",       # empty range -> empty result
+    },
 }
 
 
@@ -1431,6 +1440,14 @@ def _clause_pred(kind: str, pattern: str, arg: int) -> str:
         return f"term LIKE '{like}'"
     if kind == "regexp":
         return f"regexp_full_match(term, '{pattern}')"
+    if kind == "trange":
+        lo, hi = pattern.split("\x00", 1)
+        preds = []
+        if lo:
+            preds.append(f"term >{'=' if arg & 1 else ''} '{lo}'")
+        if hi:
+            preds.append(f"term <{'=' if arg & 2 else ''} '{hi}'")
+        return "(" + (" AND ".join(preds) or "TRUE") + ")"
     if arg == 0:
         return f"term = '{pattern}'"
     return f"editdist3(term, '{pattern}') <= {arg}"

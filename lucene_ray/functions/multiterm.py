@@ -32,7 +32,11 @@ import numpy as np
 MAX_EXPANSIONS = 1024
 
 #: (kind, pattern, arg) clause kinds
-KINDS = ("prefix", "wildcard", "fuzzy", "regexp")
+KINDS = ("prefix", "wildcard", "fuzzy", "regexp", "trange")
+
+#: trange arg bit flags (includeLower / includeUpper)
+TRANGE_INCL_LO = 1
+TRANGE_INCL_HI = 2
 
 
 def regex_literal_prefix(pattern: str) -> str:
@@ -168,6 +172,27 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]
         hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
         rx = re.compile(pattern)
         return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
+    if kind == "trange":
+        # reference: search/TermRangeQuery.java — every term in the
+        # lexicographic [lower, upper] range of the sorted dictionary,
+        # inclusivity per end from the arg bit flags; '' as either bound
+        # means open-ended (the classic parser's `[a TO *]`). Like the
+        # reference's rewrite the scan is a pure dictionary range — two
+        # bisects, no per-term predicate.
+        lo_s, hi_s = pattern.split("\x00", 1)
+        if lo_s == "":
+            lo = 0
+        elif arg & TRANGE_INCL_LO:
+            lo = bisect.bisect_left(vocab, lo_s)
+        else:
+            lo = bisect.bisect_right(vocab, lo_s)
+        if hi_s == "":
+            hi = len(vocab)
+        elif arg & TRANGE_INCL_HI:
+            hi = bisect.bisect_right(vocab, hi_s)
+        else:
+            hi = bisect.bisect_left(vocab, hi_s)
+        return list(vocab[lo:hi])[:MAX_EXPANSIONS]
     raise ValueError(f"unknown multi-term kind: {kind}")
 
 

@@ -211,6 +211,31 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     # range syntax; values are the field's int64 doc-values encoding, e.g.
     # epoch microseconds for timestamps)
     text = _re.sub(r"(\w+):\[(-?\d+)\s+TO\s+(-?\d+)\]", _grab_range, text)
+
+    # bare `[lo TO hi]` / `{lo TO hi}` on the default text field: term
+    # range over the dictionary (reference: search/TermRangeQuery.java via
+    # the classic parser's getRangeQuery, queryparser/.../classic/
+    # QueryParserBase.java). Brackets pick inclusivity per end; `*` is an
+    # open bound. Bounds are lowercased but never analyzed, like the other
+    # expanded clauses.
+    def _grab_trange(m) -> str:
+        from .multiterm import TRANGE_INCL_HI, TRANGE_INCL_LO
+
+        sign, lb, lo_s, hi_s, rb = m.groups()
+        role = {"+": "must", "-": "must_not", "": "should"}[sign]
+        arg = (TRANGE_INCL_LO if lb == "[" else 0) | (
+            TRANGE_INCL_HI if rb == "]" else 0
+        )
+        lo_s = "" if lo_s == "*" else lo_s.lower()
+        hi_s = "" if hi_s == "*" else hi_s.lower()
+        multi.append(("trange", lo_s + "\x00" + hi_s, arg, role))
+        return " "
+
+    text = _re.sub(
+        r"(?<![\w:])([+-]?)([\[{])([\w*]+)\s+TO\s+([\w*]+)([\]}])",
+        _grab_trange,
+        text,
+    )
     mode_all = False
     msm = 0
     tokens = text.split()

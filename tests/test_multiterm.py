@@ -174,3 +174,46 @@ def test_multiterm_sharded_matches_monolithic(tmp_path, ray_session):
         md, msc = score_blockmax(mono, parse_query(qt, an), 10)
         assert np.array_equal(md, res[i][0]), qt
         assert np.array_equal(np.asarray(msc), np.asarray(res[i][1])), qt
+
+
+def test_trange_expand_and_parse():
+    # reference: search/TermRangeQuery.java + the classic parser's
+    # getRangeQuery ([..] inclusive, {..} exclusive, * open bound)
+    from lucene_ray.functions.multiterm import TRANGE_INCL_HI, TRANGE_INCL_LO
+
+    v = ["alpha", "batch", "beta", "data", "dup", "stream", "zzz"]
+    both = TRANGE_INCL_LO | TRANGE_INCL_HI
+    assert expand("trange", "batch\x00dup", both, v) == ["batch", "beta", "data", "dup"]
+    assert expand("trange", "batch\x00dup", 0, v) == ["beta", "data"]
+    assert expand("trange", "batch\x00dup", TRANGE_INCL_LO, v) == ["batch", "beta", "data"]
+    assert expand("trange", "\x00beta", both, v) == ["alpha", "batch", "beta"]
+    assert expand("trange", "stream\x00", both, v) == ["stream", "zzz"]
+    assert expand("trange", "zz\x00zza", both, v) == []
+
+    an = make_analyzer("standard_en")
+    q = parse_query("[Batch TO Dup] -{x TO z} +[s TO t] key", an)
+    assert q.multi == (
+        ("trange", "batch\x00dup", both, "should"),
+        ("trange", "x\x00z", 0, "must_not"),
+        ("trange", "s\x00t", both, "must"),
+    )
+    assert q.should == ("kei",)  # Porter-stemmed
+    # open bounds via '*'
+    q2 = parse_query("[m TO *]", an)
+    assert q2.multi == (("trange", "m\x00", both, "should"),)
+    # numeric doc-values filter syntax is untouched by the term-range rule
+    q3 = parse_query("data warc_ts:[100 TO 200]", an)
+    assert q3.filters == (("warc_ts", 100, 200),)
+    assert q3.multi == ()
+
+
+def test_trange_engine_matches_oracle(corpus_index):
+    reader, oracle = corpus_index
+    an = make_analyzer("standard_en")
+    for qs in ("[d TO f]", "{b TO d} -zeta", "[p TO *] alpha", "[zz TO zza]"):
+        q = parse_query(qs, an)
+        od, osc = oracle.topk(q, 10)
+        for exec_fn in (score_exhaustive, score_blockmax):
+            bd, bsc = exec_fn(reader, q, 10)
+            assert np.array_equal(od, bd), qs
+            assert np.array_equal(np.asarray(osc), np.asarray(bsc)), qs
