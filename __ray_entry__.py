@@ -135,6 +135,19 @@ FACET_QUERY_SETS: Dict[int, Tuple[str, str]] = {
     2: ("c* dup", "source"),
 }
 
+# Suggest module analogue (DirectSpellChecker / WFSTCompletionLookup,
+# lucene_ray/pipelines/suggest.py): misspelled inputs and completion
+# prefixes over the en_nostem_simple vocabulary
+SPELL_INPUTS: Dict[int, str] = {
+    0: "streem",   # 1 edit from 'stream'
+    1: "datta",    # 1 edit from 'data'
+    2: "kye",      # 2 edits (plain Levenshtein) from 'key'
+    3: "bacth",    # transposition = 2 plain edits from 'batch'
+    4: "qqqqqqq",  # nothing within 2 edits -> no suggestions
+}
+SPELL_TOPK = 5
+SUGGEST_PREFIXES: Dict[int, str] = {0: "st", 1: "cu", 2: "d", 3: "zzz"}
+
 # Highlighting (highlighter module analogue) — rows-only oracle
 HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
     0: "data stream",
@@ -944,6 +957,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
+    # --- suggest module (DirectSpellChecker / WFSTCompletionLookup) ---
+    q["spell_suggest"] = lambda sf: _spell_suggest(sf)
+    q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
+
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
     q["media_meta"] = _media_meta
@@ -983,6 +1000,33 @@ def _term_stats(sf_dir: str):
 
     cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
     return term_stats(_load_documents(sf_dir), cfg)
+
+
+def _spell_suggest(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import spell_suggest
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return spell_suggest(
+        _load_documents(sf_dir),
+        [SPELL_INPUTS[i] for i in sorted(SPELL_INPUTS)],
+        max_edits=2,
+        k=SPELL_TOPK,
+        cfg=cfg,
+    )
+
+
+def _suggest_prefix(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import complete_prefix
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return complete_prefix(
+        _load_documents(sf_dir),
+        [SUGGEST_PREFIXES[i] for i in sorted(SUGGEST_PREFIXES)],
+        k=SPELL_TOPK,
+        cfg=cfg,
+    )
 
 
 def _dedup_exact(sf_dir: str):
@@ -2004,6 +2048,51 @@ SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS norm
 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
+
+    # Suggest module: DirectSpellChecker analogue. Plain Levenshtein
+    # (DuckDB's levenshtein == editdist3, no transpositions), dist 1..2,
+    # ranked (dist asc, df desc, term asc), top-k per input word.
+    _spell_vals = ", ".join(
+        f"({i}, '{SPELL_INPUTS[i]}')" for i in sorted(SPELL_INPUTS)
+    )
+    sql["spell_suggest"] = f"""WITH {_BASE_CTES},
+q(query_id, w) AS (VALUES {_spell_vals}),
+cand AS (
+  SELECT q.query_id, df.term, levenshtein(df.term, q.w) AS dist, df.df
+  FROM df CROSS JOIN q
+  WHERE abs(length(df.term) - length(q.w)) <= 2
+    AND levenshtein(df.term, q.w) BETWEEN 1 AND 2
+),
+ranked AS (
+  SELECT query_id, term, dist, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist, df DESC, term) AS rank
+  FROM cand
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(dist AS INTEGER) AS dist, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {SPELL_TOPK}"""
+
+    # WFSTCompletionLookup analogue: prefix completions ordered by
+    # (weight desc, key asc) with doc_freq as the weight.
+    _pref_vals = ", ".join(
+        f"({i}, '{SUGGEST_PREFIXES[i]}')" for i in sorted(SUGGEST_PREFIXES)
+    )
+    sql["suggest_prefix"] = f"""WITH {_BASE_CTES},
+q(query_id, p) AS (VALUES {_pref_vals}),
+cand AS (
+  SELECT q.query_id, df.term, df.df
+  FROM df JOIN q ON starts_with(df.term, q.p)
+),
+ranked AS (
+  SELECT query_id, term, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, term) AS rank
+  FROM cand
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {SPELL_TOPK}"""
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
 

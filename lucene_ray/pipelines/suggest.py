@@ -1,0 +1,169 @@
+"""Suggest-module analogues: spell correction and prefix completion.
+
+Reference: the suggest module —
+``suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java``
+(vocabulary-driven fuzzy suggestions straight off the term dictionary, no
+sidecar index) and
+``suggest/src/java/org/apache/lucene/search/suggest/fst/WFSTCompletionLookup.java``
+(weight-ordered prefix completion).
+
+Semantics implemented here, documented precisely so the DuckDB oracle can
+mirror them:
+
+* ``spell_suggest``: for each input word, candidate terms at plain
+  Levenshtein distance 1..max_edits (the input itself is never suggested),
+  with doc_freq >= min_df, ranked (distance asc, doc_freq desc, term asc),
+  top-k per input. This is DirectSpellChecker in SUGGEST_ALWAYS mode with
+  ``comparator = by score then docFreq``; our "score" is the raw edit
+  distance (the reference divides by length — a monotone per-pair rescale
+  that cannot reorder same-input candidates at distance 1 vs 2, but CAN
+  reorder same-distance candidates of different lengths; we keep raw
+  distance so DuckDB's ``editdist3`` — plain Levenshtein, no
+  transpositions, matching FuzzyQuery(transpositions=false) — is an exact
+  oracle).
+* ``complete_prefix``: for each prefix, terms starting with it ranked
+  (doc_freq desc, term asc), top-k — WFSTCompletionLookup's
+  weight-then-key ordering with doc_freq as the weight.
+
+Scale shape: both run off the :func:`~lucene_ray.pipelines.stats.term_stats`
+aggregation (one pre-combined shuffle of O(vocab x batches) rows). The
+per-batch matcher emits only matching candidates — a tiny trickle — so the
+final per-input top-k groupby moves almost nothing. The Levenshtein filter
+is the vectorized column-DP from functions/multiterm.py (whole batch
+stacked, one DP sweep per input word), not a per-term Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.multiterm import levenshtein_within
+from .build import IndexConfig
+from .stats import term_stats
+
+
+def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int):
+    """Per-batch candidate matcher: (term, doc_freq) rows -> matching
+    (query_id, term, dist, df) rows. Distance classes come from two
+    vectorized within-k passes (<=1 over the <=max_edits survivors), so no
+    per-term scalar DP runs."""
+    lowered = [w.lower() for w in words]
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("doc_freq").to_numpy(zero_copy_only=False)
+        idx = {t: i for i, t in enumerate(terms)}
+        qid_out: List[int] = []
+        term_out: List[str] = []
+        dist_out: List[int] = []
+        df_out: List[int] = []
+        for qid, w in enumerate(lowered):
+            hits = levenshtein_within(terms, w, max_edits)
+            near = set(levenshtein_within(hits, w, 1)) if max_edits > 1 else set(hits)
+            for t in hits:
+                if t == w:
+                    continue  # never suggest the input itself
+                df_v = int(dfs[idx[t]])
+                if df_v < min_df:
+                    continue
+                qid_out.append(qid)
+                term_out.append(t)
+                dist_out.append(1 if t in near else max_edits)
+                df_out.append(df_v)
+        return pa.table(
+            {
+                "query_id": pa.array(qid_out, pa.int32()),
+                "term": pa.array(term_out, pa.string()),
+                "dist": pa.array(dist_out, pa.int32()),
+                "df": pa.array(df_out, pa.int64()),
+            }
+        )
+
+    return match
+
+
+def _topk_spell(k: int):
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["dist", "df", "term"], ascending=[True, False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "term", "dist", "df"]]
+
+    return topk
+
+
+def spell_suggest(
+    ds: "ray.data.Dataset",
+    words: Sequence[str],
+    max_edits: int = 2,
+    k: int = 5,
+    min_df: int = 1,
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """Dataset(text rows) + misspelled words -> per-word ranked suggestions
+    (query_id, rank, term, dist, df)."""
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2 (FuzzyQuery's bound)")
+    stats = term_stats(ds, cfg)
+    cands = stats.map_batches(
+        _suggest_matcher(words, max_edits, min_df), batch_format="pyarrow"
+    )
+    return cands.groupby("query_id").map_groups(
+        _topk_spell(k), batch_format="pandas"
+    )
+
+
+def _prefix_matcher(prefixes: Sequence[str]):
+    lowered = [p.lower() for p in prefixes]
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for qid, p in enumerate(lowered):
+            hit = batch.filter(pc.starts_with(batch.column("term"), p))
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(hit), pa.int32()),
+                        "term": hit.column("term"),
+                        "df": hit.column("doc_freq").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return match
+
+
+def _topk_prefix(k: int):
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "term", "df"]]
+
+    return topk
+
+
+def complete_prefix(
+    ds: "ray.data.Dataset",
+    prefixes: Sequence[str],
+    k: int = 5,
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """Dataset(text rows) + prefixes -> per-prefix weight-ordered
+    completions (query_id, rank, term, df)."""
+    stats = term_stats(ds, cfg)
+    cands = stats.map_batches(_prefix_matcher(prefixes), batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        _topk_prefix(k), batch_format="pandas"
+    )
