@@ -148,6 +148,15 @@ SPELL_INPUTS: Dict[int, str] = {
 SPELL_TOPK = 5
 SUGGEST_PREFIXES: Dict[int, str] = {0: "st", 1: "cu", 2: "d", 3: "zzz"}
 
+# MoreLikeThis (queries module, lucene_ray/pipelines/mlt.py): query_id ->
+# source doc_id. max_terms kept modest (10) so the float64 score sum stays
+# narrow; selection params are the reference defaults (minTermFreq=2,
+# minDocFreq=5).
+MLT_SRC_DOCS: Dict[int, int] = {0: 0, 1: 7, 2: 42}
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+MLT_MAX_TERMS = 10
+
 # Highlighting (highlighter module analogue) — rows-only oracle
 HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
     0: "data stream",
@@ -961,6 +970,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_suggest"] = lambda sf: _spell_suggest(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
 
+    # --- queries module: MoreLikeThis ---
+    q["mlt"] = lambda sf: _mlt(sf, boost=False)
+    q["mlt_boost"] = lambda sf: _mlt(sf, boost=True)
+
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
     q["media_meta"] = _media_meta
@@ -1026,6 +1039,31 @@ def _suggest_prefix(sf_dir: str):
         [SUGGEST_PREFIXES[i] for i in sorted(SUGGEST_PREFIXES)],
         k=SPELL_TOPK,
         cfg=cfg,
+    )
+
+
+def _mlt(sf_dir: str, boost: bool = False):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.mlt import more_like_this
+
+    src_ids = sorted(set(MLT_SRC_DOCS.values()))
+    t = pq.read_table(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", src_ids)],
+    )
+    texts = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    index_dir = _ensure_index(sf_dir)
+    return more_like_this(
+        index_dir,
+        {qid: texts[d] for qid, d in MLT_SRC_DOCS.items()},
+        k=TOPK,
+        boost=boost,
+        min_tf=MLT_MIN_TF,
+        min_df=MLT_MIN_DF,
+        max_terms=MLT_MAX_TERMS,
     )
 
 
@@ -2093,6 +2131,72 @@ ranked AS (
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
        term, CAST(df AS BIGINT) AS df
 FROM ranked WHERE rank <= {SPELL_TOPK}"""
+
+    # MoreLikeThis: term selection (tf >= min_tf, df >= min_df, score =
+    # tf * ClassicSimilarity-idf, top max_terms by score desc / term asc)
+    # entirely in SQL, then the standard per-doc score sum over the sc CTE.
+    _mlt_vals = ", ".join(
+        f"({qid}, {d})" for qid, d in sorted(MLT_SRC_DOCS.items())
+    )
+    _mlt_sel = f"""src(query_id, src_doc) AS (VALUES {_mlt_vals}),
+msel AS (
+  SELECT query_id, term, mscore,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY mscore DESC, term) AS trn
+  FROM (
+    SELECT src.query_id, tf.term,
+           tf.tf * (ln((st.n_docs + 1) / (df.df + 1.0)) + 1.0) AS mscore
+    FROM src
+    JOIN tf ON tf.doc_id = src.src_doc
+    JOIN df USING (term)
+    CROSS JOIN stats st
+    WHERE tf.tf >= {MLT_MIN_TF} AND df.df >= {MLT_MIN_DF}
+  )
+),
+mlt AS (SELECT query_id, term, mscore FROM msel WHERE trn <= {MLT_MAX_TERMS})"""
+
+    sql["mlt"] = f"""WITH {_BASE_CTES},
+{_SC_CTE},
+{_mlt_sel},
+hits AS (
+  SELECT m.query_id, sc.doc_id, SUM(sc.score) AS score
+  FROM sc JOIN mlt m USING (term)
+  GROUP BY m.query_id, sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM hits
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}"""
+
+    # boost variant: per-term boost = mscore / MIN(selected mscore) — the
+    # reference's bestScore is the FIRST pop off a min-ordered PQ, i.e. the
+    # lowest selected score (MoreLikeThis.java:598-606)
+    sql["mlt_boost"] = f"""WITH {_BASE_CTES},
+{_SC_CTE},
+{_mlt_sel},
+mworst AS (SELECT query_id, MIN(mscore) AS worst FROM mlt GROUP BY query_id),
+hits AS (
+  SELECT m.query_id, sc.doc_id,
+         SUM(sc.score * (m.mscore / w.worst)) AS score
+  FROM sc
+  JOIN mlt m USING (term)
+  JOIN mworst w ON w.query_id = m.query_id
+  GROUP BY m.query_id, sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM hits
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {TOPK}"""
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
 
