@@ -157,6 +157,18 @@ MLT_MIN_TF = 2
 MLT_MIN_DF = 5
 MLT_MAX_TERMS = 10
 
+# Monitor module analogue (saved-query matching / percolation,
+# lucene_ray/pipelines/monitor.py): the registered query set. Plain term
+# clauses only (the stage's supported subset).
+MONITOR_QUERIES: Dict[int, str] = {
+    0: "data",
+    1: "+data +stream",
+    2: "data stream key ~2",
+    3: "+batch -error",
+    4: "key value store",
+    5: "+nosuchtermxyz",
+}
+
 # Highlighting (highlighter module analogue) — rows-only oracle
 HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
     0: "data stream",
@@ -974,6 +986,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mlt"] = lambda sf: _mlt(sf, boost=False)
     q["mlt_boost"] = lambda sf: _mlt(sf, boost=True)
 
+    # --- monitor module: saved-query matching over the doc stream ---
+    q["monitor_match"] = lambda sf: _monitor_match(sf)
+
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
     q["media_meta"] = _media_meta
@@ -1064,6 +1079,15 @@ def _mlt(sf_dir: str, boost: bool = False):
         min_tf=MLT_MIN_TF,
         min_df=MLT_MIN_DF,
         max_terms=MLT_MAX_TERMS,
+    )
+
+
+def _monitor_match(sf_dir: str):
+    from lucene_ray.pipelines.monitor import match_saved_queries
+
+    return match_saved_queries(
+        _load_documents(sf_dir).select_columns(["doc_id", "text"]),
+        MONITOR_QUERIES,
     )
 
 
@@ -1370,6 +1394,43 @@ def _in_list(terms: Sequence[str]) -> str:
 def _analyzed(tokens: Sequence[str]) -> List[str]:
     """Query-time analysis for the SQL side (drop stopwords, lowercase)."""
     return [t.lower() for t in tokens if t.lower() not in _STOPS]
+
+
+def _monitor_sql() -> str:
+    """Saved-query matching oracle: flatten the SAME parsed queries to
+    (query_id, term, role) VALUES, count matched roles per (doc, query)
+    over the distinct-doc-term tf CTE, apply the boolean requirements."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.pipelines.monitor import flatten_queries
+
+    an = make_analyzer("en_nostem_simple")
+    parsed = {qid: parse_query(s, an) for qid, s in MONITOR_QUERIES.items()}
+    qt, req = flatten_queries(parsed)
+    qt_vals = ", ".join(
+        f"({int(r.query_id)}, '{r.term}', {int(r.role)})"
+        for r in qt.itertuples()
+    )
+    req_vals = ", ".join(
+        f"({int(qid)}, {int(r.n_must)}, {int(r.msm_req)})"
+        for qid, r in req.iterrows()
+    )
+    return f"""WITH {_BASE_CTES},
+qt(query_id, term, role) AS (VALUES {qt_vals}),
+qreq(query_id, n_must, msm_req) AS (VALUES {req_vals}),
+agg AS (
+  SELECT tf.doc_id, qt.query_id,
+         COUNT(CASE WHEN qt.role = 0 THEN 1 END) AS n_must_m,
+         COUNT(CASE WHEN qt.role = 1 THEN 1 END) AS n_should_m,
+         COUNT(CASE WHEN qt.role = 2 THEN 1 END) AS n_not_m
+  FROM tf JOIN qt USING (term)
+  GROUP BY tf.doc_id, qt.query_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.query_id AS BIGINT) AS query_id
+FROM agg a JOIN qreq r USING (query_id)
+WHERE a.n_must_m = r.n_must AND a.n_should_m >= r.msm_req
+  AND a.n_not_m = 0"""
 
 
 def _bm25_sql(set_name: str) -> str:
@@ -2172,6 +2233,8 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
        doc_id, round(score, 4) AS score
 FROM ranked WHERE rank <= {TOPK}"""
+
+    sql["monitor_match"] = _monitor_sql()
 
     # boost variant: per-term boost = mscore / MIN(selected mscore) — the
     # reference's bestScore is the FIRST pop off a min-ordered PQ, i.e. the

@@ -1,0 +1,167 @@
+"""Monitor-module analogue: saved-query matching (reverse search /
+percolation) over a document stream.
+
+Reference: the monitor module — ``monitor/src/java/org/apache/lucene/
+monitor/Monitor.java`` (register MonitorQuery, match incoming docs),
+``TermFilteredPresearcher.java`` (index the queries' terms; a document's
+term set selects the candidate queries worth running) and
+``CandidateMatcher.java`` (run each candidate query against the doc).
+
+Ray-Data-first shape: the saved-query set is the SMALL side — it is parsed
+once on the driver, flattened to a (term, query, role) table, and carried
+into a ``map_batches`` stage (for very large query sets, pass the
+flattened table through ``ray.put`` and hand the ObjectRef to the stage —
+one object-store copy per node, exactly the broadcast-join pattern). The
+document stream is never shuffled: each batch is tokenized, its distinct
+(doc, term) pairs are hash-joined (pandas merge — vectorized) against the
+query-term table, and per-(doc, query) role counts decide the boolean
+match:
+
+* matched MUST terms == total MUST terms of the query,
+* matched SHOULD terms >= minimum_should_match (>= 1 when the query has
+  no MUST clauses — same default as the scoring engine),
+* matched MUST_NOT terms == 0.
+
+This is the presearcher and the matcher fused into one vectorized pass:
+the merge only produces rows for terms a query mentions, so a doc sharing
+no vocabulary with a query costs nothing — the reference's term-filtered
+candidate pruning, expressed as a join.
+
+Supported saved queries: plain analyzed term clauses (MUST / SHOULD /
+MUST_NOT, minimum_should_match). Multi-term / phrase / range clauses
+raise — the reference's QueryDecomposer handles those by decomposition,
+out of scope here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# role codes in the flattened query-term table
+_MUST, _SHOULD, _MUST_NOT = 0, 1, 2
+
+
+def flatten_queries(parsed: Dict[int, "object"]) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Parsed BooleanQuerys -> (query-term table, per-query requirements).
+
+    Returns (qt, req): qt has columns (term, query_id, role); req has
+    columns (query_id, n_must, msm_req) indexed by query_id.
+    """
+    terms: List[str] = []
+    qids: List[int] = []
+    roles: List[int] = []
+    req_rows = []
+    from ..functions.query import BooleanQuery
+
+    for qid, q in sorted(parsed.items()):
+        if not isinstance(q, BooleanQuery):
+            raise ValueError(
+                f"saved query {qid}: only boolean term queries are supported"
+            )
+        if q.multi or q.filters or q.must_groups or q.boosts:
+            raise ValueError(
+                f"saved query {qid}: only plain term clauses are supported"
+            )
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        must_not = sorted(set(q.must_not))
+        if not must and not should:
+            raise ValueError(f"saved query {qid}: no positive clauses")
+        for t in must:
+            terms.append(t); qids.append(qid); roles.append(_MUST)
+        for t in should:
+            terms.append(t); qids.append(qid); roles.append(_SHOULD)
+        for t in must_not:
+            terms.append(t); qids.append(qid); roles.append(_MUST_NOT)
+        msm = q.minimum_should_match
+        msm_req = msm if must else max(1, msm)
+        req_rows.append((qid, len(must), msm_req))
+    qt = pd.DataFrame({"term": terms, "query_id": qids, "role": roles})
+    req = pd.DataFrame(
+        req_rows, columns=["query_id", "n_must", "msm_req"]
+    ).set_index("query_id")
+    return qt, req
+
+
+class QueryMatcherStage:
+    """map_batches stage: document batch -> matching (doc_id, query_id)
+    pairs. Analyzer built once per actor; the query tables ride in the
+    closure (or an ObjectRef for big query sets)."""
+
+    def __init__(self, query_strings: Dict[int, str],
+                 analyzer_name: str = "en_nostem_simple"):
+        from ..functions.analysis import make_analyzer
+        from ..functions.query import parse_query
+
+        self._an = make_analyzer(analyzer_name)
+        parsed = {
+            qid: parse_query(s, self._an) for qid, s in query_strings.items()
+        }
+        self._qt, req = flatten_queries(parsed)
+        self._n_must = req["n_must"]
+        self._msm_req = req["msm_req"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        # distinct (doc, term) pairs for the whole batch
+        pair_docs: List[np.ndarray] = []
+        pair_terms: List[np.ndarray] = []
+        for i, text in enumerate(texts):
+            toks = np.unique(np.asarray(self._an.analyze(text), dtype=object))
+            if len(toks):
+                pair_docs.append(np.full(len(toks), doc_ids[i], dtype=np.int64))
+                pair_terms.append(toks)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "query_id": pa.array([], pa.int64()),
+        })
+        if not pair_docs:
+            return empty
+        pairs = pd.DataFrame({
+            "doc_id": np.concatenate(pair_docs),
+            "term": np.concatenate(pair_terms),
+        })
+        hit = pairs.merge(self._qt, on="term", how="inner")
+        if not len(hit):
+            return empty
+        counts = (
+            hit.groupby(["doc_id", "query_id", "role"]).size()
+            .unstack("role", fill_value=0)
+            .reindex(columns=[_MUST, _SHOULD, _MUST_NOT], fill_value=0)
+        )
+        idx = counts.index.get_level_values("query_id")
+        ok = (
+            (counts[_MUST].to_numpy() == self._n_must.reindex(idx).to_numpy())
+            & (counts[_SHOULD].to_numpy() >= self._msm_req.reindex(idx).to_numpy())
+            & (counts[_MUST_NOT].to_numpy() == 0)
+        )
+        matched = counts.index[ok]
+        return pa.table({
+            "doc_id": pa.array(
+                matched.get_level_values("doc_id").to_numpy(), pa.int64()),
+            "query_id": pa.array(
+                matched.get_level_values("query_id").to_numpy(), pa.int64()),
+        })
+
+
+def match_saved_queries(
+    docs: "ray.data.Dataset",
+    query_strings: Dict[int, str],
+    analyzer_name: str = "en_nostem_simple",
+    concurrency: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Document Dataset (doc_id, text) x saved queries -> matching
+    (doc_id, query_id) pairs. Stateless w.r.t. the stream — pure
+    map_batches, no shuffle; safe on an unbounded/incremental feed."""
+    return docs.map_batches(
+        QueryMatcherStage(query_strings, analyzer_name),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
