@@ -210,6 +210,33 @@ RANGE_QUERY_SETS: Dict[int, str] = {
     4: f"customer warc_ts:[{_ts(600_000)} TO {_ts(700_000)}]",  # empty range
 }
 
+# Range facets (facet/range/LongRangeFacetCounts.java analogue): named
+# inclusive [lo, hi] epoch-us ranges over warc_ts, counted over ALL hits
+# of each base query. Ranges overlap ('first_minute' ⊂ 'first_100s',
+# 'all_time' covers everything) and zero-count ranges are reported.
+RANGE_FACET_RANGES: List[Tuple[str, int, int]] = [
+    ("first_100s", _ts(0), _ts(100) - 1),
+    ("s100_300", _ts(100), _ts(300) - 1),
+    ("s300_up", _ts(300), _ts(10**9)),
+    ("first_minute", _ts(0), _ts(60) - 1),
+    ("all_time", 0, _ts(10**9)),
+]
+RANGE_FACET_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "+batch +small",
+    2: "zzzmissing",  # zero hits -> every range counts 0
+}
+
+# DrillDownQuery / DrillSideways (facet module): (base query, {dim: value}).
+# Sideways counts for each dim apply every OTHER dim's filter; the
+# drill-down hit count applies all of them.
+DRILL_QUERY_SETS: Dict[int, Tuple[str, Dict[str, str]]] = {
+    0: ("data stream", {"lang": "en", "source": "src2"}),
+    1: ("batch key", {"lang": "zh", "source": "src5"}),
+    2: ("customer", {"lang": "en"}),  # single dim: sideways == plain facet
+}
+DRILL_TOPK = 10
+
 # Sort-by-field + searchAfter paging (TopFieldCollector / Sort analogue):
 # matching docs by (warc_ts DESC, doc_id ASC); two pages of 10 via the
 # (value, doc_id) searchAfter anchor.
@@ -507,6 +534,90 @@ def _search_facets(sf_dir: str):
             index_dir, query, _load_documents(sf_dir), col
         ).to_pandas()
         t = t.rename(columns={col: "facet_value", "count": "n_docs"})
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _load_ts(sf_dir: str):
+    """(doc_id, ts_us) Dataset — warc_ts from the derived web_pages table
+    as epoch microseconds (the numeric facet column)."""
+    import pyarrow as pa
+
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ts_us": b.column("warc_ts").cast(pa.int64()),
+            }
+        )
+
+    return load_web_pages(sf_dir, include_html=False).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+
+
+def _facet_range(sf_dir: str):
+    """Named warc_ts-range counts over ALL hits of each query
+    (facet/range/LongRangeFacetCounts analogue)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import range_facet_counts
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid in sorted(RANGE_FACET_QUERY_SETS):
+        t = range_facet_counts(
+            index_dir,
+            RANGE_FACET_QUERY_SETS[qid],
+            _load_ts(sf_dir),
+            "ts_us",
+            RANGE_FACET_RANGES,
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _facet_drill_sideways(sf_dir: str):
+    """Per-dimension sideways facet counts + all-filters drill-down hit
+    count (facet/DrillSideways analogue)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import drill_sideways_counts
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid in sorted(DRILL_QUERY_SETS):
+        qs, dims = DRILL_QUERY_SETS[qid]
+        t = drill_sideways_counts(
+            index_dir, qs, _load_documents(sf_dir), dims
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _facet_drill_down(sf_dir: str):
+    """Top-k BM25 hits with every dimension filter applied as a
+    non-scoring FILTER clause (facet/DrillDownQuery analogue)."""
+    import pandas as pd
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.facets import drill_down_topk
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    outs = []
+    for qid in sorted(DRILL_QUERY_SETS):
+        qs, dims = DRILL_QUERY_SETS[qid]
+        t = drill_down_topk(
+            index_dir, qs, _load_documents(sf_dir), dims, k=DRILL_TOPK
+        ).to_pandas()
+        t["score"] = round_half_away(t["score"].to_numpy(), 4)
         t.insert(0, "query_id", qid)
         outs.append(t)
     return pd.concat(outs, ignore_index=True)
@@ -975,6 +1086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
+    q["facet_range"] = lambda sf: _facet_range(sf)
+    q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
+    q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
@@ -2098,6 +2212,97 @@ def _facet_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _facet_range_sql() -> str:
+    """Oracle for facet_range: one COUNT per (query, named range) over the
+    derived warc_ts (tsv CTE), zero-count ranges included."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(RANGE_FACET_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        for label, lo, hi in RANGE_FACET_RANGES:
+            selects.append(
+                f"""(SELECT {qid} AS query_id, '{label}' AS range_label,
+   CAST((SELECT COUNT(*) FROM tsv t
+         WHERE t.doc_id IN ({match})
+           AND t.ts BETWEEN {lo} AND {hi}) AS BIGINT) AS n_docs)"""
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _drill_sideways_sql() -> str:
+    """Oracle for facet_drill_sideways: per dim, counts grouped by that
+    dim's column with every OTHER dim's equality filter applied; plus the
+    all-filters '__drilldown__' count row."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, dims) in sorted(DRILL_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        dim_items = sorted(dims.items())
+        for col, _ in dim_items:
+            others = (
+                " AND ".join(
+                    f"{c} = '{v}'" for c, v in dim_items if c != col
+                )
+                or "TRUE"
+            )
+            selects.append(
+                f"""(SELECT {qid} AS query_id, '{col}' AS dim,
+   CAST({col} AS VARCHAR) AS facet_value, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE doc_id IN ({match}) AND {others} GROUP BY {col})"""
+            )
+        allf = " AND ".join(f"{c} = '{v}'" for c, v in dim_items) or "TRUE"
+        selects.append(
+            f"""(SELECT {qid} AS query_id, '__drilldown__' AS dim,
+   '' AS facet_value, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IN ({match}) AND {allf})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _drill_down_sql() -> str:
+    """Oracle for facet_drill_down: the boolean scored-match subquery with
+    every dim filter as a non-scoring WHERE conjunct; rank on the
+    unrounded score, round in the projection."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, dims) in sorted(DRILL_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        cond_m = (
+            cond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        dimf = (
+            " AND ".join(f"d.{c} = '{v}'" for c, v in sorted(dims.items()))
+            or "TRUE"
+        )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT m.doc_id, m.score
+    FROM ({sub}) m JOIN documents d USING (doc_id)
+    WHERE {cond_m} AND {dimf}
+  )
+  ORDER BY rank LIMIT {DRILL_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 _WEB_URL_SQL = (
     "'https://site' || (doc_id % 997) || '.example/' || "
     "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
@@ -2147,6 +2352,9 @@ SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS norm
 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
+    sql["facet_range"] = _facet_range_sql()
+    sql["facet_drill_sideways"] = _drill_sideways_sql()
+    sql["facet_drill_down"] = _drill_down_sql()
 
     # Suggest module: DirectSpellChecker analogue. Plain Levenshtein
     # (DuckDB's levenshtein == editdist3, no transpositions), dist 1..2,

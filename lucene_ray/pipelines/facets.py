@@ -94,6 +94,225 @@ def facet_counts(
     return out
 
 
+def range_facet_counts(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <numeric_col>)
+    numeric_col: str,
+    ranges: List[tuple],  # (label, lo, hi) — both ends inclusive
+    id_col: str = "doc_id",
+):
+    """Range facets over a numeric column (facet/range/LongRangeFacetCounts
+    — ``facet/src/java/org/apache/lucene/facet/range/LongRangeFacetCounts.java``:
+    every named [min, max] range is counted independently over ALL hits;
+    ranges may overlap; zero-count ranges are reported).
+
+    Same shape as :func:`facet_counts`: hits broadcast once, one
+    ``map_batches`` computes per-batch partial counts per range (a numpy
+    bounds check per range — ranges are few, rows are many), a tiny
+    groupby-sum finishes, and missing labels are re-added with count 0.
+    -> Dataset(range_label, n_docs) in the caller's range order."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits_ref = ray.put(matching_docs(reader, q))
+    labels = [r[0] for r in ranges]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        out_labels, out_counts = [], []
+        if len(ids_sorted):
+            ids = batch.column(id_col).to_numpy()
+            pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+            mask = ids_sorted[pos] == ids
+            vals = batch.column(numeric_col).to_numpy()[mask]
+            for label, lo, hi in ranges:
+                out_labels.append(label)
+                out_counts.append(int(np.count_nonzero((vals >= lo) & (vals <= hi))))
+        return pa.table(
+            {
+                "range_label": pa.array(out_labels, pa.string()),
+                "count_part": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.select_columns([id_col, numeric_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("range_label")
+        .aggregate(ray.data.aggregate.Sum("count_part", alias_name="n_docs"))
+    )
+    # Re-add zero-count ranges and restore caller order (result is tiny:
+    # one row per named range).
+    got = {r["range_label"]: r["n_docs"] for r in agg.take_all()}
+    return pa.table(
+        {
+            "range_label": pa.array(labels, pa.string()),
+            "n_docs": pa.array([got.get(l, 0) for l in labels], pa.int64()),
+        }
+    )
+
+
+def drill_sideways_counts(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <all dim columns>)
+    dims: dict,  # {column: selected value}
+    id_col: str = "doc_id",
+):
+    """DrillSideways (``facet/src/java/org/apache/lucene/facet/DrillSideways.java``:
+    for a DrillDownQuery with per-dimension filters, each dimension's facet
+    counts are computed with every OTHER dimension's filter applied but not
+    its own — so the UI can show sibling values; the drill-down hit count
+    applies all filters).
+
+    One broadcast of the base-query hit set + ONE ``map_batches`` pass
+    computes all per-dimension partial counts (each dim's mask = base hits
+    AND every other dim's equality filter) plus the all-filters drill-down
+    count, then a tiny groupby-sum merges. -> Dataset(dim, facet_value,
+    n_docs); the all-filters hit count rides as dim='__drilldown__'."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits_ref = ray.put(matching_docs(reader, q))
+    dim_items = sorted(dims.items())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        dcol, vcol, ccol = [], [], []
+        if len(ids_sorted):
+            ids = batch.column(id_col).to_numpy()
+            pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+            base = ids_sorted[pos] == ids
+            eq = {
+                col: pc.equal(batch.column(col), pa.scalar(val)).to_numpy(
+                    zero_copy_only=False
+                )
+                for col, val in dim_items
+            }
+            for col, _ in dim_items:
+                m = base.copy()
+                for other, _ in dim_items:
+                    if other != col:
+                        m &= eq[other]
+                vals = batch.column(col).filter(pa.array(m)).cast(pa.string())
+                g = pa.table({"v": vals}).group_by("v").aggregate([("v", "count")])
+                dcol.extend([col] * len(g))
+                vcol.extend(g.column("v").to_pylist())
+                ccol.extend(g.column("v_count").to_pylist())
+            dd = base
+            for col, _ in dim_items:
+                dd = dd & eq[col]
+            dcol.append("__drilldown__")
+            vcol.append("")
+            ccol.append(int(np.count_nonzero(dd)))
+        return pa.table(
+            {
+                "dim": pa.array(dcol, pa.string()),
+                "facet_value": pa.array(vcol, pa.string()),
+                "count_part": pa.array(ccol, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.select_columns([id_col] + [c for c, _ in dim_items])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim", "facet_value"])
+        .aggregate(ray.data.aggregate.Sum("count_part", alias_name="n_docs"))
+        .sort(["dim", "facet_value"])
+    )
+
+
+def drill_down_topk(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <dim columns>)
+    dims: dict,  # {column: required value}
+    k: int = 10,
+    id_col: str = "doc_id",
+):
+    """DrillDownQuery search (``facet/.../DrillDownQuery.java``: base query
+    scored as usual, each dimension filter attached as a non-scoring FILTER
+    clause): top-k (score desc, doc asc) among hits passing every filter.
+
+    Scored base candidates are broadcast (ints + floats, the small side);
+    one ``map_batches`` over the metadata table keeps rows matching all
+    dims AND the candidate set, attaching scores; per-batch partial top-k
+    (score >= kth, ties kept) bounds what the final tiny sort sees.
+    -> pyarrow.Table(rank, doc_id, score[unrounded float64]), <= k rows."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import _exhaustive_candidates, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    r = _exhaustive_candidates(reader, q)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if r is None or len(r[0]) == 0:
+        return empty
+    cand, acc, _ = r
+    hits_ref = ray.put((np.asarray(cand, dtype=np.int64), acc.astype(np.float64)))
+    dim_items = sorted(dims.items())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted, scores = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        m = ids_sorted[pos] == ids
+        for col, val in dim_items:
+            m &= pc.equal(batch.column(col), pa.scalar(val)).to_numpy(
+                zero_copy_only=False
+            )
+        d = ids[m]
+        s = scores[pos[m]]
+        if len(d) > k:  # partial top-k: keep every row >= the kth score
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= kth
+            d, s = d[keep], s[keep]
+        return pa.table({"doc_id": pa.array(d), "score": pa.array(s)})
+
+    top = (
+        docs_ds.select_columns([id_col] + [c for c, _ in dim_items])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    parts = [
+        b for b in top.iter_batches(batch_format="pyarrow") if len(b)
+    ]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1, dtype=np.int32)),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "score": t.column("score").cast(pa.float64()),
+        }
+    )
+
+
 def grouped_search(
     index_dir: str,
     query_text: str,

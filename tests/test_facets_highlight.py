@@ -89,3 +89,92 @@ def test_facet_counts_vs_pandas(small_index, ray_session):
         )
         got = got.reset_index(drop=True)
         assert got.equals(want.astype({"count": got["count"].dtype})), qt
+
+
+def test_range_facet_counts_vs_pandas(small_index, ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.facets import range_facet_counts
+
+    out, doc_ids, texts, oracle = small_index
+    vals = [d * 3 for d in doc_ids]
+    docs_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    )
+    ranges = [
+        ("low", 0, 200),          # overlaps "tiny"
+        ("tiny", 0, 30),
+        ("mid", 201, 500),
+        ("empty", 10**9, 2 * 10**9),
+        ("all", -1, 10**9),
+    ]
+    reader = IndexReader(out)
+    an = make_analyzer("standard_en")
+    by_doc = dict(zip(doc_ids, vals))
+    for qt in ["alpha", "alpha beta", "zzz"]:
+        got = range_facet_counts(out, qt, docs_ds, "v", ranges).to_pandas()
+        hits = matching_docs(reader, parse_query(qt, an)).tolist()
+        # every named range present, caller order, zero-count included
+        assert got["range_label"].tolist() == [r[0] for r in ranges]
+        for label, lo, hi in ranges:
+            want = sum(1 for d in hits if lo <= by_doc[d] <= hi)
+            assert int(got.loc[got.range_label == label, "n_docs"].iloc[0]) == want, (qt, label)
+
+
+def test_drill_sideways_vs_pandas(small_index, ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucene_ray.pipelines.facets import drill_sideways_counts
+
+    out, doc_ids, texts, oracle = small_index
+    cat = [f"cat{d % 5}" for d in doc_ids]
+    grp = [f"g{d % 3}" for d in doc_ids]
+    docs_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "cat": pa.array(cat, pa.string()),
+                  "grp": pa.array(grp, pa.string())})
+    )
+    reader = IndexReader(out)
+    an = make_analyzer("standard_en")
+    dims = {"cat": "cat2", "grp": "g1"}
+    meta = pd.DataFrame({"doc_id": doc_ids, "cat": cat, "grp": grp})
+    for qt in ["alpha", "alpha beta"]:
+        got = drill_sideways_counts(out, qt, docs_ds, dims).to_pandas()
+        hits = set(matching_docs(reader, parse_query(qt, an)).tolist())
+        base = meta[meta.doc_id.isin(hits)]
+        # sideways per dim: other dim's filter applied, own not
+        want_cat = base[base.grp == "g1"].groupby("cat").size()
+        want_grp = base[base.cat == "cat2"].groupby("grp").size()
+        for col, want in (("cat", want_cat), ("grp", want_grp)):
+            sub = got[got.dim == col].set_index("facet_value")["n_docs"]
+            assert dict(sub) == dict(want.astype(int)), (qt, col)
+        dd = int(got.loc[got.dim == "__drilldown__", "n_docs"].iloc[0])
+        assert dd == len(base[(base.cat == "cat2") & (base.grp == "g1")])
+
+
+def test_drill_down_topk_vs_oracle(small_index, ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.facets import drill_down_topk
+
+    out, doc_ids, texts, oracle = small_index
+    cat = [f"cat{d % 5}" for d in doc_ids]
+    docs_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "cat": pa.array(cat, pa.string())})
+    )
+    an = make_analyzer("standard_en")
+    by_doc = dict(zip(doc_ids, cat))
+    for qt, k in [("alpha", 5), ("alpha beta", 7), ("zzz", 5)]:
+        got = drill_down_topk(out, qt, docs_ds, {"cat": "cat2"}, k=k).to_pandas()
+        od, os_ = oracle.topk(parse_query(qt, an), 10**9)
+        pairs = [(s, d) for d, s in zip(od.tolist(), os_.tolist())
+                 if by_doc[d] == "cat2"]
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        assert got["doc_id"].tolist() == [d for _, d in pairs], qt
+        assert got["rank"].tolist() == list(range(1, len(pairs) + 1))
+        assert np.allclose(got["score"].to_numpy(),
+                           np.array([s for s, _ in pairs]), rtol=1e-9, atol=1e-12)
