@@ -237,6 +237,21 @@ DRILL_QUERY_SETS: Dict[int, Tuple[str, Dict[str, str]]] = {
 }
 DRILL_TOPK = 10
 
+# Query-time join (join module, JoinUtil.createJoinQuery analogue):
+# (from query, ScoreMode); fromField = toField = documents.source, i.e.
+# retrieve every doc of every source containing a from-side hit. The
+# oracled ScoreModes are the order-independent ones (none, max);
+# total/avg are pytest-verified (float sum order is unspecified in both
+# the engine and DuckDB).
+JOIN_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream", "max"),
+    1: ("+batch +small", "none"),
+    2: ("customer value", "max"),
+    3: ("dup key", "none"),
+    4: ("zzzmissing", "max"),  # empty from side -> empty result
+}
+JOIN_TOPK = 10
+
 # Sort-by-field + searchAfter paging (TopFieldCollector / Sort analogue):
 # matching docs by (warc_ts DESC, doc_id ASC); two pages of 10 via the
 # (value, doc_id) searchAfter anchor.
@@ -616,6 +631,31 @@ def _facet_drill_down(sf_dir: str):
         qs, dims = DRILL_QUERY_SETS[qid]
         t = drill_down_topk(
             index_dir, qs, _load_documents(sf_dir), dims, k=DRILL_TOPK
+        ).to_pandas()
+        t["score"] = round_half_away(t["score"].to_numpy(), 4)
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _join_query(sf_dir: str):
+    """Query-time join retrieval: docs of every source with a from-side
+    hit, scored by the source's aggregated from-side score (JoinUtil
+    analogue, join module)."""
+    import pandas as pd
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.joins import join_query_topk
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    outs = []
+    for qid in sorted(JOIN_QUERY_SETS):
+        qs, mode = JOIN_QUERY_SETS[qid]
+        t = join_query_topk(
+            index_dir, qs, _load_documents(sf_dir), "source", "source",
+            score_mode=mode, k=JOIN_TOPK,
         ).to_pandas()
         t["score"] = round_half_away(t["score"].to_numpy(), 4)
         t.insert(0, "query_id", qid)
@@ -1089,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_range"] = lambda sf: _facet_range(sf)
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
+    q["join_query"] = lambda sf: _join_query(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
@@ -2303,6 +2344,43 @@ def _drill_down_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _join_query_sql() -> str:
+    """Oracle for join_query: scored-match subquery -> per-source aggregate
+    (MAX, or constant 1.0 for ScoreMode.None) -> join back to every doc of
+    those sources; rank on the unrounded aggregate."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, mode) in sorted(JOIN_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        cond_m = (
+            cond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        agg = {"max": "MAX(m.score)", "none": "1.0"}[mode]
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT d2.doc_id, j.jscore AS score
+    FROM documents d2
+    JOIN (
+      SELECT d.source AS src, {agg} AS jscore
+      FROM ({sub}) m JOIN documents d USING (doc_id)
+      WHERE {cond_m}
+      GROUP BY d.source
+    ) j ON d2.source = j.src
+  )
+  ORDER BY rank LIMIT {JOIN_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 _WEB_URL_SQL = (
     "'https://site' || (doc_id % 997) || '.example/' || "
     "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
@@ -2355,6 +2433,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_range"] = _facet_range_sql()
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
+    sql["join_query"] = _join_query_sql()
 
     # Suggest module: DirectSpellChecker analogue. Plain Levenshtein
     # (DuckDB's levenshtein == editdist3, no transpositions), dist 1..2,

@@ -162,3 +162,126 @@ def hash_join(
     return lt.union(rt).groupby("_jbucket").map_groups(
         join_bucket_safe, batch_format="pyarrow"
     )
+
+
+def join_query_topk(
+    index_dir: str,
+    from_query: str,
+    docs_ds: "ray.data.Dataset",  # (doc_id, <from_col>, <to_col>)
+    from_col: str,
+    to_col: str,
+    score_mode: str = "max",  # none | max | total | avg
+    k: int = 10,
+    id_col: str = "doc_id",
+):
+    """Query-time join — JoinUtil.createJoinQuery analogue (reference:
+    join/src/java/org/apache/lucene/search/join/JoinUtil.java: run
+    fromQuery, gather the fromField values of its hits with per-value
+    aggregated scores per ScoreMode {None, Max, Total, Avg}, then match
+    every doc whose toField holds one of those values, scored by the
+    value's aggregate).
+
+    Ray-Data-native shape: scored from-side candidates are broadcast
+    (ints + floats); ONE ``map_batches`` pass over the metadata table
+    pre-aggregates per-value (sum, count, max) partials before a tiny
+    ``groupby(value)`` — the join-value table is small (distinct key
+    values), so it broadcasts back via ``ray.put`` and the to-side match
+    is a second shuffle-free ``map_batches`` with per-batch partial top-k.
+    -> pyarrow.Table(rank, doc_id, score[unrounded float64]), <= k rows."""
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import _exhaustive_candidates, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(from_query, make_analyzer(reader.analyzer_name))
+    r = _exhaustive_candidates(reader, q)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if r is None or len(r[0]) == 0:
+        return empty
+    cand, acc, _ = r
+    hits_ref = ray.put((np.asarray(cand, dtype=np.int64), acc.astype(np.float64)))
+
+    def partial_values(batch: pa.Table) -> pa.Table:
+        ids_sorted, scores = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        m = ids_sorted[pos] == ids
+        vals = batch.column(from_col).filter(pa.array(m)).cast(pa.string())
+        s = pa.array(scores[pos[m]])
+        g = (
+            pa.table({"v": vals, "s": s})
+            .group_by("v")
+            .aggregate([("s", "sum"), ("s", "count"), ("s", "max")])
+        )
+        return pa.table(
+            {
+                "v": g.column("v"),
+                "s_sum": g.column("s_sum"),
+                "s_cnt": g.column("s_count").cast(pa.int64()),
+                "s_max": g.column("s_max"),
+            }
+        )
+
+    import ray.data as rd
+
+    agg = (
+        docs_ds.select_columns([id_col, from_col])
+        .map_batches(partial_values, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(
+            rd.aggregate.Sum("s_sum", alias_name="ssum"),
+            rd.aggregate.Sum("s_cnt", alias_name="cnt"),
+            rd.aggregate.Max("s_max", alias_name="smax"),
+        )
+        .take_all()  # one row per distinct join value: the small side
+    )
+    if not agg:
+        return empty
+    if score_mode == "none":
+        vmap = {r0["v"]: 1.0 for r0 in agg}
+    elif score_mode == "max":
+        vmap = {r0["v"]: float(r0["smax"]) for r0 in agg}
+    elif score_mode == "total":
+        vmap = {r0["v"]: float(r0["ssum"]) for r0 in agg}
+    elif score_mode == "avg":
+        vmap = {r0["v"]: float(r0["ssum"]) / int(r0["cnt"]) for r0 in agg}
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    vmap_ref = ray.put(vmap)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        vm = ray.get(vmap_ref)
+        vals = batch.column(to_col).cast(pa.string()).to_pylist()
+        s = np.array([vm.get(v, np.nan) for v in vals], dtype=np.float64)
+        m = ~np.isnan(s)
+        d = batch.column(id_col).to_numpy()[m]
+        s = s[m]
+        if len(d) > k:
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= kth
+            d, s = d[keep], s[keep]
+        return pa.table({"doc_id": pa.array(d), "score": pa.array(s)})
+
+    top = (
+        docs_ds.select_columns([id_col, to_col])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    parts = [b for b in top.iter_batches(batch_format="pyarrow") if len(b)]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1, dtype=np.int32)),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "score": t.column("score").cast(pa.float64()),
+        }
+    )
