@@ -237,6 +237,15 @@ DRILL_QUERY_SETS: Dict[int, Tuple[str, Dict[str, str]]] = {
 }
 DRILL_TOPK = 10
 
+# Classification module (SimpleNaiveBayesClassifier /
+# KNearestNeighborClassifier): NB classifies every doc with
+# doc_id % NB_TEST_MOD == 0 against a model trained on the whole corpus
+# (the reference's query=null self-classification); kNN classifies the
+# listed source docs by the MLT-top-k normalized-score vote.
+NB_TEST_MOD = 25
+KNN_CLS_SRC_DOCS: Dict[int, int] = {0: 3, 1: 11, 2: 77, 3: 123}
+KNN_CLS_K = 10
+
 # Query-time join (join module, JoinUtil.createJoinQuery analogue):
 # (from query, ScoreMode); fromField = toField = documents.source, i.e.
 # retrieve every doc of every source containing a from-side hit. The
@@ -661,6 +670,63 @@ def _join_query(sf_dir: str):
         t.insert(0, "query_id", qid)
         outs.append(t)
     return pd.concat(outs, ignore_index=True)
+
+
+def _classify_nb(sf_dir: str):
+    """Naive Bayes language prediction for the held-out doc set
+    (SimpleNaiveBayesClassifier analogue, classification module)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    model = train_naive_bayes(_load_documents(sf_dir))
+
+    def test_mask(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = (b.column("doc_id").to_numpy() % NB_TEST_MOD) == 0
+        return b.filter(pa.array(keep))
+
+    test_ds = _load_documents(sf_dir).map_batches(
+        test_mask, batch_format="pyarrow"
+    )
+    t = naive_bayes_classify(model, test_ds).to_pandas()
+    t["score"] = round_half_away(t["score"].to_numpy(), 4)
+    return t.sort_values("doc_id").reset_index(drop=True)
+
+
+def _classify_knn(sf_dir: str):
+    """kNN (MLT-vote) language prediction for the listed source docs
+    (KNearestNeighborClassifier analogue, classification module)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.classify import knn_classify
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    docs = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text", "lang"])
+    by_id = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    )
+    texts = {qid: by_id[d] for qid, d in sorted(KNN_CLS_SRC_DOCS.items())}
+    t = knn_classify(
+        index_dir,
+        texts,
+        docs.select(["doc_id", "lang"]),
+        class_col="lang",
+        k=KNN_CLS_K,
+        min_tf=MLT_MIN_TF,
+        min_df=MLT_MIN_DF,
+        max_terms=MLT_MAX_TERMS,
+    ).to_pandas()
+    t["score"] = round_half_away(t["score"].to_numpy(), 4)
+    return t
 
 
 def _highlight_top(sf_dir: str):
@@ -1130,6 +1196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
     q["join_query"] = lambda sf: _join_query(sf)
+
+    # --- classification module ---
+    q["classify_nb"] = lambda sf: _classify_nb(sf)
+    q["classify_knn"] = lambda sf: _classify_knn(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
@@ -2381,6 +2451,102 @@ def _join_query_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _classify_nb_sql() -> str:
+    """Oracle for classify_nb — the reference NB arithmetic literally:
+    prior = ln(docFreq(class)) - ln(n_docs); per-token likelihood
+    ln((docs-of-class-containing-word + 1) / (avgUniqueTerms*docFreq(class)
+    + n_docs)), summed tf-weighted; argmax by (score desc, class asc)."""
+    return f"""WITH {_BASE_CTES},
+cls AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS dfc FROM documents GROUP BY lang),
+nbs AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM tf) AS sum_df),
+wc AS (
+  SELECT tf.term, d.lang, CAST(COUNT(*) AS DOUBLE) AS hits
+  FROM tf JOIN documents d USING (doc_id) GROUP BY tf.term, d.lang
+),
+td AS (SELECT doc_id FROM documents WHERE doc_id % {NB_TEST_MOD} = 0),
+nbscore AS (
+  SELECT td.doc_id, c.lang,
+         ln(c.dfc) - ln(s.n_docs)
+         + COALESCE(SUM(tf.tf * ln((COALESCE(w.hits, 0) + 1)
+             / ((s.sum_df / s.n_docs) * c.dfc + s.n_docs))), 0) AS score
+  FROM td CROSS JOIN cls c CROSS JOIN nbs s
+  LEFT JOIN tf ON tf.doc_id = td.doc_id
+  LEFT JOIN wc w ON w.term = tf.term AND w.lang = c.lang
+  GROUP BY td.doc_id, c.lang, c.dfc, s.n_docs, s.sum_df
+)
+SELECT doc_id, lang AS pred_cls, round(score, 4) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM nbscore
+)
+WHERE rn = 1"""
+
+
+def _classify_knn_sql() -> str:
+    """Oracle for classify_knn: the MLT selection + retrieval CTEs, then
+    the reference's vote — per class SUM(score/maxScore)/min(k, n_hits),
+    argmax by (score desc, class asc)."""
+    _vals = ", ".join(
+        f"({qid}, {d})" for qid, d in sorted(KNN_CLS_SRC_DOCS.items())
+    )
+    sel = f"""src(query_id, src_doc) AS (VALUES {_vals}),
+msel AS (
+  SELECT query_id, term,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY mscore DESC, term) AS trn
+  FROM (
+    SELECT src.query_id, tf.term,
+           tf.tf * (ln((st.n_docs + 1) / (df.df + 1.0)) + 1.0) AS mscore
+    FROM src
+    JOIN tf ON tf.doc_id = src.src_doc
+    JOIN df USING (term)
+    CROSS JOIN stats st
+    WHERE tf.tf >= {MLT_MIN_TF} AND df.df >= {MLT_MIN_DF}
+  )
+),
+mlt AS (SELECT query_id, term FROM msel WHERE trn <= {MLT_MAX_TERMS})"""
+    return f"""WITH {_BASE_CTES},
+{_SC_CTE},
+{sel},
+hits AS (
+  SELECT m.query_id, sc.doc_id, SUM(sc.score) AS score
+  FROM sc JOIN mlt m USING (term)
+  GROUP BY m.query_id, sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM hits
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {KNN_CLS_K}),
+mx AS (
+  SELECT query_id, MAX(CASE WHEN rank = 1 THEN score END) AS maxs,
+         COUNT(*) AS n
+  FROM topk GROUP BY query_id
+),
+votes AS (
+  SELECT t.query_id, d.lang,
+         SUM(t.score / m.maxs)
+           / (CASE WHEN m.n < {KNN_CLS_K} THEN m.n ELSE {KNN_CLS_K} END)
+           AS score
+  FROM topk t
+  JOIN documents d USING (doc_id)
+  JOIN mx m ON m.query_id = t.query_id
+  GROUP BY t.query_id, d.lang, m.n
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang AS pred_cls,
+       round(score, 4) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, lang ASC) AS rn
+  FROM votes
+)
+WHERE rn = 1"""
+
+
 _WEB_URL_SQL = (
     "'https://site' || (doc_id % 997) || '.example/' || "
     "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
@@ -2434,6 +2600,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["join_query"] = _join_query_sql()
+    sql["classify_nb"] = _classify_nb_sql()
+    sql["classify_knn"] = _classify_knn_sql()
 
     # Suggest module: DirectSpellChecker analogue. Plain Levenshtein
     # (DuckDB's levenshtein == editdist3, no transpositions), dist 1..2,

@@ -1,0 +1,217 @@
+"""Classification module analogues: Naive Bayes and kNN (MLT-vote).
+
+Reference: ``classification/src/java/org/apache/lucene/classification/``
+
+* ``SimpleNaiveBayesClassifier.java`` — per class C:
+  ``score = ln(docFreq(C)) - ln(docsWithClass)
+           + sum_{token w} ln((hits(w,C) + 1) / den(C))`` where
+  ``hits(w,C)`` is the number of docs of class C containing w
+  (:214-216, a count query, NOT a term frequency), and
+  ``den(C) = avgUniqueTermsPerDoc * docFreq(C) + docsWithClass``
+  (:240-253, ``getTextTermFreqForClass``: sumDocFreq/docCount * docFreq).
+  Predicted class = argmax (the 0-1 normalisation of
+  ``normClassificationResults`` is monotone, so the argmax — and the
+  reported raw log-joint — are unchanged by skipping it).
+* ``KNearestNeighborClassifier.java`` — MLT query from the source text,
+  top-k retrieval, per-class score ``sum_i(score_i / maxScore) /
+  min(k, n_hits)`` (buildListFromTopDocs :190-236 with the sumdoc < k
+  correction), argmax wins. The reference breaks exact ties in HashMap
+  iteration order; we pin (score desc, class asc) so both the engine and
+  the DuckDB oracle are deterministic.
+
+Ray-Data-native shape (NB): training is ONE tokenizing ``map_batches``
+pass emitting pre-aggregated (term, class, doc-count) partials into a
+``groupby(term, class)`` — the only shuffle — plus a column-pruned
+``groupby(class).count()`` for priors. The aggregated model (vocab x
+n_classes, the small side: bounded like a searcher's term dictionary) is
+broadcast once via ``ray.put``; classification is a stateless
+``map_batches`` over the test docs. At vocabularies too big to broadcast,
+swap the attach for the doc-bucket groupby exchange used in
+pipelines/dedup.py (documented lever, same semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def train_naive_bayes(
+    docs_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    analyzer_name: str = "en_nostem_simple",
+) -> dict:
+    """Aggregate the NB sufficient statistics into a broadcastable model:
+    ``{classes, prior, den, hits: term -> int64[n_classes]}``."""
+    from ..functions.analysis import make_analyzer
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = make_analyzer(analyzer_name)
+        counts: Dict[Tuple[str, str], int] = {}
+        classes = batch.column(class_col).to_pylist()
+        for text, cls in zip(batch.column(text_col).to_pylist(), classes):
+            for term in set(an.analyze(text or "")):
+                key = (term, cls)
+                counts[key] = counts.get(key, 0) + 1
+        terms = list(counts)
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in terms], pa.string()),
+                "cls": pa.array([c for _, c in terms], pa.string()),
+                "hits_part": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    model_rows = (
+        docs_ds.select_columns([id_col, text_col, class_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["term", "cls"])
+        .aggregate(ray.data.aggregate.Sum("hits_part", alias_name="hits"))
+        .take_all()
+    )
+    cls_rows = (
+        docs_ds.select_columns([class_col]).groupby(class_col).count().take_all()
+    )
+    classes = sorted(r[class_col] for r in cls_rows)
+    dfc = np.array(
+        [next(r["count()"] for r in cls_rows if r[class_col] == c) for c in classes],
+        dtype=np.float64,
+    )
+    n_docs = float(dfc.sum())
+    cidx = {c: i for i, c in enumerate(classes)}
+    hits: Dict[str, np.ndarray] = {}
+    sum_df = 0
+    for r in model_rows:
+        v = hits.get(r["term"])
+        if v is None:
+            v = hits[r["term"]] = np.zeros(len(classes), dtype=np.int64)
+        v[cidx[r["cls"]]] = r["hits"]
+        sum_df += int(r["hits"])
+    avg_unique = sum_df / n_docs
+    return {
+        "classes": classes,
+        "prior": np.log(dfc) - np.log(n_docs),
+        "den": avg_unique * dfc + n_docs,
+        "hits": hits,
+        "analyzer": analyzer_name,
+    }
+
+
+def naive_bayes_classify(
+    model: dict,
+    test_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Assign each test doc its argmax class (score desc, class asc).
+    -> Dataset(doc_id, pred_cls, score[raw log-joint, float64])."""
+    from ..functions.analysis import make_analyzer
+
+    model_ref = ray.put(model)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        an = make_analyzer(m["analyzer"])
+        classes, prior, den, hits = (
+            m["classes"], m["prior"], m["den"], m["hits"],
+        )
+        nc = len(classes)
+        zero = np.zeros(nc, dtype=np.int64)
+        preds: List[str] = []
+        scores = np.empty(len(batch), dtype=np.float64)
+        for i, text in enumerate(batch.column(text_col).to_pylist()):
+            toks = an.analyze(text or "")
+            if toks:
+                terms, occ = np.unique(
+                    np.asarray(toks, dtype=object), return_counts=True
+                )
+                h = np.stack([hits.get(str(t), zero) for t in terms])
+                # sum over tokens of ln((hits+1)/den): occ-weighted dot
+                ll = occ.astype(np.float64) @ np.log((h + 1.0) / den)
+            else:
+                ll = np.zeros(nc)
+            s = prior + ll
+            j = int(np.argmax(s))  # first max = lexicographically smallest
+            preds.append(classes[j])
+            scores[i] = s[j]
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "pred_cls": pa.array(preds, pa.string()),
+                "score": pa.array(scores),
+            }
+        )
+
+    return test_ds.select_columns([id_col, text_col]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
+def knn_classify(
+    index_dir: str,
+    texts: Dict[int, str],  # query_id -> source text
+    class_lookup: pa.Table,  # (doc_id, <class_col>) — stored-fields analogue
+    class_col: str = "lang",
+    k: int = 10,
+    min_tf: int = 2,
+    min_df: int = 5,
+    max_terms: int = 25,
+) -> pa.Table:
+    """KNearestNeighborClassifier: MLT term selection + SHOULD retrieval,
+    then the reference's normalized-score class vote over the top-k.
+    -> pyarrow.Table(query_id, pred_cls, score) — queries whose MLT
+    selection is empty (no retrievable terms) yield no row, matching the
+    reference's null assignment."""
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import BooleanQuery, score_blockmax
+    from .mlt import interesting_terms
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    ids = class_lookup.column("doc_id").to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    cls_sorted = np.asarray(class_lookup.column(class_col).to_pylist(), dtype=object)[
+        order
+    ]
+    qids, preds, scores = [], [], []
+    for qid in sorted(texts):
+        sel = interesting_terms(
+            reader, texts[qid], an, min_tf=min_tf, min_df=min_df,
+            max_terms=max_terms,
+        )
+        if not sel:
+            continue
+        q = BooleanQuery(must=(), should=tuple(t for t, _ in sel), must_not=())
+        docs, s = score_blockmax(reader, q, k)
+        if len(docs) == 0:
+            continue
+        max_score = float(s[0])
+        pos = np.searchsorted(ids_sorted, docs)
+        cls = cls_sorted[pos]
+        sumdoc = len(docs)  # every hit has a class value here
+        per_class: Dict[str, float] = {}
+        for c, sc in zip(cls, s):
+            per_class[c] = per_class.get(c, 0.0) + float(sc) / max_score
+        div = float(min(k, sumdoc))
+        best = min(
+            ((-v / div, c) for c, v in per_class.items())
+        )  # (score desc, class asc)
+        qids.append(qid)
+        preds.append(best[1])
+        scores.append(-best[0])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "pred_cls": pa.array(preds, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

@@ -1,0 +1,182 @@
+"""Classification module analogues (reference:
+classification/src/java/org/apache/lucene/classification/
+SimpleNaiveBayesClassifier.java, KNearestNeighborClassifier.java)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.pipelines.build import IndexConfig
+
+from test_engine_oracle import build_from_lists, make_corpus
+
+
+def _nb_model_py(texts, classes, analyzer):
+    """Pure-python reference of the NB sufficient statistics."""
+    cls_vals = sorted(set(classes))
+    dfc = {c: classes.count(c) for c in cls_vals}
+    n_docs = len(texts)
+    hits = {}
+    sum_df = 0
+    for text, c in zip(texts, classes):
+        for t in set(analyzer.analyze(text)):
+            hits.setdefault(t, {}).setdefault(c, 0)
+            hits[t][c] += 1
+            sum_df += 1
+    avg_unique = sum_df / n_docs
+    return cls_vals, dfc, n_docs, avg_unique, hits
+
+
+def _nb_classify_py(text, model, analyzer):
+    cls_vals, dfc, n_docs, avg_unique, hits = model
+    best = None
+    for c in cls_vals:
+        den = avg_unique * dfc[c] + n_docs
+        s = math.log(dfc[c]) - math.log(n_docs)
+        for tok in analyzer.analyze(text):
+            h = hits.get(tok, {}).get(c, 0)
+            s += math.log((h + 1) / den)
+        if best is None or s > best[0] + 1e-12:
+            best = (s, c)
+    return best[1], best[0]
+
+
+def test_naive_bayes_vs_python_model(ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab_a = ["apple", "anchor", "arrow", "amber"]
+    vocab_b = ["breeze", "basalt", "bishop", "bark"]
+    texts, classes = [], []
+    for i in range(120):
+        cls = "ca" if i % 3 else "cb"
+        vocab = vocab_a if cls == "ca" else vocab_b
+        # mix in shared words so likelihoods are non-trivial
+        words = list(rng.choice(vocab, size=6)) + ["common", "word"]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+        classes.append(cls)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(120), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(classes, pa.string()),
+            }
+        )
+    )
+    model = train_naive_bayes(ds)
+    an = make_analyzer("en_nostem_simple")
+    pymodel = _nb_model_py(texts, classes, an)
+    got = (
+        naive_bayes_classify(model, ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i in range(120):
+        want_c, want_s = _nb_classify_py(texts[i], pymodel, an)
+        assert got.loc[i, "pred_cls"] == want_c, i
+        assert abs(got.loc[i, "score"] - want_s) < 1e-9, i
+
+
+def test_naive_bayes_model_stats(ray_session):
+    """Model stats carry the reference's exact semantics: hits are doc
+    counts (not tf), priors/dens use docFreq per class."""
+    import ray.data
+
+    from lucene_ray.pipelines.classify import train_naive_bayes
+
+    texts = ["x x x y", "x z", "y y", "z z y"]
+    classes = ["a", "a", "b", "b"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(classes, pa.string()),
+            }
+        )
+    )
+    m = train_naive_bayes(ds)
+    assert m["classes"] == ["a", "b"]
+    # x appears in 2 docs of class a (tf 3 in one of them -> still 2 hits)
+    assert m["hits"]["x"].tolist() == [2, 0]
+    assert m["hits"]["y"].tolist() == [1, 2]
+    assert m["hits"]["z"].tolist() == [1, 1]
+    # sum_df = 7 distinct (doc, term) pairs; avg_unique = 7/4
+    np.testing.assert_allclose(m["den"], 7 / 4 * np.array([2.0, 2.0]) + 4.0)
+    np.testing.assert_allclose(m["prior"], np.log([2 / 4, 2 / 4]))
+
+
+@pytest.fixture(scope="module")
+def knn_index(tmp_path_factory, ray_session):
+    doc_ids, texts = make_corpus(n_docs=200, seed=44)
+    out = tmp_path_factory.mktemp("kc") / "idx"
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=4,
+        heavy_df_threshold=64, sample_rate=1.0,
+    )
+    build_from_lists(out, doc_ids, texts, cfg)
+    return str(out), doc_ids, texts
+
+
+def test_knn_classify_vote_math(knn_index, ray_session):
+    from lucene_ray.functions.query import BooleanQuery, score_blockmax
+    from lucene_ray.pipelines.classify import knn_classify
+    from lucene_ray.pipelines.mlt import interesting_terms
+    from lucene_ray.pipelines.search import get_reader
+
+    out, doc_ids, texts = knn_index
+    classes = [f"c{d % 3}" for d in doc_ids]
+    lookup = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "lang": pa.array(classes, pa.string()),
+        }
+    )
+    by_doc = dict(zip(doc_ids, classes))
+    reader = get_reader(out)
+    an = make_analyzer(reader.analyzer_name)
+    k = 7
+    srcs = {0: texts[5], 1: texts[50], 2: texts[100]}
+    got = knn_classify(out, srcs, lookup, k=k, min_tf=1, min_df=2,
+                       max_terms=10).to_pandas()
+    for qid, text in srcs.items():
+        sel = interesting_terms(reader, text, an, min_tf=1, min_df=2,
+                                max_terms=10)
+        q = BooleanQuery(must=(), should=tuple(t for t, _ in sel), must_not=())
+        docs, s = score_blockmax(reader, q, k)
+        per = {}
+        for d, sc in zip(docs.tolist(), s.tolist()):
+            c = by_doc[d]
+            per[c] = per.get(c, 0.0) + sc / s[0]
+        div = min(k, len(docs))
+        want = sorted(((-v / div, c) for c, v in per.items()))[0]
+        row = got[got.query_id == qid].iloc[0]
+        assert row["pred_cls"] == want[1], qid
+        assert abs(row["score"] - (-want[0])) < 1e-12, qid
+
+
+def test_knn_classify_empty_selection(knn_index, ray_session):
+    """A source text with no retrievable MLT terms yields no row (the
+    reference's null assignment)."""
+    from lucene_ray.pipelines.classify import knn_classify
+
+    out, doc_ids, texts = knn_index
+    lookup = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "lang": pa.array(["x"] * len(doc_ids), pa.string()),
+        }
+    )
+    got = knn_classify(out, {0: "qqqq zzzz wwww"}, lookup, k=5).to_pandas()
+    assert len(got) == 0
