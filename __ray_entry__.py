@@ -103,6 +103,24 @@ MULTI_QUERY_SETS: Dict[str, Dict[int, str]] = {
 }
 
 
+# Multi-field query sets (per-field postings/norms/stats — FieldInfos /
+# MultiFieldQueryParser analogue, lucene_ray/pipelines/multifield.py).
+# Fields: title = first MF_TITLE_TOKENS space-split words of text,
+# body = text. `field:term` scopes; bare terms search both fields;
+# `+term` = required in >=1 field; `-term` = excluded from every field.
+MF_TITLE_TOKENS = 5
+MF_FIELDS = ("title", "body")
+MULTIFIELD_QUERY_SETS: Dict[int, str] = {
+    0: "title:customer",          # scoped SHOULD
+    1: "batch",                   # unscoped -> disjunction over both fields
+    2: "+data title:stream",      # cross-field required group + scoped
+    3: "value -title:dup",        # scoped MUST_NOT
+    4: "+title:vector -merge",    # scoped MUST + unscoped MUST_NOT
+    5: "zzzmissing",              # out-of-vocabulary -> empty
+    6: "+key key",                # SHOULD/group overlap -> scores once
+}
+
+
 # DisjunctionMaxQuery sets: (terms, tie_breaker)
 DISMAX_QUERY_SETS: Dict[int, Tuple[tuple, float]] = {
     0: (("data", "stream"), 0.0),
@@ -411,6 +429,107 @@ def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
         ),
         index_dir,
         "warc_ts",
+    )
+
+
+def _mf_title_py(text: str) -> str:
+    """Title projection — keep in lockstep with _MF_TITLE_SQL."""
+    return " ".join(text.split(" ")[:MF_TITLE_TOKENS])
+
+
+_MF_TITLE_SQL = (
+    "array_to_string(list_slice(string_split(text, ' '), 1, "
+    f"{MF_TITLE_TOKENS}), ' ')"
+)
+
+
+def _ensure_mf_index(sf_dir: str) -> str:
+    """Multi-field root (title + body subindexes) for sf_dir, cached by
+    per-field build fingerprints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.multifield import (
+        MF_MANIFEST,
+        build_multifield_index,
+        field_dir,
+    )
+    from lucene_ray.state.segment import read_manifest
+
+    key = ("mf", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_idx/{tag}-multifield"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8
+    )
+    doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint = (
+        f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
+        f"parts={cfg.num_partitions}"
+    )
+    try:
+        ok = os.path.exists(os.path.join(out, MF_MANIFEST)) and all(
+            read_manifest(field_dir(out, f)).get("fingerprint") == fingerprint
+            for f in MF_FIELDS
+        )
+    except Exception:
+        ok = False
+    if not ok:
+
+        def add_title(batch: "pa.Table") -> "pa.Table":
+            titles = pa.array(
+                [_mf_title_py(t) for t in batch.column("text").to_pylist()],
+                pa.string(),
+            )
+            return batch.append_column("title", titles)
+
+        ds = ray.data.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text"]
+        ).map_batches(add_title, batch_format="pyarrow")
+        build_multifield_index(
+            ds,
+            out,
+            {"title": "title", "body": "text"},
+            cfg,
+            doc_count=doc_count,
+            default_fields=list(MF_FIELDS),
+        )
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _bm25_multifield(sf_dir: str):
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        parse_multifield,
+        search_multifield,
+    )
+
+    mf = MultiFieldReader(_ensure_mf_index(sf_dir))
+    an = make_analyzer("en_nostem_simple")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in sorted(MULTIFIELD_QUERY_SETS.items()):
+        q = parse_multifield(text, an, list(MF_FIELDS))
+        d, s = search_multifield(mf, q, k=TOPK, k1=K1, b=B)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
     )
 
 
@@ -1182,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
+    q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
     q["bm25_k1b"] = lambda sf: _run_query_strings(
         sf, K1B_QUERY_SETS, k1=K1B_PARAMS[0], b=K1B_PARAMS[1]
     )
@@ -1684,6 +1804,100 @@ def _bm25_sql(set_name: str) -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _mf_title_ctes() -> str:
+    """Per-field CTEs for the title subindex: the title projection, its
+    own tf/dl/df and PER-FIELD stats (n_docs = corpus size, sum_tf = this
+    field's token mass — reference CollectionStatistics takes a field),
+    and the per-(doc, term) float64 BM25 score sc_t."""
+    return f"""
+tdocs AS (
+  SELECT doc_id, {_MF_TITLE_SQL} AS text FROM documents
+),
+ttok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM tdocs
+),
+ttf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM ttok WHERE term NOT IN {_STOP_SQL} GROUP BY doc_id, term
+),
+tdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ttf GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM tdl) AS sum_tf
+),
+tdf AS (SELECT term, COUNT(*) AS df FROM ttf GROUP BY term),
+sc_t AS (
+  SELECT ttf.doc_id, ttf.term,
+         ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (ttf.tf / (ttf.tf + {K1} * ((1 - {B}) + {B} * tdl.dl
+                / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+  FROM ttf
+  JOIN tdf USING (term)
+  JOIN tdl USING (doc_id)
+  CROSS JOIN tstats s
+)
+""".strip()
+
+
+def _multifield_sql() -> str:
+    """Oracle for bm25_multifield: union the two per-field score CTEs
+    tagged 'field:term', re-derive each query's clause sets through the
+    SAME parser, and apply the combination semantics (sum of distinct
+    scoring pairs; scoped MUSTs all matched; each required-OR group
+    matched; no MUST_NOT pair matched)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.pipelines.multifield import parse_multifield
+
+    an = make_analyzer("en_nostem_simple")
+    arms = []
+    for qid, text in sorted(MULTIFIELD_QUERY_SETS.items()):
+        q = parse_multifield(text, an, list(MF_FIELDS))
+        musts = sorted(
+            {f"{f}:{t}" for f, t, role in q.scoped if role == "must"}
+        )
+        nots = sorted(
+            {f"{f}:{t}" for f, t, role in q.scoped if role == "must_not"}
+        )
+        scoring = sorted(
+            {f"{f}:{t}" for f, t, role in q.scoped if role != "must_not"}
+            | {f"{f}:{t}" for g in q.groups for f, t in g}
+        )
+        all_pairs = sorted(set(scoring) | set(nots))
+        gcols = "".join(
+            f",\n           MAX(CASE WHEN fk IN "
+            f"{_in_list(sorted({f'{f}:{t}' for f, t in g}))} "
+            f"THEN 1 ELSE 0 END) AS g{i}"
+            for i, g in enumerate(q.groups)
+        )
+        gcond = "".join(f" AND g{i} = 1" for i in range(len(q.groups)))
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN fk IN {_in_list(scoring)} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN fk IN {_in_list(scoring)} THEN fk END) AS n_sc,
+           COUNT(DISTINCT CASE WHEN fk IN {_in_list(musts)} THEN fk END) AS n_must,
+           MAX(CASE WHEN fk IN {_in_list(nots)} THEN 1 ELSE 0 END) AS n_not{gcols}
+    FROM mfu WHERE fk IN {_in_list(all_pairs)} GROUP BY doc_id
+  )
+  WHERE n_sc >= 1 AND n_must = {len(musts)} AND n_not = 0{gcond}
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""WITH {_BASE_CTES},
+{_SC_CTE},
+{_mf_title_ctes()},
+mfu AS (
+  SELECT doc_id, 'body:' || term AS fk, score FROM sc
+  UNION ALL
+  SELECT doc_id, 'title:' || term AS fk, score FROM sc_t
+)
+{body}"""
 
 
 def _parsed_bm25_select(qid: int, q, extra_where: str = "") -> str:
@@ -2584,6 +2798,7 @@ FROM tf GROUP BY term"""
     sql["bm25_range_filter"] = _range_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
+    sql["bm25_multifield"] = _multifield_sql()
     sql["bm25_k1b"] = _k1b_sql()
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
