@@ -120,6 +120,18 @@ MULTIFIELD_QUERY_SETS: Dict[int, str] = {
     6: "+key key",                # SHOULD/group overlap -> scores once
 }
 
+# CombinedFieldQuery (BM25F-simple, search/CombinedFieldQuery.java):
+# integer-valued weights keep every weighted tf/dl exactly representable
+# so the SQL oracle's float64 arithmetic matches bit-for-bit pre-rounding
+CF_WEIGHTS = {"title": 2.0, "body": 1.0}
+CF_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
+    0: ("customer",),
+    1: ("batch", "stream"),
+    2: ("vector", "zzzmissing"),   # OOV term contributes nothing
+    3: ("key", "merge", "data"),
+    4: ("zzzmissing",),            # empty result
+}
+
 
 # DisjunctionMaxQuery sets: (terms, tie_breaker)
 DISMAX_QUERY_SETS: Dict[int, Tuple[tuple, float]] = {
@@ -519,6 +531,35 @@ def _bm25_multifield(sf_dir: str):
     for qid, text in sorted(MULTIFIELD_QUERY_SETS.items()):
         q = parse_multifield(text, an, list(MF_FIELDS))
         d, s = search_multifield(mf, q, k=TOPK, k1=K1, b=B)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _bm25_combined_field(sf_dir: str):
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        search_combined,
+    )
+
+    mf = MultiFieldReader(_ensure_mf_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in sorted(CF_QUERY_SETS.items()):
+        d, s = search_combined(
+            mf, list(terms), CF_WEIGHTS, k=TOPK, k1=K1, b=B
+        )
         qids.extend([qid] * len(d))
         ranks.extend(range(1, len(d) + 1))
         docs.extend(int(x) for x in d)
@@ -1302,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
     q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
+    q["bm25_combined_field"] = lambda sf: _bm25_combined_field(sf)
     q["bm25_k1b"] = lambda sf: _run_query_strings(
         sf, K1B_QUERY_SETS, k1=K1B_PARAMS[0], b=K1B_PARAMS[1]
     )
@@ -1898,6 +1940,63 @@ mfu AS (
   SELECT doc_id, 'title:' || term AS fk, score FROM sc_t
 )
 {body}"""
+
+
+def _combined_field_sql() -> str:
+    """Oracle for bm25_combined_field: the BM25F-simple pseudo-field —
+    weighted tf/dl union of the body and title CTEs, union df, weighted
+    avgdl — then per-arm SHOULD sums."""
+    wt, wb = CF_WEIGHTS["title"], CF_WEIGHTS["body"]
+    k1, b = K1, B
+    ctes = f"""
+cfu AS (
+  SELECT doc_id, term, SUM(wtf) AS tfc FROM (
+    SELECT doc_id, term, {wb} * tf AS wtf FROM tf
+    UNION ALL
+    SELECT doc_id, term, {wt} * tf AS wtf FROM ttf
+  ) GROUP BY doc_id, term
+),
+cdl AS (
+  SELECT d.doc_id,
+         {wb} * COALESCE(dl.dl, 0) + {wt} * COALESCE(tdl.dl, 0) AS dlc
+  FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  LEFT JOIN tdl USING (doc_id)
+),
+cstats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(dlc) FROM cdl) AS sum_dl
+),
+cdf AS (SELECT term, COUNT(*) AS df FROM cfu GROUP BY term),
+sc_c AS (
+  SELECT cfu.doc_id, cfu.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+           * (cfu.tfc / (cfu.tfc + {k1} * ((1 - {b}) + {b} * cdl.dlc
+                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS score
+  FROM cfu
+  JOIN cdf USING (term)
+  JOIN cdl USING (doc_id)
+  CROSS JOIN cstats s
+)
+""".strip()
+    arms = []
+    for qid, terms in sorted(CF_QUERY_SETS.items()):
+        tl = _in_list(sorted(set(terms)))
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, SUM(score) AS score
+    FROM sc_c WHERE term IN {tl} GROUP BY doc_id
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH {_BASE_CTES},\n{_mf_title_ctes()},\n{ctes}\n"
+        + body
+    )
 
 
 def _parsed_bm25_select(qid: int, q, extra_where: str = "") -> str:
@@ -2799,6 +2898,7 @@ FROM tf GROUP BY term"""
     sql["sort_by_ts"] = _sort_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
     sql["bm25_multifield"] = _multifield_sql()
+    sql["bm25_combined_field"] = _combined_field_sql()
     sql["bm25_k1b"] = _k1b_sql()
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()

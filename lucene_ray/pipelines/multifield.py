@@ -189,6 +189,120 @@ def _isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[pos] == values
 
 
+def _field_doclens(mf: MultiFieldReader, field: str):
+    """(sorted doc_ids, doc_lens) of one field from its docmap sidecar,
+    cached on the field's reader (warm searcher state). Docs absent from
+    the sidecar (no kept tokens in this field) have length 0."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    r = mf.reader(field)
+    cached = r.__dict__.get("_dl_map")
+    if cached is None:
+        files = sorted(
+            glob.glob(os.path.join(r.index_dir, "docmap", "*.parquet"))
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"combined-field scoring needs the docmap sidecar "
+                f"(IndexConfig.emit_doc_map) under {r.index_dir}"
+            )
+        tabs = [
+            pq.read_table(f, columns=["doc_id", "doc_len"]) for f in files
+        ]
+        ids = np.concatenate(
+            [t.column("doc_id").to_numpy() for t in tabs]
+        ).astype(np.int64)
+        lens = np.concatenate(
+            [t.column("doc_len").to_numpy() for t in tabs]
+        ).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        cached = (ids[order], lens[order])
+        r.__dict__["_dl_map"] = cached
+    return cached
+
+
+def _raw_postings(mf: MultiFieldReader, field: str, term: str):
+    """(docs, tfs) of one (field, term) in global doc order (raw term
+    frequencies, pre-similarity)."""
+    r = mf.reader(field)
+    parts = r.postings(term)
+    if not parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    ds, ts = [], []
+    for tp in parts:
+        d, t, _ = tp.decode_all()
+        ds.append(d)
+        ts.append(t)
+    return np.concatenate(ds).astype(np.int64), np.concatenate(ts)
+
+
+def search_combined(
+    mf: MultiFieldReader,
+    terms: Sequence[str],
+    weights: Dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """CombinedFieldQuery / BM25F-simple (reference:
+    search/CombinedFieldQuery.java — "a single BM25 score ... across all
+    the fields as if their content had been indexed in a single combined
+    field", Robertson's BM25F simple variant): per term,
+    tf' = sum_f w_f * tf_f, dl' = sum_f w_f * dl_f (the reference's
+    MultiNormsLeafSimScorer weighted-norm sum), df' = |docs containing
+    the term in ANY weighted field|, avgdl' = sum_f w_f *
+    sumTotalTermFreq_f / docCount (the pseudo CollectionStatistics);
+    score = BM25(tf', dl', avgdl', idf(df')). Multiple terms sum
+    (SHOULD). -> (doc_ids, scores) top-k, (score desc, doc asc)."""
+    from ..functions.query import _topk_from
+
+    fields = sorted(weights)
+    r0 = mf.reader(fields[0])
+    n_docs = int(r0.doc_count)
+    avgdl = (
+        sum(weights[f] * mf.reader(f).sum_total_tf for f in fields) / n_docs
+    )
+    cand: Optional[np.ndarray] = None
+    acc: Optional[np.ndarray] = None
+    for term in dict.fromkeys(terms):
+        per_field = [(f, *_raw_postings(mf, f, term)) for f in fields]
+        union = _docs_of([(d, d) for _, d, _ in per_field])
+        if len(union) == 0:
+            continue
+        tfc = np.zeros(len(union), dtype=np.float64)
+        dlc = np.zeros(len(union), dtype=np.float64)
+        for f, d, t in per_field:
+            if len(d):
+                np.add.at(
+                    tfc, np.searchsorted(union, d), weights[f] * t
+                )
+            ids, lens = _field_doclens(mf, f)
+            if len(ids):
+                pos = np.minimum(
+                    np.searchsorted(ids, union), len(ids) - 1
+                )
+                hit = ids[pos] == union
+                dlc[hit] += weights[f] * lens[pos[hit]]
+        df = len(union)
+        idf = np.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        scores = idf * (
+            tfc / (tfc + k1 * ((1 - b) + b * dlc / avgdl))
+        )
+        if cand is None:
+            cand, acc = union, scores
+        else:
+            merged = np.union1d(cand, union)
+            newacc = np.zeros(len(merged), dtype=np.float64)
+            np.add.at(newacc, np.searchsorted(merged, cand), acc)
+            np.add.at(newacc, np.searchsorted(merged, union), scores)
+            cand, acc = merged, newacc
+    if cand is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return _topk_from(cand, acc, k)
+
+
 def search_multifield(
     mf: MultiFieldReader,
     query: MultiFieldQuery,

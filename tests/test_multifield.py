@@ -203,6 +203,74 @@ def test_per_field_stats_differ(mf_root):
     assert rt.doc_count == rb.doc_count == len(BODIES)
 
 
+def _model_combined(terms, weights, k=10, k1=K1, b=B):
+    """Brute-force BM25F-simple over FIELDS: tf' = sum w_f*tf_f,
+    dl' = sum w_f*dl_f, df' over the union, avgdl' = weighted token
+    mass / N."""
+    n = len(BODIES)
+    toks = {f: [t.split() for t in FIELDS[f]] for f in weights}
+    dlc = [
+        sum(w * len(toks[f][d]) for f, w in weights.items())
+        for d in range(n)
+    ]
+    avgdl = sum(dlc) / n
+    acc = {}
+    for term in dict.fromkeys(terms):
+        tfc = {
+            d: sum(
+                w * toks[f][d].count(term) for f, w in weights.items()
+            )
+            for d in range(n)
+        }
+        tfc = {d: v for d, v in tfc.items() if v > 0}
+        if not tfc:
+            continue
+        df = len(tfc)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, tf in tfc.items():
+            s = idf * (tf / (tf + k1 * ((1 - b) + b * dlc[d] / avgdl)))
+            acc[d] = acc.get(d, 0.0) + s
+    ranked = sorted(acc, key=lambda d: (-acc[d], d))[:k]
+    return ranked, [acc[d] for d in ranked]
+
+
+def test_combined_field_vs_model(mf_root):
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        search_combined,
+    )
+
+    mf = MultiFieldReader(mf_root)
+    weights = {"title": 2.0, "body": 1.0}
+    for terms in [
+        ["alpha"],
+        ["gamma"],             # heavier in title (w=2) than body
+        ["beta", "delta"],
+        ["alpha", "zzz"],
+        ["zzz"],
+    ]:
+        docs, scores = search_combined(mf, terms, weights, k=10)
+        mdocs, mscores = _model_combined(terms, weights)
+        assert list(docs) == mdocs, terms
+        np.testing.assert_allclose(scores, mscores, rtol=1e-12)
+
+
+def test_combined_field_weights_matter(mf_root):
+    """Raising the title weight must re-rank a title-heavy doc above a
+    body-heavy doc for the same term."""
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        search_combined,
+    )
+
+    mf = MultiFieldReader(mf_root)
+    lo, _ = search_combined(mf, ["gamma"], {"title": 1.0, "body": 1.0})
+    hi, _ = search_combined(mf, ["gamma"], {"title": 5.0, "body": 1.0})
+    # doc 6 ("gamma gamma focus" title) must win under the high weight
+    assert hi[0] == 6
+    assert list(lo) != list(hi)
+
+
 def test_unknown_field_raises(mf_root):
     from lucene_ray.pipelines.multifield import MultiFieldReader
 
