@@ -351,6 +351,19 @@ PHRASE_QUERY_SETS: Dict[int, str] = {
     4: '"zzz missing"',
 }
 
+# Span queries (queries/spans module): (terms, slop, in_order).
+# Ordered = per-start greedy shortest chain (NearSpansOrdered); unordered
+# two-clause = two-pointer merge intervals (NearSpansUnordered); each
+# match with gap <= slop contributes 1/(1+gap) to the span frequency.
+SPAN_QUERY_SETS: Dict[int, Tuple[Tuple[str, ...], int, bool]] = {
+    0: (("data", "stream"), 0, True),
+    1: (("data", "stream"), 3, True),
+    2: (("stream", "data"), 2, False),
+    3: (("batch", "small", "scan"), 4, True),   # 3-clause ordered chain
+    4: (("key", "zzzmissing"), 2, True),        # missing clause -> empty
+    5: (("customer", "value"), 6, False),
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -1070,6 +1083,33 @@ def _bm25_phrase_sloppy(sf_dir: str):
     )
 
 
+def _bm25_span_near(sf_dir: str):
+    """SpanNearQuery top-k over the positions-enabled index."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import SpanNearQuery, score_span
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (terms, slop, in_order) in sorted(SPAN_QUERY_SETS.items()):
+        q = SpanNearQuery(terms=terms, slop=slop, in_order=in_order)
+        d, s = score_span(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def _bm25_recency_boost(sf_dir: str):
     """Function-scored top-k: BM25 + recency term from warc_ts doc values."""
     import numpy as np
@@ -1350,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
+    q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
@@ -2327,6 +2368,89 @@ def _k1b_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_sc_cte(k1, b)}\n{body}"
 
 
+def _span_near_sql() -> str:
+    """Oracle for bm25_span_near: positions from the stopword-gap ptok
+    CTE; ordered spans as chained per-start MIN-successor joins, unordered
+    two-clause spans as the LAG-window image of the two-pointer merge
+    (pair (a_i, b_j) yielded iff a_{i-1} < b_j AND b_{j-1} < a_i); span
+    frequency = SUM 1/(1+gap) over matches with gap <= slop; scored like
+    the phrase oracle (idf = sum of clause idfs)."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+    def tpos(t: str) -> str:
+        return f"(SELECT doc_id, pos FROM ptok WHERE term = '{t}')"
+
+    def tlag(t: str) -> str:
+        return (
+            "(SELECT doc_id, pos, LAG(pos, 1, -1) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS prev FROM ptok "
+            f"WHERE term = '{t}')"
+        )
+
+    arms = []
+    for qid, (terms, slop, in_order) in sorted(SPAN_QUERY_SETS.items()):
+        n = len(terms)
+        if in_order:
+            # chained greedy successors: level i adds MIN(pos > prev link)
+            inner = (
+                f"SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS p1\n"
+                f"      FROM {tpos(terms[0])} a\n"
+                f"      JOIN {tpos(terms[1])} b"
+                " ON b.doc_id = a.doc_id AND b.pos > a.pos\n"
+                "      GROUP BY a.doc_id, a.pos"
+            )
+            for i in range(2, n):
+                inner = (
+                    f"SELECT s.doc_id, s.pa, MIN(c{i}.pos) AS p{i}\n"
+                    f"      FROM ({inner}) s\n"
+                    f"      JOIN {tpos(terms[i])} c{i}"
+                    f" ON c{i}.doc_id = s.doc_id AND c{i}.pos > s.p{i - 1}\n"
+                    f"      GROUP BY s.doc_id, s.pa, s.p{i - 1}"
+                )
+            gap = f"p{n - 1} - pa - {n - 1}"
+            pf = (
+                f"SELECT doc_id, SUM(1.0 / (1.0 + ({gap}))) AS pf\n"
+                f"    FROM ({inner})\n"
+                f"    WHERE {gap} <= {slop} GROUP BY doc_id"
+            )
+        else:
+            pf = (
+                "SELECT doc_id, SUM(1.0 / (1.0 + gap)) AS pf FROM (\n"
+                "      SELECT al.doc_id, abs(al.pos - bl.pos) - 1 AS gap\n"
+                f"      FROM {tlag(terms[0])} al\n"
+                f"      JOIN {tlag(terms[1])} bl ON bl.doc_id = al.doc_id\n"
+                "      WHERE al.prev < bl.pos AND bl.prev < al.pos\n"
+                f"    ) WHERE gap <= {slop} GROUP BY doc_id"
+            )
+        vals = ", ".join(f"('{t}')" for t in terms)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
+              FROM (VALUES {vals}) v(term) JOIN df d USING (term)
+              CROSS JOIN stats s2)
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM ({pf}) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _phrase_sloppy_sql() -> str:
     """Oracle for bm25_phrase_sloppy (two-term phrases): per anchor
     position of the first term, L = MIN over the second term's positions of
@@ -2903,6 +3027,7 @@ FROM tf GROUP BY term"""
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
+    sql["bm25_span_near"] = _span_near_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}

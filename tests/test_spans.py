@@ -1,0 +1,177 @@
+"""Span queries vs brute-force python models.
+
+The unordered model simulates the actual two-pointer merge loop
+(NearSpansUnordered), independently of the engine's closed-form
+(jlo, jhi) range derivation — a real cross-check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+K1, B = 1.2, 0.75
+
+TEXTS = [
+    "data stream data stream",        # adjacent pairs both ways
+    "data the batch stream",          # stopword gap: data@0 stream@3
+    "stream batch data",              # reversed order
+    "data batch batch stream data",   # wide + trailing
+    "batch small scan",               # 3-term chain
+    "batch small small scan",         # repeated middle
+    "stream stream",                  # only one of the pair
+    "scan batch small",               # wrapped order
+]
+
+
+@pytest.fixture(scope="module")
+def span_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("spanidx") / "idx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    from lucene_ray.pipelines.search import get_reader
+
+    return get_reader(out)
+
+
+STOPS = {"the", "a"}
+
+
+def _positions(doc: int, term: str):
+    toks = TEXTS[doc].split()
+    return [i for i, t in enumerate(toks) if t == term and t not in STOPS]
+
+
+def _model_ordered(doc, terms, slop):
+    plists = [_positions(doc, t) for t in terms]
+    if any(not p for p in plists):
+        return 0.0
+    f = 0.0
+    for a in plists[0]:
+        prev = a
+        ok = True
+        for nxt in plists[1:]:
+            cand = [p for p in nxt if p > prev]
+            if not cand:
+                ok = False
+                break
+            prev = min(cand)
+        if ok:
+            gap = prev - a - (len(terms) - 1)
+            if gap <= slop:
+                f += 1.0 / (1.0 + gap)
+    return f
+
+
+def _model_unordered(doc, terms, slop):
+    """Literal two-pointer merge: yield (a_i, b_j), advance the smaller."""
+    A, Bp = _positions(doc, terms[0]), _positions(doc, terms[1])
+    if not A or not Bp:
+        return 0.0
+    i = j = 0
+    f = 0.0
+    while True:
+        gap = abs(A[i] - Bp[j]) - 1
+        if gap <= slop:
+            f += 1.0 / (1.0 + gap)
+        if A[i] < Bp[j]:
+            if i + 1 == len(A):
+                break
+            i += 1
+        else:
+            if j + 1 == len(Bp):
+                break
+            j += 1
+    return f
+
+
+def _model_scores(freqs_by_doc, terms):
+    toks = [[t for t in x.split() if t not in STOPS] for x in TEXTS]
+    n = len(TEXTS)
+    dls = [len(tk) for tk in toks]
+    avgdl = sum(dls) / n
+    idf = 0.0
+    for t in terms:
+        df = sum(1 for tk in toks if t in tk)
+        idf += math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return {
+        d: idf * (f / (f + K1 * ((1 - B) + B * dls[d] / avgdl)))
+        for d, f in freqs_by_doc.items()
+        if f > 0
+    }
+
+
+SPAN_CASES = [
+    (("data", "stream"), 0, True),
+    (("data", "stream"), 2, True),
+    (("stream", "data"), 1, True),
+    (("data", "stream"), 1, False),
+    (("stream", "data"), 3, False),
+    (("batch", "small", "scan"), 0, True),
+    (("batch", "small", "scan"), 2, True),
+    (("batch", "zzz"), 5, True),
+]
+
+
+def test_span_near_vs_model(span_index):
+    from lucene_ray.functions.spans import SpanNearQuery, score_span
+
+    for terms, slop, in_order in SPAN_CASES:
+        q = SpanNearQuery(terms=terms, slop=slop, in_order=in_order)
+        docs, scores = score_span(span_index, q, k=10)
+        model = {
+            d: (
+                _model_ordered(d, terms, slop)
+                if in_order
+                else _model_unordered(d, terms, slop)
+            )
+            for d in range(len(TEXTS))
+        }
+        exp = _model_scores(model, terms)
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+        assert list(docs) == ranked, (terms, slop, in_order)
+        np.testing.assert_allclose(
+            scores, [exp[d] for d in ranked], rtol=1e-12
+        )
+
+
+def test_span_first(span_index):
+    from lucene_ray.functions.spans import SpanFirstQuery, score_span
+
+    # 'data' within the first 1 position: only docs with data@0
+    docs, _ = score_span(span_index, SpanFirstQuery("data", 1), k=10)
+    assert set(docs) == {0, 1, 3}
+    # within the first 3 positions: adds doc 2 (data@2)
+    docs3, _ = score_span(span_index, SpanFirstQuery("data", 3), k=10)
+    assert set(docs3) == {0, 1, 2, 3}
+    model = {d: float(len([p for p in _positions(d, "data") if p < 3]))
+             for d in range(len(TEXTS))}
+    exp = _model_scores(model, ("data",))
+    ranked = sorted(exp, key=lambda d: (-exp[d], d))
+    assert list(docs3) == ranked
+
+
+def test_unordered_requires_two(span_index):
+    from lucene_ray.functions.spans import SpanNearQuery, span_scored
+
+    with pytest.raises(ValueError):
+        span_scored(
+            span_index,
+            SpanNearQuery(("a", "b", "c"), slop=1, in_order=False),
+        )
