@@ -286,6 +286,145 @@ class SynonymAnalyzer:
         return terms, pos
 
 
+#: non-decomposable folds ASCIIFoldingFilter maps explicitly (subset of
+#: its ~2000-entry table; NFKD strip handles the accent cases)
+_FOLD_MAP = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "þ": "th",
+    "ð": "d", "ł": "l", "ħ": "h", "ı": "i", "ĸ": "k", "ŋ": "n",
+    "ſ": "s", "ŧ": "t",
+}
+
+
+class AsciiFoldingAnalyzer:
+    """Fold accented/decorated Latin to ASCII over the simple chain
+    (reference: analysis/common/.../miscellaneous/ASCIIFoldingFilter.java).
+    Implemented as NFKD decomposition + combining-mark strip plus an
+    explicit table for the non-decomposable letters (ss/ae/oe/...) — the
+    common-case subset of the reference's exhaustive switch. Characters
+    that still fold to nothing are dropped, and folding runs BEFORE
+    tokenization so multi-char folds (ß -> ss) stay inside one token."""
+
+    name = "ascii_folding"
+    _RE = re.compile(r"[a-z0-9]+")
+
+    def analyze(self, text: str) -> List[str]:
+        import unicodedata
+
+        lowered = lowercase(text)
+        folded = "".join(_FOLD_MAP.get(c, c) for c in lowered)
+        stripped = "".join(
+            c
+            for c in unicodedata.normalize("NFKD", folded)
+            if not unicodedata.combining(c)
+        )
+        return self._RE.findall(stripped)
+
+
+def _is_cjk(c: str) -> bool:
+    o = ord(c)
+    return (
+        0x4E00 <= o <= 0x9FFF      # CJK Unified Ideographs
+        or 0x3400 <= o <= 0x4DBF   # ext A
+        or 0x3040 <= o <= 0x309F   # Hiragana
+        or 0x30A0 <= o <= 0x30FF   # Katakana
+        or 0xAC00 <= o <= 0xD7AF   # Hangul syllables
+    )
+
+
+class CJKBigramAnalyzer:
+    """Overlapping CJK character bigrams, non-CJK as lowercased alnum runs
+    (reference: analysis/cjk/.../CJKBigramFilter.java over
+    StandardTokenizer's per-codepoint CJK tokens: adjacent CJK chars pair
+    into bigrams; an isolated CJK char is emitted as a unigram —
+    outputUnigrams=false default)."""
+
+    name = "cjk_bigram"
+    _RE = re.compile(r"[a-z0-9]+")
+
+    def analyze(self, text: str) -> List[str]:
+        out: List[str] = []
+        run: List[str] = []
+        latin: List[str] = []
+
+        def flush_run():
+            if len(run) == 1:
+                out.append(run[0])
+            else:
+                out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+            run.clear()
+
+        def flush_latin():
+            if latin:
+                out.extend(self._RE.findall(lowercase("".join(latin))))
+                latin.clear()
+
+        for c in text:
+            if _is_cjk(c):
+                flush_latin()
+                run.append(c)
+            else:
+                if run:
+                    flush_run()
+                latin.append(c)
+        if run:
+            flush_run()
+        flush_latin()
+        return out
+
+
+def soundex(word: str) -> str:
+    """Classic American Soundex (the algorithm behind commons-codec's
+    Soundex used by analysis/phonetic/.../PhoneticFilter.java): first
+    letter + 3 digits, H/W transparent between same-coded consonants,
+    vowels separate, zero-padded."""
+    codes = {
+        **dict.fromkeys("bfpv", "1"),
+        **dict.fromkeys("cgjkqsxz", "2"),
+        **dict.fromkeys("dt", "3"),
+        "l": "4",
+        **dict.fromkeys("mn", "5"),
+        "r": "6",
+    }
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = w[0].upper()
+    last = codes.get(w[0], "")
+    for c in w[1:]:
+        code = codes.get(c, "")
+        if code and code != last:
+            out += code
+            if len(out) == 4:
+                break
+        if c not in "hw":
+            last = code
+    return out.ljust(4, "0")
+
+
+class PhoneticAnalyzer:
+    """Soundex codes over the simple chain (reference:
+    analysis/phonetic/.../PhoneticFilter.java with a Soundex encoder).
+    ``inject=True`` (the reference default) also keeps the original token
+    at the same position."""
+
+    def __init__(self, inject: bool = True):
+        self.inject = inject
+        self.name = "phonetic" if inject else "phonetic_replace"
+        self._base = SimpleAnalyzer()
+
+    def analyze(self, text: str) -> List[str]:
+        out: List[str] = []
+        for t in self._base.analyze(text):
+            code = soundex(t)
+            if self.inject:
+                out.append(t)
+                if code and code != t:
+                    out.append(code)
+            elif code:
+                out.append(code)
+        return out
+
+
 def _parse_synonym_name(name: str) -> SynonymAnalyzer:
     try:
         _, base, spec = name.split(":", 2)
@@ -312,6 +451,10 @@ _REGISTRY: Dict[str, Callable[[], object]] = {
     "ngram": NGramAnalyzer,
     "edge_ngram": lambda: NGramAnalyzer(edge=True),
     "shingle": ShingleAnalyzer,
+    "ascii_folding": AsciiFoldingAnalyzer,
+    "cjk_bigram": CJKBigramAnalyzer,
+    "phonetic": PhoneticAnalyzer,
+    "phonetic_replace": lambda: PhoneticAnalyzer(inject=False),
 }
 
 

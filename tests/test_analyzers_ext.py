@@ -152,3 +152,54 @@ def test_synonym_index_and_phrase(ray_session, tmp_path):
     # phrase across the synonym position: "fast car" matches "fast auto"
     got = score_exhaustive(r, parse_query('"fast car"', an), 10)[0].tolist()
     assert sorted(got) == [0, 1]
+
+
+def test_ascii_folding():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("ascii_folding")
+    assert an.analyze("Café Größe naïve") == ["cafe", "grosse", "naive"]
+    assert an.analyze("İstanbul Ørsted œuvre") == ["istanbul", "orsted", "oeuvre"]
+    assert an.analyze("plain ascii 42") == ["plain", "ascii", "42"]
+    # ligature folds stay within one token
+    assert an.analyze("straße") == ["strasse"]
+
+
+def test_cjk_bigram():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("cjk_bigram")
+    # adjacent han chars pair into overlapping bigrams
+    assert an.analyze("中文分析") == [
+        "中文", "文分", "分析"
+    ]
+    # isolated CJK char -> unigram; latin handled by the simple chain
+    assert an.analyze("use 中 here") == ["use", "中", "here"]
+    # latin breaks a run into separate bigram groups
+    assert an.analyze("中文 and 分析") == [
+        "中文", "and", "分析"
+    ]
+    assert an.analyze("katakana カタ") == ["katakana", "カタ"]
+
+
+def test_soundex_codes():
+    from lucene_ray.functions.analysis import soundex
+
+    # classic published examples
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"  # h transparent between s and c
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"
+    assert soundex("Honeyman") == "H555"
+
+
+def test_phonetic_analyzer():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    inj = make_analyzer("phonetic")
+    assert inj.analyze("robert rupert") == ["robert", "R163", "rupert", "R163"]
+    rep = make_analyzer("phonetic_replace")
+    assert rep.analyze("robert rupert") == ["R163", "R163"]
+    # phonetic match through an index-style bag: both names share a code
+    assert set(inj.analyze("smith")) & set(inj.analyze("smyth")) == {"S530"}
