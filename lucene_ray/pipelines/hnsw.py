@@ -133,20 +133,35 @@ class _Graph:
         return ids, sims
 
     # -- build ------------------------------------------------------------
-    def _select(self, cand_ids: np.ndarray, cand_sims: np.ndarray,
-                mmax: int) -> np.ndarray:
-        """Neighbor selection: simple top-M by similarity (Lucene's
-        diversity heuristic improves recall slightly; top-M keeps the
-        builder vectorized and recall is test-gated)."""
-        if len(cand_ids) <= mmax:
-            return cand_ids.astype(np.int32)
-        top = np.argpartition(-cand_sims, mmax - 1)[:mmax]
-        return cand_ids[top].astype(np.int32)
+    def _select(self, base: int, cand_ids: np.ndarray,
+                cand_sims: np.ndarray, mmax: int) -> np.ndarray:
+        """Diversity neighbor selection (HnswGraphBuilder
+        .selectAndLinkDiverse / Malkov Algorithm 4 heuristic,
+        util/hnsw/HnswGraphBuilder.java diversityCheck): walk candidates
+        best-first and keep one only if it is closer to ``base`` than to
+        every already-selected neighbor (sim(c, base) > max sim(c, sel)) —
+        redundant near-duplicates of a selected neighbor are skipped, which
+        keeps long-range edges and raises recall on clustered data. May
+        select fewer than ``mmax`` (keepPrunedConnections=false)."""
+        order = np.argsort(-cand_sims, kind="stable")
+        sel: List[int] = []
+        mat = self.mat
+        for oi in order.tolist():
+            cid = int(cand_ids[oi])
+            if cid == base:
+                continue
+            if sel and float(np.max(mat[sel] @ mat[cid])) > float(
+                cand_sims[oi]
+            ):
+                continue
+            sel.append(cid)
+            if len(sel) == mmax:
+                break
+        return np.asarray(sel, dtype=np.int32)
 
     def _link(self, node: int, nbrs: np.ndarray, level: int) -> None:
         mmax = self.m0 if level == 0 else self.m
         self.neighbors[level][node] = nbrs.astype(np.int32)
-        q = self.mat[node]
         for nb in nbrs.tolist():
             ex = self.neighbors[level][nb]
             merged = (
@@ -155,9 +170,11 @@ class _Graph:
                 else np.concatenate([ex, np.asarray([node], np.int32)])
             )
             if len(merged) > mmax:
+                # overflow prune re-runs the same diversity heuristic from
+                # the overfull node's perspective (the reference's
+                # OnHeapHnswGraph neighbor-overflow path)
                 sims = self.mat[merged] @ self.mat[nb]
-                keep = np.argpartition(-sims, mmax - 1)[:mmax]
-                merged = merged[keep]
+                merged = self._select(nb, merged, sims, mmax)
             self.neighbors[level][nb] = merged
 
     def build(self) -> None:
@@ -177,7 +194,7 @@ class _Graph:
             for lev in range(min(li, top), -1, -1):
                 ids, sims = self._beam(q, cur, self.efc, lev)
                 mmax = self.m0 if lev == 0 else self.m
-                nbrs = self._select(ids, sims, min(self.m, mmax))
+                nbrs = self._select(i, ids, sims, min(self.m, mmax))
                 self._link(i, nbrs, lev)
                 cur = int(ids[0])
             if li > top:
