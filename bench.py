@@ -373,6 +373,79 @@ def run_suite() -> dict:
     stages["bm25_range_sort"] = round(time.time() - t0, 3)
     log(f"range+sort: {stages['bm25_range_sort']}s / 40 queries")
 
+    # 2f. span queries on the same positions index (queries/spans module)
+    from lucene_ray.functions.spans import SpanNearQuery, score_span
+
+    span_qs = [
+        SpanNearQuery(("data", "stream"), 3, True),
+        SpanNearQuery(("stream", "data"), 2, False),
+        SpanNearQuery(("batch", "small", "scan"), 4, True),
+        # raw span clauses take post-analysis terms (standard_en stems)
+        SpanNearQuery(("custom", "valu"), 6, False),
+    ]
+    for q in span_qs:
+        score_span(reader_pos, q, 10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for q in span_qs:
+            score_span(reader_pos, q, 10)
+    stages["bm25_span_near"] = round(time.time() - t0, 3)
+    log(f"span_near: {stages['bm25_span_near']}s / 40 queries")
+
+    # 2g. multi-field: per-field subindex build (title projection + body)
+    # then field-scoped and combined-field (BM25F) query batches
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        build_multifield_index,
+        parse_multifield,
+        search_combined,
+        search_multifield,
+    )
+
+    mf_root = f"/tmp/lucene_ray_bench/idx-mf-{NUM_CPUS}"
+    shutil.rmtree(mf_root, ignore_errors=True)
+
+    def add_title(batch):
+        import pyarrow as pa
+
+        titles = pa.array(
+            [" ".join(t.split(" ")[:5]) for t in
+             batch.column("text").to_pylist()],
+            pa.string(),
+        )
+        return batch.append_column("title", titles)
+
+    t0 = time.time()
+    build_multifield_index(
+        base_docs.select_columns(["doc_id", "text"]).map_batches(
+            add_title, batch_format="pyarrow"
+        ),
+        mf_root,
+        {"title": "title", "body": "text"},
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8
+        ),
+        doc_count=n_base,
+    )
+    stages["multifield_build"] = round(time.time() - t0, 3)
+    log(f"multifield build: {stages['multifield_build']}s (2 fields)")
+    mf = MultiFieldReader(mf_root)
+    an_mf = make_analyzer("en_nostem_simple")
+    mf_qs = ["title:customer", "batch", "+data title:stream",
+             "value -title:dup", "+key key"]
+    for qs in mf_qs:
+        search_multifield(mf, parse_multifield(qs, an_mf, mf.default_fields), 10)
+    t0 = time.time()
+    for _ in range(10):
+        for qs in mf_qs:
+            search_multifield(
+                mf, parse_multifield(qs, an_mf, mf.default_fields), 10
+            )
+        search_combined(mf, ["key", "merge", "data"],
+                        {"title": 2.0, "body": 1.0}, 10)
+    stages["bm25_multifield"] = round(time.time() - t0, 3)
+    log(f"multifield queries: {stages['bm25_multifield']}s / 60 queries")
+
     # 3. data ops over the raw sf tables
     import ray.data
 

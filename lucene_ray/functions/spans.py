@@ -38,7 +38,9 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from .bm25 import make_scorer
-from .query import _gather_norm_keys, _topk_from
+from .query import _POS_SHIFT, _gather_norm_keys, _topk_from
+
+_POS_MASK = (1 << _POS_SHIFT) - 1
 
 
 @dataclass(frozen=True)
@@ -54,46 +56,95 @@ class SpanFirstQuery:
     end: int  # match positions p (0-based) with p < end
 
 
-def _ordered_freq(plists: List[np.ndarray], slop: int) -> float:
-    """Span frequency of one doc, ordered chains (vectorized over the
-    first clause's positions)."""
-    a = plists[0]
-    ends = a.astype(np.int64)
+def _doc_keys(reader, term: str) -> np.ndarray:
+    """Doc-tagged position keys ``doc << POS_SHIFT | pos``, ascending —
+    one flat sorted array over the whole index, so span chaining is a
+    single global searchsorted per link instead of a per-doc loop (the
+    same packing as the exact phrase matcher). Cached on the reader."""
+    cache = reader.__dict__.setdefault("_span_keys", {})
+    k = cache.get(term)
+    if k is None:
+        docs, tfs, flat = reader.term_positions(term)
+        if len(flat) and int(flat.max()) + 1 >= (1 << _POS_SHIFT):
+            raise ValueError("document too long for span key packing")
+        k = (np.repeat(docs, tfs) << np.int64(_POS_SHIFT)) + flat.astype(
+            np.int64
+        )
+        cache[term] = k
+    return k
+
+
+def _freqs_by_doc(match_keys: np.ndarray, weights: np.ndarray):
+    """Segment-sum match weights by the doc tag of their anchor keys."""
+    docs = match_keys >> np.int64(_POS_SHIFT)
+    docs_u, inv = np.unique(docs, return_inverse=True)
+    return docs_u, np.bincount(inv, weights=weights)
+
+
+def _ordered_matches(key_lists: List[np.ndarray], slop: int):
+    """Vectorized ordered chains over ALL docs at once: each link is one
+    searchsorted into the next clause's global key array; a chain that
+    crosses a doc boundary lands on a different doc tag and is dropped.
+    -> (docs, float freqs)."""
+    a = key_lists[0]
+    ends = a
     valid = np.ones(len(a), dtype=bool)
-    for nxt in plists[1:]:
+    for nxt in key_lists[1:]:
+        if len(nxt) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         idx = np.searchsorted(nxt, ends, side="right")
         valid &= idx < len(nxt)
         idx = np.minimum(idx, len(nxt) - 1)
-        ends = nxt[idx].astype(np.int64)
-    gaps = ends - a - (len(plists) - 1)
+        ends = nxt[idx]
+    valid &= (ends >> np.int64(_POS_SHIFT)) == (a >> np.int64(_POS_SHIFT))
+    gaps = (ends & _POS_MASK) - (a & _POS_MASK) - (len(key_lists) - 1)
     m = valid & (gaps <= slop)
-    return float(np.sum(1.0 / (1.0 + gaps[m]))) if m.any() else 0.0
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _freqs_by_doc(a[m], 1.0 / (1.0 + gaps[m]))
 
 
-def _unordered_freq(a: np.ndarray, b: np.ndarray, slop: int) -> float:
-    """Span frequency of one doc, unordered two-clause merge."""
-    a = a.astype(np.int64)
-    b = b.astype(np.int64)
-    a_prev = np.concatenate(([-1], a[:-1]))
-    jlo = np.searchsorted(b, a_prev, side="right")
-    jhi = np.minimum(np.searchsorted(b, a, side="left"), len(b) - 1)
-    f = 0.0
-    for i in range(len(a)):
-        if jlo[i] > jhi[i]:
-            continue
-        bs = b[jlo[i] : jhi[i] + 1]
-        gaps = np.abs(int(a[i]) - bs) - 1
-        m = gaps <= slop
-        if m.any():
-            f += float(np.sum(1.0 / (1.0 + gaps[m])))
-    return f
-
-
-def _positions_by_doc(reader, term: str):
-    """term -> (docs, row starts, flat positions) for per-doc slicing."""
-    docs, tfs, flat = reader.term_positions(term)
-    starts = np.concatenate(([0], np.cumsum(tfs)))
-    return docs, starts, flat
+def _unordered_matches(a: np.ndarray, b: np.ndarray, slop: int):
+    """Vectorized two-clause merge intervals: for each a-key the valid
+    b-indices form a contiguous range [jlo, jhi] (two-pointer yield
+    condition) intersected with the +-(slop+1) key window; ranges are
+    expanded flat with the cumsum-arange trick. -> (docs, float freqs)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    # previous a-key IN THE SAME DOC, else the doc floor (acts as -inf)
+    a_prev = np.concatenate(([np.int64(-1)], a[:-1]))
+    doc_floor = ((a >> np.int64(_POS_SHIFT)) << np.int64(_POS_SHIFT)) - 1
+    a_prev = np.maximum(a_prev, doc_floor)
+    w = np.int64(slop + 1)
+    jlo = np.maximum(
+        np.searchsorted(b, a_prev, side="right"),
+        np.searchsorted(b, a - w, side="left"),
+    )
+    jhi = np.minimum(
+        np.searchsorted(b, a, side="left"),
+        np.searchsorted(b, a + w, side="right") - 1,
+    )
+    jhi = np.minimum(jhi, len(b) - 1)
+    counts = np.maximum(jhi - jlo + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    a_rep = np.repeat(a, counts)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    flat_j = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offs, counts)
+        + np.repeat(jlo, counts)
+    )
+    b_keys = b[flat_j]
+    same_doc = (b_keys >> np.int64(_POS_SHIFT)) == (
+        a_rep >> np.int64(_POS_SHIFT)
+    )
+    gaps = np.abs(a_rep - b_keys) - 1
+    m = same_doc & (gaps <= slop)
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _freqs_by_doc(a_rep[m], 1.0 / (1.0 + gaps[m]))
 
 
 def span_scored(reader, query):
@@ -118,53 +169,32 @@ def span_scored(reader, query):
             )
     k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
     idf64 = 0.0
-    pos_cache: Dict[str, tuple] = {}
+    key_cache: Dict[str, np.ndarray] = {}
     for t in terms:
         df, _ = reader.term_stats(t)
         if df == 0:
             return empty
         idf64 += math.log(1.0 + (reader.doc_count - df + 0.5) / (df + 0.5))
-        if t not in pos_cache:
-            pos_cache[t] = _positions_by_doc(reader, t)
+        if t not in key_cache:
+            key_cache[t] = _doc_keys(reader, t)
     if isinstance(query, SpanFirstQuery):
-        docs, starts, flat = pos_cache[terms[0]]
-        counts = np.array(
-            [
-                int(
-                    np.searchsorted(
-                        flat[starts[i] : starts[i + 1]], query.end, "left"
-                    )
-                )
-                for i in range(len(docs))
-            ],
-            dtype=np.float64,
-        )
-        keep = counts > 0
-        docs_u, pf = docs[keep], counts[keep]
+        keys = key_cache[terms[0]]
+        # positions with pos < end: one boolean over the flat key array,
+        # segment-summed by doc tag
+        m = (keys & _POS_MASK) < query.end
+        if not m.any():
+            return empty
+        docs_u, pf = _freqs_by_doc(keys[m], np.ones(int(m.sum())))
     else:
-        cand = pos_cache[terms[0]][0]
-        for t in terms[1:]:
-            cand = np.intersect1d(cand, pos_cache[t][0], assume_unique=True)
-            if len(cand) == 0:
-                return empty
-        rows = [
-            (np.searchsorted(pos_cache[t][0], cand), pos_cache[t])
-            for t in terms
-        ]
-        freqs = np.zeros(len(cand), dtype=np.float64)
-        for ci in range(len(cand)):
-            plists = [
-                pc[2][pc[1][int(r[ci])] : pc[1][int(r[ci]) + 1]]
-                for r, pc in rows
-            ]
-            if query.in_order:
-                freqs[ci] = _ordered_freq(plists, query.slop)
-            else:
-                freqs[ci] = _unordered_freq(
-                    plists[0], plists[1], query.slop
-                )
-        keep = freqs > 0
-        docs_u, pf = cand[keep], freqs[keep]
+        key_lists = [key_cache[t] for t in terms]
+        if query.in_order:
+            docs_u, pf = _ordered_matches(key_lists, query.slop)
+        else:
+            docs_u, pf = _unordered_matches(
+                key_lists[0], key_lists[1], query.slop
+            )
+        if len(docs_u) == 0:
+            return empty
     deleted = getattr(reader, "deleted", None)
     if deleted is not None and len(deleted) and len(docs_u):
         pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
