@@ -331,6 +331,19 @@ BOOST_FIELD_QUERY_SETS: Dict[int, str] = {
     2: "customer value",
 }
 
+# expressions module analogue (JavascriptCompiler): rerank by a compiled
+# arithmetic source over _score + doc values. days = (warc_ts-EPOCH)/86.4e9
+# is exact float64 at sf scale, so the DuckDB mirror bit-matches.
+EXPR_SOURCE = (
+    f"_score + 0.2 * ln(1 + max((warc_ts - {EPOCH_2025_US}) / 1000000, 0))"
+    f" - sqrt((warc_ts - {EPOCH_2025_US}) / 1000000) / 100"
+)
+EXPR_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "+dup key",
+    2: "customer -merge",
+}
+
 # grouping module analogue: top-k hits PER group value.
 GROUPED_QUERY_SETS: Dict[int, Tuple[str, str]] = {
     0: ("data stream", "lang"),
@@ -1145,6 +1158,40 @@ def _bm25_recency_boost(sf_dir: str):
     )
 
 
+def _expr_score(sf_dir: str):
+    """Expression-scored top-k (expressions module / JavascriptCompiler):
+    matches reranked by EXPR_SOURCE with _score bound to the BM25 sum and
+    warc_ts to the doc-values column."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.expressions import score_expression
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    reader.bm25_params = (K1, B)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid in sorted(EXPR_QUERY_SETS):
+        q = parse_query(EXPR_QUERY_SETS[qid], an)
+        d, s = score_expression(reader, q, EXPR_SOURCE, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        scores_out.extend(round_half_away(np.asarray(s), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(scores_out, pa.float64()),
+        }
+    )
+
+
 def _search_grouped(sf_dir: str):
     """Top-GROUP_TOPK hits per group value (grouping module analogue)."""
     import pandas as pd
@@ -1392,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
+    q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
@@ -2324,6 +2372,35 @@ def _boost_field_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
 
 
+def _expr_score_sql() -> str:
+    """Oracle for expr_score: EXPR_SOURCE transliterated — same float64
+    op order, GREATEST for max, LN/SQRT for ln/sqrt."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    expr_sql = (
+        f"m.score + 0.2 * LN(1 + GREATEST((t.ts - {EPOCH_2025_US})"
+        f" / 1000000, 0)) - SQRT((t.ts - {EPOCH_2025_US}) / 1000000) / 100"
+    )
+    selects = []
+    for qid, qs in sorted(EXPR_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT m.doc_id, {expr_sql} AS score
+    FROM ({sub}) m JOIN tsv t USING (doc_id)
+    WHERE {cond.replace('n_must', 'm.n_must').replace('n_should', 'm.n_should').replace('n_not', 'm.n_not')}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
 def _grouped_sql() -> str:
     """Oracle for search_grouped: top-k per group value by the boolean
     score, tie-broken by doc id inside each group."""
@@ -3029,6 +3106,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
+    sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
