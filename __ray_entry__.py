@@ -23,6 +23,7 @@ K1 = 1.2
 B = 0.75
 TOPK = 10
 KNN_QUERY_IDS = (0, 1, 2)
+KNN_FILTER_LABEL = 3
 COSINE_PAIR_THRESHOLD = 0.45
 JACCARD_THRESHOLD = 0.8
 JACCARD_DF_MAX = 10
@@ -1479,8 +1480,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search ---
     q["knn_cosine"] = lambda sf: _knn(sf)
+    q["knn_filtered"] = lambda sf: _knn_filtered(sf)
     q["knn_cosine_ivf"] = lambda sf: _knn_ivf(sf)  # rows-only (approximate)
     q["knn_cosine_hnsw"] = lambda sf: _knn_hnsw(sf)  # rows-only (approximate)
+    q["knn_hnsw_filtered"] = lambda sf: _knn_hnsw_filtered(sf)  # rows-only
 
     # --- text analysis ---
     q["token_count"] = lambda sf: _textop(sf, ["doc_id", "n_tokens", "n_chars", "mean_token_len"])
@@ -1608,6 +1611,37 @@ def _knn(sf_dir: str):
     from lucene_ray.pipelines.knn import knn_cosine
 
     return knn_cosine(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
+
+
+def _knn_filtered(sf_dir: str):
+    """KnnFloatVectorQuery-with-filter analogue: exact top-k restricted to
+    candidates matching the pre-filter (query vectors come from the
+    unfiltered table)."""
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    return knn_cosine(
+        _load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK,
+        prefilter=f"label == {KNN_FILTER_LABEL}",
+    )
+
+
+def _knn_hnsw_filtered(sf_dir: str):
+    """Filtered per-partition HNSW search (visit-budget exact fallback);
+    rows-only (approximate, pytest recall-gated)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.hnsw import knn_cosine_hnsw
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    n = pq.ParquetFile(f"{sf_dir.rstrip('/')}/embeddings.parquet").metadata.num_rows
+    return knn_cosine_hnsw(
+        _load_embeddings(sf_dir),
+        KNN_QUERY_IDS,
+        k=TOPK,
+        layout_dir=f"/tmp/lucene_ray_hnsw/{tag}",
+        layout_fingerprint=f"rows={n};m=16;efc=100;p=8",
+        prefilter=f"label == {KNN_FILTER_LABEL}",
+    )
 
 
 def _knn_ivf(sf_dir: str):
@@ -3311,6 +3345,26 @@ q AS (SELECT * FROM u WHERE vec_id IN {_KNN_IDS_SQL}),
 dot AS (
   SELECT q.vec_id AS query_id, u.vec_id AS vec_id, SUM(q.v * u.v) AS d
   FROM q JOIN u ON q.i = u.i AND q.vec_id <> u.vec_id
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT d.query_id, d.vec_id, d.d / (nq.n * nv.n) AS cosine
+  FROM dot d JOIN nrm nq ON nq.vec_id = d.query_id
+             JOIN nrm nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id, round(cosine, 6) AS cosine
+FROM cosv QUALIFY rank <= {TOPK}"""
+
+    sql["knn_filtered"] = f"""WITH {_EMB_CTES},
+q AS (SELECT * FROM u WHERE vec_id IN {_KNN_IDS_SQL}),
+allowed AS (SELECT vec_id FROM embeddings WHERE label = {KNN_FILTER_LABEL}),
+dot AS (
+  SELECT q.vec_id AS query_id, u.vec_id AS vec_id, SUM(q.v * u.v) AS d
+  FROM q JOIN u ON q.i = u.i AND q.vec_id <> u.vec_id
+  JOIN allowed a ON a.vec_id = u.vec_id
   GROUP BY 1, 2
 ),
 cosv AS (

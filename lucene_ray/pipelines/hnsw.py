@@ -202,15 +202,94 @@ class _Graph:
                     self.neighbors[lev][i] = np.empty(0, np.int32)
                 self.entry = i
 
-    def search(self, q: np.ndarray, k: int, ef: int
+    def search(self, q: np.ndarray, k: int, ef: int,
+               allowed: "np.ndarray | None" = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.entry < 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if allowed is not None:
+            return self._search_filtered(q, k, ef, allowed)
         cur = self.entry
         for lev in range(int(self.levels[self.entry]), 0, -1):
             cur = self._greedy_level(q, cur, lev)
         ids, sims = self._beam(q, cur, max(ef, k), 0)
         return self.vec_ids[ids[:k]], sims[:k]
+
+    def _search_filtered(self, q: np.ndarray, k: int, ef: int,
+                         allowed: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Filtered graph search, KnnFloatVectorQuery semantics: traverse
+        the full graph but only COLLECT nodes the filter admits, with a
+        visit budget equal to the filter cardinality; if the budget is
+        exhausted (or the filter is tiny) fall back to an exact scan over
+        the filtered rows — exactly the reference's
+        AbstractKnnVectorQuery.approximateSearch → exactSearch fallback."""
+        n_allowed = int(allowed.sum())
+        if n_allowed == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ef = max(ef, k)
+        if n_allowed <= ef:
+            return self._exact_allowed(q, k, allowed)
+        cur = self.entry
+        for lev in range(int(self.levels[self.entry]), 0, -1):
+            cur = self._greedy_level(q, cur, lev)
+        out = self._beam_filtered(q, cur, ef, allowed, visit_limit=n_allowed)
+        if out is None or len(out[0]) < min(k, n_allowed):
+            return self._exact_allowed(q, k, allowed)
+        ids, sims = out
+        return self.vec_ids[ids[:k]], sims[:k]
+
+    def _exact_allowed(self, q: np.ndarray, k: int, allowed: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        idx = np.nonzero(allowed)[0]
+        sims = self.mat[idx] @ q
+        order = np.lexsort((self.vec_ids[idx], -sims))[:k]
+        return self.vec_ids[idx[order]], sims[order].astype(np.float64)
+
+    def _beam_filtered(self, q: np.ndarray, start: int, ef: int,
+                       allowed: np.ndarray, visit_limit: int
+                       ) -> "Tuple[np.ndarray, np.ndarray] | None":
+        """Level-0 beam that admits only filter-allowed nodes into the
+        result set (all nodes remain traversable). Returns None when more
+        than ``visit_limit`` nodes were visited — caller switches to the
+        exact scan."""
+        import heapq
+
+        visited = {start}
+        nvisited = 1
+        s0 = float(self.mat[start] @ q)
+        cand = [(-s0, start)]
+        res = [(s0, start)] if allowed[start] else []
+        worst = res[0][0] if res else -np.inf
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < worst and len(res) >= ef:
+                break
+            nbrs = self.neighbors[0][c]
+            if nbrs is None or len(nbrs) == 0:
+                continue
+            new = [int(x) for x in nbrs if int(x) not in visited]
+            if not new:
+                continue
+            visited.update(new)
+            nvisited += len(new)
+            if nvisited > visit_limit:
+                return None
+            sims = self.mat[new] @ q
+            for x, s in zip(new, sims.tolist()):
+                if len(res) < ef or s > worst:
+                    heapq.heappush(cand, (-s, x))
+                    if allowed[x]:
+                        res.append((s, x))
+                        if len(res) > ef:
+                            res.sort(key=lambda t: -t[0])
+                            res = res[:ef]
+                        if len(res) >= ef:
+                            worst = min(r[0] for r in res)
+        res.sort(key=lambda t: -t[0])
+        ids = np.asarray([r[1] for r in res], dtype=np.int64)
+        sims = np.asarray([r[0] for r in res], dtype=np.float64)
+        return ids, sims
 
     # -- serialization ----------------------------------------------------
     def save(self, path: str) -> None:
@@ -339,13 +418,18 @@ class _HnswSearchStage:
     the graph load is the expensive init, so this runs as an actor pool
     keyed on partition paths passed through the batch."""
 
-    def __init__(self, layout_dir: str, queries_ref, k: int, ef: int):
+    def __init__(self, layout_dir: str, queries_ref, k: int, ef: int,
+                 allowed_ref=None):
         self.layout_dir = layout_dir
         q = ray.get(queries_ref)
         self.qids = q["qids"]
         self.qmat = q["mat"].astype(np.float32)
         self.k = k
         self.ef = ef
+        # sorted vec_id array of filter matches (per-segment bitset analogue)
+        self.allowed_ids = (
+            None if allowed_ref is None else ray.get(allowed_ref)
+        )
         self._cache = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -353,12 +437,20 @@ class _HnswSearchStage:
         for part in batch.column("part").to_pylist():
             g = self._cache.get(part)
             if g is None:
-                g = _Graph.load(
+                graph = _Graph.load(
                     os.path.join(self.layout_dir, f"part-{part:03d}.npz")
                 )
-                self._cache[part] = g
+                mask = (
+                    None
+                    if self.allowed_ids is None
+                    else np.isin(graph.vec_ids, self.allowed_ids)
+                )
+                g = self._cache[part] = (graph, mask)
+            graph, mask = g
             for qi in range(len(self.qids)):
-                ids, sims = g.search(self.qmat[qi], self.k, self.ef)
+                ids, sims = graph.search(
+                    self.qmat[qi], self.k, self.ef, allowed=mask
+                )
                 out_q.extend([int(self.qids[qi])] * len(ids))
                 out_v.append(ids)
                 out_s.append(sims)
@@ -389,17 +481,40 @@ def knn_cosine_hnsw(
     num_partitions: int = 8,
     layout_dir: str = "/tmp/lucene_ray_hnsw/default",
     layout_fingerprint: str = "",
+    prefilter: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Approximate top-k via per-partition HNSW graphs + per-leaf merge
     (KnnFloatVectorQuery over per-segment graphs). Exact cosines are
     recomputed by the graph itself (normalized dot products), so merged
     scores are comparable across partitions. Approximate: recall measured
-    against :func:`knn_cosine` in tests."""
+    against :func:`knn_cosine` in tests.
+
+    ``prefilter`` (a Ray Data filter expression, e.g. ``"label == 3"``)
+    restricts candidates exactly like the filter query on Lucene's
+    KnnFloatVectorQuery: the matching vec_ids are gathered once (bounded
+    by filter cardinality — the per-segment bitset analogue), broadcast
+    via ``ray.put``, and each partition graph searches with collection
+    limited to allowed nodes + exact fallback when the visit budget (the
+    filter cost) is exhausted."""
     qids, qmat = load_queries(ds, query_ids)
     meta = build_hnsw_layout(
         ds, layout_dir, m, ef_construction, num_partitions,
         fingerprint=layout_fingerprint,
     )
+    allowed_ref = None
+    if prefilter is not None:
+        allowed = np.sort(
+            np.asarray(
+                [
+                    r["vec_id"]
+                    for r in ds.filter(expr=prefilter)
+                    .select_columns(["vec_id"])
+                    .take_all()
+                ],
+                dtype=np.int64,
+            )
+        )
+        allowed_ref = ray.put(allowed)
     queries_ref = ray.put({"qids": qids, "mat": _normalize(qmat)})
     parts = ray.data.from_items(
         [{"part": p["part"]} for p in meta["parts"]],
@@ -414,7 +529,8 @@ def knn_cosine_hnsw(
     return (
         parts.map_batches(
             _HnswSearchStage,
-            fn_constructor_args=(layout_dir, queries_ref, k + 1, ef),
+            fn_constructor_args=(layout_dir, queries_ref, k + 1, ef,
+                                 allowed_ref),
             batch_format="pyarrow",
             concurrency=(1, max(2, len(meta["parts"]))),
         )

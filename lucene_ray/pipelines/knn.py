@@ -138,13 +138,24 @@ def knn_cosine(
     ds: "ray.data.Dataset",
     query_ids: Sequence[int],
     k: int = 10,
+    prefilter: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k for each query vec_id.
+
+    ``prefilter`` is a Ray Data filter expression (e.g. ``"label == 3"``)
+    restricting the CANDIDATE set before scoring — the analogue of the
+    filter query on Lucene's ``KnnFloatVectorQuery`` (pre-filter semantics:
+    top-k is taken among matching docs, the query vector itself is looked
+    up in the unfiltered dataset). The filter runs inside the streaming
+    plan (Ray pushes simple expressions toward the read), so no extra
+    materialization happens.
 
     -> Dataset(query_id, rank, vec_id, cosine) — self-matches excluded.
     """
     qids, qmat = load_queries(ds, query_ids)
     queries_ref = ray.put({"qids": qids, "mat": _normalize(qmat)})
+    if prefilter is not None:
+        ds = ds.filter(expr=prefilter)
     partial = ds.select_columns(["vec_id", "embedding"]).map_batches(
         _topk_score_batch,
         batch_format="pyarrow",

@@ -229,6 +229,66 @@ def test_knn_hnsw_recall(ray_session, tmp_path):
     assert recall >= 0.8  # graph beam search on clustered data
 
 
+def _with_labels(tbl):
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    return tbl.append_column(
+        "label", pa.array((np.arange(n) % 3).astype(np.int32))
+    )
+
+
+def test_knn_cosine_prefilter_exact(ray_session):
+    """Filtered brute force == numpy top-k restricted to the filter set
+    (KnnFloatVectorQuery pre-filter semantics)."""
+    import ray.data
+
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    tbl, mat = _clustered_embeddings()
+    ds = ray.data.from_arrow(_with_labels(tbl))
+    out = knn_cosine(ds, [0, 5], k=10, prefilter="label == 1").take_all()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    allowed = np.where(np.arange(len(mat)) % 3 == 1)[0]
+    for qid in (0, 5):
+        cos = norm[allowed] @ norm[qid]
+        cand = allowed[allowed != qid]
+        cos = cos[allowed != qid]
+        order = np.lexsort((cand, -cos))[:10]
+        assert by_q[qid] == list(cand[order])
+
+
+def test_knn_hnsw_prefilter(ray_session, tmp_path):
+    """Filtered graph search matches the exact filtered top-k on clustered
+    data (visit-budget fallback makes small filters exact by construction;
+    this filter is ~2/3 of rows so the graph path is exercised too)."""
+    import ray.data
+
+    from lucene_ray.pipelines.hnsw import knn_cosine_hnsw
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    tbl, mat = _clustered_embeddings()
+    ds = ray.data.from_arrow(_with_labels(tbl))
+    for flt in ("label != 2", "label == 0"):
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in knn_cosine(ds, [0, 5], k=10, prefilter=flt).take_all()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in knn_cosine_hnsw(
+                ds, [0, 5], k=10, num_partitions=4,
+                layout_dir=str(tmp_path / f"hnsw-{hash(flt) & 0xffff}"),
+                prefilter=flt,
+            ).take_all()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, (flt, recall)
+
+
 def test_cosine_pairs_threshold(ray_session):
     import ray.data
 
