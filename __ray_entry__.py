@@ -1484,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_cosine_ivf"] = lambda sf: _knn_ivf(sf)  # rows-only (approximate)
     q["knn_cosine_hnsw"] = lambda sf: _knn_hnsw(sf)  # rows-only (approximate)
     q["knn_hnsw_filtered"] = lambda sf: _knn_hnsw_filtered(sf)  # rows-only
+    q["knn_cosine_sq"] = lambda sf: _knn_sq(sf)  # rows-only (approximate)
 
     # --- text analysis ---
     q["token_count"] = lambda sf: _textop(sf, ["doc_id", "n_tokens", "n_chars", "mean_token_len"])
@@ -1642,6 +1643,15 @@ def _knn_hnsw_filtered(sf_dir: str):
         layout_fingerprint=f"rows={n};m=16;efc=100;p=8",
         prefilter=f"label == {KNN_FILTER_LABEL}",
     )
+
+
+def _knn_sq(sf_dir: str):
+    """Scalar-quantized (7-bit) pre-selection + exact rescore
+    (Lucene99ScalarQuantizedVectorsFormat analogue); rows-only
+    (candidate membership approximate, pytest recall-gated)."""
+    from lucene_ray.pipelines.knn import knn_cosine_sq
+
+    return knn_cosine_sq(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
 
 
 def _knn_ivf(sf_dir: str):

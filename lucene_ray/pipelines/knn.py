@@ -589,3 +589,121 @@ def knn_cosine_ivf(
         .groupby("query_id")
         .map_groups(topk_no_self, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized scoring (Lucene99ScalarQuantizedVectorsFormat analogue)
+# ---------------------------------------------------------------------------
+
+
+def sq_train(ds: "ray.data.Dataset", confidence: Optional[float] = None,
+             sample: int = 512) -> Tuple[float, float]:
+    """Train the scalar quantizer: clip bounds are the confidence-interval
+    quantiles of the NORMALIZED component distribution over a deterministic
+    sample — the reference's ``ScalarQuantizer.fromVectors`` with default
+    confidence ``1 - 1/(dim+1)`` (Lucene99ScalarQuantizedVectorsFormat).
+
+    Returns ``(lo, hi)``."""
+    mat = _normalize(_sample_rows(ds, sample))
+    if confidence is None:
+        dim = mat.shape[1] if mat.ndim == 2 and mat.shape[1] else 1
+        confidence = 1.0 - 1.0 / (dim + 1)
+    tail = (1.0 - confidence) / 2.0
+    flat = mat.ravel()
+    lo = float(np.quantile(flat, tail))
+    hi = float(np.quantile(flat, 1.0 - tail))
+    if hi <= lo:  # degenerate (constant components)
+        lo, hi = lo - 1e-6, lo + 1e-6
+    return lo, hi
+
+
+def _sq_codes(mat: np.ndarray, lo: float, hi: float
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Quantize rows to 7-bit codes (0..127, stored uint8) + per-row code
+    sums (the corrective term). x ≈ lo + Δ·c with Δ = (hi-lo)/127."""
+    delta = (hi - lo) / 127.0
+    c = np.clip(np.rint((np.clip(mat, lo, hi) - lo) / delta), 0, 127)
+    codes = c.astype(np.uint8)
+    return codes, codes.astype(np.int64).sum(axis=1)
+
+
+def _sq_score_batch(batch: pa.Table, queries_ref, k: int) -> pa.Table:
+    """Int8-space approximate scoring + exact rescore of the local
+    oversampled candidates. dot(x̂, ŷ) = d·lo² + lo·Δ·(Σcx + Σcy) + Δ²·(cx·cy)
+    — the integer matmul is the hot kernel, exactly like the reference's
+    int8 dot with corrective offsets; only ~k' exact float dots per query
+    survive to rescoring."""
+    q = ray.get(queries_ref)
+    qn, qcodes, qsums = q["mat"], q["codes"], q["sums"]
+    lo, hi, kprime = q["lo"], q["hi"], k
+    delta = (hi - lo) / 127.0
+    mat = _normalize(_batch_matrix(batch, "embedding"))
+    ids = batch.column("vec_id").to_numpy()
+    if len(ids) == 0 or qn.size == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    codes, sums = _sq_codes(mat, lo, hi)
+    d = mat.shape[1]
+    idot = qcodes.astype(np.int32) @ codes.astype(np.int32).T  # (nq, n)
+    approx = (
+        d * lo * lo
+        + lo * delta * (qsums[:, None] + sums[None, :])
+        + delta * delta * idot
+    )
+    kprime = min(kprime, approx.shape[1])
+    out_q, out_v, out_s = [], [], []
+    for qi in range(approx.shape[0]):
+        idx = np.argpartition(approx[qi], -kprime)[-kprime:]
+        exact = mat[idx] @ qn[qi]
+        out_q.extend([int(q["qids"][qi])] * len(idx))
+        out_v.append(ids[idx])
+        out_s.append(exact)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
+def knn_cosine_sq(
+    ds: "ray.data.Dataset",
+    query_ids: Sequence[int],
+    k: int = 10,
+    oversample: int = 4,
+    confidence: Optional[float] = None,
+) -> "ray.data.Dataset":
+    """Approximate top-k via scalar-quantized (7-bit) scoring with exact
+    rescoring of each block's ``k * oversample`` candidates — the
+    pre-selection is integer arithmetic (4× smaller working set at scale,
+    int matmul kernel), only the shortlisted rows pay a float dot.
+    Approximate: candidate membership can miss at quantization boundaries;
+    recall is pytest-gated against :func:`knn_cosine`."""
+    qids, qmat = load_queries(ds, query_ids)
+    qn = _normalize(qmat)
+    lo, hi = sq_train(ds, confidence)
+    qcodes, qsums = _sq_codes(qn, lo, hi)
+    queries_ref = ray.put(
+        {"qids": qids, "mat": qn, "codes": qcodes, "sums": qsums,
+         "lo": lo, "hi": hi}
+    )
+    partial = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _sq_score_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"queries_ref": queries_ref, "k": k * oversample + 1},
+    )
+
+    def topk_no_self(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        mask = pc.not_equal(group.column("vec_id"), qid)
+        return _final_topk(group.filter(mask), k)
+
+    return partial.groupby("query_id").map_groups(
+        topk_no_self, batch_format="pyarrow"
+    )

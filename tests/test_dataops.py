@@ -289,6 +289,52 @@ def test_knn_hnsw_prefilter(ray_session, tmp_path):
         assert recall >= 0.8, (flt, recall)
 
 
+def test_sq_quantization_error_bound():
+    """Reconstructed int8 dot stays within the analytic error bound of the
+    exact dot for in-range components."""
+    from lucene_ray.pipelines.knn import _sq_codes
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(50, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    lo, hi = float(mat.min()), float(mat.max())
+    delta = (hi - lo) / 127.0
+    codes, sums = _sq_codes(mat, lo, hi)
+    d = mat.shape[1]
+    recon = (
+        d * lo * lo
+        + lo * delta * (sums[:, None] + sums[None, :])
+        + delta * delta * (codes.astype(np.int64) @ codes.astype(np.int64).T)
+    )
+    exact = mat @ mat.T
+    # each component off by <= delta/2 -> dot off by <= d * (delta + delta^2/4)
+    bound = d * (delta + delta * delta / 4.0)
+    assert np.abs(recon - exact).max() <= bound
+
+
+def test_knn_sq_recall(ray_session):
+    """Quantized pre-selection + exact rescore recovers the exact top-k on
+    clustered data; surviving cosines are exact (not dequantized)."""
+    import ray.data
+
+    from lucene_ray.pipelines.knn import knn_cosine, knn_cosine_sq
+
+    tbl, mat = _clustered_embeddings()
+    ds = ray.data.from_arrow(tbl)
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_cosine(ds, [0, 5], k=10).take_all()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_cosine_sq(ds, [0, 5], k=10, oversample=4).take_all()
+    }
+    hit = set(exact) & set(approx)
+    assert len(hit) / len(exact) >= 0.9
+    for key in hit:  # rescored values are exact cosines
+        assert approx[key] == exact[key]
+
+
 def test_cosine_pairs_threshold(ray_session):
     import ray.data
 
