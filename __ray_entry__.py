@@ -352,6 +352,14 @@ GROUPED_QUERY_SETS: Dict[int, Tuple[str, str]] = {
 }
 GROUP_TOPK = 2
 
+# field collapsing (CollapsingTopDocsCollector): one global top-k, each
+# collapse-key value contributes only its best hit.
+COLLAPSE_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream", "lang"),
+    1: ("c* dup", "source"),
+}
+COLLAPSE_TOPK = 5
+
 # Exact phrase queries over the positions-enabled index (PhraseQuery /
 # ExactPhraseMatcher analogue). Set 3 exercises StopFilter position
 # increments ('a' is dropped but leaves a gap); sets stay at two distinct
@@ -1216,6 +1224,29 @@ def _search_grouped(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _search_collapse(sf_dir: str):
+    """Global top-k with field collapsing: at most one (best) hit per
+    collapse-key value (CollapsingTopDocsCollector analogue)."""
+    import pandas as pd
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.facets import collapse_search
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    outs = []
+    for qid in sorted(COLLAPSE_QUERY_SETS):
+        qs, col = COLLAPSE_QUERY_SETS[qid]
+        t = collapse_search(
+            index_dir, qs, _load_documents(sf_dir), col, k=COLLAPSE_TOPK,
+        ).to_pandas()
+        t["score"] = round_half_away(t["score"].to_numpy(), 4)
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _bm25_explain(sf_dir: str):
     """Score decomposition for each query's top hits: one row per matching
     scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
@@ -1442,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
+    q["search_collapse"] = lambda sf: _search_collapse(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["facet_range"] = lambda sf: _facet_range(sf)
@@ -2474,6 +2506,41 @@ def _grouped_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _collapse_sql() -> str:
+    """Oracle for search_collapse: per-key best hit (rn = 1 over
+    score desc, doc asc), then one global top-k over the heads. Ranks
+    order by the UNROUNDED score (rounding happens only on output)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, col) in sorted(COLLAPSE_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        cond_m = (
+            cond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, grp, doc_id, round(score, 4) AS score FROM (
+    SELECT query_id, grp, doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM (
+      SELECT {qid} AS query_id, CAST(d.{col} AS VARCHAR) AS grp,
+             m.doc_id, m.score,
+             row_number() OVER (PARTITION BY d.{col}
+                  ORDER BY m.score DESC, m.doc_id ASC) AS rn
+      FROM ({sub}) m JOIN documents d ON d.doc_id = m.doc_id
+      WHERE {cond_m}
+    ) WHERE rn = 1
+  ) WHERE rank <= {COLLAPSE_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _k1b_sql() -> str:
     """Oracle for bm25_k1b: identical arithmetic with k1/b swapped in."""
     from lucene_ray.functions.analysis import make_analyzer
@@ -3152,6 +3219,7 @@ FROM tf GROUP BY term"""
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
+    sql["search_collapse"] = _collapse_sql()
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

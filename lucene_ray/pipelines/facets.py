@@ -390,3 +390,99 @@ def grouped_search(
         .groupby("grp")
         .map_groups(topk_group, batch_format="pyarrow")
     )
+
+
+def collapse_search(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <collapse_col>)
+    collapse_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+):
+    """Field collapsing — ONE global top-k where each collapse-key value
+    contributes at most its single best hit (reference:
+    grouping/src/java/org/apache/lucene/search/grouping/CollapsingTopDocsCollector
+    semantics: group head = best (score desc, doc asc) per key).
+
+    Plan: hits broadcast once (same as :func:`grouped_search`); per-batch
+    PRE-collapse keeps one row per key per batch, so the groupby shuffles
+    at most (#keys x #blocks) rows, not all hits; the per-key reduce picks
+    the global head; the final top-k is a distributed sort + limit over one
+    row per key. -> Dataset(rank, grp, doc_id, score[unrounded float64])."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import _exhaustive_candidates, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    r = _exhaustive_candidates(reader, q)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int32()),
+            "grp": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if r is None or len(r[0]) == 0:
+        return ray.data.from_arrow(empty)
+    cand, acc, _ = r
+    hits_ref = ray.put(
+        (np.asarray(cand, dtype=np.int64), acc.astype(np.float64))
+    )
+
+    def attach_collapse(batch: pa.Table) -> pa.Table:
+        ids_sorted, scores = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        mask = ids_sorted[pos] == ids
+        sub = pa.table(
+            {
+                "grp": batch.column(collapse_col).cast(pa.string()),
+                "doc_id": batch.column(id_col),
+                "score": pa.array(scores[pos]),
+            }
+        ).filter(pa.array(mask))
+        # local collapse: best (score desc, doc asc) per key in this batch
+        s = sub.sort_by(
+            [("grp", "ascending"), ("score", "descending"),
+             ("doc_id", "ascending")]
+        )
+        grp = s.column("grp").to_numpy(zero_copy_only=False)
+        first = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            first[1:] = grp[1:] != grp[:-1]
+        return s.filter(pa.array(first))
+
+    def head(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        ).slice(0, 1)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        s = batch.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        )
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(s) + 1, dtype=np.int32)),
+                "grp": s.column("grp"),
+                "doc_id": s.column("doc_id"),
+                "score": s.column("score"),
+            }
+        )
+
+    return (
+        docs_ds.select_columns([id_col, collapse_col])
+        .map_batches(attach_collapse, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(head, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(add_rank, batch_format="pyarrow")
+    )

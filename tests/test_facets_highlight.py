@@ -178,3 +178,33 @@ def test_drill_down_topk_vs_oracle(small_index, ray_session):
         assert got["rank"].tolist() == list(range(1, len(pairs) + 1))
         assert np.allclose(got["score"].to_numpy(),
                            np.array([s for s, _ in pairs]), rtol=1e-9, atol=1e-12)
+
+
+def test_collapse_matches_group_heads(small_index, ray_session):
+    """collapse_search == global top-k over the per-group BEST hits
+    (CollapsingTopDocsCollector semantics)."""
+    import ray.data
+
+    from lucene_ray.pipelines.facets import collapse_search, grouped_search
+
+    out, doc_ids, texts, oracle = small_index
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "grp": pa.array([str(d % 7) for d in doc_ids]),
+        }
+    )
+    heads = grouped_search(
+        out, "alpha beta", ray.data.from_arrow(docs), "grp", k_per_group=1
+    ).to_pandas()
+    heads = heads.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(5)
+    col = collapse_search(
+        out, "alpha beta", ray.data.from_arrow(docs), "grp", k=5
+    ).to_pandas()
+    assert list(col["doc_id"]) == list(heads["doc_id"])
+    assert list(col["rank"]) == [1, 2, 3, 4, 5]
+    assert list(col["score"]) == list(heads["score"])
+    # each collapse key appears at most once
+    assert col["grp"].is_unique
