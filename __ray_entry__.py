@@ -1048,6 +1048,88 @@ def _bm25_range_filter(sf_dir: str):
     return _run_query_strings(sf_dir, RANGE_QUERY_SETS)
 
 
+def _ensure_sorted_index(sf_dir: str) -> str:
+    """Index-time-sorted index (setIndexSort analogue): doc-ID order ==
+    (n_chars asc, doc_id asc); n_chars + orig_id doc-values sidecars."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.sorted_index import (
+        build_sorted_index,
+        index_sort_field,
+    )
+    from lucene_ray.state.docvalues import has_doc_values
+    from lucene_ray.state.segment import read_manifest
+
+    key = ("sorted", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_idx/{tag}-sorted-nchars"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8
+    )
+    doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint = (
+        f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
+        f"parts={cfg.num_partitions}"
+    )
+    try:
+        ok = (
+            read_manifest(out).get("fingerprint") == fingerprint
+            and index_sort_field(out) == "n_chars"
+            and has_doc_values(out, "n_chars")
+            and has_doc_values(out, "orig_id")
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        ds = ray.data.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text", "n_chars"]
+        )
+        build_sorted_index(
+            ds, out, cfg, sort_col="n_chars", doc_count=doc_count
+        )
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _sort_by_len_sorted(sf_dir: str):
+    """Early-terminating sort-by-field over the index-time-sorted index:
+    matching docs by (n_chars desc, doc asc), top 2*SORT_PAGE — must equal
+    the unsorted index's TopFieldCollector path and the SQL oracle.
+    -> (query_id, rank, doc_id, n_chars)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.pipelines.sorted_index import sorted_topk_by_field
+
+    index_dir = _ensure_sorted_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, len_out = [], [], [], []
+    for qid in sorted(SORT_QUERY_SETS):
+        q = parse_query(SORT_QUERY_SETS[qid], an)
+        docs, vals = sorted_topk_by_field(
+            reader, q, "n_chars", k=2 * SORT_PAGE, descending=True
+        )
+        qids.extend([qid] * len(docs))
+        ranks.extend(range(1, len(docs) + 1))
+        docs_out.extend(docs.tolist())
+        len_out.extend(vals.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "n_chars": pa.array(len_out, pa.int64()),
+        }
+    )
+
+
 def _sort_by_ts(sf_dir: str):
     """Matching docs sorted by (warc_ts desc, doc_id asc), two pages of
     SORT_PAGE via the searchAfter (value, doc) anchor — TopFieldCollector +
@@ -1460,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
+    q["sort_by_len_sorted"] = lambda sf: _sort_by_len_sorted(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
     q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
     q["bm25_combined_field"] = lambda sf: _bm25_combined_field(sf)
@@ -2272,6 +2355,29 @@ def _sort_sql() -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _sort_len_sql() -> str:
+    """Oracle for sort_by_len_sorted: matching docs by (n_chars desc,
+    doc asc), top 2*SORT_PAGE — identical semantics to the unsorted
+    TopFieldCollector path; the engine side must map internal sorted-index
+    ids back to original doc_ids."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(SORT_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS INTEGER) AS rank,
+       d.doc_id, d.n_chars
+  FROM documents d WHERE d.doc_id IN ({match})
+  QUALIFY rank <= {2 * SORT_PAGE})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
 def _clause_pred(kind: str, pattern: str, arg: int) -> str:
@@ -3208,6 +3314,7 @@ FROM tf GROUP BY term"""
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
     sql["sort_by_ts"] = _sort_sql()
+    sql["sort_by_len_sorted"] = _sort_len_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
     sql["bm25_multifield"] = _multifield_sql()
     sql["bm25_combined_field"] = _combined_field_sql()

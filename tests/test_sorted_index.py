@@ -1,0 +1,104 @@
+"""Index-time sorting (IndexWriterConfig.setIndexSort analogue): renumber
+invariants + early-terminating sort-by-field parity against the unsorted
+path, including duplicate sort values across the top-k boundary."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.query import parse_query, score_sort_by_field
+from lucene_ray.pipelines.build import IndexConfig, build_index
+from lucene_ray.pipelines.sorted_index import (
+    assign_sorted_doc_ids,
+    build_sorted_index,
+    index_sort_field,
+    sorted_topk_by_field,
+)
+from lucene_ray.state.docvalues import write_doc_values
+from lucene_ray.state.reader import IndexReader
+
+from test_engine_oracle import make_corpus
+
+
+def _corpus_table(n=220):
+    doc_ids, texts = make_corpus(n_docs=n, seed=11)
+    # heavy duplication: ~4 docs per distinct ts value
+    ts = [(d * 37) % (n // 4) for d in doc_ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+
+
+def test_assign_sorted_doc_ids_is_sort_permutation(ray_session):
+    import ray.data
+
+    tbl = _corpus_table()
+    out = (
+        assign_sorted_doc_ids(ray.data.from_arrow(tbl), "ts")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(tbl)
+    assert list(out["doc_id"]) == list(range(n))  # dense renumbering
+    # new order == lexsort by (ts, orig_id)
+    ts = tbl.column("ts").to_numpy()
+    ids = tbl.column("doc_id").to_numpy()
+    order = np.lexsort((ids, ts))
+    assert list(out["orig_id"]) == list(ids[order])
+    assert list(out["ts"]) == list(ts[order])
+    # every original column survives
+    assert set(out.columns) == {"doc_id", "orig_id", "text", "ts"}
+
+
+@pytest.fixture(scope="module")
+def sorted_and_plain(tmp_path_factory, ray_session):
+    import ray.data
+
+    tbl = _corpus_table()
+    cfg = IndexConfig(num_partitions=4, heavy_df_threshold=None)
+    root = tmp_path_factory.mktemp("sortedidx")
+    sdir, pdir = str(root / "sorted"), str(root / "plain")
+    build_sorted_index(
+        ray.data.from_arrow(tbl), sdir, cfg, sort_col="ts",
+        doc_count=len(tbl),
+    )
+    build_index(ray.data.from_arrow(tbl), pdir, cfg, doc_count=len(tbl))
+    write_doc_values(
+        ray.data.from_arrow(tbl.select(["doc_id", "ts"])), pdir, "ts"
+    )
+    return sdir, pdir, tbl
+
+
+def test_sorted_topk_matches_unsorted_sort_by_field(sorted_and_plain):
+    sdir, pdir, tbl = sorted_and_plain
+    assert index_sort_field(sdir) == "ts"
+    assert index_sort_field(pdir) is None
+    sreader, preader = IndexReader(sdir), IndexReader(pdir)
+    an = make_analyzer("standard_en")
+    for qt in ["alpha", "alpha beta", "alpha AND beta", "gamma -delta"]:
+        q = parse_query(qt, an)
+        for desc in (True, False):
+            # k=7 is deliberately inside a run of duplicate ts values
+            for k in (7, 10**6):
+                pd_, pv = score_sort_by_field(
+                    preader, q, "ts", k=k, descending=desc
+                )
+                sd, sv = sorted_topk_by_field(
+                    sreader, q, "ts", k=k, descending=desc
+                )
+                assert np.array_equal(pd_, sd), (qt, desc, k)
+                assert np.array_equal(pv, sv), (qt, desc, k)
+
+
+def test_sorted_topk_wrong_field_raises(sorted_and_plain):
+    sdir, _, _ = sorted_and_plain
+    reader = IndexReader(sdir)
+    q = parse_query("alpha", make_analyzer("standard_en"))
+    with pytest.raises(ValueError):
+        sorted_topk_by_field(reader, q, "other_field", k=5)
