@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 K1 = 1.2
 B = 0.75
@@ -384,6 +384,17 @@ SPAN_QUERY_SETS: Dict[int, Tuple[Tuple[str, ...], int, bool]] = {
     3: (("batch", "small", "scan"), 4, True),   # 3-clause ordered chain
     4: (("key", "zzzmissing"), 2, True),        # missing clause -> empty
     5: (("customer", "value"), 6, False),
+}
+
+# Interval queries (queries/intervals module): minimal ordered intervals,
+# per-interval weight 1/(1+gaps), freq filtered by maxgaps/maxwidth AFTER
+# minimization, saturation score freq/(freq+1) (norm-free — IntervalQuery
+# default pivot). (terms, max_gaps, max_width).
+INTERVAL_QUERY_SETS: Dict[int, Tuple[Tuple[str, ...], Optional[int], Optional[int]]] = {
+    0: (("data", "stream"), None, None),
+    1: (("customer", "table"), 4, None),
+    2: (("hash", "join"), None, 6),
+    3: (("key", "zzzmissing"), None, None),
 }
 
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
@@ -1187,6 +1198,37 @@ def _bm25_phrase_sloppy(sf_dir: str):
     )
 
 
+def _interval_ordered(sf_dir: str):
+    """IntervalQuery top-k (minimal ordered intervals + saturation score)
+    over the positions-enabled index. -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import IntervalQuery, score_intervals
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (terms, mg, mw) in sorted(INTERVAL_QUERY_SETS.items()):
+        d, s = score_intervals(
+            reader,
+            IntervalQuery(terms, max_gaps=mg, max_width=mw),
+            k=TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
 def _bm25_span_near(sf_dir: str):
     """SpanNearQuery top-k over the positions-enabled index."""
     import pyarrow as pa
@@ -1553,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
+    q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
@@ -2662,6 +2705,51 @@ def _k1b_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_sc_cte(k1, b)}\n{body}"
 
 
+def _interval_sql() -> str:
+    """Oracle for interval_ordered (two-term minimal ordered intervals):
+    minimal pairs = (last a before b) deduped to (first b per a); weight
+    1/(1+gaps) = 1/(bpos-apos); maxgaps/maxwidth filter AFTER
+    minimization; score = freq/(freq+1), ranked on the UNROUNDED score."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, (terms, mg, mw) in sorted(INTERVAL_QUERY_SETS.items()):
+        t1, t2 = terms
+        filters = []
+        if mg is not None:
+            filters.append(f"(bpos - apos - 1) <= {mg}")
+        if mw is not None:
+            filters.append(f"(bpos - apos + 1) <= {mw}")
+        where = (" WHERE " + " AND ".join(filters)) if filters else ""
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             SUM(1.0 / (bpos - apos)) / (SUM(1.0 / (bpos - apos)) + 1.0) AS score
+      FROM (
+        SELECT doc_id, apos, MIN(bpos) AS bpos FROM (
+          SELECT b.doc_id, b.pos AS bpos, MAX(a.pos) AS apos
+          FROM (SELECT doc_id, pos FROM ptok WHERE term = '{t2}') b
+          JOIN (SELECT doc_id, pos FROM ptok WHERE term = '{t1}') a
+            ON a.doc_id = b.doc_id AND a.pos < b.pos
+          GROUP BY b.doc_id, b.pos
+        ) GROUP BY doc_id, apos
+      ){where}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _span_near_sql() -> str:
     """Oracle for bm25_span_near: positions from the stopword-gap ptok
     CTE; ordered spans as chained per-start MIN-successor joins, unordered
@@ -3323,6 +3411,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase"] = _phrase_sql()
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["bm25_span_near"] = _span_near_sql()
+    sql["interval_ordered"] = _interval_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()

@@ -1,0 +1,113 @@
+"""Interval queries — queries/intervals module analogue (minimal-interval
+semantics over the positions index).
+
+Reference: ``queries/src/java/org/apache/lucene/queries/intervals/`` —
+
+* ``OrderedIntervalsSource.java:123-180`` — each chain links every clause
+  to its FIRST position strictly after the previous clause's end, then the
+  iterator minimizes: an interval is dropped when a later-starting chain
+  ends at the same position (equal ends are the only possible containment
+  among greedy chains, whose ends are monotone in the start).
+* ``IntervalScorer.java:63-67`` — per-doc frequency accumulates
+  ``1 / max(length - minExtent + 1, 1)`` per minimal interval, where
+  ``length = end - start + 1`` and ``minExtent = n`` for an n-term ordered
+  source — i.e. ``1 / (1 + gaps)``.
+* ``IntervalScoreFunction.java:56-75`` + ``IntervalQuery.java:72`` —
+  score = ``boost * (1 - pivot / (pivot + freq))`` (saturation, default
+  pivot 1). Interval scores are NORM-FREE: no BM25, no doc length.
+* ``FilteredIntervalsSource.java`` (``Intervals.maxgaps`` /
+  ``Intervals.maxwidth``) — filters apply AFTER minimization.
+
+Scope: ordered sources (the module's flagship) with maxgaps/maxwidth and
+saturation scoring. Unordered proximity remains covered by the spans
+module (``functions/spans.py``), whose two-clause merge mirrors
+``NearSpansUnordered``; Lucene's unordered interval iterator is a lazy
+priority-queue walk that can emit non-minimal intervals, so we do not
+reproduce it under the "minimal" name.
+
+Everything here is one vectorized pass over doc-tagged position keys
+(``doc << POS_SHIFT | pos``) shared with the span/phrase matchers —
+per-query cost is O(sum of posting positions) searchsorteds, no per-doc
+Python loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .query import _POS_SHIFT, _topk_from
+from .spans import _doc_keys, _freqs_by_doc
+
+_POS_MASK = (1 << _POS_SHIFT) - 1
+
+
+@dataclass(frozen=True)
+class IntervalQuery:
+    terms: Tuple[str, ...]
+    max_gaps: Optional[int] = None  # Intervals.maxgaps filter
+    max_width: Optional[int] = None  # Intervals.maxwidth filter
+    pivot: float = 1.0  # saturation pivot (IntervalQuery default 1)
+    boost: float = 1.0
+
+
+def interval_freqs(reader, query: IntervalQuery):
+    """Minimal ordered intervals -> per-doc float frequency.
+
+    Returns ``(docs, freqs)`` with ``freqs[i] = sum of 1/(1+gaps)`` over
+    the doc's minimal intervals surviving the maxgaps/maxwidth filters.
+    """
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "interval queries need a positions-enabled index "
+            "(IndexConfig.positions=True)"
+        )
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    n = len(query.terms)
+    if n == 0:
+        return empty
+    key_lists = [_doc_keys(reader, t) for t in query.terms]
+    a = key_lists[0]
+    if len(a) == 0:
+        return empty
+    ends = a
+    valid = np.ones(len(a), dtype=bool)
+    for nxt in key_lists[1:]:
+        if len(nxt) == 0:
+            return empty
+        idx = np.searchsorted(nxt, ends, side="right")
+        valid &= idx < len(nxt)
+        idx = np.minimum(idx, len(nxt) - 1)
+        ends = nxt[idx]
+    valid &= (ends >> np.int64(_POS_SHIFT)) == (a >> np.int64(_POS_SHIFT))
+    av, ev = a[valid], ends[valid]
+    if len(av) == 0:
+        return empty
+    # minimization: greedy-chain ends are non-decreasing in the start, so
+    # containment can only be equal-ends; keep the LAST (largest-start)
+    # chain per distinct end (OrderedIntervalsSource's lastStart check)
+    keep = np.ones(len(ev), dtype=bool)
+    if len(ev) > 1:
+        keep[:-1] = ev[1:] != ev[:-1]
+    av, ev = av[keep], ev[keep]
+    gaps = (ev & _POS_MASK) - (av & _POS_MASK) - (n - 1)
+    m = np.ones(len(av), dtype=bool)
+    if query.max_gaps is not None:
+        m &= gaps <= query.max_gaps
+    if query.max_width is not None:
+        m &= (gaps + n) <= query.max_width
+    if not m.any():
+        return empty
+    return _freqs_by_doc(av[m], 1.0 / (1.0 + gaps[m]))
+
+
+def score_intervals(reader, query: IntervalQuery, k: int = 10):
+    """Top-k by the saturation score ``boost * freq / (freq + pivot)``,
+    tie-broken by doc asc. Returns ``(docs, float64 scores)``."""
+    docs, freqs = interval_freqs(reader, query)
+    if len(docs) == 0 or k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = query.boost * (freqs / (freqs + query.pivot))
+    return _topk_from(docs, scores, k)

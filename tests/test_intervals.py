@@ -1,0 +1,160 @@
+"""Interval queries (queries/intervals analogue): vectorized minimal
+ordered intervals vs a literal python port of OrderedIntervalsSource's
+greedy-chain + minimize trace, plus saturation-score golden cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.intervals import (
+    IntervalQuery,
+    interval_freqs,
+    score_intervals,
+)
+from lucene_ray.pipelines.build import IndexConfig, build_index
+from lucene_ray.state.reader import IndexReader
+
+TEXTS = [
+    "alpha beta",                              # gap 0
+    "alpha filler beta",                       # gap 1
+    "alpha alpha beta",                        # two chains, same end -> 1
+    "alpha beta alpha filler filler beta",     # two minimal intervals
+    "beta alpha",                              # wrong order
+    "alpha filler filler filler filler beta",  # gap 4
+    "alpha beta gamma",                        # 3-term chain
+    "alpha filler beta gamma alpha beta filler gamma",
+    "plain filler words",
+]
+
+
+def _model_minimal_ordered(pos_lists):
+    """Literal model: greedy chain per first-clause position (each link =
+    first position strictly after previous), minimized by dropping chains
+    whose end equals a later-starting chain's end."""
+    chains = []
+    for p0 in pos_lists[0]:
+        prev = p0
+        ok = True
+        for lst in pos_lists[1:]:
+            nxt = [p for p in lst if p > prev]
+            if not nxt:
+                ok = False
+                break
+            prev = nxt[0]
+        if ok:
+            chains.append((p0, prev))
+    minimal = [
+        (s, e)
+        for i, (s, e) in enumerate(chains)
+        if not any(e2 == e for (s2, e2) in chains[i + 1 :])
+    ]
+    return minimal
+
+
+def _model_freqs(analyzer, texts, terms, max_gaps=None, max_width=None):
+    out = {}
+    n = len(terms)
+    for d, text in enumerate(texts):
+        toks, pos = analyzer.analyze_positions(text)
+        by_term = {}
+        for t, p in zip(toks, pos):
+            by_term.setdefault(t, []).append(p)
+        lists = [sorted(by_term.get(t, [])) for t in terms]
+        if any(not l for l in lists):
+            continue
+        freq = 0.0
+        for s, e in _model_minimal_ordered(lists):
+            gaps = e - s - (n - 1)
+            if max_gaps is not None and gaps > max_gaps:
+                continue
+            if max_width is not None and (gaps + n) > max_width:
+                continue
+            freq += 1.0 / (1.0 + gaps)
+        if freq > 0:
+            out[d] = freq
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("iv") / "idx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    return out
+
+
+CASES = [
+    (("alpha", "beta"), None, None),
+    (("alpha", "beta"), 0, None),
+    (("alpha", "beta"), 2, None),
+    (("alpha", "beta"), None, 3),
+    (("alpha", "beta", "gamma"), None, None),
+    (("alpha", "beta", "gamma"), 1, None),
+    (("alpha",), None, None),
+    (("alpha", "zzzmissing"), None, None),
+]
+
+
+def test_interval_freqs_match_model(pos_index):
+    reader = IndexReader(pos_index)
+    an = make_analyzer("en_nostem_simple")
+    for terms, mg, mw in CASES:
+        docs, freqs = interval_freqs(
+            reader, IntervalQuery(terms, max_gaps=mg, max_width=mw)
+        )
+        got = dict(zip(docs.tolist(), freqs.tolist()))
+        want = _model_freqs(an, TEXTS, list(terms), mg, mw)
+        assert got.keys() == want.keys(), (terms, mg, mw)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=1e-12), (terms, d)
+
+
+def test_interval_goldens(pos_index):
+    reader = IndexReader(pos_index)
+    docs, freqs = interval_freqs(reader, IntervalQuery(("alpha", "beta")))
+    by = dict(zip(docs.tolist(), freqs.tolist()))
+    assert by[0] == 1.0          # adjacent
+    assert by[1] == 0.5          # one gap
+    assert by[2] == 1.0          # equal-end chains minimized to ONE
+    assert by[3] == 1.0 + 1.0 / 3  # two minimal intervals (gaps 0 and 2)
+    assert 4 not in by           # wrong order
+    assert by[5] == 0.2          # gap 4
+    assert by[7] == 1.5          # gaps 1 and 0
+    # saturation scoring: boost * freq/(freq+pivot), doc-asc ties
+    sdocs, scores = score_intervals(
+        reader, IntervalQuery(("alpha", "beta"), pivot=1.0), k=4
+    )
+    assert scores[0] == pytest.approx(1.5 / 2.5)
+    assert scores[1] == pytest.approx((4 / 3) / (4 / 3 + 1))
+    assert list(sdocs[:2]) == [7, 3]
+    # equal scores tie-break by doc asc
+    assert list(sdocs[2:]) == [0, 2]
+
+
+def test_interval_requires_positions(ray_session, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "nopos")
+    docs = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["alpha beta"])}
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=1
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=1)
+    with pytest.raises(ValueError):
+        interval_freqs(IndexReader(out), IntervalQuery(("alpha", "beta")))
