@@ -425,6 +425,160 @@ class PhoneticAnalyzer:
         return out
 
 
+class WordDelimiterAnalyzer:
+    """WordDelimiterGraphFilter subset (reference:
+    analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java):
+    whitespace pre-tokenize, then split each token on non-alphanumerics,
+    lower->Upper case transitions, and letter<->digit boundaries
+    (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS); output lowercased. Each
+    part takes the next position; with ``catenate=True`` the joined form
+    (CATENATE_ALL) is additionally emitted at the FIRST part's position
+    (posInc 0). Javadoc examples hold: 'PowerShot' -> power, shot;
+    'Wi-Fi' -> wi, fi; 'SD500' -> sd, 500; \"O'Neil's\" -> o, neil, s."""
+
+    name = "word_delimiter"
+    _WS = re.compile(r"\S+")
+    _PART = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
+
+    def __init__(self, catenate: bool = False):
+        self.catenate = catenate
+        if catenate:
+            self.name = "word_delimiter_cat"
+
+    def analyze_positions(self, text: str):
+        terms: List[str] = []
+        pos: List[int] = []
+        p = 0
+        for w in self._WS.findall(text):
+            parts = self._PART.findall(w)
+            if not parts:
+                continue
+            first = p
+            for part in parts:
+                terms.append(part.lower())
+                pos.append(p)
+                p += 1
+            if self.catenate and len(parts) > 1:
+                terms.append("".join(parts).lower())
+                pos.append(first)  # posInc 0 on the stacked catenation
+        return terms, pos
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_positions(text)[0]
+
+
+class KeywordRepeatAnalyzer(StandardEnglishAnalyzer):
+    """KeywordRepeatFilter + PorterStem + RemoveDuplicates (reference:
+    analysis/common/.../miscellaneous/KeywordRepeatFilter.java,
+    RemoveDuplicatesTokenFilter.java): every non-stopword token emits the
+    UNstemmed form and, when different, the stemmed form stacked at the
+    same position (posInc 0) — exact-form and stem both searchable."""
+
+    name = "keyword_repeat"
+
+    def analyze_positions(self, text: str):
+        terms: List[str] = []
+        pos: List[int] = []
+        for i, raw in enumerate(tokenize(text)):
+            tok = lowercase(strip_possessive(raw))
+            if tok in self.stopwords:
+                continue
+            terms.append(tok)
+            pos.append(i)
+            stemmed = porter_stem(tok)
+            if stemmed != tok:
+                terms.append(stemmed)
+                pos.append(i)
+        return terms, pos
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_positions(text)[0]
+
+
+class CommonGramsAnalyzer:
+    """CommonGramsFilter index-time semantics (reference:
+    analysis/common/.../commongrams/CommonGramsFilter.java): over the
+    simple tokenizer WITHOUT stopword removal, every adjacent pair where
+    either side is a common word additionally emits the bigram
+    ``a_b`` stacked at the FIRST token's position (posInc 0) — phrase-ish
+    queries on stopword-adjacent pairs hit one cheap posting instead of a
+    positional join."""
+
+    name = "common_grams"
+    _RE = re.compile(r"[a-z0-9]+")
+
+    def __init__(self, common: Optional[frozenset] = None):
+        self.common = ENGLISH_STOP_WORDS if common is None else common
+
+    def analyze_positions(self, text: str):
+        toks = self._RE.findall(text.lower())
+        terms: List[str] = []
+        pos: List[int] = []
+        common = self.common
+        for i, t in enumerate(toks):
+            terms.append(t)
+            pos.append(i)
+            if i + 1 < len(toks) and (t in common or toks[i + 1] in common):
+                terms.append(f"{t}_{toks[i + 1]}")
+                pos.append(i)
+        return terms, pos
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_positions(text)[0]
+
+
+class _WrapAnalyzer:
+    """Base for token-stream wrappers parameterized via the config-string
+    registry (serializable by name, like ``synonym:``)."""
+
+    def __init__(self, base, name: str):
+        self.base = base
+        self.name = name
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_positions(text)[0]
+
+
+class LengthFilterAnalyzer(_WrapAnalyzer):
+    """LengthFilter (analysis/common/.../miscellaneous/LengthFilter.java):
+    keep terms with min <= len <= max; dropped terms leave a position gap
+    (FilteringTokenFilter increments)."""
+
+    def __init__(self, base, lo: int, hi: int, name: str):
+        super().__init__(base, name)
+        self.lo, self.hi = lo, hi
+
+    def analyze_positions(self, text: str):
+        terms, pos = self.base.analyze_positions(text)
+        lo, hi = self.lo, self.hi
+        kept = [(t, p) for t, p in zip(terms, pos) if lo <= len(t) <= hi]
+        return [t for t, _ in kept], [p for _, p in kept]
+
+
+class LimitTokenCountAnalyzer(_WrapAnalyzer):
+    """LimitTokenCountFilter (consumeAllTokens=false): truncate the stream
+    after max_count tokens."""
+
+    def __init__(self, base, max_count: int, name: str):
+        super().__init__(base, name)
+        self.max_count = max_count
+
+    def analyze_positions(self, text: str):
+        terms, pos = self.base.analyze_positions(text)
+        return terms[: self.max_count], pos[: self.max_count]
+
+
+def _parse_wrapped_name(name: str):
+    kind, rest = name.split(":", 1)
+    if kind == "length":
+        lo, hi, base = rest.split(":", 2)
+        return LengthFilterAnalyzer(make_analyzer(base), int(lo), int(hi), name)
+    if kind == "limit":
+        n, base = rest.split(":", 1)
+        return LimitTokenCountAnalyzer(make_analyzer(base), int(n), name)
+    raise KeyError(f"unknown wrapped analyzer spec {name!r}")
+
+
 def _parse_synonym_name(name: str) -> SynonymAnalyzer:
     try:
         _, base, spec = name.split(":", 2)
@@ -455,6 +609,10 @@ _REGISTRY: Dict[str, Callable[[], object]] = {
     "cjk_bigram": CJKBigramAnalyzer,
     "phonetic": PhoneticAnalyzer,
     "phonetic_replace": lambda: PhoneticAnalyzer(inject=False),
+    "word_delimiter": WordDelimiterAnalyzer,
+    "word_delimiter_cat": lambda: WordDelimiterAnalyzer(catenate=True),
+    "keyword_repeat": KeywordRepeatAnalyzer,
+    "common_grams": CommonGramsAnalyzer,
 }
 
 
@@ -465,6 +623,8 @@ def register_analyzer(name: str, factory: Callable[[], object]) -> None:
 def make_analyzer(name: str):
     if name.startswith("synonym:"):
         return _parse_synonym_name(name)
+    if name.startswith(("length:", "limit:")):
+        return _parse_wrapped_name(name)
     try:
         return _REGISTRY[name]()
     except KeyError:

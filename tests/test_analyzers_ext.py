@@ -203,3 +203,57 @@ def test_phonetic_analyzer():
     assert rep.analyze("robert rupert") == ["R163", "R163"]
     # phonetic match through an index-style bag: both names share a code
     assert set(inj.analyze("smith")) & set(inj.analyze("smyth")) == {"S530"}
+
+
+def test_word_delimiter_goldens():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("word_delimiter")
+    # WordDelimiterGraphFilter javadoc examples
+    assert an.analyze("PowerShot") == ["power", "shot"]
+    assert an.analyze("Wi-Fi") == ["wi", "fi"]
+    assert an.analyze("SD500") == ["sd", "500"]
+    assert an.analyze("O'Neil's") == ["o", "neil", "s"]
+    assert an.analyze("XLDataStream") == ["xl", "data", "stream"]
+    # parts take successive positions
+    terms, pos = an.analyze_positions("Wi-Fi link")
+    assert terms == ["wi", "fi", "link"] and pos == [0, 1, 2]
+    # catenate adds the joined form stacked at the first part's position
+    cat = make_analyzer("word_delimiter_cat")
+    terms, pos = cat.analyze_positions("Wi-Fi link")
+    assert terms == ["wi", "fi", "wifi", "link"]
+    assert pos == [0, 1, 0, 2]
+
+
+def test_keyword_repeat_emits_both_forms():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("keyword_repeat")
+    terms, pos = an.analyze_positions("the running dog")
+    # 'running' -> running + run stacked; 'dog' stems to itself -> once
+    assert terms == ["running", "run", "dog"]
+    assert pos == [1, 1, 2]
+
+
+def test_common_grams_stacks_bigrams():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("common_grams")
+    terms, pos = an.analyze_positions("coffee of doom")
+    assert terms == ["coffee", "coffee_of", "of", "of_doom", "doom"]
+    assert pos == [0, 0, 1, 1, 2]
+    # no common word adjacent -> unigrams only
+    assert an.analyze("coffee doom") == ["coffee", "doom"]
+
+
+def test_length_and_limit_wrappers():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    ln = make_analyzer("length:3:5:simple")
+    terms, pos = ln.analyze_positions("a bb ccc dddd eeeee ffffff")
+    assert terms == ["ccc", "dddd", "eeeee"]
+    assert pos == [2, 3, 4]  # dropped tokens leave position gaps
+    lim = make_analyzer("limit:2:simple")
+    assert lim.analyze("one two three four") == ["one", "two"]
+    # spec round-trips by name (worker reconstruction path)
+    assert make_analyzer(ln.name).analyze("ccc x") == ["ccc"]
