@@ -1371,6 +1371,46 @@ def _search_collapse(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+TV_DOC_IDS = (1, 5, 11)
+_TV_BUILT: set = set()
+
+
+def _term_vectors(sf_dir: str):
+    """Stored per-doc term vectors (TermVectorsWriter/Reader analogue):
+    (doc_id, term, tf) for TV_DOC_IDS, read back from the sidecar after a
+    streaming analyzer pass. -> rows sorted by the driver's compare."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.state.termvectors import (
+        TermVectors,
+        build_term_vectors,
+        has_term_vectors,
+    )
+
+    index_dir = _ensure_index(sf_dir)
+    if index_dir not in _TV_BUILT or not has_term_vectors(index_dir):
+        ds = ray.data.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text"]
+        )
+        build_term_vectors(ds, index_dir, analyzer_name="en_nostem_simple")
+        _TV_BUILT.add(index_dir)
+    tv = TermVectors(index_dir)
+    docs, terms, tfs = [], [], []
+    for d in TV_DOC_IDS:
+        for term, tf in sorted(tv.get(d).items()):
+            docs.append(d)
+            terms.append(term)
+            tfs.append(tf)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
 def _bm25_explain(sf_dir: str):
     """Score decomposition for each query's top hits: one row per matching
     scoring term with (tf, dl, doc_freq, idf, part) — the per-hit
@@ -1572,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: Dict[str, Callable[[str], Any]] = {}
 
     # --- inverted index + BM25 (SQL-parity chain) ---
+    q["term_vectors"] = lambda sf: _term_vectors(sf)
     q["term_stats"] = lambda sf: _term_stats(sf)
     for name in BM25_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
@@ -3416,6 +3457,9 @@ FROM tf GROUP BY term"""
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["search_collapse"] = _collapse_sql()
+    sql["term_vectors"] = f"""WITH {_BASE_CTES}
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf
+FROM tf WHERE doc_id IN {tuple(TV_DOC_IDS)}"""
     sql["doc_map"] = f"""WITH {_BASE_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS doc_len,

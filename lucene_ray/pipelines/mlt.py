@@ -55,9 +55,27 @@ def interesting_terms(
     if not toks:
         return []
     terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    return interesting_terms_from_tfs(
+        reader, dict(zip((str(t) for t in terms), (int(c) for c in tfs))),
+        min_tf=min_tf, min_df=min_df, max_df=max_df, max_terms=max_terms,
+    )
+
+
+def interesting_terms_from_tfs(
+    reader,
+    tf_map: Dict[str, int],
+    min_tf: int = 2,
+    min_df: int = 5,
+    max_df: Optional[int] = None,
+    max_terms: int = 25,
+) -> List[Tuple[str, float]]:
+    """Term selection from a stored {term: tf} map — the reference's
+    retrieveTerms(docNum) path that reads the doc's TERM VECTOR instead of
+    re-analyzing stored text (MoreLikeThis.java:745-783); the scoring and
+    selection arithmetic is shared with the text path above."""
     n_docs = int(reader.doc_count)
     scored: List[Tuple[float, str]] = []
-    for t, tf in zip(terms, tfs):
+    for t, tf in tf_map.items():
         tf = int(tf)
         if tf < min_tf:
             continue
@@ -137,6 +155,66 @@ def more_like_this(
         ranks.extend(range(1, len(d) + 1))
         docs.extend(int(x) for x in d)
         s = np.asarray(s, dtype=np.float64)
+        if round_digits is not None:
+            s = round_half_away(s, round_digits)
+        scores.extend(s.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def more_like_this_from_vectors(
+    index_dir: str,
+    source_docs: List[int],
+    k: int = 10,
+    boost: bool = False,
+    boost_factor: float = 1.0,
+    min_tf: int = 2,
+    min_df: int = 5,
+    max_df: Optional[int] = None,
+    max_terms: int = 25,
+    round_digits: Optional[int] = 4,
+) -> pa.Table:
+    """MLT keyed by doc id, term selection from the stored TERM VECTORS
+    sidecar (state/termvectors.py) — no re-analysis of source text; the
+    source doc itself is excluded from its results (the reference's
+    standard usage filters the seed doc). -> (query_id=doc, rank, doc_id,
+    score)."""
+    from ..state.termvectors import TermVectors
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    tv = TermVectors(index_dir)
+    qids: List[int] = []
+    ranks: List[int] = []
+    docs: List[int] = []
+    scores: List[float] = []
+    for src in sorted(int(d) for d in source_docs):
+        sel = interesting_terms_from_tfs(
+            reader, tv.get(src),
+            min_tf=min_tf, min_df=min_df, max_df=max_df, max_terms=max_terms,
+        )
+        terms = tuple(t for t, _ in sel)
+        if not terms:
+            continue
+        boosts: Tuple[Tuple[str, float], ...] = ()
+        if boost and sel:
+            best = sel[-1][1]
+            boosts = tuple(
+                (t, float(boost_factor * s / best)) for t, s in sel
+            )
+        q = BooleanQuery(should=terms, boosts=boosts)
+        d, s = score_blockmax(reader, q, k + 1)
+        keep = d != src
+        d, s = d[keep][:k], np.asarray(s, dtype=np.float64)[keep][:k]
+        qids.extend([src] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
         if round_digits is not None:
             s = round_half_away(s, round_digits)
         scores.extend(s.tolist())

@@ -110,3 +110,54 @@ def test_more_like_this_table_shape(mlt_index):
         assert len(g) <= 5
     # the source doc itself ranks at the top of its own MLT results
     assert pdf[pdf.query_id == 0].iloc[0].doc_id == 3
+
+
+def test_term_vectors_sidecar_and_mlt(mlt_index, ray_session):
+    """Term vectors match the analyzer's tf counts; vector-based MLT term
+    selection is identical to text-based selection; retrieval excludes the
+    seed doc."""
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from lucene_ray.pipelines.mlt import (
+        interesting_terms_from_tfs,
+        more_like_this_from_vectors,
+    )
+    from lucene_ray.state.termvectors import (
+        TermVectors,
+        build_term_vectors,
+        has_term_vectors,
+    )
+
+    out, doc_ids, texts, oracle = mlt_index
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    build_term_vectors(ds, out, analyzer_name=ANALYZER)
+    assert has_term_vectors(out)
+    tv = TermVectors(out)
+    an = make_analyzer(ANALYZER)
+    reader = IndexReader(out)
+    for src in (3, 10, 42, 2, 0):
+        assert tv.get(doc_ids[src]) == dict(Counter(an.analyze(texts[src])))
+        want = interesting_terms(
+            reader, texts[src], an, min_tf=1, min_df=1, max_terms=10
+        )
+        got = interesting_terms_from_tfs(
+            reader, tv.get(doc_ids[src]), min_tf=1, min_df=1, max_terms=10
+        )
+        assert got == want
+    res = more_like_this_from_vectors(
+        out, [3, 10], k=5, min_tf=1, min_df=1
+    ).to_pandas()
+    assert len(res) > 0
+    for src in (3, 10):
+        sub = res[res["query_id"] == src]
+        assert src not in set(sub["doc_id"])  # seed excluded
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
