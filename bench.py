@@ -392,6 +392,24 @@ def run_suite() -> dict:
     stages["bm25_span_near"] = round(time.time() - t0, 3)
     log(f"span_near: {stages['bm25_span_near']}s / 40 queries")
 
+    # 2f-bis. interval queries (minimal ordered intervals + saturation)
+    from lucene_ray.functions.intervals import IntervalQuery, score_intervals
+
+    iv_qs = [
+        IntervalQuery(("data", "stream")),
+        IntervalQuery(("custom", "tabl"), max_gaps=4),
+        IntervalQuery(("hash", "join"), max_width=6),
+        IntervalQuery(("batch", "small", "scan")),
+    ]
+    for q in iv_qs:
+        score_intervals(reader_pos, q, 10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for q in iv_qs:
+            score_intervals(reader_pos, q, 10)
+    stages["interval_query"] = round(time.time() - t0, 3)
+    log(f"intervals: {stages['interval_query']}s / 40 queries")
+
     # 2g. multi-field: per-field subindex build (title projection + body)
     # then field-scoped and combined-field (BM25F) query batches
     from lucene_ray.pipelines.multifield import (
@@ -476,6 +494,15 @@ def run_suite() -> dict:
     timed("neardup_minhash", lambda: minhash_neardup_pairs(docs).num_rows)
     timed("neardup_jaccard", lambda: jaccard_neardup_pairs(docs).num_rows)
     timed("knn_cosine", lambda: knn_cosine(emb, (0, 1, 2), k=10).count())
+    timed(
+        "knn_filtered",
+        lambda: knn_cosine(
+            emb, (0, 1, 2), k=10, prefilter="label == 3"
+        ).count(),
+    )
+    from lucene_ray.pipelines.knn import knn_cosine_sq
+
+    timed("knn_sq", lambda: knn_cosine_sq(emb, (0, 1, 2), k=10).count())
     ivf_dir = f"/tmp/lucene_ray_bench/ivf-{NUM_CPUS}"
     shutil.rmtree(ivf_dir, ignore_errors=True)
     timed(
