@@ -1371,8 +1371,86 @@ def _search_collapse(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+# Geo (LatLonPoint/LatLonDocValues analogue): deterministic centi-degree
+# coords derived from doc_id (FIXTURES.md derivation, exact at 2 decimals):
+#   lat_e2 = (doc_id * 7919) % 18000 - 9000
+#   lon_e2 = (doc_id * 104729) % 36000 - 18000
+# (center_lat, center_lon, term_filter | None, radius_m | None)
+GEO_QUERY_SETS: Dict[int, Tuple[float, float, Optional[str], Optional[float]]] = {
+    0: (48.85, 2.35, None, None),
+    1: (0.0, 0.0, "data", None),
+    2: (-30.0, 150.0, None, 2_000_000.0),
+}
+
 TV_DOC_IDS = (1, 5, 11)
 _TV_BUILT: set = set()
+
+
+def _ensure_geo_doc_values(sf_dir: str, index_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.state.docvalues import has_doc_values, write_doc_values
+
+    if has_doc_values(index_dir, "lat_e2") and has_doc_values(
+        index_dir, "lon_e2"
+    ):
+        return
+    ids = (
+        pq.read_table(_docs_path(sf_dir), columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat = (ids * 7919) % 18000 - 9000
+    lon = (ids * 104729) % 36000 - 18000
+    for field, vals in (("lat_e2", lat), ("lon_e2", lon)):
+        write_doc_values(
+            ray.data.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array(ids), "v": pa.array(vals)}
+                )
+            ),
+            index_dir, field, value_col="v",
+        )
+
+
+def _geo_distance(sf_dir: str):
+    """LatLonDocValues distance sort / LatLonPoint distance query: k
+    nearest docs per center (optionally term-filtered or radius-bounded),
+    haversine meters. -> (query_id, rank, doc_id, dist_m)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.geo import distance_topk
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    _ensure_geo_doc_values(sf_dir, index_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, dist_out = [], [], [], []
+    for qid, (clat, clon, qtext, radius) in sorted(GEO_QUERY_SETS.items()):
+        q = parse_query(qtext, an) if qtext else None
+        d, dist = distance_topk(
+            reader, clat, clon, k=TOPK, query=q, radius_m=radius
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        dist_out.extend(round_half_away(dist, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "dist_m": pa.array(dist_out, pa.float64()),
+        }
+    )
 
 
 def _term_vectors(sf_dir: str):
@@ -1637,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
+    q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
@@ -2746,6 +2825,52 @@ def _k1b_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_sc_cte(k1, b)}\n{body}"
 
 
+def _geo_sql() -> str:
+    """Oracle for geo_distance: haversine meters with the engine's frozen
+    operation order (functions/geo.py::haversine_meters), centi-degree
+    coords derived from doc_id; rank on the UNROUNDED distance."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    geo = """geo AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS DOUBLE) / 100.0 AS lat,
+         CAST((doc_id * 104729) % 36000 - 18000 AS DOUBLE) / 100.0 AS lon
+  FROM documents
+)"""
+    selects = []
+    for qid, (clat, clon, qtext, radius) in sorted(GEO_QUERY_SETS.items()):
+        la, lo = repr(float(clat)), repr(float(clon))
+        dist = (
+            f"2.0 * 6371008.7714 * asin(sqrt("
+            f"sin((({la}) * (pi() / 180.0) - lat * (pi() / 180.0)) * 0.5)"
+            f" * sin((({la}) * (pi() / 180.0) - lat * (pi() / 180.0)) * 0.5)"
+            f" + cos(lat * (pi() / 180.0)) * cos(({la}) * (pi() / 180.0))"
+            f" * (sin((({lo}) * (pi() / 180.0) - lon * (pi() / 180.0)) * 0.5)"
+            f" * sin((({lo}) * (pi() / 180.0) - lon * (pi() / 180.0)) * 0.5))"
+            f"))"
+        )
+        conds = []
+        if qtext:
+            match = _match_docs_sql(parse_query(qtext, an))
+            conds.append(f"doc_id IN ({match})")
+        if radius is not None:
+            conds.append(f"d <= {repr(float(radius))}")
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(d, 6) AS dist_m FROM (
+    SELECT {qid} AS query_id, doc_id, d,
+           CAST(row_number() OVER (ORDER BY d ASC, doc_id ASC) AS INTEGER) AS rank
+    FROM (SELECT doc_id, {dist} AS d FROM geo){where}
+  ) WHERE rank <= {TOPK})"""
+        )
+    return (
+        f"WITH {_BASE_CTES},\n{_SC_CTE},\n{geo}\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def _interval_sql() -> str:
     """Oracle for interval_ordered (two-term minimal ordered intervals):
     minimal pairs = (last a before b) deduped to (first b per a); weight
@@ -3453,6 +3578,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
+    sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
