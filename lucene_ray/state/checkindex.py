@@ -124,6 +124,80 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
                     f"{path}: crc32 mismatch (recorded {want}, file {got})"
                 )
 
+    # --- sidecar checks (round-2 formats) -------------------------------
+    # positions stream: per-term position count == totalTermFreq, positions
+    # strictly ascending within each doc (the span/phrase matchers' invariant)
+    if getattr(reader, "has_positions", False):
+        for term in reader.all_terms():
+            docs, tfs, flat = reader.term_positions(term)
+            if len(flat) != int(tfs.sum()):
+                errors.append(
+                    f"positions[{term}]: {len(flat)} positions != sum tf "
+                    f"{int(tfs.sum())}"
+                )
+                continue
+            if len(flat) > 1:
+                run = np.repeat(np.arange(len(docs)), tfs)
+                same = run[1:] == run[:-1]
+                if np.any(np.diff(flat.astype(np.int64))[same] <= 0):
+                    errors.append(
+                        f"positions[{term}]: not strictly ascending in doc"
+                    )
+
+    # doc-values sidecars: one row per doc, unique sorted doc ids; under an
+    # index_sort marker the sort field's doc-ordered values must be
+    # non-decreasing (the sorted-index layout invariant)
+    from .docvalues import DOCVALUES_DIR, DocValues
+
+    dv_root = os.path.join(index_dir, DOCVALUES_DIR)
+    dv_fields = (
+        sorted(os.listdir(dv_root)) if os.path.isdir(dv_root) else []
+    )
+    for field in dv_fields:
+        try:
+            dv = DocValues(index_dir, field)
+        except FileNotFoundError:
+            continue
+        ids = dv.doc_sorted_ids
+        if len(ids) > 1 and np.any(np.diff(ids) <= 0):
+            errors.append(f"docvalues[{field}]: duplicate or unsorted doc ids")
+    sort_meta = os.path.join(index_dir, "index_sort.json")
+    if os.path.exists(sort_meta):
+        import json
+
+        with open(sort_meta) as f:
+            sfield = json.load(f).get("field")
+        if sfield in dv_fields:
+            vals = DocValues(index_dir, sfield).doc_sorted_vals
+            if len(vals) > 1 and np.any(np.diff(vals) < 0):
+                errors.append(
+                    f"index_sort[{sfield}]: doc order violates field order"
+                )
+        else:
+            errors.append(
+                f"index_sort marker references missing doc values {sfield!r}"
+            )
+
+    # term-vectors sidecar: file-name doc ranges must cover file contents
+    # (the point-lookup reader prunes files by that range), tf >= 1
+    from .termvectors import TERMVECTORS_DIR
+
+    tv_dir = os.path.join(index_dir, TERMVECTORS_DIR)
+    if os.path.isdir(tv_dir):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for f in sorted(_glob.glob(os.path.join(tv_dir, "*.parquet"))):
+            lo, hi = (int(x) for x in os.path.basename(f)[3:].split("-")[:2])
+            t = pq.read_table(f, columns=["doc_id", "tf"])
+            d = t.column("doc_id").to_numpy()
+            if len(d) and (int(d.min()) < lo or int(d.max()) > hi):
+                errors.append(f"termvectors {f}: docs outside named range")
+            tf_col = t.column("tf").to_numpy()
+            if len(tf_col) and int(tf_col.min()) < 1:
+                errors.append(f"termvectors {f}: tf < 1")
+
     report = {
         "index_dir": index_dir,
         "num_terms": n_terms,

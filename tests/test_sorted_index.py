@@ -102,3 +102,27 @@ def test_sorted_topk_wrong_field_raises(sorted_and_plain):
     q = parse_query("alpha", make_analyzer("standard_en"))
     with pytest.raises(ValueError):
         sorted_topk_by_field(reader, q, "other_field", k=5)
+
+
+def test_check_index_validates_sidecars(sorted_and_plain):
+    """CheckIndex round-2 extensions: positions/doc-values/term-vectors +
+    the index_sort layout invariant; a violated sort invariant is caught."""
+    import json
+    import os
+
+    from lucene_ray.state.checkindex import check_index
+
+    sdir, pdir, tbl = sorted_and_plain
+    assert check_index(sdir)["ok"]
+    assert check_index(pdir)["ok"]
+    # point the plain (unsorted) index at a sort marker it does not satisfy:
+    # its 'ts' doc values are NOT monotone in doc order
+    marker = os.path.join(pdir, "index_sort.json")
+    with open(marker, "w") as f:
+        json.dump({"field": "ts", "order": "asc"}, f)
+    try:
+        report = check_index(pdir, raise_on_error=False)
+        assert not report["ok"]
+        assert any("violates field order" in e for e in report["errors"])
+    finally:
+        os.remove(marker)
