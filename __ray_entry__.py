@@ -198,6 +198,7 @@ MONITOR_QUERIES: Dict[int, str] = {
     3: "+batch -error",
     4: "key value store",
     5: "+nosuchtermxyz",
+    6: '"data stream"',   # phrase: presearch on terms + positional verify
 }
 
 # Highlighting (highlighter module analogue) — rows-only oracle
@@ -2204,7 +2205,7 @@ def _monitor_sql() -> str:
 
     an = make_analyzer("en_nostem_simple")
     parsed = {qid: parse_query(s, an) for qid, s in MONITOR_QUERIES.items()}
-    qt, req = flatten_queries(parsed)
+    qt, req, phrases = flatten_queries(parsed)
     qt_vals = ", ".join(
         f"({int(r.query_id)}, '{r.term}', {int(r.role)})"
         for r in qt.itertuples()
@@ -2213,7 +2214,30 @@ def _monitor_sql() -> str:
         f"({int(qid)}, {int(r.n_must)}, {int(r.msm_req)})"
         for qid, r in req.iterrows()
     )
+    conds = []
+    for qid, q in sorted(phrases.items()):
+        joins = "".join(
+            f" JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {q.offsets[i]}"
+            f" AND t{i}.term = '{q.terms[i]}'"
+            for i in range(1, len(q.terms))
+        )
+        conds.append(
+            f"\n  AND (a.query_id <> {qid} OR EXISTS ("
+            f"SELECT 1 FROM ptok t0{joins}"
+            f" WHERE t0.doc_id = a.doc_id AND t0.term = '{q.terms[0]}'))"
+        )
+    phrase_conds = "".join(conds)
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
     return f"""WITH {_BASE_CTES},
+{ptok},
 qt(query_id, term, role) AS (VALUES {qt_vals}),
 qreq(query_id, n_must, msm_req) AS (VALUES {req_vals}),
 agg AS (
@@ -2228,7 +2252,7 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
        CAST(a.query_id AS BIGINT) AS query_id
 FROM agg a JOIN qreq r USING (query_id)
 WHERE a.n_must_m = r.n_must AND a.n_should_m >= r.msm_req
-  AND a.n_not_m = 0"""
+  AND a.n_not_m = 0{phrase_conds}"""
 
 
 def _bm25_sql(set_name: str) -> str:

@@ -47,19 +47,40 @@ import ray.data
 _MUST, _SHOULD, _MUST_NOT = 0, 1, 2
 
 
-def flatten_queries(parsed: Dict[int, "object"]) -> Tuple[pd.DataFrame, pd.DataFrame]:
-    """Parsed BooleanQuerys -> (query-term table, per-query requirements).
+def flatten_queries(
+    parsed: Dict[int, "object"]
+) -> Tuple[pd.DataFrame, pd.DataFrame, Dict[int, "object"]]:
+    """Parsed BooleanQuerys / PhraseQuerys -> (query-term table, per-query
+    requirements, phrase map).
 
-    Returns (qt, req): qt has columns (term, query_id, role); req has
-    columns (query_id, n_must, msm_req) indexed by query_id.
+    Returns (qt, req, phrases): qt has columns (term, query_id, role); req
+    has columns (query_id, n_must, msm_req) indexed by query_id. A
+    PhraseQuery decomposes to its distinct terms as MUST presearcher rows
+    (the reference's QueryDecomposer + TermFilteredPresearcher) and is
+    recorded in ``phrases`` for the positional verify pass
+    (CandidateMatcher running the real query on each candidate doc).
     """
     terms: List[str] = []
     qids: List[int] = []
     roles: List[int] = []
     req_rows = []
-    from ..functions.query import BooleanQuery
+    phrases: Dict[int, "object"] = {}
+    from ..functions.query import BooleanQuery, PhraseQuery
 
     for qid, q in sorted(parsed.items()):
+        if isinstance(q, PhraseQuery):
+            if q.slop:
+                raise ValueError(
+                    f"saved query {qid}: sloppy phrases are not supported "
+                    "by the monitor (exact phrases only)"
+                )
+            if not q.terms:
+                raise ValueError(f"saved query {qid}: empty phrase")
+            for t in sorted(set(q.terms)):
+                terms.append(t); qids.append(qid); roles.append(_MUST)
+            req_rows.append((qid, len(set(q.terms)), 0))
+            phrases[qid] = q
+            continue
         if not isinstance(q, BooleanQuery):
             raise ValueError(
                 f"saved query {qid}: only boolean term queries are supported"
@@ -86,7 +107,7 @@ def flatten_queries(parsed: Dict[int, "object"]) -> Tuple[pd.DataFrame, pd.DataF
     req = pd.DataFrame(
         req_rows, columns=["query_id", "n_must", "msm_req"]
     ).set_index("query_id")
-    return qt, req
+    return qt, req, phrases
 
 
 class QueryMatcherStage:
@@ -103,18 +124,46 @@ class QueryMatcherStage:
         parsed = {
             qid: parse_query(s, self._an) for qid, s in query_strings.items()
         }
-        self._qt, req = flatten_queries(parsed)
+        self._qt, req, self._phrases = flatten_queries(parsed)
         self._n_must = req["n_must"]
         self._msm_req = req["msm_req"]
+        self._phrase_terms = frozenset(
+            t for q in self._phrases.values() for t in q.terms
+        )
+
+    @staticmethod
+    def _phrase_hit(pos_map: Dict[str, List[int]], q) -> bool:
+        """Exact phrase verify on one candidate doc's positions (stopword
+        offsets preserved) — ExactPhraseMatcher on the decomposed query."""
+        base = pos_map.get(q.terms[0])
+        if base is None:
+            return False
+        rest = [set(pos_map.get(t, ())) for t in q.terms[1:]]
+        offs = q.offsets[1:]
+        for p0 in base:
+            if all((p0 + off) in s for s, off in zip(rest, offs)):
+                return True
+        return False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        # distinct (doc, term) pairs for the whole batch
+        # distinct (doc, term) pairs for the whole batch; phrase-term
+        # positions kept per doc for the verify pass (one analysis total)
         pair_docs: List[np.ndarray] = []
         pair_terms: List[np.ndarray] = []
+        pos_maps: Dict[int, Dict[str, List[int]]] = {}
+        pterms = self._phrase_terms
         for i, text in enumerate(texts):
-            toks = np.unique(np.asarray(self._an.analyze(text), dtype=object))
+            toks_l, pos_l = self._an.analyze_positions(text)
+            toks = np.unique(np.asarray(toks_l, dtype=object))
+            if pterms:
+                pm: Dict[str, List[int]] = {}
+                for t, p in zip(toks_l, pos_l):
+                    if t in pterms:
+                        pm.setdefault(t, []).append(p)
+                if pm:
+                    pos_maps[int(doc_ids[i])] = pm
             if len(toks):
                 pair_docs.append(np.full(len(toks), doc_ids[i], dtype=np.int64))
                 pair_terms.append(toks)
@@ -143,11 +192,20 @@ class QueryMatcherStage:
             & (counts[_MUST_NOT].to_numpy() == 0)
         )
         matched = counts.index[ok]
+        m_docs = matched.get_level_values("doc_id").to_numpy()
+        m_qids = matched.get_level_values("query_id").to_numpy()
+        if self._phrases:
+            keep = np.ones(len(m_docs), dtype=bool)
+            for j, (d, qid) in enumerate(zip(m_docs, m_qids)):
+                q = self._phrases.get(int(qid))
+                if q is not None and not self._phrase_hit(
+                    pos_maps.get(int(d), {}), q
+                ):
+                    keep[j] = False
+            m_docs, m_qids = m_docs[keep], m_qids[keep]
         return pa.table({
-            "doc_id": pa.array(
-                matched.get_level_values("doc_id").to_numpy(), pa.int64()),
-            "query_id": pa.array(
-                matched.get_level_values("query_id").to_numpy(), pa.int64()),
+            "doc_id": pa.array(m_docs, pa.int64()),
+            "query_id": pa.array(m_qids, pa.int64()),
         })
 
 

@@ -28,6 +28,8 @@ QUERIES = {
     3: "+alpha -beta",
     4: "delta epsilon",
     5: "+zzzznothing",
+    6: '"alpha beta"',       # exact phrase, positional verify
+    7: '"beta the alpha"',   # phrase with a stopword position gap
 }
 
 
@@ -37,7 +39,7 @@ def corpus_index(tmp_path_factory, ray_session):
     out = tmp_path_factory.mktemp("mon") / "idx"
     cfg = IndexConfig(
         analyzer=ANALYZER, norm_kind="exact", num_partitions=4,
-        sample_rate=1.0,
+        sample_rate=1.0, positions=True,
     )
     build_from_lists(out, doc_ids, texts, cfg)
     return str(out), doc_ids, texts
@@ -100,3 +102,33 @@ def test_msm_semantics():
     })
     out = stage(batch)
     assert out.column("doc_id").to_pylist() == [2, 3]
+
+
+def test_phrase_monitor_semantics():
+    """Candidate-by-terms is not enough: adjacency (with stopword gaps) is
+    verified per candidate doc."""
+    stage = QueryMatcherStage({0: '"alpha beta"', 1: '"alpha the beta"'},
+                              ANALYZER)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            [
+                "alpha beta here",        # q0 hit; q1 needs gap 2 -> miss
+                "beta alpha",             # terms present, order wrong
+                "alpha the beta",         # gap 2: q1 hit, q0 miss
+                # the gap is a position increment, not a literal stopword:
+                # any filler token at that position matches (reference
+                # PhraseQuery position-gap semantics)
+                "alpha filler beta",      # gap 2: q1 hit, q0 miss
+            ],
+            pa.string(),
+        ),
+    })
+    got = {(r["doc_id"], r["query_id"]) for r in stage(batch).to_pylist()}
+    assert got == {(1, 0), (3, 1), (4, 1)}
+
+
+def test_flatten_rejects_sloppy_phrase():
+    an = make_analyzer(ANALYZER)
+    with pytest.raises(ValueError):
+        flatten_queries({0: parse_query('"alpha beta"~2', an)})
