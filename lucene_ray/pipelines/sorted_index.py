@@ -15,9 +15,12 @@ What the sorted layout buys at query time (:func:`sorted_topk_by_field`):
 matching docs come out of the postings already in field order, so a top-k
 by that field needs O(k + boundary-ties + log n) doc-value gathers and NO
 sort over the candidate set — against O(candidates) gathers + a full
-lexsort on an unsorted index. (Candidate enumeration itself is still the
-vectorized whole-list decode; stopping the posting decode after k index-
-order matches is the per-block scale path, noted in SURVEY §9.)
+lexsort on an unsorted index. For single-term queries the posting decode
+itself early-terminates: only the edge blocks of the doc-ordered list are
+decoded, growing until the window provably contains the kth value's whole
+tie run; multi-clause queries fall back to full candidate enumeration
+(the reference's canEarlyTerminate also only fires when the collector can
+bound remaining hits).
 
 Scale notes: id reassignment is an explicit range-partitioned sort — a
 sampled-boundary bucket pass, a B-row count reduce, and a per-bucket
@@ -175,6 +178,66 @@ def index_sort_field(index_dir: str) -> Optional[str]:
         return json.load(f).get("field")
 
 
+def _single_term_of(query) -> Optional[str]:
+    """The term when ``query`` is a plain one-term disjunction (TermQuery
+    image) with no other clauses — the early-termination-eligible shape."""
+    from ..functions.query import BooleanQuery
+
+    if (
+        isinstance(query, BooleanQuery)
+        and len(query.should) == 1
+        and not query.must
+        and not query.must_not
+        and not getattr(query, "multi", ())
+        and not getattr(query, "filters", ())
+        and not getattr(query, "must_groups", ())
+    ):
+        return query.should[0]
+    return None
+
+
+def _live_filter(reader, docs: np.ndarray) -> np.ndarray:
+    deleted = getattr(reader, "deleted", None)
+    if deleted is None or len(deleted) == 0 or len(docs) == 0:
+        return docs
+    pos = np.searchsorted(deleted, docs)
+    pos = np.minimum(pos, len(deleted) - 1)
+    return docs[deleted[pos] != docs]
+
+
+def _term_docs_edge(reader, term: str, need: int, from_end: bool):
+    """First (or last) ``need`` LIVE doc IDs of a term's postings,
+    ascending — decodes only the blocks it touches, walking the doc-range-
+    ordered parts from the chosen end. Returns (docs, exhausted)."""
+    parts = reader.postings(term)
+    out = []
+    got = 0
+    part_iter = reversed(parts) if from_end else iter(parts)
+    done = False
+    for tp in part_iter:
+        blocks = (
+            range(tp.n_blocks - 1, -1, -1) if from_end else range(tp.n_blocks)
+        )
+        for b in blocks:
+            docs, _, _ = tp.decode_block(b)
+            docs = _live_filter(reader, docs)
+            out.append(docs)
+            got += len(docs)
+            if got >= need:
+                done = True
+                break
+        if done:
+            break
+    if from_end:
+        out.reverse()
+    docs = (
+        np.concatenate(out).astype(np.int64)
+        if out
+        else np.empty(0, np.int64)
+    )
+    return docs, not done
+
+
 def sorted_topk_by_field(
     reader,
     query,
@@ -204,7 +267,30 @@ def sorted_topk_by_field(
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if k <= 0:
         return empty
-    docs = matching_docs(reader, query)
+    term = _single_term_of(query)
+    if term is not None:
+        # postings-level early termination (TopFieldCollector's
+        # canEarlyTerminate path): decode blocks from the needed end only,
+        # growing the window until it provably contains the kth value's
+        # whole tie run (the edge-most fetched value differs from the
+        # boundary value — values are contiguous in doc order)
+        need = max(k, 16)
+        while True:
+            docs, exhausted = _term_docs_edge(
+                reader, term, need, from_end=descending
+            )
+            if exhausted or len(docs) == 0:
+                break
+            vals_edge = reader.doc_values_for(
+                field, docs[[0, len(docs) - k, k - 1, len(docs) - 1]]
+            )
+            if descending and vals_edge[0] != vals_edge[1]:
+                break
+            if not descending and vals_edge[3] != vals_edge[2]:
+                break
+            need *= 4
+    else:
+        docs = matching_docs(reader, query)
     n = len(docs)
     if n == 0:
         return empty

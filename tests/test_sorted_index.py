@@ -126,3 +126,90 @@ def test_check_index_validates_sidecars(sorted_and_plain):
         assert any("violates field order" in e for e in report["errors"])
     finally:
         os.remove(marker)
+
+
+def test_single_term_early_termination(tmp_path, ray_session, monkeypatch):
+    """The single-term path decodes only edge blocks (plus tie growth) of
+    a multi-block posting list — and is result-identical to the full
+    TopFieldCollector path on an unsorted index."""
+    import ray.data
+
+    from lucene_ray.state import segment as segmod
+
+    n = 2000  # "common" in every doc -> df 2000 -> 8 FOR-blocks
+    texts = [f"common filler{i % 17} word{i % 5}" for i in range(n)]
+    ts = [(i * 97) % 250 for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+    cfg = IndexConfig(num_partitions=2, heavy_df_threshold=None)
+    sdir, pdir = str(tmp_path / "s"), str(tmp_path / "p")
+    build_sorted_index(
+        ray.data.from_arrow(tbl), sdir, cfg, sort_col="ts", doc_count=n
+    )
+    build_index(ray.data.from_arrow(tbl), pdir, cfg, doc_count=n)
+    write_doc_values(
+        ray.data.from_arrow(tbl.select(["doc_id", "ts"])), pdir, "ts"
+    )
+    sreader, preader = IndexReader(sdir), IndexReader(pdir)
+    an = make_analyzer("standard_en")
+    q = parse_query("common", an)
+    total_blocks = sum(tp.n_blocks for tp in sreader.postings("common"))
+    assert total_blocks >= 8
+
+    calls = {"n": 0}
+    orig = segmod.TermPostings.decode_block
+
+    def counting(self, b):
+        calls["n"] += 1
+        return orig(self, b)
+
+    monkeypatch.setattr(segmod.TermPostings, "decode_block", counting)
+    for desc in (True, False):
+        calls["n"] = 0
+        full_d, full_v = score_sort_by_field(
+            preader, q, "ts", k=5, descending=desc
+        )
+        sd, sv = sorted_topk_by_field(
+            sreader, q, "ts", k=5, descending=desc
+        )
+        assert np.array_equal(sd, full_d) and np.array_equal(sv, full_v)
+        # k=5 + the boundary tie run (ts repeats every 250 values -> ~8
+        # docs per value) stays within a couple of edge blocks
+        assert calls["n"] <= max(2, total_blocks // 2), (desc, calls["n"])
+
+
+def test_sorted_path_respects_deletes(sorted_and_plain, tmp_path):
+    """Tombstoned docs never surface from the early-terminating path."""
+    import shutil
+
+    from lucene_ray.state.deletes import delete_docs
+
+    sdir, _, tbl = sorted_and_plain
+    work = str(tmp_path / "delidx")
+    shutil.copytree(sdir, work)
+    an = make_analyzer("standard_en")
+    q = parse_query("alpha", an)
+    before_d, before_v = sorted_topk_by_field(
+        IndexReader(work), q, "ts", k=8, descending=True
+    )
+    # tombstone the top hit by its INTERNAL id (deletes live in internal
+    # doc-ID space, like every other per-index structure)
+    orig_top = int(before_d[0])
+    internal = IndexReader(work).doc_values("orig_id")
+    pos = int(np.searchsorted(
+        np.sort(internal.doc_sorted_vals), orig_top))
+    # map orig->internal via the orig_id docvalues (doc_sorted arrays)
+    internal_id = int(
+        internal.doc_sorted_ids[internal.doc_sorted_vals == orig_top][0]
+    )
+    delete_docs(work, [internal_id])
+    after_d, after_v = sorted_topk_by_field(
+        IndexReader(work), q, "ts", k=8, descending=True
+    )
+    assert orig_top not in after_d.tolist()
+    assert len(after_d) == len(before_d)  # backfilled from deeper docs
