@@ -178,6 +178,16 @@ SPELL_INPUTS: Dict[int, str] = {
 }
 SPELL_TOPK = 5
 SUGGEST_PREFIXES: Dict[int, str] = {0: "st", 1: "cu", 2: "d", 3: "zzz"}
+# FuzzySuggester analogue: typed prefixes with typos. 'ke' is below
+# min_fuzzy_length (3) and completes exact-only; the rest allow 1
+# prefix-edit. Defaults mirror the reference (maxEdits=1,
+# nonFuzzyPrefix=1, minFuzzyLength=3).
+FUZZY_PREFIXES: Dict[int, str] = {
+    0: "strem", 1: "dat", 2: "ke", 3: "btch", 4: "sto",
+}
+FUZZY_MAX_EDITS = 1
+FUZZY_NON_FUZZY_PREFIX = 1
+FUZZY_MIN_LENGTH = 3
 
 # MoreLikeThis (queries module, lucene_ray/pipelines/mlt.py): query_id ->
 # source doc_id. max_terms kept modest (10) so the float64 score sum stays
@@ -1737,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- suggest module (DirectSpellChecker / WFSTCompletionLookup) ---
     q["spell_suggest"] = lambda sf: _spell_suggest(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
+    q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
 
     # --- queries module: MoreLikeThis ---
     q["mlt"] = lambda sf: _mlt(sf, boost=False)
@@ -1812,6 +1823,22 @@ def _suggest_prefix(sf_dir: str):
         _load_documents(sf_dir),
         [SUGGEST_PREFIXES[i] for i in sorted(SUGGEST_PREFIXES)],
         k=SPELL_TOPK,
+        cfg=cfg,
+    )
+
+
+def _suggest_fuzzy(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import complete_fuzzy
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return complete_fuzzy(
+        _load_documents(sf_dir),
+        [FUZZY_PREFIXES[i] for i in sorted(FUZZY_PREFIXES)],
+        k=SPELL_TOPK,
+        max_edits=FUZZY_MAX_EDITS,
+        non_fuzzy_prefix=FUZZY_NON_FUZZY_PREFIX,
+        min_fuzzy_length=FUZZY_MIN_LENGTH,
         cfg=cfg,
     )
 
@@ -3666,6 +3693,40 @@ ranked AS (
 )
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
        term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {SPELL_TOPK}"""
+
+    # FuzzySuggester analogue: a completion matches when some PREFIX of
+    # it is within max_edits plain-Levenshtein edits of the typed input
+    # (min over m of levenshtein(term[:m], p)); the first
+    # non_fuzzy_prefix chars must match exactly, and inputs shorter than
+    # min_fuzzy_length complete exact-only. Ranked (dist asc, df desc,
+    # term asc) — mirrors complete_fuzzy exactly.
+    _fz_vals = ", ".join(
+        f"({i}, '{FUZZY_PREFIXES[i]}', "
+        f"{1 if len(FUZZY_PREFIXES[i]) >= FUZZY_MIN_LENGTH else 0})"
+        for i in sorted(FUZZY_PREFIXES)
+    )
+    sql["suggest_fuzzy"] = f"""WITH {_BASE_CTES},
+q(query_id, p, fz) AS (VALUES {_fz_vals}),
+cand AS (
+  SELECT q.query_id, df.term, df.df,
+         CASE WHEN q.fz = 0 THEN 0 ELSE (
+           SELECT MIN(levenshtein(substr(df.term, 1, m), q.p))
+           FROM unnest(generate_series(1, length(df.term))) AS u(m)
+         ) END AS dist
+  FROM df CROSS JOIN q
+  WHERE CASE WHEN q.fz = 0 THEN starts_with(df.term, q.p)
+        ELSE starts_with(df.term, substr(q.p, 1, {FUZZY_NON_FUZZY_PREFIX}))
+        END
+),
+ranked AS (
+  SELECT query_id, term, df, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist, df DESC, term) AS rank
+  FROM cand WHERE dist <= {FUZZY_MAX_EDITS}
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df, CAST(dist AS INTEGER) AS dist
 FROM ranked WHERE rank <= {SPELL_TOPK}"""
 
     # MoreLikeThis: term selection (tf >= min_tf, df >= min_df, score =

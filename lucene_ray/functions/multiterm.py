@@ -146,6 +146,51 @@ def levenshtein_within(
     return out
 
 
+def prefix_edit_distance(
+    cands: Sequence[str], prefix: str, max_edits: int
+) -> dict:
+    """{candidate: d} where d = min over m>=1 of
+    levenshtein(candidate[:m], prefix), kept when d <= max_edits — the
+    FuzzySuggester prefix-automaton acceptance (a completion matches when
+    SOME prefix of it is within max_edits of what was typed). Same
+    vectorized column-DP as :func:`levenshtein_within`; the answer is the
+    min over the final DP row's columns instead of its last cell."""
+    q = np.frombuffer(prefix.encode("utf-32-le"), dtype=np.uint32)
+    m = len(q)
+    if m == 0:
+        return {}
+    by_len = {}
+    for c in cands:
+        if len(c) >= 1:
+            by_len.setdefault(len(c), []).append(c)
+    out = {}
+    for n, grp in by_len.items():
+        mat = np.empty((len(grp), n), dtype=np.uint32)
+        for i, c in enumerate(grp):
+            mat[i] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+        js = np.arange(1, n + 1, dtype=np.int32)
+        dp = np.broadcast_to(
+            np.arange(n + 1, dtype=np.int32), (len(grp), n + 1)
+        ).copy()
+        for i in range(1, m + 1):
+            prev = dp
+            t = np.minimum(
+                prev[:, :-1] + (mat != q[i - 1]).astype(np.int32),
+                prev[:, 1:] + 1,
+            )
+            u = t - js
+            np.minimum.accumulate(u, axis=1, out=u)
+            np.minimum(u, np.int32(i), out=u)
+            dp = np.empty_like(prev)
+            dp[:, 0] = i
+            dp[:, 1:] = u + js
+        dmin = dp[:, 1:].min(axis=1)
+        for i, c in enumerate(grp):
+            if int(dmin[i]) <= max_edits:
+                out[c] = int(dmin[i])
+    return out
+
+
 def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]:
     """Matching terms from a SORTED vocabulary, lexicographic order,
     capped at MAX_EXPANSIONS."""

@@ -167,3 +167,104 @@ def complete_prefix(
     return cands.groupby("query_id").map_groups(
         _topk_prefix(k), batch_format="pandas"
     )
+
+
+def _fuzzy_complete_matcher(
+    prefixes: Sequence[str], max_edits: int, non_fuzzy_prefix: int,
+    min_fuzzy_length: int, min_df: int,
+):
+    lowered = [p.lower() for p in prefixes]
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.multiterm import prefix_edit_distance
+
+        parts = []
+        dfs = batch.column("doc_freq").cast(pa.int64())
+        keep_df = pc.greater_equal(dfs, min_df)
+        batch_f = batch.filter(keep_df)
+        terms = batch_f.column("term").to_pylist()
+        df_np = batch_f.column("doc_freq").cast(pa.int64()).to_numpy()
+        for qid, p in enumerate(lowered):
+            if len(p) < min_fuzzy_length:
+                dist = {
+                    t: 0 for t in terms if t.startswith(p)
+                }  # too short to fuzz: exact prefix only
+            else:
+                head = p[:non_fuzzy_prefix]
+                cands = [t for t in terms if t.startswith(head)]
+                dist = prefix_edit_distance(cands, p, max_edits)
+            if not dist:
+                continue
+            idx = [i for i, t in enumerate(terms) if t in dist]
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(idx), pa.int32()),
+                        "term": pa.array([terms[i] for i in idx]),
+                        "df": pa.array(df_np[idx], pa.int64()),
+                        "dist": pa.array(
+                            [dist[terms[i]] for i in idx], pa.int32()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int32()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return match
+
+
+def _topk_fuzzy(k: int):
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["dist", "df", "term"], ascending=[True, False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "term", "df", "dist"]]
+
+    return topk
+
+
+def complete_fuzzy(
+    ds: "ray.data.Dataset",
+    prefixes: Sequence[str],
+    k: int = 5,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    min_df: int = 1,
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """FuzzySuggester analogue (reference:
+    suggest/.../analyzing/AnalyzingSuggester.java +
+    FuzzySuggester.java): a completion matches when some PREFIX of it is
+    within ``max_edits`` plain Levenshtein edits of the typed prefix, with
+    the reference's defaults-shaped knobs — the first ``non_fuzzy_prefix``
+    chars must match exactly, and inputs shorter than ``min_fuzzy_length``
+    complete exact-only. Ranked (prefix-distance asc, df desc, term asc) —
+    the reference ranks by weight alone over the fuzzed set; we surface
+    the distance as the primary key so exact completions always precede
+    fuzzed ones (documented deviation, mirrored by the SQL oracle).
+
+    -> Dataset(query_id, rank, term, df, dist)."""
+    stats = term_stats(ds, cfg)
+    cands = stats.map_batches(
+        _fuzzy_complete_matcher(
+            prefixes, max_edits, non_fuzzy_prefix, min_fuzzy_length, min_df
+        ),
+        batch_format="pyarrow",
+    )
+    return cands.groupby("query_id").map_groups(
+        _topk_fuzzy(k), batch_format="pandas"
+    )

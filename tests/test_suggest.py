@@ -103,3 +103,94 @@ def test_prefix_completion_ordering(ray_session):
         assert list(zip(got["term"], got["df"])) == want
     # no completions for an unmatched prefix
     assert (pdf.query_id == 2).sum() == 0
+
+
+def test_prefix_edit_distance_vs_model():
+    from lucene_ray.functions.multiterm import prefix_edit_distance
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i]
+            for j, cb in enumerate(b, 1):
+                ndp.append(min(ndp[-1] + 1, dp[j] + 1, dp[j - 1] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    cands = ["stream", "store", "strange", "zebra", "st", "s",
+             "streaming", "xstream", "strem"]
+    for p in ("strem", "stor", "zzz", "stream"):
+        got = prefix_edit_distance(cands, p, 1)
+        want = {}
+        for c in cands:
+            d = min(lev(c[:m], p) for m in range(1, len(c) + 1))
+            if d <= 1:
+                want[c] = d
+        assert got == want, p
+
+
+def _fuzzy_oracle(prefix, k, max_edits=1, non_fuzzy_prefix=1,
+                  min_fuzzy_length=3, min_df=1):
+    """Brute-force FuzzySuggester model over the same vocab."""
+    df = _vocab_df()
+    p = prefix.lower()
+    cands = []
+    for t, d in df.items():
+        if d < min_df:
+            continue
+        if len(p) < min_fuzzy_length:
+            if t.startswith(p):
+                cands.append((0, -d, t))
+            continue
+        if not t.startswith(p[:non_fuzzy_prefix]):
+            continue
+        dist = min(_levenshtein(t[:m], p) for m in range(1, len(t) + 1))
+        if dist <= max_edits:
+            cands.append((dist, -d, t))
+    cands.sort()
+    return [(t, dist, -neg) for dist, neg, t in cands[:k]]
+
+
+def test_complete_fuzzy_vs_bruteforce(ray_session):
+    from lucene_ray.pipelines.suggest import complete_fuzzy
+
+    prefixes = ["strem", "st", "dta", "qqqq"]
+    out = complete_fuzzy(_ds(), prefixes, k=5, cfg=CFG).to_pandas()
+    for qid, p in enumerate(prefixes):
+        got = out[out.query_id == qid].sort_values("rank")
+        want = _fuzzy_oracle(p, 5)
+        assert [
+            (r.term, r.dist, r.df)
+            for r in got.itertuples(index=False)
+        ] == want, p
+    # 'strem' fuzz-matches the 'stream*' family at dist<=1
+    q0 = out[out.query_id == 0]
+    assert "stream" in set(q0["term"])
+    assert (q0["dist"] <= 1).all()
+    # short input -> exact-prefix-only (min_fuzzy_length gate)
+    q1 = out[out.query_id == 1]
+    assert (q1["dist"] == 0).all()
+    assert all(t.startswith("st") for t in q1["term"])
+
+
+def test_complete_fuzzy_knobs(ray_session):
+    from lucene_ray.pipelines.suggest import complete_fuzzy
+
+    # non_fuzzy_prefix=2 kills candidates whose 2nd char differs
+    out = complete_fuzzy(
+        _ds(), ["dta"], k=5, non_fuzzy_prefix=2, cfg=CFG
+    ).to_pandas()
+    assert _fuzzy_oracle("dta", 5, non_fuzzy_prefix=2) == []
+    assert len(out) == 0
+    # ... while non_fuzzy_prefix=1 (default) finds the 'da*' family
+    out1 = complete_fuzzy(_ds(), ["dta"], k=5, cfg=CFG).to_pandas()
+    want = _fuzzy_oracle("dta", 5)
+    assert want and [
+        (r.term, r.dist, r.df) for r in
+        out1.sort_values("rank").itertuples(index=False)
+    ] == want
+    # min_df filters rare completions
+    out2 = complete_fuzzy(_ds(), ["strem"], k=5, min_df=2, cfg=CFG).to_pandas()
+    dfv = _vocab_df()
+    assert len(out2) > 0
+    assert all(dfv[t] >= 2 for t in out2["term"])
