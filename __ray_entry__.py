@@ -418,6 +418,19 @@ PHRASE_SLOPPY_QUERY_SETS: Dict[int, str] = {
     3: '"customer join"~0', # slop 0 == exact matcher
 }
 
+# Three-term sloppy phrases: exact minimal window per anchor via the
+# smallest-range sweep (query.py::_min_window — no greedy pick since r2
+# late). The SQL oracle enumerates the full (b, c) cross product per
+# anchor and takes MIN window width; the idf sum is written as explicit
+# left-associated addition matching the engine's sequential float64
+# accumulation (3 terms would make an unordered SUM order-dependent).
+PHRASE_SLOPPY3_QUERY_SETS: Dict[int, str] = {
+    0: '"customer hash table"~4',
+    1: '"data stream join"~6',
+    2: '"sort merge window"~5',
+    3: '"key zzzmissing table"~4',  # absent term -> empty result
+}
+
 
 def _query_string(spec) -> str:
     must, should, must_not, msm = spec
@@ -1209,6 +1222,15 @@ def _bm25_phrase_sloppy(sf_dir: str):
     )
 
 
+def _bm25_phrase_sloppy3(sf_dir: str):
+    """Three-term sloppy phrase top-k (exact minimal window per anchor)."""
+    return _run_query_strings(
+        sf_dir,
+        PHRASE_SLOPPY3_QUERY_SETS,
+        index_dir=_ensure_index(sf_dir, positions=True),
+    )
+
+
 def _interval_ordered(sf_dir: str):
     """IntervalQuery top-k (minimal ordered intervals + saturation score)
     over the positions-enabled index. -> (query_id, rank, doc_id, score)."""
@@ -1724,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_explain"] = lambda sf: _bm25_explain(sf)
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
+    q["bm25_phrase_sloppy3"] = lambda sf: _bm25_phrase_sloppy3(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
@@ -3104,6 +3127,71 @@ def _phrase_sloppy_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+def _phrase_sloppy3_sql() -> str:
+    """Oracle for bm25_phrase_sloppy3 (three DISTINCT-term phrases): per
+    anchor position of the first term, L = MIN over the full (b, c) cross
+    product of GREATEST-LEAST displacement window width — exactly the
+    engine's smallest-range minimal window. Anchors with L <= slop
+    contribute 1/(1+L); idf written as left-associated explicit addition
+    ((i0+i1)+i2) matching the engine's sequential accumulation."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+    def idf(term: str) -> str:
+        return (
+            f"(SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{term}')"
+        )
+
+    selects = []
+    for qid, qs in sorted(PHRASE_SLOPPY3_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert len(q.terms) == 3 and len(set(q.terms)) == 3, (
+            "sloppy3 oracle covers three distinct-term phrases"
+        )
+        t0, t1, t2 = q.terms
+        o1, o2 = q.offsets[1], q.offsets[2]
+        idf_expr = f"(({idf(t0)} + {idf(t1)}) + {idf(t2)})"
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf_expr}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, SUM(1.0 / (1.0 + L)) AS pf FROM (
+        SELECT a.doc_id, a.pos,
+               MIN(GREATEST(a.pos, b.pos - {o1}, c.pos - {o2})
+                   - LEAST(a.pos, b.pos - {o1}, c.pos - {o2})) AS L
+        FROM ptok a
+        JOIN ptok b ON b.doc_id = a.doc_id AND b.term = '{t1}'
+        JOIN ptok c ON c.doc_id = a.doc_id AND c.term = '{t2}'
+        WHERE a.term = '{t0}'
+        GROUP BY a.doc_id, a.pos
+      ) WHERE L <= {q.slop} GROUP BY doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _must_multi_sql() -> str:
     """Oracle for MUST multi-term groups: each `+pattern` clause becomes a
     per-group matched-count column required >= 1; group-matched terms score
@@ -3627,6 +3715,7 @@ FROM tf GROUP BY term"""
     sql["bm25_explain"] = _explain_sql()
     sql["bm25_phrase"] = _phrase_sql()
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
+    sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["geo_distance"] = _geo_sql()

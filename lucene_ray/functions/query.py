@@ -35,6 +35,7 @@ reference's TestWANDScorer pattern):
 from __future__ import annotations
 
 import heapq
+import itertools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -93,15 +94,19 @@ class PhraseQuery:
     exactly the reference's QueryParser-built phrase with position gaps.
 
     ``slop > 0`` (``"a b"~N`` syntax) allows per-term displacement: a match
-    anchored at a position of the first term picks each other term's
-    nearest-displacement position; matchLength L = max(displacement) -
-    min(displacement) must be <= slop, and each match contributes the
-    reference's sloppyWeight 1/(1+L) to the (float) phrase frequency
-    (BM25Similarity feeds float freqs). The classic behavior follows:
-    adjacent extra word needs slop 1, reversed order needs slop 2. For 3+
-    terms the nearest-displacement pick is a deterministic greedy
-    approximation of the reference's minimal-window enumeration
-    (documented deviation; slop=0 is the exact matcher)."""
+    anchored at a position of the first term takes the EXACT minimal
+    displacement window over one position choice per remaining term
+    (smallest-range sweep in ``_min_window``); matchLength L = window
+    width must be <= slop, and each match contributes the reference's
+    sloppyWeight 1/(1+L) to the (float) phrase frequency (BM25Similarity
+    feeds float freqs). The classic behavior follows: adjacent extra word
+    needs slop 1, reversed order needs slop 2. Repeated terms claim
+    distinct raw token positions (SloppyPhraseMatcher repeats handling),
+    exact up to ``_REPEAT_COMBO_CAP`` assignments per anchor. Anchor
+    enumeration is per-first-term-position — a deterministic, SQL-
+    expressible refinement of the reference's PhrasePositions sweep
+    (documented deviation: the reference may count extra wider matches
+    per anchor); slop=0 is the exact adjacency matcher."""
 
     terms: Tuple[str, ...]
     offsets: Tuple[int, ...]
@@ -889,12 +894,59 @@ def _phrase_scored(reader, phrase: PhraseQuery):
     return docs_u.astype(np.int64), scores.astype(dtype, copy=False), dtype
 
 
+def _min_window(fixed, lists):
+    """Smallest covering-range width over the singleton values ``fixed``
+    plus one element from each sorted array in ``lists`` (the classic
+    smallest-range-over-K-lists sweep: repeatedly record the current
+    span and advance the minimum list). Because the fixed values are
+    singleton lists, every recorded span contains them, so the result is
+    the minimal window through those anchors. Returns None if a list is
+    empty."""
+    heap = []
+    for fi, v in enumerate(fixed):
+        heap.append((int(v), -1 - fi))
+    ptr = [0] * len(lists)
+    for i, arr in enumerate(lists):
+        if len(arr) == 0:
+            return None
+        heap.append((int(arr[0]), i))
+    end = max(v for v, _ in heap)
+    heapq.heapify(heap)
+    best = None
+    while True:
+        v, i = heapq.heappop(heap)
+        w = end - v
+        if best is None or w < best:
+            best = w
+        if i < 0:
+            return best  # a fixed anchor is the minimum: cannot advance
+        ptr[i] += 1
+        if ptr[i] >= len(lists[i]):
+            return best
+        nv = int(lists[i][ptr[i]])
+        if nv > end:
+            end = nv
+        heapq.heappush(heap, (nv, i))
+
+
+# repeats handling: cap on the product of the repeated slots' candidate
+# windows per anchor; beyond it each repeated window is truncated to the
+# positions nearest the anchor (bounded work on pathological docs)
+_REPEAT_COMBO_CAP = 4096
+_REPEAT_TRUNC = 16
+
+
 def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
     """Sloppy phrase frequencies (SloppyPhraseMatcher analogue): for each
-    candidate doc (boolean AND of the phrase terms), each anchor position
-    of the first term picks every other term's nearest-displacement
-    position; matchLength L = displacement window width; matches with
-    L <= slop contribute 1/(1+L). -> (docs, float freqs)."""
+    candidate doc (boolean AND of the phrase terms) and each anchor
+    position of the first term, L = the EXACT minimal displacement-window
+    width over one position choice per remaining term (smallest-range
+    sweep, so 3+-term phrases are no longer greedy); matches with
+    L <= slop contribute the reference's sloppyWeight 1/(1+L)
+    (search/similarities/Similarity.java float freq). A repeated term
+    must claim DISTINCT raw token positions (SloppyPhraseMatcher repeats
+    handling) — enumerated exactly up to _REPEAT_COMBO_CAP choices per
+    anchor. -> (docs, float freqs)."""
     per_term = [pos_cache[t] for t in phrase.terms]
     cand = per_term[0][0]
     for docs, _, _ in per_term[1:]:
@@ -910,6 +962,15 @@ def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
     slop = phrase.slop
     offsets = phrase.offsets
     terms = phrase.terms
+    nslots = len(terms)
+    # slots of terms that appear more than once in the phrase need the
+    # distinct-raw-position constraint; all others are free lists
+    counts: Dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    rep_slots = [i for i in range(1, nslots) if counts[terms[i]] > 1]
+    free_slots = [i for i in range(1, nslots) if counts[terms[i]] == 1]
+    anchor_repeated = counts[terms[0]] > 1
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         plists = []
@@ -918,35 +979,77 @@ def _sloppy_freqs(pos_cache: Dict[str, tuple], phrase: PhraseQuery):
             plists.append(disp[int(starts[r]) : int(starts[r + 1])])
         f = 0.0
         for p0 in plists[0].tolist():
-            lo = hi = p0
-            # a repeated term must occupy DISTINCT token positions (the
-            # reference's repeats handling in SloppyPhraseMatcher) — track
-            # each term's claimed raw positions per anchor
-            used = {terms[0]: {p0 + offsets[0]}}
+            # only positions within [p0-slop, p0+slop] can sit in a
+            # window of width <= slop through the anchor
+            wins = [None] * nslots
             ok = True
-            for i in range(1, len(plists)):
-                pi = plists[i]
-                taken = used.setdefault(terms[i], set())
-                j = int(np.searchsorted(pi, p0))
-                best = None
-                for jj in (j - 1, j, j - 2, j + 1):
-                    if 0 <= jj < len(pi):
-                        v = int(pi[jj])
-                        if (v + offsets[i]) in taken:
-                            continue
-                        if best is None or abs(v - p0) < abs(best - p0):
-                            best = v
-                if best is None:
+            for i in range(1, nslots):
+                arr = plists[i]
+                lo = int(np.searchsorted(arr, p0 - slop, "left"))
+                hi = int(np.searchsorted(arr, p0 + slop, "right"))
+                if hi <= lo:
                     ok = False
                     break
-                taken.add(best + offsets[i])
-                lo = min(lo, best)
-                hi = max(hi, best)
-            if ok and hi - lo <= slop:
-                f += 1.0 / (1.0 + (hi - lo))
+                wins[i] = arr[lo:hi]
+            if not ok:
+                continue
+            if not rep_slots:
+                L = _min_window([p0], [wins[i] for i in free_slots])
+            else:
+                L = _min_window_repeats(
+                    p0, wins, rep_slots, free_slots, offsets, terms,
+                    anchor_repeated,
+                )
+            if L is not None and L <= slop:
+                f += 1.0 / (1.0 + L)
         freqs[ci] = f
     keep = freqs > 0
     return cand[keep], freqs[keep]
+
+
+def _min_window_repeats(
+    p0, wins, rep_slots, free_slots, offsets, terms, anchor_repeated
+):
+    """Exact minimal window when the phrase repeats a term: enumerate
+    ordered assignments of the repeated slots (distinct raw positions per
+    term, the anchor slot's raw position excluded for its own term), run
+    the smallest-range sweep over anchor+assignment+free lists, take the
+    min."""
+    arrs = []
+    total = 1
+    for i in rep_slots:
+        arr = wins[i]
+        total *= len(arr)
+        arrs.append(arr)
+    if total > _REPEAT_COMBO_CAP:
+        arrs = []
+        for i in rep_slots:
+            arr = wins[i]
+            if len(arr) > _REPEAT_TRUNC:
+                order = np.argsort(np.abs(arr - p0), kind="stable")
+                arr = np.sort(arr[order[:_REPEAT_TRUNC]])
+            arrs.append(arr)
+    free = [wins[i] for i in free_slots]
+    raw0 = p0 + offsets[0] if anchor_repeated else None
+    best = None
+    for combo in itertools.product(*[a.tolist() for a in arrs]):
+        used = {}
+        if raw0 is not None:
+            used[terms[0]] = {raw0}
+        ok = True
+        for i, v in zip(rep_slots, combo):
+            taken = used.setdefault(terms[i], set())
+            rv = v + offsets[i]
+            if rv in taken:
+                ok = False
+                break
+            taken.add(rv)
+        if not ok:
+            continue
+        L = _min_window([p0, *combo], free)
+        if L is not None and (best is None or L < best):
+            best = L
+    return best
 
 
 def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:

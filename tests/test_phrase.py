@@ -210,3 +210,151 @@ def test_phrase_requires_positions(ray_session, tmp_path):
     an = make_analyzer("en_nostem_simple")
     with pytest.raises(ValueError, match="positions"):
         score_exhaustive(_reader(out), parse_query('"data stream"', an), 10)
+
+def _brute_sloppy(analyzer, texts, phrase_terms, offsets, slop):
+    """Model: per anchor of the first term, minimal window over the full
+    cross-product of the other terms' positions (distinct raw positions
+    for repeated terms); freq = sum of 1/(1+L) over anchors with L<=slop."""
+    import itertools as it
+
+    out = {}
+    for d, text in enumerate(texts):
+        terms, pos = analyzer.analyze_positions(text)
+        index = {}
+        for t, p in zip(terms, pos):
+            index.setdefault(t, []).append(p)
+        lists = [sorted(index.get(t, [])) for t in phrase_terms]
+        if any(not lst for lst in lists):
+            continue
+        f = 0.0
+        for p0raw in lists[0]:
+            p0 = p0raw - offsets[0]
+            best = None
+            for combo in it.product(*lists[1:]):
+                raws = [p0raw] + [
+                    c for c in combo
+                ]
+                # distinct raw positions per identical term
+                ok = True
+                seen = {}
+                for t, rw in zip(phrase_terms, raws):
+                    s = seen.setdefault(t, set())
+                    if rw in s:
+                        ok = False
+                        break
+                    s.add(rw)
+                if not ok:
+                    continue
+                disp = [p0] + [
+                    c - off for c, off in zip(combo, offsets[1:])
+                ]
+                L = max(disp) - min(disp)
+                if best is None or L < best:
+                    best = L
+            if best is not None and best <= slop:
+                f += 1.0 / (1.0 + best)
+        if f > 0:
+            out[d] = f
+    return out
+
+
+TEXTS3 = [
+    "alpha beta gamma",                       # L=0
+    "alpha xx beta yy gamma",                 # L=2 spread
+    "gamma beta alpha",                       # reversed
+    "alpha beta beta gamma alpha",            # repeats around
+    "beta alpha gamma beta zz alpha",         # scrambled
+    "alpha gamma",                            # missing beta
+    "alpha alpha beta gamma gamma beta",      # heavy repeats
+    "xx alpha yy beta zz gamma alpha beta",   # two anchor options
+]
+
+
+@pytest.mark.parametrize("qs", [
+    '"alpha beta gamma"~2',
+    '"alpha beta gamma"~5',
+    '"gamma beta alpha"~4',
+    '"alpha beta alpha"~6',   # repeated anchor term
+    '"beta beta gamma"~3',    # repeated non-anchor term
+])
+def test_sloppy_three_term_exact_vs_bruteforce(ray_session, tmp_path, qs):
+    """>2-term sloppy phrases are exact minimal-window per anchor (no
+    greedy nearest-pick deviation) — checked against full cross-product
+    enumeration with the distinct-positions repeats constraint."""
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_exhaustive
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+
+    out = str(tmp_path / "pidx3")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS3)), pa.int64()),
+            "text": pa.array(TEXTS3, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=3,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS3))
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query(qs, an)
+    ref = _brute_sloppy(an, TEXTS3, q.terms, q.offsets, q.slop)
+    from lucene_ray.functions.query import _sloppy_freqs
+    from lucene_ray.pipelines.search import get_reader
+
+    r = get_reader(out)
+    pos_cache = {t: r.term_positions(t) for t in q.terms}
+    docs_u, pf = _sloppy_freqs(pos_cache, q)
+    got = dict(zip(docs_u.tolist(), pf.tolist()))
+    assert got == pytest.approx(ref)
+    d, _ = score_exhaustive(r, q, 20)
+    assert sorted(d.tolist()) == sorted(ref)
+
+
+def test_sloppy_random_texts_exact_vs_bruteforce(ray_session, tmp_path):
+    """Randomized 3/4-term sloppy phrases vs the cross-product model."""
+    import random
+
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import PhraseQuery, _sloppy_freqs
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    rng = random.Random(42)
+    vocab = ["ra", "rb", "rc", "rd"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+        for _ in range(40)
+    ]
+    out = str(tmp_path / "pidxr")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(texts))
+    an = make_analyzer("en_nostem_simple")
+    r = get_reader(out)
+    for trial in range(12):
+        k = rng.choice([3, 4])
+        terms = tuple(rng.choice(vocab) for _ in range(k))
+        offsets = tuple(range(k))
+        slop = rng.randint(0, 6)
+        if slop == 0:
+            continue
+        q = PhraseQuery(terms=terms, offsets=offsets, slop=slop)
+        ref = _brute_sloppy(an, texts, terms, offsets, slop)
+        pos_cache = {t: r.term_positions(t) for t in q.terms}
+        docs_u, pf = _sloppy_freqs(pos_cache, q)
+        got = dict(zip(docs_u.tolist(), pf.tolist()))
+        assert got == pytest.approx(ref), (terms, slop)
