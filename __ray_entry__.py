@@ -1787,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- dedup suite ---
     q["dedup_exact"] = lambda sf: _dedup_exact(sf)
     q["neardup_jaccard"] = lambda sf: _neardup_jaccard(sf)
+    q["dedup_clusters"] = lambda sf: _dedup_clusters(sf)
     q["neardup_minhash"] = lambda sf: _neardup_minhash(sf)  # rows-only
     q["neardup_simhash"] = lambda sf: _neardup_simhash(sf)  # rows-only
     q["neardup_embedding"] = lambda sf: _neardup_embedding(sf)
@@ -1910,6 +1911,21 @@ def _neardup_jaccard(sf_dir: str):
     from lucene_ray.pipelines.dedup import jaccard_neardup_pairs
 
     return jaccard_neardup_pairs(
+        _load_documents(sf_dir),
+        k=SHINGLE_K,
+        df_max=JACCARD_DF_MAX,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _dedup_clusters(sf_dir: str):
+    """Near-dup clusters: verified Jaccard pairs -> connected components
+    (cluster_id = min reachable doc_id) via distributed min-label
+    propagation — the keep/drop decision a 100-TB dedup pipeline feeds
+    into its writer."""
+    from lucene_ray.pipelines.dedup import dedup_clusters
+
+    return dedup_clusters(
         _load_documents(sf_dir),
         k=SHINGLE_K,
         df_max=JACCARD_DF_MAX,
@@ -3916,7 +3932,7 @@ FROM checked, range(0, {N_FRAMES}) s(i)"""
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1"""
 
-    sql["neardup_jaccard"] = f"""WITH tl AS (
+    jaccard_ctes = f"""tl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
 ),
@@ -3939,11 +3955,34 @@ inter AS (
   JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+    sql["neardup_jaccard"] = f"""WITH {jaccard_ctes}
 SELECT i.doc_a, i.doc_b,
        round(icnt * 1.0 / (sa.n + sb.n - icnt), 4) AS jaccard
 FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE icnt * 1.0 / (sa.n + sb.n - icnt) >= {JACCARD_THRESHOLD}"""
+
+    # dedup_clusters: the same verified pair set -> connected components
+    # (min reachable doc_id) via a recursive CTE — the SQL twin of the
+    # engine's min-label propagation
+    sql["dedup_clusters"] = f"""WITH RECURSIVE {jaccard_ctes},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+               JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE icnt * 1.0 / (sa.n + sb.n - icnt) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n"""
 
     sql["neardup_embedding"] = f"""WITH {_EMB_CTES},
 dot AS (

@@ -947,3 +947,156 @@ def keep_list_from_pairs(all_ids: np.ndarray, pairs: pa.Table) -> np.ndarray:
     drop = set(pairs.column("doc_b").to_pylist())
     mask = ~np.isin(all_ids, np.asarray(sorted(drop), dtype=np.int64))
     return all_ids[mask]
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (dedup clustering)
+# ---------------------------------------------------------------------------
+
+CLUSTERS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+)
+
+
+def connected_components_ds(
+    pairs: "ray.data.Dataset",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 30,
+) -> "ray.data.Dataset":
+    """Connected components over an undirected pair Dataset by min-label
+    propagation -> Dataset(doc_id, cluster_id) for every doc that appears
+    in at least one pair; cluster_id = the smallest doc_id reachable
+    (docs with no duplicate pair are implicitly their own singleton and
+    are NOT emitted).
+
+    Distributed shape (nothing driver-side, no joins): each round is two
+    bounded groupbys —
+
+    1. ``groupby(node)`` over edges ∪ current labels: the group for node
+       ``a`` holds its label row and its adjacency rows; re-emit the
+       label to every neighbor (and to ``a`` itself);
+    2. ``groupby(node).min(label)`` combines the received candidates
+       into the new label (Ray pre-aggregates the min inside blocks
+       before the shuffle).
+
+    Labels only ever decrease, so the SUM of all labels is strictly
+    monotone and constant exactly at the fixed point — the convergence
+    test is a cheap aggregate, not a change-join. Rounds needed = graph
+    diameter (web dup clusters are tiny and shallow; ``max_iters`` is a
+    guard, raised on overrun). Per-round state (one row per implicated
+    doc) is materialized in the OBJECT STORE between rounds — the
+    standard iterative-algorithm checkpoint, never on the driver.
+    """
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "val": np.concatenate([b, a]),
+                # tag 0 = label row, 1 = edge row (label sorts first)
+                "tag": np.ones(len(a) * 2, dtype=np.int8),
+            }
+        )
+
+    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(CLUSTERS_SCHEMA.empty_table())
+
+    def spread(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        # per node: label = min(node, its tag-0 rows); groups arrive
+        # sorted by the groupby key, so segment boundaries are run ends
+        uniq, starts = np.unique(node, return_index=True)
+        ends = np.append(starts[1:], len(node))
+        out_nodes: List[np.ndarray] = []
+        out_labels: List[np.ndarray] = []
+        for u, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            seg_tag = tag[s:e]
+            seg_val = val[s:e]
+            lab = seg_val[seg_tag == 0]
+            label = min(int(lab.min()), u) if len(lab) else u
+            nbrs = seg_val[seg_tag == 1]
+            out_nodes.append(nbrs)
+            out_labels.append(np.full(len(nbrs), label, dtype=np.int64))
+            out_nodes.append(np.array([u], dtype=np.int64))
+            out_labels.append(np.array([label], dtype=np.int64))
+        return pa.table(
+            {
+                "node": np.concatenate(out_nodes),
+                "label": np.concatenate(out_labels),
+            }
+        )
+
+    labels = None
+    prev_sum = None
+    for _ in range(max_iters):
+        if labels is None:
+            u = edges
+        else:
+
+            def as_label_rows(batch: pa.Table) -> pa.Table:
+                n = len(batch)
+                return pa.table(
+                    {
+                        "node": batch.column("node"),
+                        "val": batch.column("label"),
+                        "tag": np.zeros(n, dtype=np.int8),
+                    }
+                )
+
+            u = edges.union(
+                labels.map_batches(as_label_rows, batch_format="pyarrow")
+            )
+        cand = u.groupby("node").map_groups(spread, batch_format="pyarrow")
+        labels = (
+            cand.groupby("node")
+            .min("label")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "label": b.column("min(label)"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds"
+        )
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    df_max: int = 10,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Near-dup CLUSTERS: verified Jaccard pairs -> connected components
+    -> sorted Arrow table (doc_id, cluster_id). cluster_id = min doc_id
+    of the component (the canonical keeper a 100-TB pipeline would
+    retain); a doc keeps itself iff doc_id == cluster_id."""
+    pairs = jaccard_neardup_pairs_ds(ds, k, df_max, threshold, num_buckets)
+    cc = connected_components_ds(pairs)
+    rows = cc.take_all()
+    if not rows:
+        return CLUSTERS_SCHEMA.empty_table()
+    tbl = pa.Table.from_pylist(rows, schema=CLUSTERS_SCHEMA)
+    return tbl.sort_by([("doc_id", "ascending")])

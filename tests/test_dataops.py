@@ -537,3 +537,86 @@ def test_frame_sample_and_audio_features(ray_session):
         concurrency=1,
     ).take_all()
     assert {r["doc_id"]: r["features"] for r in feats2} == by_doc
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation clusters == brute-force union-find, including
+    a chain whose diameter forces multiple propagation rounds."""
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import connected_components_ds
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([2, 3, 9, 5, 10, 11, 12, 13, 20], pa.int64()),
+            "doc_b": pa.array([1, 2, 3, 6, 11, 12, 13, 14, 21], pa.int64()),
+        }
+    )
+    # brute union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ds(ray.data.from_arrow(pairs)).take_all()
+    }
+    assert got == want
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    assert connected_components_ds(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_dedup_clusters_from_texts(ray_session):
+    """dedup_clusters groups transitive near-dups: A~B and B~C put A, B, C
+    in one cluster keyed by the smallest doc_id even when A and C are not
+    themselves a verified pair."""
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import (
+        dedup_clusters,
+        jaccard_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [
+        base + "alpha beta gamma delta epsilon zeta",         # 0
+        base + "alpha beta gamma delta epsilon eta",          # 1 ~ 0
+        base + "alpha beta gamma delta theta eta",            # 2 ~ 1 (less ~0)
+        "completely different words about ray data engines "
+        "and arrow tables columnar formats",                  # 3
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    pairs = jaccard_neardup_pairs(ds, df_max=20, threshold=0.6)
+    clusters = dedup_clusters(ds, df_max=20, threshold=0.6)
+    got = dict(
+        zip(
+            clusters.column("doc_id").to_pylist(),
+            clusters.column("cluster_id").to_pylist(),
+        )
+    )
+    # every doc in a verified pair got a cluster; transitivity holds
+    in_pairs = set(pairs.column("doc_a").to_pylist()) | set(
+        pairs.column("doc_b").to_pylist()
+    )
+    assert set(got) == in_pairs
+    assert 3 not in got
+    if {0, 1, 2} <= in_pairs:
+        assert got[0] == got[1] == got[2] == 0
