@@ -418,6 +418,25 @@ PHRASE_SLOPPY_QUERY_SETS: Dict[int, str] = {
     3: '"customer join"~0', # slop 0 == exact matcher
 }
 
+# Block join (join module: ToParentBlockJoinQuery / ToChildBlockJoinQuery):
+# children = 16-token chunks of each document, doc-block invariant via the
+# (parent << 16) | chunk ID encoding. (child query, ScoreMode) per set.
+BLOCK_JOIN_CHUNK = 16
+BLOCK_JOIN_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("hash join", "max"),
+    1: ("hash join", "total"),
+    2: ("hash join", "avg"),
+    3: ("customer value", "max"),
+    4: ("stream", "total"),
+}
+# parent-side query for ToChildBlockJoin: top parents' scores propagate
+# to every child in their blocks
+BLOCK_JOIN_CHILD_QUERY_SETS: Dict[int, str] = {
+    0: "spark window",
+    1: "dup",
+}
+BLOCK_JOIN_KPARENTS = 5
+
 # Three-term sloppy phrases: exact minimal window per anchor via the
 # smallest-range sweep (query.py::_min_window — no greedy pick since r2
 # late). The SQL oracle enumerates the full (b, c) cross product per
@@ -1222,6 +1241,109 @@ def _bm25_phrase_sloppy(sf_dir: str):
     )
 
 
+def _ensure_child_index(sf_dir: str) -> str:
+    """Build (or reuse) the block-join child index: 16-token chunks with
+    (parent << 16) | chunk doc IDs."""
+    from lucene_ray.pipelines.blockjoin import build_child_index
+    from lucene_ray.state.segment import read_manifest
+
+    key = (sf_dir, "child", BLOCK_JOIN_CHUNK)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_idx/{tag}-child{BLOCK_JOIN_CHUNK}"
+    import pyarrow.parquet as pq
+
+    doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint_probe = f"child;parents={doc_count};chunk={BLOCK_JOIN_CHUNK}"
+    try:
+        mf = read_manifest(out)
+        if mf.get("blockjoin_tag") == fingerprint_probe:
+            _INDEX_CACHE[key] = out
+            return out
+    except Exception:
+        pass
+    build_child_index(
+        _load_documents(sf_dir), out, chunk_size=BLOCK_JOIN_CHUNK
+    )
+    # stamp the manifest so re-runs skip the rebuild
+    import json
+
+    mf_path = os.path.join(out, "manifest.json")
+    with open(mf_path) as f:
+        mf = json.load(f)
+    mf["blockjoin_tag"] = fingerprint_probe
+    tmp = mf_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(mf, f)
+    os.replace(tmp, mf_path)
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _block_join(sf_dir: str):
+    """ToParentBlockJoin: child BM25 hits aggregated to parents under
+    each set's ScoreMode. -> (query_id, rank, parent_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.blockjoin import to_parent_join
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_child_index(sf_dir))
+    qids, ranks, parents, scores = [], [], [], []
+    for qid, (qs, mode) in sorted(BLOCK_JOIN_QUERY_SETS.items()):
+        p, s = to_parent_join(reader, qs, score_mode=mode, k=TOPK)
+        qids.extend([qid] * len(p))
+        ranks.extend(range(1, len(p) + 1))
+        parents.extend(p.tolist())
+        scores.extend(round_half_away(s, 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "parent_id": pa.array(parents, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _block_join_child(sf_dir: str):
+    """ToChildBlockJoin: top parents by BM25 expand to all their chunk
+    children, each carrying the parent score.
+    -> (query_id, child_id, parent_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.blockjoin import (
+        child_chunk_counts,
+        to_child_join,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    counts = child_chunk_counts(
+        _load_documents(sf_dir), chunk_size=BLOCK_JOIN_CHUNK
+    )
+    qids, kids, parents, scores = [], [], [], []
+    for qid, qs in sorted(BLOCK_JOIN_CHILD_QUERY_SETS.items()):
+        c, p, s = to_child_join(
+            reader, qs, counts, k_parents=BLOCK_JOIN_KPARENTS
+        )
+        qids.extend([qid] * len(c))
+        kids.extend(c.tolist())
+        parents.extend(p.tolist())
+        scores.extend(round_half_away(s, 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "child_id": pa.array(kids, pa.int64()),
+            "parent_id": pa.array(parents, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def _bm25_phrase_sloppy3(sf_dir: str):
     """Three-term sloppy phrase top-k (exact minimal window per anchor)."""
     return _run_query_strings(
@@ -1760,6 +1882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
     q["join_query"] = lambda sf: _join_query(sf)
+    q["block_join"] = lambda sf: _block_join(sf)
+    q["block_join_child"] = lambda sf: _block_join_child(sf)
 
     # --- classification module ---
     q["classify_nb"] = lambda sf: _classify_nb(sf)
@@ -3208,6 +3332,111 @@ def _phrase_sloppy3_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+_CHILD_ID_BASE = 1 << 16  # blockjoin.CHILD_SHIFT
+
+
+def _block_join_ctes() -> str:
+    """Child-index BM25 CTEs: the documents' token streams chopped into
+    BLOCK_JOIN_CHUNK-token chunks, each chunk a child doc with its own
+    tf/dl/df/stats (the SQL twin of the child index built by
+    pipelines/blockjoin.py)."""
+    return f"""tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+ctok AS (
+  SELECT doc_id AS parent,
+         CAST(FLOOR((i - 1) / {BLOCK_JOIN_CHUNK}) AS BIGINT) AS chunk,
+         toks[i] AS term
+  FROM tl, UNNEST(range(1, len(toks) + 1)) AS s(i)
+),
+ctf AS (
+  SELECT parent, chunk, term, COUNT(*) AS tf
+  FROM ctok WHERE term NOT IN {_STOP_SQL} GROUP BY 1, 2, 3
+),
+cdl AS (
+  SELECT parent, chunk, CAST(SUM(tf) AS BIGINT) AS dl
+  FROM ctf GROUP BY 1, 2
+),
+cstats AS (
+  SELECT (SELECT CAST(SUM(CAST(CEIL(len(toks) * 1.0 / {BLOCK_JOIN_CHUNK})
+                               AS BIGINT)) AS BIGINT) FROM tl) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM cdl) AS sum_tf
+),
+cdf AS (SELECT term, COUNT(*) AS df FROM ctf GROUP BY term),
+csc AS (
+  SELECT ctf.parent, ctf.chunk, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+           * (ctf.tf / (ctf.tf + {K1} * ((1 - {B}) + {B} * cdl.dl
+                / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+  FROM ctf
+  JOIN cdf USING (term)
+  JOIN cdl USING (parent, chunk)
+  CROSS JOIN cstats s
+)"""
+
+
+def _block_join_sql() -> str:
+    """Oracle for block_join: per-chunk BM25 SHOULD-sum, aggregated to
+    the parent under each set's ScoreMode (MAX / SUM / AVG over matching
+    children)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    agg_of = {"max": "MAX", "total": "SUM", "avg": "AVG"}
+    selects = []
+    for qid, (qs, mode) in sorted(BLOCK_JOIN_QUERY_SETS.items()):
+        terms = sorted(set(parse_query(qs, an).should))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, parent_id ASC) AS INTEGER) AS rank,
+       parent_id, round(score, 4) AS score
+  FROM (
+    SELECT parent AS parent_id, {agg_of[mode]}(cscore) AS score FROM (
+      SELECT parent, chunk, SUM(score) AS cscore
+      FROM csc WHERE term IN {_in_list(terms)} GROUP BY parent, chunk
+    ) GROUP BY parent
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_block_join_ctes()}\n{body}"
+
+
+def _block_join_child_sql() -> str:
+    """Oracle for block_join_child: top-K parents by document-level BM25
+    expand to all their chunk children, each carrying the parent score
+    (child_id = parent * 2^16 + chunk)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(BLOCK_JOIN_CHILD_QUERY_SETS.items()):
+        terms = sorted(set(parse_query(qs, an).should))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       (p.doc_id * {_CHILD_ID_BASE} + u.c) AS child_id,
+       p.doc_id AS parent_id, round(p.score, 4) AS score
+  FROM (
+    SELECT doc_id, SUM(score) AS score FROM sc
+    WHERE term IN {_in_list(terms)}
+    GROUP BY doc_id ORDER BY SUM(score) DESC, doc_id ASC
+    LIMIT {BLOCK_JOIN_KPARENTS}
+  ) p
+  JOIN tl ON tl.doc_id = p.doc_id,
+  UNNEST(range(0, CAST(CEIL(len(tl.toks) * 1.0 / {BLOCK_JOIN_CHUNK})
+                       AS BIGINT))) AS u(c))"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    tl = (
+        "tl AS (\n  SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS toks\n  FROM documents\n)"
+    )
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{tl}\n{body}"
+
+
 def _must_multi_sql() -> str:
     """Oracle for MUST multi-term groups: each `+pattern` clause becomes a
     per-group matched-count column required >= 1; group-matched terms score
@@ -3752,6 +3981,8 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["join_query"] = _join_query_sql()
+    sql["block_join"] = _block_join_sql()
+    sql["block_join_child"] = _block_join_child_sql()
     sql["classify_nb"] = _classify_nb_sql()
     sql["classify_knn"] = _classify_knn_sql()
 
