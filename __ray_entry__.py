@@ -252,6 +252,18 @@ RANGE_QUERY_SETS: Dict[int, str] = {
     4: f"customer warc_ts:[{_ts(600_000)} TO {_ts(700_000)}]",  # empty range
 }
 
+# Set-membership filters (search/TermInSetQuery.java used as a filter
+# over SORTED doc values — lang/source allowlists): `field:(v1 v2)`
+# clauses AND into the BM25 query; a pure set filter matches with score 0.
+SET_FILTER_QUERY_SETS: Dict[int, str] = {
+    0: "dup lang:(en de)",
+    1: "data stream lang:(zh)",
+    2: "lang:(fr es)",                            # pure filter, score 0
+    3: "+batch -small source:(src1 src2 src3)",
+    4: "customer lang:(xx)",                      # absent value -> empty
+    5: "key lang:(en) source:(src4 src5)",        # two-field conjunction
+}
+
 # Range facets (facet/range/LongRangeFacetCounts.java analogue): named
 # inclusive [lo, hi] epoch-us ranges over warc_ts, counted over ALL hits
 # of each base query. Ranges overlap ('first_minute' ⊂ 'first_100s',
@@ -518,19 +530,35 @@ def _ensure_index(
 
 
 def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
-    """warc_ts doc-values sidecar (epoch us) for range/sort queries."""
+    """Doc-values sidecars: warc_ts (numeric, range/sort) plus lang and
+    source (SORTED string, TermInSetQuery set filters)."""
     from lucene_ray.sources.web_pages import load_web_pages
-    from lucene_ray.state.docvalues import has_doc_values, write_doc_values
-
-    if has_doc_values(index_dir, "warc_ts"):
-        return
-    write_doc_values(
-        load_web_pages(sf_dir, include_html=False).select_columns(
-            ["doc_id", "warc_ts"]
-        ),
-        index_dir,
-        "warc_ts",
+    from lucene_ray.state.docvalues import (
+        has_doc_values,
+        has_str_doc_values,
+        write_doc_values,
+        write_str_doc_values,
     )
+
+    if not has_doc_values(index_dir, "warc_ts"):
+        write_doc_values(
+            load_web_pages(sf_dir, include_html=False).select_columns(
+                ["doc_id", "warc_ts"]
+            ),
+            index_dir,
+            "warc_ts",
+        )
+    for field in ("lang", "source"):
+        if not has_str_doc_values(index_dir, field):
+            import ray.data
+
+            write_str_doc_values(
+                ray.data.read_parquet(
+                    _docs_path(sf_dir), columns=["doc_id", field]
+                ),
+                index_dir,
+                field,
+            )
 
 
 def _mf_title_py(text: str) -> str:
@@ -1094,6 +1122,12 @@ def _bm25_update_latest(sf_dir: str):
     return _run_query_strings(
         sf_dir, UPDATE_QUERY_SETS, index_dir=_ensure_update_root(sf_dir)
     )
+
+
+def _bm25_set_filter(sf_dir: str):
+    """TermInSetQuery-style lang/source allowlist filters ANDed with BM25
+    (string SORTED doc values)."""
+    return _run_query_strings(sf_dir, SET_FILTER_QUERY_SETS)
 
 
 def _bm25_range_filter(sf_dir: str):
@@ -1857,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["constant_score"] = lambda sf: _constant_score(sf)
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
+    q["bm25_set_filter"] = lambda sf: _bm25_set_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["sort_by_len_sorted"] = lambda sf: _sort_by_len_sorted(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
@@ -2711,6 +2746,39 @@ def _range_sql() -> str:
             selects.append(_parsed_bm25_select(qid, q, f" AND {in_range}"))
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _set_filter_sql() -> str:
+    """Oracle for bm25_set_filter: the same BM25 arithmetic with each
+    parsed `field:(v1 v2)` clause as a doc-id IN-subquery over the
+    documents columns (lang/source)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(SET_FILTER_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert q.filters and all(f[1] == "in" for f in q.filters)
+        preds = " AND ".join(
+            f"{field} IN ({', '.join(repr(v) for v in values)})"
+            for field, _, values in q.filters
+        )
+        in_set = (
+            f"doc_id IN (SELECT doc_id FROM documents WHERE {preds})"
+        )
+        if not (q.must or q.should or q.multi):
+            selects.append(
+                f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank,
+       doc_id, 0.0 AS score
+  FROM documents WHERE {preds}
+  ORDER BY doc_id ASC LIMIT {TOPK})"""
+            )
+        else:
+            selects.append(_parsed_bm25_select(qid, q, f" AND {in_set}"))
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
 def _sort_sql() -> str:
@@ -3951,6 +4019,7 @@ FROM tf GROUP BY term"""
     sql["constant_score"] = _constant_score_sql()
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
+    sql["bm25_set_filter"] = _set_filter_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["sort_by_len_sorted"] = _sort_len_sql()
     sql["bm25_must_multi"] = _must_multi_sql()

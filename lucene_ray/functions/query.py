@@ -217,6 +217,20 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     # epoch microseconds for timestamps)
     text = _re.sub(r"(\w+):\[(-?\d+)\s+TO\s+(-?\d+)\]", _grab_range, text)
 
+    # `field:(v1 v2 ...)` set-membership FILTER over a string doc-values
+    # field (reference: search/TermInSetQuery.java used as a filter over
+    # a SortedDocValues keyword field — the constant-score many-term
+    # disjunction a web pipeline uses for lang/source allowlists). Values
+    # are lowercased, never analyzed.
+    def _grab_set(m) -> str:
+        values = tuple(sorted({v.lower() for v in m.group(2).split()}))
+        if not values:
+            raise ValueError(f"empty set filter for field {m.group(1)!r}")
+        filters.append((m.group(1), "in", values))
+        return " "
+
+    text = _re.sub(r"(\w+):\(([^()]*)\)", _grab_set, text)
+
     # bare `[lo TO hi]` / `{lo TO hi}` on the default text field: term
     # range over the dictionary (reference: search/TermRangeQuery.java via
     # the classic parser's getRangeQuery, queryparser/.../classic/

@@ -123,3 +123,112 @@ class DocValues:
             len(self.doc_sorted_ids) - 1,
         )
         return self.doc_sorted_vals[pos]
+
+
+# ---------------------------------------------------------------------------
+# Sorted (string) doc values — TermInSetQuery support
+# ---------------------------------------------------------------------------
+
+
+DOCVALUES_STR_DIR = "docvalues-str"
+
+
+def write_str_doc_values(
+    ds, index_dir: str, field: str, value_col: Optional[str] = None
+) -> None:
+    """String doc-values sidecar under ``docvalues-str/<field>/`` —
+    the SORTED DocValuesType analogue (index/DocValuesType.java SORTED:
+    per-doc ordinal into a sorted terms dictionary; the ordinal encoding
+    happens at load in :class:`StrDocValues`, the files store raw values
+    for transparency). Same streaming atomic-write discipline as the
+    numeric sidecar."""
+    import shutil
+    import zlib
+
+    value_col = value_col or field
+    out_dir = os.path.join(index_dir, DOCVALUES_STR_DIR, field)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        vals = batch.column(value_col).cast(pa.string())
+        if len(ids) == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        tbl = pa.table({"doc_id": pa.array(ids), "value": vals})
+        crc = zlib.crc32(ids.tobytes())
+        name = f"dv-{int(ids.min())}-{int(ids.max())}-{len(ids)}-{crc:08x}.parquet"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(ids)], pa.int64())})
+
+    ds.map_batches(write_batch, batch_format="pyarrow").count()
+
+
+def has_str_doc_values(index_dir: str, field: str) -> bool:
+    return bool(
+        glob.glob(
+            os.path.join(index_dir, DOCVALUES_STR_DIR, field, "*.parquet")
+        )
+    )
+
+
+class StrDocValues:
+    """SORTED doc values: per-doc ordinal + sorted terms dictionary.
+    Memory per searcher = one int32 ord per doc + the (small) dictionary
+    — the same footprint argument as Lucene's SortedDocValues; doc-range
+    sharding bounds it at scale exactly like the numeric column."""
+
+    def __init__(self, index_dir: str, field: str):
+        files = sorted(
+            glob.glob(
+                os.path.join(index_dir, DOCVALUES_STR_DIR, field, "*.parquet")
+            )
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"no string doc values for field {field!r} under {index_dir}"
+            )
+        ids_parts, val_parts = [], []
+        for f in files:
+            t = pq.read_table(f)
+            ids_parts.append(t.column("doc_id").to_numpy())
+            val_parts.append(
+                t.column("value").to_numpy(zero_copy_only=False)
+            )
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        vals = np.concatenate(val_parts)
+        by_doc = np.argsort(ids, kind="stable")
+        self.doc_sorted_ids = ids[by_doc]
+        # ordinal-encode against the sorted unique dictionary
+        self.dictionary, ords = np.unique(vals[by_doc], return_inverse=True)
+        self.doc_sorted_ords = ords.astype(np.int32)
+
+    def _ords_of(self, values) -> np.ndarray:
+        """Dictionary ordinals of the requested values (absent -> dropped,
+        like TermInSetQuery skipping terms missing from the dictionary)."""
+        vals = np.asarray(sorted(set(values)), dtype=self.dictionary.dtype)
+        pos = np.searchsorted(self.dictionary, vals)
+        pos = np.minimum(pos, len(self.dictionary) - 1)
+        return pos[self.dictionary[pos] == vals].astype(np.int32)
+
+    def in_set_docs(self, values) -> np.ndarray:
+        """Sorted doc IDs whose value is in ``values`` (TermInSetQuery /
+        SortedDocValuesField set filter)."""
+        ords = self._ords_of(values)
+        if len(ords) == 0:
+            return np.empty(0, dtype=np.int64)
+        mask = np.isin(self.doc_sorted_ords, ords)
+        return self.doc_sorted_ids[mask]
+
+    def values_for(self, docs: np.ndarray) -> np.ndarray:
+        """Per-doc string gather (docs must exist in the column)."""
+        if len(docs) == 0:
+            return self.dictionary[np.empty(0, dtype=np.int32)]
+        pos = np.minimum(
+            np.searchsorted(self.doc_sorted_ids, docs),
+            len(self.doc_sorted_ids) - 1,
+        )
+        return self.dictionary[self.doc_sorted_ords[pos]]

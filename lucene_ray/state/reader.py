@@ -162,14 +162,30 @@ class IndexReader:
     def doc_values_for(self, field: str, docs):
         return self.doc_values(field).values_for(docs)
 
+    def str_doc_values(self, field: str):
+        """Lazily-loaded SORTED (string) doc-values column."""
+        cache = self.__dict__.setdefault("_str_doc_values", {})
+        dv = cache.get(field)
+        if dv is None:
+            from .docvalues import StrDocValues
+
+            dv = StrDocValues(self.index_dir, field)
+            cache[field] = dv
+        return dv
+
     def filter_docs(self, filters) -> Optional["np.ndarray"]:
-        """Sorted doc IDs satisfying EVERY (field, lo, hi) range filter
-        (PointRangeQuery conjunction), or None when there are no filters."""
+        """Sorted doc IDs satisfying EVERY filter triple — (field, lo, hi)
+        numeric range (PointRangeQuery) or (field, "in", values) string
+        set (TermInSetQuery over SORTED doc values) — ANDed, or None when
+        there are no filters."""
         import numpy as np
 
         out = None
         for field, lo, hi in filters:
-            docs = self.doc_values(field).range_docs(int(lo), int(hi))
+            if lo == "in":
+                docs = self.str_doc_values(field).in_set_docs(hi)
+            else:
+                docs = self.doc_values(field).range_docs(int(lo), int(hi))
             out = docs if out is None else np.intersect1d(out, docs, assume_unique=True)
         return out
 

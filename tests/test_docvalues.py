@@ -147,3 +147,96 @@ def test_sort_by_field_and_search_after(dv_index):
 
     asc, _ = score_sort_by_field(r, q, "ts", k=len(TEXTS), descending=False)
     assert asc.tolist() == sorted(range(len(TEXTS)), key=lambda d: (VALS[d], d))
+
+
+# string SORTED doc values + TermInSetQuery-style set filters
+LANGS = ["en", "de", "en", "fr", "en", "de", "zh", "fr"]
+
+
+@pytest.fixture()
+def dv_str_index(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.docvalues import write_str_doc_values
+
+    out = str(tmp_path / "idx_str")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "lang": pa.array(LANGS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    write_str_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "lang"])), out, "lang"
+    )
+    return out
+
+
+def test_set_filter_parse_and_match(dv_str_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_str_index)
+    q = parse_query("alpha lang:(en fr)", an)
+    assert q.filters == (("lang", "in", ("en", "fr")),)
+    want = [
+        d for d, t in enumerate(TEXTS)
+        if "alpha" in t.split() and LANGS[d] in ("en", "fr")
+    ]
+    assert matching_docs(r, q).tolist() == want
+
+
+def test_set_filter_pure_and_absent(dv_str_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        matching_docs,
+        parse_query,
+        score_exhaustive,
+    )
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_str_index)
+    # pure filter: every doc in the set, score 0, doc-asc order
+    docs, scores = score_exhaustive(r, parse_query("lang:(zh fr)", an), 10)
+    want = [d for d in range(len(TEXTS)) if LANGS[d] in ("zh", "fr")]
+    assert docs.tolist() == want
+    assert all(s == 0.0 for s in scores.tolist())
+    # absent value matches nothing
+    assert matching_docs(r, parse_query("alpha lang:(xx)", an)).tolist() == []
+    # empty set is a parse error
+    with pytest.raises(ValueError, match="empty set"):
+        parse_query("alpha lang:()", an)
+
+
+def test_set_filter_blockmax_equals_exhaustive(dv_str_index):
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_str_index)
+    for qs in ("alpha beta lang:(en)", "+gamma lang:(en de fr)"):
+        q = parse_query(qs, an)
+        ed, es = score_exhaustive(r, q, 10)
+        bd, bs = score_blockmax(r, q, 10)
+        assert bd.tolist() == ed.tolist()
+        assert bs.tolist() == es.tolist()
+
+
+def test_str_doc_values_gather(dv_str_index):
+    from lucene_ray.state.docvalues import StrDocValues
+
+    dv = StrDocValues(dv_str_index, "lang")
+    got = dv.values_for(np.array([0, 3, 6], dtype=np.int64))
+    assert got.tolist() == ["en", "fr", "zh"]
+    assert dv.in_set_docs({"de"}).tolist() == [1, 5]
