@@ -420,6 +420,19 @@ INTERVAL_QUERY_SETS: Dict[int, Tuple[Tuple[str, ...], Optional[int], Optional[in
     3: (("key", "zzzmissing"), None, None),
 }
 
+# Unordered interval queries (Intervals.unordered analogue with TRUE
+# minimal-interval semantics — stricter than the reference's lazily
+# non-minimal PQ walk, documented in functions/intervals.py). Weight per
+# minimal interval = 1/max(length - n + 1, 1); same saturation score.
+UNORDERED_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], Optional[int], Optional[int]]
+] = {
+    0: (("stream", "data"), None, None),
+    1: (("customer", "table"), 3, None),
+    2: (("key", "sort", "merge"), None, 8),
+    3: (("hash", "zzzmissing"), None, None),
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -1606,6 +1619,37 @@ def _ensure_geo_doc_values(sf_dir: str, index_dir: str) -> None:
         )
 
 
+def _interval_unordered(sf_dir: str):
+    """Unordered IntervalQuery top-k (true minimal intervals + saturation
+    score). -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import IntervalQuery, score_intervals
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (terms, mg, mw) in sorted(UNORDERED_INTERVAL_QUERY_SETS.items()):
+        d, s = score_intervals(
+            reader,
+            IntervalQuery(terms, max_gaps=mg, max_width=mw, ordered=False),
+            k=TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
 def _geo_distance(sf_dir: str):
     """LatLonDocValues distance sort / LatLonPoint distance query: k
     nearest docs per center (optionally term-filtered or radius-bounded),
@@ -1906,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase_sloppy3"] = lambda sf: _bm25_phrase_sloppy3(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
+    q["interval_unordered"] = lambda sf: _interval_unordered(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -3198,6 +3243,59 @@ def _interval_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _interval_unordered_sql() -> str:
+    """Oracle for interval_unordered: for every candidate end position e
+    of any query term, the tightest covering window ending at e is
+    [LEAST of per-term MAX(pos <= e), e]; minimal set = MIN(e) per
+    (doc, start); weight 1/GREATEST(length - n + 1, 1); filters after
+    minimization; saturation score ranked on the UNROUNDED value."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, (terms, mg, mw) in sorted(UNORDERED_INTERVAL_QUERY_SETS.items()):
+        n = len(terms)
+        prev_cols = ", ".join(
+            f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
+            f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
+            for i, t in enumerate(terms)
+        )
+        not_null = " AND ".join(f"p{i} IS NOT NULL" for i in range(n))
+        least = "LEAST(" + ", ".join(f"p{i}" for i in range(n)) + ")"
+        filters = []
+        if mg is not None:
+            filters.append(f"(epos - spos + 1 - {n}) <= {mg}")
+        if mw is not None:
+            filters.append(f"(epos - spos + 1) <= {mw}")
+        where = (" WHERE " + " AND ".join(filters)) if filters else ""
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1))
+               / (SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1)) + 1.0) AS score
+      FROM (
+        SELECT doc_id, spos, MIN(epos) AS epos FROM (
+          SELECT doc_id, epos, {least} AS spos FROM (
+            SELECT e.doc_id, e.pos AS epos, {prev_cols}
+            FROM ptok e WHERE e.term IN {_in_list(sorted(terms))}
+          ) WHERE {not_null}
+        ) GROUP BY doc_id, spos
+      ){where}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _span_near_sql() -> str:
     """Oracle for bm25_span_near: positions from the stopword-gap ptok
     CTE; ordered spans as chained per-start MIN-successor joins, unordered
@@ -4032,6 +4130,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
+    sql["interval_unordered"] = _interval_unordered_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["expr_score"] = _expr_score_sql()

@@ -51,14 +51,20 @@ class IntervalQuery:
     max_width: Optional[int] = None  # Intervals.maxwidth filter
     pivot: float = 1.0  # saturation pivot (IntervalQuery default 1)
     boost: float = 1.0
+    ordered: bool = True  # False = Intervals.unordered (minimal semantics)
 
 
 def interval_freqs(reader, query: IntervalQuery):
-    """Minimal ordered intervals -> per-doc float frequency.
+    """Minimal intervals -> per-doc float frequency.
 
-    Returns ``(docs, freqs)`` with ``freqs[i] = sum of 1/(1+gaps)`` over
-    the doc's minimal intervals surviving the maxgaps/maxwidth filters.
-    """
+    Returns ``(docs, freqs)`` with ``freqs[i] = sum of
+    1/max(length - n + 1, 1)`` (``1/(1+gaps)`` for non-overlapping
+    matches) over the doc's minimal intervals surviving the
+    maxgaps/maxwidth filters. ``ordered=False`` uses TRUE minimal-
+    interval semantics for unordered sources — stricter than the
+    reference's lazily non-minimal ``UnorderedIntervalsSource`` PQ walk
+    (documented deviation: we never count an interval that contains
+    another match)."""
     if not getattr(reader, "has_positions", False):
         raise ValueError(
             "interval queries need a positions-enabled index "
@@ -68,6 +74,8 @@ def interval_freqs(reader, query: IntervalQuery):
     n = len(query.terms)
     if n == 0:
         return empty
+    if not query.ordered:
+        return _unordered_freqs(reader, query)
     key_lists = [_doc_keys(reader, t) for t in query.terms]
     a = key_lists[0]
     if len(a) == 0:
@@ -101,6 +109,55 @@ def interval_freqs(reader, query: IntervalQuery):
     if not m.any():
         return empty
     return _freqs_by_doc(av[m], 1.0 / (1.0 + gaps[m]))
+
+
+def _unordered_freqs(reader, query: IntervalQuery):
+    """Exact minimal UNORDERED intervals, vectorized.
+
+    Construction: for every candidate end position ``e`` (any query
+    term's position), the tightest covering window ending at ``e`` is
+    ``[min_j prev_j(e), e]`` where ``prev_j(e)`` is term j's largest
+    position <= e. Its start is non-decreasing in ``e``, so the minimal
+    set is exactly "first (smallest) end per distinct start" — one
+    searchsorted per term over the merged end array, no per-doc loop.
+    Weight per interval = 1/max(length - n + 1, 1) (overlapping term
+    positions are allowed, as in Intervals.unordered; length < n floors
+    the divisor at 1). Repeated terms are not supported (the reference's
+    repeats handling is tied to its non-minimal iterator)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    n = len(query.terms)
+    if len(set(query.terms)) != n:
+        raise ValueError("unordered intervals need distinct terms")
+    key_lists = [_doc_keys(reader, t) for t in query.terms]
+    if any(len(kl) == 0 for kl in key_lists):
+        return empty
+    ends = np.sort(np.concatenate(key_lists))
+    ok = np.ones(len(ends), dtype=bool)
+    start = None
+    edoc = ends >> np.int64(_POS_SHIFT)
+    for kl in key_lists:
+        idx = np.searchsorted(kl, ends, side="right") - 1
+        ok &= idx >= 0
+        prev = kl[np.maximum(idx, 0)]
+        ok &= (prev >> np.int64(_POS_SHIFT)) == edoc
+        start = prev if start is None else np.minimum(start, prev)
+    s, e = start[ok], ends[ok]
+    if len(s) == 0:
+        return empty
+    # ends ascending => starts non-decreasing; minimal = first per start
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]
+    s, e = s[keep], e[keep]
+    length = (e & _POS_MASK) - (s & _POS_MASK) + 1
+    m = np.ones(len(s), dtype=bool)
+    if query.max_gaps is not None:
+        m &= (length - n) <= query.max_gaps
+    if query.max_width is not None:
+        m &= length <= query.max_width
+    if not m.any():
+        return empty
+    w = 1.0 / np.maximum(length[m] - n + 1, 1)
+    return _freqs_by_doc(s[m], w)
 
 
 def score_intervals(reader, query: IntervalQuery, k: int = 10):

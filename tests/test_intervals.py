@@ -158,3 +158,128 @@ def test_interval_requires_positions(ray_session, tmp_path):
     build_index(ray.data.from_arrow(docs), out, cfg, doc_count=1)
     with pytest.raises(ValueError):
         interval_freqs(IndexReader(out), IntervalQuery(("alpha", "beta")))
+
+
+def _model_minimal_unordered(lists):
+    """Brute-force TRUE minimal unordered intervals: enumerate all
+    covering windows (one position per list), keep those containing no
+    other covering window."""
+    import itertools as it
+
+    wins = set()
+    for combo in it.product(*lists):
+        wins.add((min(combo), max(combo)))
+    return [
+        (s, e)
+        for (s, e) in wins
+        if not any(
+            (s2, e2) != (s, e) and s2 >= s and e2 <= e for (s2, e2) in wins
+        )
+    ]
+
+
+def _model_unordered_freqs(analyzer, texts, terms, max_gaps=None,
+                           max_width=None):
+    out = {}
+    n = len(terms)
+    for d, text in enumerate(texts):
+        toks, pos = analyzer.analyze_positions(text)
+        by_term = {}
+        for t, p in zip(toks, pos):
+            by_term.setdefault(t, []).append(p)
+        lists = [sorted(by_term.get(t, [])) for t in terms]
+        if any(not l for l in lists):
+            continue
+        freq = 0.0
+        for s, e in _model_minimal_unordered(lists):
+            length = e - s + 1
+            if max_gaps is not None and (length - n) > max_gaps:
+                continue
+            if max_width is not None and length > max_width:
+                continue
+            freq += 1.0 / max(length - n + 1, 1)
+        if freq > 0:
+            out[d] = freq
+    return out
+
+
+UNORDERED_CASES = [
+    (("alpha", "beta"), None, None),
+    (("beta", "alpha"), None, None),     # order-free: same result
+    (("alpha", "beta"), 1, None),
+    (("alpha", "beta", "gamma"), None, None),
+    (("alpha", "beta", "gamma"), None, 4),
+    (("gamma", "alpha"), None, None),
+    (("alpha", "zzzmissing"), None, None),
+]
+
+
+def test_unordered_interval_freqs_match_model(pos_index):
+    reader = IndexReader(pos_index)
+    an = make_analyzer("en_nostem_simple")
+    for terms, mg, mw in UNORDERED_CASES:
+        docs, freqs = interval_freqs(
+            reader,
+            IntervalQuery(terms, max_gaps=mg, max_width=mw, ordered=False),
+        )
+        got = dict(zip(docs.tolist(), freqs.tolist()))
+        want = _model_unordered_freqs(an, TEXTS, list(terms), mg, mw)
+        assert got.keys() == want.keys(), (terms, mg, mw)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=1e-12), (terms, d)
+
+
+def test_unordered_interval_symmetry_and_goldens(pos_index):
+    reader = IndexReader(pos_index)
+    a, fa = interval_freqs(
+        reader, IntervalQuery(("alpha", "beta"), ordered=False)
+    )
+    b, fb = interval_freqs(
+        reader, IntervalQuery(("beta", "alpha"), ordered=False)
+    )
+    assert a.tolist() == b.tolist() and fa.tolist() == fb.tolist()
+    by = dict(zip(a.tolist(), fa.tolist()))
+    assert by[4] == 1.0  # "beta alpha": unordered matches reversed order
+    assert by[0] == 1.0
+
+    with pytest.raises(ValueError, match="distinct"):
+        interval_freqs(
+            reader, IntervalQuery(("alpha", "alpha"), ordered=False)
+        )
+
+
+def test_unordered_random_vs_model(ray_session, tmp_path):
+    import random
+
+    import ray.data
+
+    rng = random.Random(7)
+    vocab = ["ua", "ub", "uc", "ud"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+        for _ in range(30)
+    ]
+    out = str(tmp_path / "uidx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        positions=True,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(texts))
+    reader = IndexReader(out)
+    an = make_analyzer("en_nostem_simple")
+    for trial in range(10):
+        k = rng.choice([2, 3])
+        terms = tuple(rng.sample(vocab, k))
+        mg = rng.choice([None, 0, 1, 3])
+        docs_u, freqs = interval_freqs(
+            reader, IntervalQuery(terms, max_gaps=mg, ordered=False)
+        )
+        got = dict(zip(docs_u.tolist(), freqs.tolist()))
+        want = _model_unordered_freqs(an, texts, list(terms), mg, None)
+        assert got == pytest.approx(want), (terms, mg)
