@@ -853,6 +853,32 @@ def _search_facets(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+TAX_FACET_QUERY_SETS: Dict[int, str] = {
+    0: "dup",
+    1: "data stream",
+    2: "+batch -small",
+}
+
+
+def _facet_taxonomy(sf_dir: str):
+    """Hierarchical taxonomy facet counts (lang -> lang/source rollup)
+    over ALL hits of each query (FastTaxonomyFacetCounts analogue).
+    -> (query_id, level, path, count)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import taxonomy_facet_counts
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid, query in sorted(TAX_FACET_QUERY_SETS.items()):
+        t = taxonomy_facet_counts(
+            index_dir, query, _load_documents(sf_dir), ["lang", "source"]
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _load_ts(sf_dir: str):
     """(doc_id, ts_us) Dataset — warc_ts from the derived web_pages table
     as epoch microseconds (the numeric facet column)."""
@@ -1961,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_range"] = lambda sf: _facet_range(sf)
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
+    q["facet_taxonomy"] = lambda sf: _facet_taxonomy(sf)
     q["join_query"] = lambda sf: _join_query(sf)
     q["block_join"] = lambda sf: _block_join(sf)
     q["block_join_child"] = lambda sf: _block_join_child(sf)
@@ -3243,6 +3270,29 @@ def _interval_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _facet_taxonomy_sql() -> str:
+    """Oracle for facet_taxonomy: per-query hit set, counts rolled up at
+    every path prefix of the lang/source taxonomy."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(TAX_FACET_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id, CAST(1 AS INTEGER) AS level,
+        lang AS path, COUNT(*) AS count
+  FROM documents WHERE doc_id IN ({match}) GROUP BY lang)
+UNION ALL
+(SELECT {qid} AS query_id, CAST(2 AS INTEGER) AS level,
+        lang || '/' || source AS path, COUNT(*) AS count
+  FROM documents WHERE doc_id IN ({match}) GROUP BY lang, source)"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _interval_unordered_sql() -> str:
     """Oracle for interval_unordered: for every candidate end position e
     of any query term, the tightest covering window ending at e is
@@ -4148,6 +4198,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_range"] = _facet_range_sql()
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
+    sql["facet_taxonomy"] = _facet_taxonomy_sql()
     sql["join_query"] = _join_query_sql()
     sql["block_join"] = _block_join_sql()
     sql["block_join_child"] = _block_join_child_sql()

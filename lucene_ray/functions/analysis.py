@@ -172,6 +172,33 @@ class KeywordAnalyzer:
         return [text] if text else []
 
 
+class PathHierarchyAnalyzer:
+    """Emit every path prefix of a delimited input (reference:
+    analysis/common/.../path/PathHierarchyTokenizer.java — 'Take
+    something like /a/b/c and make tokens /a, /a/b, /a/b/c'). All tokens
+    share position 0 like the reference's posIncr-0 chain after the
+    first; ``skip`` drops that many leading components (the tokenizer's
+    skip option), useful for stripping a scheme/host from a url path."""
+
+    def __init__(self, delimiter: str = "/", skip: int = 0):
+        self.delimiter = delimiter
+        self.skip = skip
+        self.name = f"path_hierarchy[{delimiter}skip{skip}]"
+
+    def analyze(self, text: str) -> List[str]:
+        if not text:
+            return []
+        parts = text.split(self.delimiter)[self.skip :]
+        parts = [p for p in parts if p]
+        return [
+            self.delimiter.join(parts[: i + 1]) for i in range(len(parts))
+        ]
+
+    def analyze_positions(self, text: str):
+        terms = self.analyze(text)
+        return terms, [0] * len(terms)
+
+
 class LetterAnalyzer:
     """Maximal letter runs, lowercased (reference:
     analysis/common/.../core/LetterTokenizer.java + LowerCaseFilter)."""
@@ -613,6 +640,7 @@ _REGISTRY: Dict[str, Callable[[], object]] = {
     "word_delimiter_cat": lambda: WordDelimiterAnalyzer(catenate=True),
     "keyword_repeat": KeywordRepeatAnalyzer,
     "common_grams": CommonGramsAnalyzer,
+    "path_hierarchy": PathHierarchyAnalyzer,
 }
 
 

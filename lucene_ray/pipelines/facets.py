@@ -486,3 +486,98 @@ def collapse_search(
         .repartition(1)
         .map_batches(add_rank, batch_format="pyarrow")
     )
+
+
+def taxonomy_facet_counts(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, *path_cols)
+    path_cols: List[str],
+    id_col: str = "doc_id",
+    delimiter: str = "/",
+):
+    """Hierarchical (taxonomy) facet counts with rollup: every PREFIX of
+    each hit's category path is counted, so one pass yields counts at all
+    levels of the tree (reference: facet/taxonomy/FastTaxonomyFacetCounts
+    .java — per-doc ordinals count up the taxonomy arrays, then
+    getTopChildren(path) reads any level; facet/FacetField.java paths).
+
+    The path of a doc is ``path_cols`` joined by ``delimiter`` (e.g.
+    lang/source -> 'en/src3'). Same distributed shape as
+    :func:`facet_counts`: hits broadcast once, one partial-count pass
+    (each row contributes len(path_cols) prefix rows — the rollup is
+    pre-aggregated inside the batch before the tiny final groupby).
+
+    -> Dataset(level:int32, path:string, count:int64), sorted by
+    (level asc, count desc, path asc).
+    """
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)
+    empty = pa.table(
+        {
+            "level": pa.array([], pa.int32()),
+            "path": pa.array([], pa.string()),
+            "count": pa.array([], pa.int64()),
+        }
+    )
+    if len(hits) == 0:
+        return ray.data.from_arrow(empty)
+    hits_ref = ray.put(hits)
+    ncols = list(path_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(
+            np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+        )
+        mask = pa.array(ids_sorted[pos] == ids)
+        sub = batch.filter(mask)
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "level": pa.array([], pa.int32()),
+                    "path": pa.array([], pa.string()),
+                    "count_part": pa.array([], pa.int64()),
+                }
+            )
+        parts: List[pa.Table] = []
+        path = None
+        for lvl, col in enumerate(ncols, start=1):
+            seg = sub.column(col).cast(pa.string())
+            path = seg if path is None else pc.binary_join_element_wise(
+                path, seg, delimiter
+            )
+            agg = (
+                pa.table({"path": path})
+                .group_by("path")
+                .aggregate([("path", "count")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "level": pa.array([lvl] * len(agg), pa.int32()),
+                        "path": agg.column("path"),
+                        "count_part": agg.column("path_count").cast(
+                            pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        docs_ds.select_columns([id_col, *ncols])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["level", "path"])
+        .aggregate(ray.data.aggregate.Sum("count_part", alias_name="count"))
+        .sort(["level", "count", "path"], descending=[False, True, False])
+    )

@@ -208,3 +208,66 @@ def test_collapse_matches_group_heads(small_index, ray_session):
     assert list(col["score"]) == list(heads["score"])
     # each collapse key appears at most once
     assert col["grp"].is_unique
+
+
+def test_path_hierarchy_analyzer():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("path_hierarchy")
+    assert an.analyze("/a/b/c") == ["a", "a/b", "a/b/c"]
+    assert an.analyze("en/src3") == ["en", "en/src3"]
+    assert an.analyze("") == []
+    terms, pos = an.analyze_positions("x/y")
+    assert terms == ["x", "x/y"] and pos == [0, 0]
+    from lucene_ray.functions.analysis import PathHierarchyAnalyzer
+
+    skip = PathHierarchyAnalyzer(skip=1)
+    assert skip.analyze("host/a/b") == ["a", "a/b"]
+
+
+def test_taxonomy_facet_counts(ray_session, tmp_path):
+    """Rollup counts at every taxonomy level == brute-force recount."""
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.facets import taxonomy_facet_counts
+
+    texts = [
+        "alpha beta", "alpha", "beta gamma", "alpha beta beta",
+        "gamma", "alpha gamma",
+    ]
+    langs = ["en", "en", "de", "fr", "de", "en"]
+    srcs = ["s1", "s2", "s1", "s1", "s2", "s1"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+    out = str(tmp_path / "taxidx")
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+        ),
+        doc_count=len(texts),
+    )
+    got = taxonomy_facet_counts(
+        out, "alpha", ray.data.from_arrow(docs), ["lang", "source"]
+    ).to_pandas()
+    hits = [d for d, t in enumerate(texts) if "alpha" in t.split()]
+    want = {}
+    for d in hits:
+        want[(1, langs[d])] = want.get((1, langs[d]), 0) + 1
+        p2 = f"{langs[d]}/{srcs[d]}"
+        want[(2, p2)] = want.get((2, p2), 0) + 1
+    got_map = {
+        (int(r.level), r.path): int(r.count) for r in got.itertuples()
+    }
+    assert got_map == want
+    # sorted (level asc, count desc, path asc)
+    lv1 = got[got.level == 1]
+    assert list(lv1["count"]) == sorted(lv1["count"], reverse=True)
