@@ -853,6 +853,69 @@ def _search_facets(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+SAMPLE_CAP_N = 10       # max docs per source (domain capping)
+SAMPLE_HASH_FRAC = 0.25
+SAMPLE_STRAT_FRAC = 0.1
+SAMPLE_STRAT_MIN = 5    # rare-stratum floor
+_KNUTH_SQL = 2654435761
+_MOD_SQL = 1 << 32
+
+
+def _sample_cap(sf_dir: str):
+    """Domain capping: at most SAMPLE_CAP_N docs per source, first by
+    doc_id. -> (doc_id, source) sorted by doc_id."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.sampling import cap_per_key
+
+    out = cap_per_key(
+        _load_documents(sf_dir).select_columns(["doc_id", "source"]),
+        "source",
+        SAMPLE_CAP_N,
+    )
+    tbl = pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
+def _sample_hash(sf_dir: str):
+    """Deterministic multiplicative-hash sample (~25%). -> (doc_id)."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.sampling import hash_sample
+
+    out = hash_sample(
+        _load_documents(sf_dir).select_columns(["doc_id"]),
+        SAMPLE_HASH_FRAC,
+    )
+    tbl = pa.Table.from_pylist(
+        out.take_all(), schema=pa.schema([("doc_id", pa.int64())])
+    )
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
+def _sample_stratified(sf_dir: str):
+    """Per-lang proportional sample with a rare-stratum floor.
+    -> (doc_id, lang) sorted by doc_id."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.sampling import stratified_sample
+
+    out = stratified_sample(
+        _load_documents(sf_dir).select_columns(["doc_id", "lang"]),
+        "lang",
+        SAMPLE_STRAT_FRAC,
+        min_per_key=SAMPLE_STRAT_MIN,
+    )
+    tbl = pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+    )
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
 TAX_FACET_QUERY_SETS: Dict[int, str] = {
     0: "dup",
     1: "data stream",
@@ -1988,6 +2051,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
     q["facet_taxonomy"] = lambda sf: _facet_taxonomy(sf)
+
+    # --- corpus sampling (training-data assembly) ---
+    q["sample_cap_per_source"] = lambda sf: _sample_cap(sf)
+    q["sample_hash"] = lambda sf: _sample_hash(sf)
+    q["sample_stratified"] = lambda sf: _sample_stratified(sf)
     q["join_query"] = lambda sf: _join_query(sf)
     q["block_join"] = lambda sf: _block_join(sf)
     q["block_join_child"] = lambda sf: _block_join_child(sf)
@@ -4199,6 +4267,26 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+
+    _ht = int(SAMPLE_HASH_FRAC * _MOD_SQL)
+    _st = int(SAMPLE_STRAT_FRAC * _MOD_SQL)
+    sql["sample_cap_per_source"] = f"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_CAP_N} ORDER BY doc_id"""
+    sql["sample_hash"] = f"""SELECT doc_id FROM documents
+WHERE (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} < {_ht} ORDER BY doc_id"""
+    sql["sample_stratified"] = f"""SELECT doc_id, lang FROM documents
+WHERE (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} < {_st}
+UNION ALL
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_STRAT_MIN}
+  AND (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} >= {_st}
+ORDER BY doc_id"""
     sql["join_query"] = _join_query_sql()
     sql["block_join"] = _block_join_sql()
     sql["block_join_child"] = _block_join_child_sql()

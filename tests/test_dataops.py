@@ -620,3 +620,53 @@ def test_dedup_clusters_from_texts(ray_session):
     assert 3 not in got
     if {0, 1, 2} <= in_pairs:
         assert got[0] == got[1] == got[2] == 0
+
+
+def test_cap_per_key_and_hash_sample(ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.sampling import (
+        cap_per_key,
+        hash_sample,
+        stratified_sample,
+    )
+
+    n = 57
+    keys = [f"k{i % 5}" for i in range(n)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "key": pa.array(keys, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+
+    capped = cap_per_key(ds, "key", 3).take_all()
+    got = {}
+    for r in capped:
+        got.setdefault(r["key"], []).append(r["doc_id"])
+    for k, ids in got.items():
+        want = sorted(d for d in range(n) if keys[d] == k)[:3]
+        assert sorted(ids) == want
+    assert len(capped) == 15
+
+    frac = 0.3
+    sampled = sorted(r["doc_id"] for r in hash_sample(ds, frac).take_all())
+    thresh = int(frac * (1 << 32))
+    want = [
+        d for d in range(n) if (d * 2654435761) % (1 << 32) < thresh
+    ]
+    assert sampled == want
+    # deterministic across runs
+    assert sampled == sorted(
+        r["doc_id"] for r in hash_sample(ds, frac).take_all()
+    )
+
+    strat = stratified_sample(ds, "key", 0.1, min_per_key=2).take_all()
+    ids = sorted(r["doc_id"] for r in strat)
+    assert len(ids) == len(set(ids))  # no duplicates from the floor union
+    per_key = {}
+    for r in strat:
+        per_key.setdefault(r["key"], []).append(r["doc_id"])
+    for k in set(keys):
+        assert len(per_key.get(k, [])) >= 2  # rare-stratum floor holds
