@@ -535,6 +535,55 @@ def run_suite() -> dict:
         ).count(),
     )
 
+    # round-2 late additions
+    from lucene_ray.pipelines.dedup import (
+        connected_components_ds,
+        jaccard_neardup_pairs_ds,
+    )
+
+    timed(
+        "dedup_clusters",
+        lambda: connected_components_ds(
+            jaccard_neardup_pairs_ds(docs)
+        ).count(),
+    )
+    from lucene_ray.pipelines.blockjoin import build_child_index, to_parent_join
+    from lucene_ray.pipelines.search import get_reader as _get_reader
+
+    bj_dir = f"/tmp/lucene_ray_bench/blockjoin-{NUM_CPUS}"
+    shutil.rmtree(bj_dir, ignore_errors=True)
+    timed(
+        "block_join_build",
+        lambda: build_child_index(docs, bj_dir, chunk_size=16),
+    )
+
+    def _bj_queries():
+        r = _get_reader(bj_dir)
+        for _ in range(10):
+            for qs, mode in (
+                ("hash join", "max"),
+                ("customer value", "total"),
+                ("stream", "avg"),
+            ):
+                to_parent_join(r, qs, score_mode=mode, k=10)
+        return 30
+
+    timed("block_join_query", _bj_queries)
+    from lucene_ray.pipelines.sampling import cap_per_key, hash_sample
+
+    timed(
+        "sample_cap",
+        lambda: cap_per_key(
+            docs.select_columns(["doc_id", "source"]), "source", 10
+        ).count(),
+    )
+    timed(
+        "sample_hash",
+        lambda: hash_sample(
+            docs.select_columns(["doc_id"]), 0.25
+        ).count(),
+    )
+
     total = round(time.time() - t_all, 3)
     result = {
         "metric": "lucene_ray suite wall time (index build + BM25 queries + data ops)",
