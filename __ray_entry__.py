@@ -853,6 +853,25 @@ def _search_facets(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _quality_lm(sf_dir: str):
+    """Corpus-trained character-trigram LM quality signal (CCNet-style
+    perplexity proxy): per-doc mean log-prob of its trigrams under the
+    add-one-smoothed model trained on the same corpus.
+    -> (doc_id, lm_logprob) sorted by doc_id."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.textops import lm_quality_scores
+
+    out = lm_quality_scores(_load_documents(sf_dir))
+    tbl = pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("lm_logprob", pa.float64())]
+        ),
+    )
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
 SAMPLE_CAP_N = 10       # max docs per source (domain capping)
 SAMPLE_HASH_FRAC = 0.25
 SAMPLE_STRAT_FRAC = 0.1
@@ -2056,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_cap_per_source"] = lambda sf: _sample_cap(sf)
     q["sample_hash"] = lambda sf: _sample_hash(sf)
     q["sample_stratified"] = lambda sf: _sample_stratified(sf)
+    q["quality_lm"] = lambda sf: _quality_lm(sf)
     q["join_query"] = lambda sf: _join_query(sf)
     q["block_join"] = lambda sf: _block_join(sf)
     q["block_join_child"] = lambda sf: _block_join_child(sf)
@@ -4267,6 +4287,29 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+
+    # trigram-LM quality: trained and evaluated on the same corpus, so
+    # every evaluated trigram is in the model (c >= 1); V = 37^3
+    sql["quality_lm"] = """WITH norm AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, substring(s, CAST(i AS INTEGER), 3) AS tri
+  FROM norm, UNNEST(range(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 3
+),
+model AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM model)
+SELECT t.doc_id,
+       round(AVG(ln((m.c + 1) / (tot.total + 50653.0))), 6) AS lm_logprob
+FROM tri t JOIN model m USING (tri) CROSS JOIN tot
+GROUP BY t.doc_id
+UNION ALL
+SELECT doc_id, 0.0 AS lm_logprob FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tri)
+ORDER BY doc_id"""
 
     _ht = int(SAMPLE_HASH_FRAC * _MOD_SQL)
     _st = int(SAMPLE_STRAT_FRAC * _MOD_SQL)

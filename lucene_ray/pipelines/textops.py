@@ -103,3 +103,129 @@ def langid(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return doc_stats(ds).select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained character-trigram LM quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+#: add-one smoothing vocabulary: the trigram alphabet is [a-z0-9 ] = 37
+#: symbols, so V = 37^3 possible trigrams
+_LM_ALPHABET = 50653  # 37 ** 3
+
+
+def _doc_trigrams(text: str) -> List[str]:
+    """Character trigrams over the normalized text (lowercase, token runs
+    joined by single spaces — the SQL-parity normalization)."""
+    norm = " ".join(_TOKEN_RE.findall(text.lower()))
+    return [norm[i : i + 3] for i in range(len(norm) - 2)]
+
+
+def train_trigram_lm(ds: "ray.data.Dataset"):
+    """Corpus trigram counts -> (counts dict, total) — the LM "training"
+    pass. Distributed shape: per-batch partial counts (pre-aggregated
+    inside the batch), one groupby(trigram).sum over a bounded key space
+    (<= 37^3 distinct trigrams regardless of corpus size), then the tiny
+    model table leaves the plan (it is broadcast back for scoring).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_doc_trigrams(t))
+        if not c:
+            return pa.table(
+                {"tri": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        ks, vs = zip(*sorted(c.items()))
+        return pa.table(
+            {"tri": pa.array(ks, pa.string()),
+             "cnt": pa.array(vs, pa.int64())}
+        )
+
+    import ray.data as rd
+
+    agg = (
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tri")
+        .aggregate(rd.aggregate.Sum("cnt", alias_name="count"))
+        .take_all()
+    )
+    counts = {r["tri"]: int(r["count"]) for r in agg}
+    return counts, sum(counts.values())
+
+
+def lm_quality_scores(
+    ds: "ray.data.Dataset", ndigits: int = 6
+) -> "ray.data.Dataset":
+    """CCNet-style LM quality filter signal: per-doc mean log-probability
+    of its character trigrams under the corpus-trained add-one-smoothed
+    trigram model — low scores flag boilerplate/garbage relative to the
+    corpus. -> Dataset(doc_id, lm_logprob) (docs with < 1 trigram get
+    score 0).
+
+    Scale: training is one bounded groupby (model <= 37^3 rows); the
+    model is ``ray.put`` once and every scoring batch reads it from the
+    object store — broadcast, not re-shipped per batch.
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    counts, total = train_trigram_lm(ds)
+    denom = float(total + _LM_ALPHABET)
+    # dense log-prob table indexed by trigram id (37^3 float64 = 400 KB);
+    # broadcast ONCE via the object store, zero-copy into every task
+    logp = np.full(_LM_ALPHABET, np.log(1.0 / denom), dtype=np.float64)
+    for tri, c in counts.items():
+        logp[_tri_id(tri)] = np.log((c + 1) / denom)
+    logp_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(logp_ref)
+        ids = batch.column("doc_id")
+        out = np.zeros(len(batch), dtype=np.float64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            tids = _tri_ids(t)
+            if len(tids):
+                out[i] = float(table[tids].sum()) / len(tids)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lm_logprob": pa.array(
+                    round_half_away(out, ndigits), pa.float64()
+                ),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def _char_codes(norm: str) -> np.ndarray:
+    """Normalized chars -> symbol codes: 'a'-'z' -> 0..25, '0'-'9' ->
+    26..35, ' ' -> 36 (inputs are guaranteed normalized)."""
+    a = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    codes = np.where(
+        a == 32, 36, np.where(a >= 97, a - 97, a - 48 + 26)
+    )
+    return codes
+
+
+def _tri_id(tri: str) -> int:
+    c = _char_codes(tri)
+    return int(c[0] * 1369 + c[1] * 37 + c[2])
+
+
+def _tri_ids(text: str) -> np.ndarray:
+    """All trigram ids of a document, vectorized (one encode + two
+    shifted adds per doc — no per-trigram Python)."""
+    norm = " ".join(_TOKEN_RE.findall(text.lower()))
+    if len(norm) < 3:
+        return np.empty(0, dtype=np.int64)
+    c = _char_codes(norm)
+    return c[:-2] * 1369 + c[1:-1] * 37 + c[2:]

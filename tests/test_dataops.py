@@ -670,3 +670,67 @@ def test_cap_per_key_and_hash_sample(ray_session):
         per_key.setdefault(r["key"], []).append(r["doc_id"])
     for k in set(keys):
         assert len(per_key.get(k, [])) >= 2  # rare-stratum floor holds
+
+
+def test_lm_quality_scores(ray_session):
+    """Trigram-LM quality == brute-force recomputation; short docs get 0;
+    natural text outscores garbage under the corpus model."""
+    import math
+
+    import ray.data
+
+    from lucene_ray.pipelines.textops import lm_quality_scores
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps under the warm sun",
+        "qzxj vkwq zzqx jjxv wqkz",   # garbage relative to corpus
+        "ab",                          # < 3 normalized chars -> 0.0
+        "the the the the the the",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    got = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in lm_quality_scores(ds).take_all()
+    }
+
+    # brute model
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    def tris(t):
+        s = " ".join(tok.findall(t.lower()))
+        return [s[i:i + 3] for i in range(len(s) - 2)]
+
+    from collections import Counter
+
+    model = Counter()
+    for t in texts:
+        model.update(tris(t))
+    total = sum(model.values())
+    denom = total + 37 ** 3
+    want = {}
+    for d, t in enumerate(texts):
+        tt = tris(t)
+        if not tt:
+            want[d] = 0.0
+        else:
+            want[d] = round(
+                sum(math.log((model[x] + 1) / denom) for x in tt) / len(tt),
+                6,
+            )
+    assert got == pytest.approx(want, abs=2e-6)
+    assert got[3] == 0.0
+    assert got[0] > got[2]  # natural text beats garbage
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in lm_quality_scores(ds).take_all()
+    }
+    assert again == got
