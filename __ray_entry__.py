@@ -178,6 +178,9 @@ SPELL_INPUTS: Dict[int, str] = {
 }
 SPELL_TOPK = 5
 SUGGEST_PREFIXES: Dict[int, str] = {0: "st", 1: "cu", 2: "d", 3: "zzz"}
+# AnalyzingInfixSuggester analogue: substrings matched ANYWHERE in the
+# term, weight (df) ranked. 'zz' matches nothing in the vocabulary.
+INFIX_SUBSTRINGS: Dict[int, str] = {0: "ar", 1: "ort", 2: "a", 3: "zz"}
 # FuzzySuggester analogue: typed prefixes with typos. 'ke' is below
 # min_fuzzy_length (3) and completes exact-only; the rest allow 1
 # prefix-edit. Defaults mirror the reference (maxEdits=1,
@@ -572,6 +575,31 @@ def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
                 index_dir,
                 field,
             )
+    if not has_doc_values(index_dir, "len_bucket"):
+        # tie-rich secondary sort field for the multi-field Sort entry
+        import pyarrow as pa
+
+        import ray.data
+
+        def bucket(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "len_bucket": pa.array(
+                        b.column("n_chars").to_numpy() // 100, pa.int64()
+                    ),
+                }
+            )
+
+        write_doc_values(
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id", "n_chars"]
+            ).map_batches(bucket, batch_format="pyarrow"),
+            index_dir,
+            "len_bucket",
+        )
 
 
 def _mf_title_py(text: str) -> str:
@@ -1378,6 +1406,50 @@ def _sort_by_ts(sf_dir: str):
     )
 
 
+def _sort_multi(sf_dir: str):
+    """Multi-field Sort (SortField[]): matching docs by (len_bucket desc,
+    warc_ts asc, doc asc), two searchAfter pages.
+    -> (query_id, rank, doc_id, len_bucket, ts_us)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_sort_by_fields
+    from lucene_ray.pipelines.search import get_reader
+
+    fields = [("len_bucket", True), ("warc_ts", False)]
+    reader = get_reader(_ensure_index(sf_dir))
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, lb_out, ts_out = [], [], [], [], []
+    for qid in sorted(SORT_QUERY_SETS):
+        q = parse_query(SORT_QUERY_SETS[qid], an)
+        docs, vals = score_sort_by_fields(reader, q, fields, k=SORT_PAGE)
+        if len(docs) == SORT_PAGE:
+            d2, v2 = score_sort_by_fields(
+                reader, q, fields, k=SORT_PAGE,
+                after=(
+                    (int(vals[0][-1]), int(vals[1][-1])),
+                    int(docs[-1]),
+                ),
+            )
+            docs = np.concatenate([docs, d2])
+            vals = [np.concatenate([a, b]) for a, b in zip(vals, v2)]
+        qids.extend([qid] * len(docs))
+        ranks.extend(range(1, len(docs) + 1))
+        docs_out.extend(docs.tolist())
+        lb_out.extend(vals[0].tolist())
+        ts_out.extend(vals[1].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "len_bucket": pa.array(lb_out, pa.int64()),
+            "ts_us": pa.array(ts_out, pa.int64()),
+        }
+    )
+
+
 def _bm25_phrase(sf_dir: str):
     """Exact phrase top-k over the positions-enabled index."""
     return _run_query_strings(
@@ -2045,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["bm25_set_filter"] = lambda sf: _bm25_set_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
+    q["sort_multi"] = lambda sf: _sort_multi(sf)
     q["sort_by_len_sorted"] = lambda sf: _sort_by_len_sorted(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
     q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
@@ -2090,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_suggest"] = lambda sf: _spell_suggest(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
     q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
+    q["suggest_infix"] = lambda sf: _suggest_infix(sf)
 
     # --- queries module: MoreLikeThis ---
     q["mlt"] = lambda sf: _mlt(sf, boost=False)
@@ -2165,6 +2239,19 @@ def _suggest_prefix(sf_dir: str):
     return complete_prefix(
         _load_documents(sf_dir),
         [SUGGEST_PREFIXES[i] for i in sorted(SUGGEST_PREFIXES)],
+        k=SPELL_TOPK,
+        cfg=cfg,
+    )
+
+
+def _suggest_infix(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import complete_infix
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return complete_infix(
+        _load_documents(sf_dir),
+        [INFIX_SUBSTRINGS[i] for i in sorted(INFIX_SUBSTRINGS)],
         k=SPELL_TOPK,
         cfg=cfg,
     )
@@ -2956,6 +3043,33 @@ def _sort_sql() -> str:
        CAST(row_number() OVER (ORDER BY ts DESC, doc_id ASC) AS INTEGER) AS rank,
        doc_id, CAST(ts AS BIGINT) AS ts_us
   FROM tsv WHERE doc_id IN ({match})
+  QUALIFY rank <= {2 * SORT_PAGE})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
+
+
+def _sort_multi_sql() -> str:
+    """Oracle for sort_multi: (len_bucket desc, ts asc, doc asc), first
+    2*SORT_PAGE rows (two engine searchAfter pages)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(SORT_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (
+         ORDER BY len_bucket DESC, ts ASC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, len_bucket, CAST(ts AS BIGINT) AS ts_us
+  FROM (
+    SELECT d.doc_id,
+           CAST(FLOOR(d.n_chars / 100) AS BIGINT) AS len_bucket, tsv.ts
+    FROM documents d JOIN tsv USING (doc_id)
+    WHERE d.doc_id IN ({match})
+  )
   QUALIFY rank <= {2 * SORT_PAGE})"""
         )
     body = "\nUNION ALL\n".join(selects)
@@ -4256,6 +4370,7 @@ FROM tf GROUP BY term"""
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
     sql["bm25_set_filter"] = _set_filter_sql()
+    sql["sort_multi"] = _sort_multi_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["sort_by_len_sorted"] = _sort_len_sql()
     sql["bm25_must_multi"] = _must_multi_sql()
@@ -4370,6 +4485,25 @@ q(query_id, p) AS (VALUES {_pref_vals}),
 cand AS (
   SELECT q.query_id, df.term, df.df
   FROM df JOIN q ON starts_with(df.term, q.p)
+),
+ranked AS (
+  SELECT query_id, term, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, term) AS rank
+  FROM cand
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {SPELL_TOPK}"""
+
+    _ifx_vals = ", ".join(
+        f"({i}, '{INFIX_SUBSTRINGS[i]}')" for i in sorted(INFIX_SUBSTRINGS)
+    )
+    sql["suggest_infix"] = f"""WITH {_BASE_CTES},
+q(query_id, s) AS (VALUES {_ifx_vals}),
+cand AS (
+  SELECT q.query_id, df.term, df.df
+  FROM df JOIN q ON position(q.s IN df.term) > 0
 ),
 ranked AS (
   SELECT query_id, term, df,

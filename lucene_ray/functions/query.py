@@ -1468,6 +1468,51 @@ def score_sort_by_field(
     return np.asarray(docs[order], dtype=np.int64), vals[order]
 
 
+def score_sort_by_fields(
+    reader,
+    query,
+    fields: Sequence[Tuple[str, bool]],
+    k: int = 10,
+    after: Optional[Tuple[Tuple[int, ...], int]] = None,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Multi-field sort: matching docs ordered by each ``(field,
+    descending)`` in turn, doc asc last — a Sort with several SortFields
+    (reference: search/Sort.java takes a SortField[] and
+    TopFieldCollector compares them left to right). ``after =
+    ((v1, .., vn), doc_id)`` pages strictly past the anchor in the same
+    total order. Returns (docs, [values per field])."""
+    docs = matching_docs(reader, query)
+    if len(docs) == 0 or k <= 0 or not fields:
+        return np.empty(0, dtype=np.int64), [
+            np.empty(0, dtype=np.int64) for _ in fields
+        ]
+    cols = [
+        np.asarray(reader.doc_values_for(f, docs), dtype=np.int64)
+        for f, _ in fields
+    ]
+    if after is not None:
+        a_vals, a_doc = after
+        # strictly-after in lexicographic (fields..., doc asc) order
+        gt = np.zeros(len(docs), dtype=bool)
+        eq = np.ones(len(docs), dtype=bool)
+        for (f, desc), col, av in zip(fields, cols, a_vals):
+            av = int(av)
+            later = (col < av) if desc else (col > av)
+            gt |= eq & later
+            eq &= col == av
+        gt |= eq & (docs > int(a_doc))
+        docs = docs[gt]
+        cols = [c[gt] for c in cols]
+    keys = [docs] + [
+        (-c if desc else c) for (f, desc), c in zip(fields, cols)
+    ][::-1]
+    order = np.lexsort(tuple(keys))[:k]
+    return (
+        np.asarray(docs[order], dtype=np.int64),
+        [c[order] for c in cols],
+    )
+
+
 def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:

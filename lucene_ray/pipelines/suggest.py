@@ -268,3 +268,49 @@ def complete_fuzzy(
     return cands.groupby("query_id").map_groups(
         _topk_fuzzy(k), batch_format="pandas"
     )
+
+
+def _infix_matcher(substrings: Sequence[str]):
+    lowered = [s.lower() for s in substrings]
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for qid, s in enumerate(lowered):
+            hit = batch.filter(pc.match_substring(batch.column("term"), s))
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(hit), pa.int32()),
+                        "term": hit.column("term"),
+                        "df": hit.column("doc_freq").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return match
+
+
+def complete_infix(
+    ds: "ray.data.Dataset",
+    substrings: Sequence[str],
+    k: int = 5,
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """Infix completion (reference: suggest/.../analyzing/
+    AnalyzingInfixSuggester.java — suggestions matched anywhere in the
+    text, ranked by weight): terms CONTAINING the query substring, ranked
+    (doc_freq desc, term asc), top-k per input. Our suggestion corpus is
+    the vocabulary, so token-start matching degenerates to substring
+    matching (single-token suggestions). Same term_stats-driven shape as
+    complete_prefix: the matcher emits only hits, the top-k groupby moves
+    a trickle."""
+    stats = term_stats(ds, cfg)
+    cands = stats.map_batches(
+        _infix_matcher(substrings), batch_format="pyarrow"
+    )
+    return cands.groupby("query_id").map_groups(
+        _topk_prefix(k), batch_format="pandas"
+    )

@@ -240,3 +240,54 @@ def test_str_doc_values_gather(dv_str_index):
     got = dv.values_for(np.array([0, 3, 6], dtype=np.int64))
     assert got.tolist() == ["en", "fr", "zh"]
     assert dv.in_set_docs({"de"}).tolist() == [1, 5]
+
+
+# multi-field Sort (SortField[] analogue)
+BUCKETS = [2, 1, 2, 1, 2, 1, 2, 1]  # ties everywhere -> second field decides
+
+
+def test_sort_by_fields_multi_and_paging(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_sort_by_fields
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.docvalues import write_doc_values
+
+    out = str(tmp_path / "idx_multi")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "ts": pa.array(VALS, pa.int64()),
+            "bucket": pa.array(BUCKETS, pa.int64()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    write_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "ts"])), out, "ts"
+    )
+    write_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "bucket"])), out, "bucket"
+    )
+    r = _reader(out)
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query("alpha beta gamma delta", an)  # matches every doc
+    fields = [("bucket", True), ("ts", False)]
+    ref = sorted(range(len(TEXTS)), key=lambda d: (-BUCKETS[d], VALS[d], d))
+
+    docs_got, vals = score_sort_by_fields(r, q, fields, k=len(TEXTS))
+    assert docs_got.tolist() == ref
+    assert vals[0].tolist() == [BUCKETS[d] for d in ref]
+    assert vals[1].tolist() == [VALS[d] for d in ref]
+
+    # searchAfter paging: pages concatenate to the deep sort
+    d1, v1 = score_sort_by_fields(r, q, fields, k=3)
+    d2, _ = score_sort_by_fields(
+        r, q, fields, k=3,
+        after=((int(v1[0][-1]), int(v1[1][-1])), int(d1[-1])),
+    )
+    assert d1.tolist() + d2.tolist() == ref[:6]
