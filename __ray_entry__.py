@@ -1673,6 +1673,51 @@ def _bm25_recency_boost(sf_dir: str):
     )
 
 
+# FeatureQuery sets: (query, function, weight, pivot, scale, exponent)
+# over the len_bucket feature (n_chars // 100 — the static "page length
+# prior"); one set per FeatureField score function.
+FEATURE_QUERY_SETS: Dict[int, Tuple[str, str, float, float, float, float]] = {
+    0: ("data stream", "saturation", 0.5, 2.0, 1.0, 1.0),
+    1: ("dup", "log", 0.3, 1.0, 1.0, 1.0),
+    2: ("+batch -small", "sigmoid", 0.5, 2.0, 1.0, 2.0),
+}
+
+
+def _bm25_feature(sf_dir: str):
+    """FeatureQuery: BM25 + weight * F(len_bucket) for each FeatureField
+    score function. -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query, score_feature
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    reader.bm25_params = (K1, B)
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid, (qs, fn, w, piv, sc, ex) in sorted(FEATURE_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        d, s = score_feature(
+            reader, q, "len_bucket", function=fn, weight=w, pivot=piv,
+            scale=sc, exponent=ex, k=TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        scores_out.extend(round_half_away(np.asarray(s), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(scores_out, pa.float64()),
+        }
+    )
+
+
 def _expr_score(sf_dir: str):
     """Expression-scored top-k (expressions module / JavascriptCompiler):
     matches reranked by EXPR_SOURCE with _score bound to the BM25 sum and
@@ -2134,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
+    q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["search_collapse"] = lambda sf: _search_collapse(sf)
@@ -3273,6 +3319,40 @@ def _boost_field_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
 
 
+def _feature_sql() -> str:
+    """Oracle for bm25_feature: boolean sums plus the FeatureField score
+    function over the len_bucket feature, same float64 op order."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, fn, w, piv, sc, ex) in sorted(FEATURE_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        b = "CAST(FLOOR(d.n_chars / 100) AS DOUBLE)"
+        if fn == "saturation":
+            fsql = f"({b} / ({b} + {piv}))"
+        elif fn == "log":
+            fsql = f"LN({sc} + {b})"
+        else:
+            fsql = (
+                f"(POW({b}, {ex}) / (POW({b}, {ex}) + POW({piv}, {ex})))"
+            )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT m.doc_id, m.score + {w} * {fsql} AS score
+    FROM ({sub}) m JOIN documents d USING (doc_id)
+    WHERE {cond.replace('n_must', 'm.n_must').replace('n_should', 'm.n_should').replace('n_not', 'm.n_not')}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _expr_score_sql() -> str:
     """Oracle for expr_score: EXPR_SOURCE transliterated — same float64
     op order, GREATEST for max, LN/SQRT for ln/sqrt."""
@@ -4386,6 +4466,7 @@ FROM tf GROUP BY term"""
     sql["interval_unordered"] = _interval_unordered_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
+    sql["bm25_feature"] = _feature_sql()
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["search_collapse"] = _collapse_sql()

@@ -1443,6 +1443,56 @@ def score_boost_by_field(
     return _topk_from(cand, boosted, k)
 
 
+#: FeatureField score functions (reference: document/FeatureField.java —
+#: newSaturationQuery / newLogQuery / newSigmoidQuery). Each maps a
+#: non-negative static feature v to a bounded relevance term.
+FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def score_feature(
+    reader,
+    query,
+    field: str,
+    function: str = "saturation",
+    weight: float = 1.0,
+    pivot: float = 1.0,
+    scale: float = 1.0,
+    exponent: float = 1.0,
+    k: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """FeatureQuery analogue: final = BM25 + weight * F(v) where v is a
+    non-negative doc-values feature (pagerank-ish static signal) and F is
+
+    * ``saturation``: v / (v + pivot)           (SaturationFunction)
+    * ``log``:        ln(scale + v)             (LogFunction)
+    * ``sigmoid``:    v^a / (v^a + pivot^a)     (SigmoidFunction, a=exponent)
+
+    The reference indexes features as term frequencies inside a special
+    field and scores them through the same impact machinery; here the
+    feature is a doc-values column and the additive term is a pure
+    per-doc formula (frozen op order for the SQL oracle). Returns
+    (docs, float64 scores) top-k by (score desc, doc asc)."""
+    if function not in FEATURE_FUNCTIONS:
+        raise ValueError(f"function must be one of {FEATURE_FUNCTIONS}")
+    r = _exhaustive_candidates(reader, query)
+    if r is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand, acc, _ = r
+    cand = np.asarray(cand, dtype=np.int64)
+    if len(cand) == 0:
+        return cand, np.empty(0, dtype=np.float64)
+    v = np.asarray(reader.doc_values_for(field, cand), dtype=np.float64)
+    if function == "saturation":
+        f = v / (v + pivot)
+    elif function == "log":
+        f = np.log(scale + v)
+    else:
+        va = v ** exponent
+        f = va / (va + pivot ** exponent)
+    boosted = acc.astype(np.float64) + weight * f
+    return _topk_from(cand, boosted, k)
+
+
 def score_sort_by_field(
     reader, query, field: str, k: int = 10, descending: bool = True,
     after: Optional[Tuple[int, int]] = None,

@@ -291,3 +291,39 @@ def test_sort_by_fields_multi_and_paging(ray_session, tmp_path):
         after=((int(v1[0][-1]), int(v1[1][-1])), int(d1[-1])),
     )
     assert d1.tolist() + d2.tolist() == ref[:6]
+
+
+def test_score_feature_functions(dv_index):
+    """FeatureQuery: BM25 + weight*F(v) for each FeatureField function,
+    vs brute recomputation."""
+    import math
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        parse_query,
+        score_exhaustive,
+        score_feature,
+    )
+
+    an = make_analyzer("en_nostem_simple")
+    r = _reader(dv_index)
+    q = parse_query("alpha beta", an)
+    base_d, base_s = score_exhaustive(r, q, len(TEXTS))
+    base = dict(zip(base_d.tolist(), base_s.tolist()))
+    for fn, kw, F in [
+        ("saturation", {"pivot": 30.0}, lambda v: v / (v + 30.0)),
+        ("log", {"scale": 2.0}, lambda v: math.log(2.0 + v)),
+        (
+            "sigmoid",
+            {"pivot": 30.0, "exponent": 2.0},
+            lambda v: v**2.0 / (v**2.0 + 30.0**2.0),
+        ),
+    ]:
+        d, s = score_feature(
+            r, q, "ts", function=fn, weight=0.5, k=len(TEXTS), **kw
+        )
+        got = dict(zip(d.tolist(), s.tolist()))
+        want = {doc: sc + 0.5 * F(VALS[doc]) for doc, sc in base.items()}
+        assert got == pytest.approx(want)
+    with pytest.raises(ValueError, match="function"):
+        score_feature(r, q, "ts", function="cubic")
