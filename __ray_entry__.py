@@ -2078,6 +2078,22 @@ def _web_pages_urls(sf_dir: str):
     )
 
 
+def _url_parts(sf_dir: str):
+    """URL canonicalization: (doc_id, scheme, host, path)."""
+    from lucene_ray.pipelines.textops import parse_urls
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    return parse_urls(load_web_pages(sf_dir, include_html=False))
+
+
+def _host_stats(sf_dir: str):
+    """Host-level rollup: (host, n_pages, total_chars)."""
+    from lucene_ray.pipelines.textops import host_stats
+    from lucene_ray.sources.web_pages import load_web_pages
+
+    return host_stats(load_web_pages(sf_dir, include_html=False))
+
+
 def _media_meta(sf_dir: str):
     from lucene_ray.pipelines.multimodal import media_meta_batch
     from lucene_ray.sources.web_pages import load_web_pages
@@ -2220,6 +2236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
+    q["url_parts"] = lambda sf: _url_parts(sf)
+    q["host_stats"] = lambda sf: _host_stats(sf)
     q["media_meta"] = _media_meta
     q["media_frames"] = _media_frames
 
@@ -4699,6 +4717,18 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOPK}"""
 
     sql["web_pages_urls"] = f"SELECT doc_id, {_WEB_URL_SQL} AS url FROM documents"
+
+    sql["url_parts"] = """SELECT doc_id,
+  'https' AS scheme,
+  'site' || (doc_id % 997) || '.example' AS host,
+  '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path
+FROM documents"""
+
+    sql["host_stats"] = """SELECT
+  'site' || (doc_id % 997) || '.example' AS host,
+  COUNT(*) AS n_pages,
+  CAST(SUM(len(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1"""
 
     sql["media_meta"] = f"""SELECT doc_id,
   CAST(octet_length(CAST('<html><body>' || text || '</body></html>' AS BLOB)) AS BIGINT) AS n_bytes,

@@ -565,6 +565,14 @@ class _WrapAnalyzer:
     def analyze(self, text: str) -> List[str]:
         return self.analyze_positions(text)[0]
 
+    def _base_positions(self, text: str):
+        """Base (terms, positions); tokenizers without explicit position
+        support get sequential positions."""
+        if hasattr(self.base, "analyze_positions"):
+            return self.base.analyze_positions(text)
+        terms = self.base.analyze(text)
+        return terms, list(range(len(terms)))
+
 
 class LengthFilterAnalyzer(_WrapAnalyzer):
     """LengthFilter (analysis/common/.../miscellaneous/LengthFilter.java):
@@ -595,6 +603,64 @@ class LimitTokenCountAnalyzer(_WrapAnalyzer):
         return terms[: self.max_count], pos[: self.max_count]
 
 
+class KeepWordAnalyzer(_WrapAnalyzer):
+    """KeepWordFilter (analysis/common/.../miscellaneous/
+    KeepWordFilter.java): the inverse stop filter — DROP every token not
+    in the keep set; dropped terms leave a position gap."""
+
+    def __init__(self, base, keep, name: str):
+        super().__init__(base, name)
+        self.keep = frozenset(keep)
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        kept = [(t, p) for t, p in zip(terms, pos) if t in self.keep]
+        return [t for t, _ in kept], [p for _, p in kept]
+
+
+class TruncateAnalyzer(_WrapAnalyzer):
+    """TruncateTokenFilter (analysis/common/.../miscellaneous/
+    TruncateTokenFilter.java): hard-truncate every token to length n
+    (prefix indexing idiom); positions unchanged."""
+
+    def __init__(self, base, n: int, name: str):
+        super().__init__(base, name)
+        self.n = n
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        return [t[: self.n] for t in terms], pos
+
+
+#: French elision articles (analysis/common/.../util/ElisionFilter.java
+#: defaults from FrenchAnalyzer.DEFAULT_ARTICLES)
+ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"]
+)
+
+
+class ElisionAnalyzer(_WrapAnalyzer):
+    """ElisionFilter: strip a leading <article>' / <article>\u2019 prefix
+    ("l'avion" -> "avion"); only meaningful over tokenizers that keep
+    apostrophes (whitespace/keyword)."""
+
+    def __init__(self, base, name: str):
+        super().__init__(base, name)
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        out = []
+        for t in terms:
+            for sep in ("'", "\u2019"):
+                i = t.find(sep)
+                if 0 < i and t[:i].lower() in ELISION_ARTICLES:
+                    t = t[i + 1 :]
+                    break
+            out.append(t)
+        return out, pos
+
+
 def _parse_wrapped_name(name: str):
     kind, rest = name.split(":", 1)
     if kind == "length":
@@ -603,6 +669,14 @@ def _parse_wrapped_name(name: str):
     if kind == "limit":
         n, base = rest.split(":", 1)
         return LimitTokenCountAnalyzer(make_analyzer(base), int(n), name)
+    if kind == "keep":
+        words, base = rest.split(":", 1)
+        return KeepWordAnalyzer(make_analyzer(base), words.split("|"), name)
+    if kind == "truncate":
+        n, base = rest.split(":", 1)
+        return TruncateAnalyzer(make_analyzer(base), int(n), name)
+    if kind == "elision":
+        return ElisionAnalyzer(make_analyzer(rest), name)
     raise KeyError(f"unknown wrapped analyzer spec {name!r}")
 
 
@@ -651,7 +725,7 @@ def register_analyzer(name: str, factory: Callable[[], object]) -> None:
 def make_analyzer(name: str):
     if name.startswith("synonym:"):
         return _parse_synonym_name(name)
-    if name.startswith(("length:", "limit:")):
+    if name.startswith(("length:", "limit:", "keep:", "truncate:", "elision:")):
         return _parse_wrapped_name(name)
     try:
         return _REGISTRY[name]()

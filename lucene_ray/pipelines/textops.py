@@ -229,3 +229,82 @@ def _tri_ids(text: str) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     c = _char_codes(norm)
     return c[:-2] * 1369 + c[1:-1] * 37 + c[2:]
+
+
+# ---------------------------------------------------------------------------
+# URL parsing + host-level aggregation (web-corpus bookkeeping)
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/]+)(/.*)?$")
+
+
+def parse_urls(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, url) -> (doc_id, scheme, host, path) — vectorized regex
+    split, streaming (the canonicalization step every crawl pipeline runs
+    before host-level policies). Unparseable urls get empty strings."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        schemes, hosts, paths = [], [], []
+        for u in urls:
+            m = _URL_RE.match(u.lower()) if u else None
+            if m is None:
+                schemes.append("")
+                hosts.append("")
+                paths.append("")
+            else:
+                schemes.append(m.group(1))
+                hosts.append(m.group(2))
+                paths.append(m.group(3) or "/")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "scheme": pa.array(schemes, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "url"]).map_batches(
+        split, batch_format="pyarrow"
+    )
+
+
+def host_stats(web_pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-host page count and total text chars — the host-level rollup
+    that feeds domain capping / blocklists. Partial counts inside every
+    batch, tiny groupby(host) finish (hosts << pages).
+    -> Dataset(host, n_pages, total_chars)."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict = {}
+        for u, t in zip(urls, texts):
+            m = _URL_RE.match(u.lower()) if u else None
+            host = m.group(2) if m else ""
+            c, n = agg.get(host, (0, 0))
+            agg[host] = (c + 1, n + len(t))
+        hosts = sorted(agg)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "pages_part": pa.array(
+                    [agg[h][0] for h in hosts], pa.int64()
+                ),
+                "chars_part": pa.array(
+                    [agg[h][1] for h in hosts], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        web_pages.select_columns(["url", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            rd.aggregate.Sum("pages_part", alias_name="n_pages"),
+            rd.aggregate.Sum("chars_part", alias_name="total_chars"),
+        )
+    )

@@ -257,3 +257,29 @@ def test_length_and_limit_wrappers():
     assert lim.analyze("one two three four") == ["one", "two"]
     # spec round-trips by name (worker reconstruction path)
     assert make_analyzer(ln.name).analyze("ccc x") == ["ccc"]
+
+
+def test_keep_word_filter():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("keep:data|stream:en_nostem_simple")
+    terms, pos = an.analyze_positions("data the big stream data")
+    assert terms == ["data", "stream", "data"]
+    assert pos == [0, 3, 4]  # dropped tokens leave position gaps
+    assert an.analyze("nothing kept here") == []
+
+
+def test_truncate_filter():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("truncate:3:en_nostem_simple")
+    assert an.analyze("datastream over key xy") == ["dat", "ove", "key", "xy"]
+
+
+def test_elision_filter():
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("elision:whitespace")
+    terms, pos = an.analyze_positions("l'avion d'or qu'il xyz'q")
+    assert terms == ["avion", "or", "il", "xyz'q"]
+    assert pos == [0, 1, 2, 3]
