@@ -734,3 +734,26 @@ def test_lm_quality_scores(ray_session):
         for r in lm_quality_scores(ds).take_all()
     }
     assert again == got
+
+
+def test_connected_components_long_chain_log_rounds(ray_session):
+    """Pointer doubling: a 200-node chain converges well inside 30 rounds
+    (O(log diameter), not O(diameter))."""
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import connected_components_ds
+
+    n = 200
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(range(n - 1), pa.int64()),
+            "doc_b": pa.array(range(1, n), pa.int64()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ds(
+            ray.data.from_arrow(pairs), max_iters=30
+        ).take_all()
+    }
+    assert got == {i: 0 for i in range(n)}
