@@ -465,6 +465,16 @@ BLOCK_JOIN_CHILD_QUERY_SETS: Dict[int, str] = {
 }
 BLOCK_JOIN_KPARENTS = 5
 
+# Parenthesized boolean groups: `+(t1 t2)` required-OR, `-(t1 t2)`
+# negated members — one level of the classic parser's nested BooleanQuery.
+BOOL_GROUP_QUERY_SETS: Dict[int, str] = {
+    0: "+(data stream) key",
+    1: "+(data stream) +(sort merge)",
+    2: "key -(batch small)",
+    3: "+(zzzmissing qqqq) data",   # unsatisfiable group -> empty
+    4: "(customer value) dup",      # bare group == flat SHOULD
+}
+
 # Three-term sloppy phrases: exact minimal window per anchor via the
 # smallest-range sweep (query.py::_min_window — no greedy pick since r2
 # late). The SQL oracle enumerates the full (b, c) cross product per
@@ -2181,6 +2191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sort_multi"] = lambda sf: _sort_multi(sf)
     q["sort_by_len_sorted"] = lambda sf: _sort_by_len_sorted(sf)
     q["bm25_must_multi"] = lambda sf: _run_query_strings(sf, MUST_MULTI_QUERY_SETS)
+    q["bm25_bool_groups"] = lambda sf: _run_query_strings(
+        sf, BOOL_GROUP_QUERY_SETS
+    )
     q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
     q["bm25_combined_field"] = lambda sf: _bm25_combined_field(sf)
     q["bm25_k1b"] = lambda sf: _run_query_strings(
@@ -3570,6 +3583,55 @@ def _interval_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bool_groups_sql() -> str:
+    """Oracle for bm25_bool_groups: parenthesized term groups — each
+    `+(...)` group requires a per-group matched-count >= 1; group terms
+    score like SHOULD terms; `-(...)` members all exclude."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+
+    def or_(preds):
+        return "(" + (" OR ".join(preds) or "FALSE") + ")"
+
+    selects = []
+    for qid, qs in sorted(BOOL_GROUP_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        group_preds = [
+            f"term IN {_in_list(sorted(set(g)))}" for g in q.must_groups
+        ]
+        plain_preds = [f"term = '{t}'" for t in sorted(set(must) | set(should))]
+        not_preds = [f"term = '{t}'" for t in sorted(set(q.must_not))]
+        scoring = or_(plain_preds + group_preds)
+        neg = or_(not_preds)
+        gcols = "".join(
+            f",\n           COUNT(CASE WHEN {p} THEN term END) AS g{i}"
+            for i, p in enumerate(group_preds)
+        )
+        gcond = " AND ".join(
+            [f"g{i} >= 1" for i in range(len(group_preds))] or ["TRUE"]
+        )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN {scoring} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(CASE WHEN {neg} THEN term END) AS n_not{gcols}
+    FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_not = 0 AND {gcond}
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _facet_taxonomy_sql() -> str:
     """Oracle for facet_taxonomy: per-query hit set, counts rolled up at
     every path prefix of the lang/source taxonomy."""
@@ -4469,6 +4531,7 @@ FROM tf GROUP BY term"""
     sql["bm25_range_filter"] = _range_sql()
     sql["bm25_set_filter"] = _set_filter_sql()
     sql["sort_multi"] = _sort_multi_sql()
+    sql["bm25_bool_groups"] = _bool_groups_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["sort_by_len_sorted"] = _sort_len_sql()
     sql["bm25_must_multi"] = _must_multi_sql()

@@ -231,6 +231,32 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
 
     text = _re.sub(r"(\w+):\(([^()]*)\)", _grab_set, text)
 
+    # `+(t1 t2)` / `-(t1 t2)` / `(t1 t2)` parenthesized term groups — one
+    # level of the classic parser's nested BooleanQuery
+    # (queryparser/.../classic/QueryParserBase.java getBooleanQuery via
+    # Clause -> '(' Query ')'):  `+(...)` is a required disjunction
+    # (must_groups), `-(...)` negates every member (NOT(a OR b) =
+    # NOT a AND NOT b), bare `(...)` is the flat SHOULD it already means.
+    # Terms are analyzed; a group that analyzes empty (all stopwords) is
+    # dropped like the reference parser drops stopword-only clauses.
+    group_must: List[Tuple[str, ...]] = []
+    group_not: List[str] = []
+
+    def _grab_group(m) -> str:
+        sign, body = m.group(1), m.group(2)
+        terms = tuple(analyzer.analyze(body))
+        if not terms:
+            return " "
+        if sign == "+":
+            group_must.append(terms)
+            return " "
+        if sign == "-":
+            group_not.extend(terms)
+            return " "
+        return " " + " ".join(terms) + " "
+
+    text = _re.sub(r"(?<![\w:])([+-]?)\(([^()]*)\)", _grab_group, text)
+
     # bare `[lo TO hi]` / `{lo TO hi}` on the default text field: term
     # range over the dictionary (reference: search/TermRangeQuery.java via
     # the classic parser's getRangeQuery, queryparser/.../classic/
@@ -328,9 +354,10 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         must.extend(should)
         should = []
     return BooleanQuery(
-        must=tuple(must), should=tuple(should), must_not=tuple(must_not),
+        must=tuple(must), should=tuple(should),
+        must_not=tuple(must_not) + tuple(group_not),
         minimum_should_match=msm, multi=tuple(multi), boosts=tuple(boosts),
-        filters=tuple(filters),
+        filters=tuple(filters), must_groups=tuple(group_must),
     )
 
 

@@ -217,3 +217,68 @@ def test_trange_engine_matches_oracle(corpus_index):
             bd, bsc = exec_fn(reader, q, 10)
             assert np.array_equal(od, bd), qs
             assert np.array_equal(np.asarray(osc), np.asarray(bsc)), qs
+
+
+def test_parenthesized_term_groups(ray_session, tmp_path):
+    """`+(a b)` requires a; `-(a b)` excludes both; bare `(a b)` is flat
+    SHOULD — one level of the classic parser's nested boolean."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        matching_docs,
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    texts = [
+        "alpha beta",        # 0
+        "alpha gamma",       # 1
+        "beta gamma",        # 2
+        "delta",             # 3
+        "alpha beta delta",  # 4
+    ]
+    out = str(tmp_path / "gidx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+        ),
+        doc_count=len(texts),
+    )
+    r = get_reader(out)
+    an = make_analyzer("en_nostem_simple")
+
+    q = parse_query("+(alpha beta) gamma", an)
+    assert q.must_groups == (("alpha", "beta"),)
+    assert matching_docs(r, q).tolist() == [0, 1, 2, 4]
+
+    q2 = parse_query("+(alpha beta) +(gamma delta)", an)
+    assert matching_docs(r, q2).tolist() == [1, 2, 4]
+
+    q3 = parse_query("alpha -(gamma delta)", an)
+    assert matching_docs(r, q3).tolist() == [0]
+
+    # bare group == flat SHOULD
+    q4 = parse_query("(alpha beta) delta", an)
+    assert q4.must_groups == ()
+    assert set(q4.should) == {"alpha", "beta", "delta"}
+
+    # unsatisfiable group -> empty; blockmax == exhaustive on groups
+    q5 = parse_query("+(zzz qqq) alpha", an)
+    assert matching_docs(r, q5).tolist() == []
+    for qq in (q, q2, q3):
+        ed, es = score_exhaustive(r, qq, 10)
+        bd, bs = score_blockmax(r, qq, 10)
+        assert bd.tolist() == ed.tolist() and bs.tolist() == es.tolist()
