@@ -1210,6 +1210,66 @@ def _highlight_top(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _highlight_passages(sf_dir: str):
+    """Multi-passage highlighting (UnifiedHighlighter analogue): up to 2
+    non-overlapping passages per top-3 doc, idf-weighted passage scoring;
+    rows-only (snippet strings are engine-defined).
+    -> (query_id, doc_id, passage_idx, snippet)."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.highlight import PassageStage
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.pipelines.search import get_reader, search
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    outs = []
+    for qid in sorted(HIGHLIGHT_QUERY_SETS):
+        qs = HIGHLIGHT_QUERY_SETS[qid]
+        top = search(index_dir, qs, k=3).to_pandas()
+        ids = top["doc_id"].tolist()
+        q = parse_query(qs, an)
+        terms = tuple(sorted(set(q.must) | set(q.should)))
+        weights = {}
+        for t in terms:
+            df, _ = reader.term_stats(t)
+            if df:
+                weights[t] = math.log(
+                    1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+                )
+
+        def keep_ids(batch, _ids=ids):
+            import pyarrow as pa
+
+            return batch.filter(
+                pc.is_in(batch.column("doc_id"), value_set=pa.array(_ids))
+            )
+
+        hl = (
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id", "text"]
+            )
+            .map_batches(keep_ids, batch_format="pyarrow")
+            .map_batches(
+                PassageStage,
+                fn_constructor_args=(reader.analyzer_name, terms, weights),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        hl.insert(0, "query_id", qid)
+        outs.append(hl.sort_values(["doc_id", "passage_idx"]))
+    return pd.concat(outs, ignore_index=True)
+
+
 def _ensure_update_root(sf_dir: str) -> str:
     """Incremental root with the update scenario applied: base corpus as
     shard 0, the modified docs as shard 1, old versions tombstoned."""
@@ -2232,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["classify_nb"] = lambda sf: _classify_nb(sf)
     q["classify_knn"] = lambda sf: _classify_knn(sf)
     q["highlight_top"] = lambda sf: _highlight_top(sf)  # rows-only
+    q["highlight_passages"] = lambda sf: _highlight_passages(sf)  # rows-only
     q["analysis_postings"] = _analysis_postings  # rows-only (Porter chain)
 
     # --- suggest module (DirectSpellChecker / WFSTCompletionLookup) ---

@@ -124,3 +124,128 @@ class HighlightStage:
         return batch.drop_columns(["text"]).append_column(
             "snippet", pa.array(snippets, pa.string())
         )
+
+
+def top_passages(
+    text: str,
+    query_terms: Sequence[str],
+    analyzer,
+    max_passages: int = 3,
+    frag_size: int = 100,
+    weights: Optional[dict] = None,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> List[str]:
+    """Top-N NON-OVERLAPPING passages (UnifiedHighlighter's multi-passage
+    contract — uhighlight/PassageScorer.java ranks passages by a
+    tf-saturated sum of per-term weights; highlightFields returns the
+    best N in TEXT order).
+
+    Deterministic variant: candidate windows anchor at each match start
+    (frag_size chars); passage score = sum over DISTINCT matched terms of
+    weight(term) * (1 + ln(1 + tf_in_passage)) — ``weights`` defaults to
+    1.0 per term (callers pass idf for PassageScorer parity). Greedy
+    selection: repeatedly take the best-scoring window disjoint from the
+    already chosen (score desc, start asc ties), then emit in text order
+    with matches wrapped.
+    """
+    import math
+
+    qset = set(query_terms)
+    if not text or not qset or max_passages <= 0:
+        return []
+    w = weights or {}
+    matches = [
+        (s, e, term)
+        for tok, s, e in token_offsets(text)
+        for term in (_term_of(analyzer, tok),)
+        if term in qset
+    ]
+    if not matches:
+        return []
+    import bisect
+
+    ends = [e for _, e, _ in matches]
+
+    def window(wi: int):
+        ws = matches[wi][0]
+        w_end = min(ws + frag_size, len(text))
+        inside = matches[wi : bisect.bisect_right(ends, w_end, lo=wi)]
+        tf: dict = {}
+        for *_se, t in inside:
+            tf[t] = tf.get(t, 0) + 1
+        score = sum(
+            w.get(t, 1.0) * (1.0 + math.log(1.0 + c)) for t, c in tf.items()
+        )
+        return score, ws, w_end, inside
+
+    cands = sorted(
+        (window(i) for i in range(len(matches))),
+        key=lambda c: (-c[0], c[1]),
+    )
+    chosen = []
+    for score, ws, w_end, inside in cands:
+        if len(chosen) >= max_passages:
+            break
+        if any(not (w_end <= cs or ws >= ce) for _, cs, ce, _ in chosen):
+            continue  # overlaps an already-picked passage
+        chosen.append((score, ws, w_end, inside))
+    chosen.sort(key=lambda c: c[1])  # text order, like highlightFields
+    out = []
+    for _, ws, w_end, inside in chosen:
+        parts = []
+        cur = ws
+        for s, e, _ in inside:
+            parts.append(text[cur:s])
+            parts.append(pre + text[s:e] + post)
+            cur = e
+        parts.append(text[cur:w_end])
+        frag = "".join(parts)
+        if ws > 0:
+            frag = "..." + frag
+        if w_end < len(text):
+            frag = frag + "..."
+        out.append(frag)
+    return out
+
+
+class PassageStage:
+    """Actor-pool stage: top-N passages per doc, row-expanding
+    (doc_id, passage_idx, snippet)."""
+
+    def __init__(self, analyzer_name: str, query_terms: Sequence[str],
+                 weights: Optional[dict] = None, max_passages: int = 2,
+                 frag_size: int = 80):
+        from .analysis import make_analyzer
+
+        self.analyzer = make_analyzer(analyzer_name)
+        self.query_terms = tuple(query_terms)
+        self.weights = dict(weights or {})
+        self.max_passages = max_passages
+        self.frag_size = frag_size
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        ids_out, idx_out, snip_out = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for i, p in enumerate(
+                top_passages(
+                    t or "", self.query_terms, self.analyzer,
+                    max_passages=self.max_passages,
+                    frag_size=self.frag_size, weights=self.weights,
+                )
+            ):
+                ids_out.append(did)
+                idx_out.append(i)
+                snip_out.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "passage_idx": pa.array(idx_out, pa.int32()),
+                "snippet": pa.array(snip_out, pa.string()),
+            }
+        )

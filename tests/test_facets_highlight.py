@@ -271,3 +271,34 @@ def test_taxonomy_facet_counts(ray_session, tmp_path):
     # sorted (level asc, count desc, path asc)
     lv1 = got[got.level == 1]
     assert list(lv1["count"]) == sorted(lv1["count"], reverse=True)
+
+
+def test_top_passages_multi():
+    """UnifiedHighlighter-style multi-passage: non-overlapping, highest-
+    scoring first by greedy pick, emitted in text order, wrapped tags."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.highlight import top_passages
+
+    an = make_analyzer("en_nostem_simple")
+    text = (
+        "alpha beta together here and then a very long stretch of filler "
+        "words that contain nothing interesting at all for quite a while "
+        "until alpha appears again near beta for the second window close"
+    )
+    ps = top_passages(text, ["alpha", "beta"], an, max_passages=2,
+                      frag_size=40)
+    assert len(ps) == 2
+    assert all("<b>alpha</b>" in p for p in ps)
+    # text order: first passage comes from the start of the text
+    assert ps[0].startswith("<b>alpha</b>")
+    # non-overlap: idempotent under max_passages=1 prefix
+    p1 = top_passages(text, ["alpha", "beta"], an, max_passages=1,
+                      frag_size=40)
+    assert len(p1) == 1 and p1[0] in ps
+    # no matches -> empty
+    assert top_passages(text, ["zzz"], an) == []
+    # idf weighting prefers windows with the rarer term
+    w = {"alpha": 0.1, "beta": 5.0}
+    pw = top_passages(text, ["alpha", "beta"], an, max_passages=1,
+                      frag_size=25, weights=w)
+    assert "<b>beta</b>" in pw[0]
