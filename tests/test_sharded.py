@@ -292,3 +292,59 @@ def test_compact_heavy_split_shards(ray_session, tmp_path):
         d1, s1 = score_blockmax(mono, q, 10)
         d2, s2 = score_blockmax(merged, q, 10)
         assert np.array_equal(d1, d2) and np.array_equal(s1, s2), qt
+
+
+def test_sharded_set_filter_and_str_values(ray_session, tmp_path):
+    """TermInSet filters across doc-range shards: per-shard SORTED string
+    sidecars, filter_docs concatenates in global doc order; results match
+    a monolithic index with the same sidecar."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.incremental import add_batch, open_index
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.docvalues import write_str_doc_values
+
+    texts = [f"alpha doc {i}" for i in range(12)]
+    langs = ["en", "de", "fr"] * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+    )
+    # sharded root: two batches
+    root = str(tmp_path / "root")
+    lo = tbl.filter(pa.compute.less(tbl.column("doc_id"), 6))
+    hi = tbl.filter(pa.compute.greater_equal(tbl.column("doc_id"), 6))
+    import os
+
+    add_batch(root, ray.data.from_arrow(lo), cfg, doc_count=6)
+    add_batch(root, ray.data.from_arrow(hi), cfg, doc_count=6)
+    s0 = os.path.join(root, "shards", "shard-00000")
+    s1 = os.path.join(root, "shards", "shard-00001")
+    for shard_dir, part in ((s0, lo), (s1, hi)):
+        write_str_doc_values(
+            ray.data.from_arrow(part.select(["doc_id", "lang"])),
+            shard_dir,
+            "lang",
+        )
+    # monolithic twin
+    mono = str(tmp_path / "mono")
+    build_index(ray.data.from_arrow(tbl), mono, cfg, doc_count=12)
+    write_str_doc_values(
+        ray.data.from_arrow(tbl.select(["doc_id", "lang"])), mono, "lang"
+    )
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query("alpha lang:(en fr)", an)
+    sharded = open_index(root)
+    want = [d for d in range(12) if langs[d] in ("en", "fr")]
+    assert matching_docs(get_reader(mono), q).tolist() == want
+    assert matching_docs(sharded, q).tolist() == want
