@@ -385,6 +385,12 @@ COLLAPSE_QUERY_SETS: Dict[int, Tuple[str, str]] = {
     1: ("c* dup", "source"),
 }
 COLLAPSE_TOPK = 5
+# DiversifiedTopDocsCollector analogue: (query, key col, max per key)
+DIVERSIFIED_QUERY_SETS = {
+    0: ("data stream", "lang", 2),
+    1: ("c* dup", "source", 3),
+}
+DIVERSIFIED_TOPK = 8
 
 # Exact phrase queries over the positions-enabled index (PhraseQuery /
 # ExactPhraseMatcher analogue). Set 3 exercises StopFilter position
@@ -1868,6 +1874,30 @@ def _search_collapse(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _search_diversified(sf_dir: str):
+    """Diversified top-k: at most N hits per key value
+    (DiversifiedTopDocsCollector analogue)."""
+    import pandas as pd
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.facets import diversified_search
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    get_reader(index_dir).bm25_params = (K1, B)
+    outs = []
+    for qid in sorted(DIVERSIFIED_QUERY_SETS):
+        qs, col, n = DIVERSIFIED_QUERY_SETS[qid]
+        t = diversified_search(
+            index_dir, qs, _load_documents(sf_dir), col,
+            k=DIVERSIFIED_TOPK, max_per_key=n,
+        ).to_pandas()
+        t["score"] = round_half_away(t["score"].to_numpy(), 4)
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
 # Geo (LatLonPoint/LatLonDocValues analogue): deterministic centi-degree
 # coords derived from doc_id (FIXTURES.md derivation, exact at 2 decimals):
 #   lat_e2 = (doc_id * 7919) % 18000 - 9000
@@ -2272,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["search_collapse"] = lambda sf: _search_collapse(sf)
+    q["search_diversified"] = lambda sf: _search_diversified(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["facet_range"] = lambda sf: _facet_range(sf)
@@ -3538,6 +3569,40 @@ def _collapse_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _diversified_sql() -> str:
+    """Oracle for search_diversified: per-key rn <= N over
+    (score desc, doc asc), then one global top-k over the survivors."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, col, n) in sorted(DIVERSIFIED_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        cond_m = (
+            cond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, grp, doc_id, round(score, 4) AS score FROM (
+    SELECT query_id, grp, doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM (
+      SELECT {qid} AS query_id, CAST(d.{col} AS VARCHAR) AS grp,
+             m.doc_id, m.score,
+             row_number() OVER (PARTITION BY d.{col}
+                  ORDER BY m.score DESC, m.doc_id ASC) AS rn
+      FROM ({sub}) m JOIN documents d ON d.doc_id = m.doc_id
+      WHERE {cond_m}
+    ) WHERE rn <= {n}
+  ) WHERE rank <= {DIVERSIFIED_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _k1b_sql() -> str:
     """Oracle for bm25_k1b: identical arithmetic with k1/b swapped in."""
     from lucene_ray.functions.analysis import make_analyzer
@@ -4612,6 +4677,7 @@ FROM tf GROUP BY term"""
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["search_collapse"] = _collapse_sql()
+    sql["search_diversified"] = _diversified_sql()
     sql["term_vectors"] = f"""WITH {_BASE_CTES}
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf
 FROM tf WHERE doc_id IN {tuple(TV_DOC_IDS)}"""

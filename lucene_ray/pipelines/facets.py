@@ -488,6 +488,106 @@ def collapse_search(
     )
 
 
+def diversified_search(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <key_col>)
+    key_col: str,
+    k: int = 10,
+    max_per_key: int = 2,
+    id_col: str = "doc_id",
+):
+    """Diversified top-k — each key value contributes at most
+    ``max_per_key`` hits to the global top-k (reference:
+    misc/src/java/org/apache/lucene/misc/search/DiversifiedTopDocsCollector
+    .java — 'collector that ensures only a limited number of results from
+    a shared source are collected'; max_per_key=1 degenerates to field
+    collapsing). Same plan shape as :func:`collapse_search` with head-1
+    generalized to head-N: the per-batch pre-trim bounds the shuffle at
+    max_per_key rows per (key, block).
+    -> Dataset(rank, grp, doc_id, score[unrounded float64])."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import _exhaustive_candidates, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    r = _exhaustive_candidates(reader, q)
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int32()),
+            "grp": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if r is None or len(r[0]) == 0:
+        return ray.data.from_arrow(empty)
+    cand, acc, _ = r
+    hits_ref = ray.put(
+        (np.asarray(cand, dtype=np.int64), acc.astype(np.float64))
+    )
+
+    def _head_n(t: pa.Table) -> pa.Table:
+        s = t.sort_by(
+            [("grp", "ascending"), ("score", "descending"),
+             ("doc_id", "ascending")]
+        )
+        grp = s.column("grp").to_numpy(zero_copy_only=False)
+        change = np.empty(len(s), dtype=bool)
+        if len(s):
+            change[0] = True
+            change[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(change)
+        rank = np.arange(len(s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(s)))
+        )
+        return s.filter(pa.array(rank < max_per_key))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids_sorted, scores = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(
+            np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+        )
+        mask = ids_sorted[pos] == ids
+        sub = pa.table(
+            {
+                "grp": batch.column(key_col).cast(pa.string()),
+                "doc_id": batch.column(id_col),
+                "score": pa.array(scores[pos]),
+            }
+        ).filter(pa.array(mask))
+        return _head_n(sub)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        s = batch.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        )
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(s) + 1, dtype=np.int32)),
+                "grp": s.column("grp"),
+                "doc_id": s.column("doc_id"),
+                "score": s.column("score"),
+            }
+        )
+
+    return (
+        docs_ds.select_columns([id_col, key_col])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(_head_n, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(add_rank, batch_format="pyarrow")
+    )
+
+
 def taxonomy_facet_counts(
     index_dir: str,
     query_text: str,

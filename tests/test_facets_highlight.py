@@ -302,3 +302,65 @@ def test_top_passages_multi():
     pw = top_passages(text, ["alpha", "beta"], an, max_passages=1,
                       frag_size=25, weights=w)
     assert "<b>beta</b>" in pw[0]
+
+
+def test_diversified_search(ray_session, tmp_path):
+    """Top-k with at most N per key == brute-force quota scan in score
+    order (DiversifiedTopDocsCollector semantics); N=1 == collapse."""
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        _exhaustive_candidates,
+        parse_query,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.facets import collapse_search, diversified_search
+    from lucene_ray.pipelines.search import get_reader
+
+    texts = [
+        "alpha alpha alpha", "alpha alpha", "alpha",
+        "alpha beta", "alpha gamma", "alpha delta beta",
+    ]
+    keys = ["x", "x", "x", "y", "y", "z"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "src": pa.array(keys, pa.string()),
+        }
+    )
+    out = str(tmp_path / "dividx")
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+        ),
+        doc_count=len(texts),
+    )
+    ds = ray.data.from_arrow(docs)
+    r = get_reader(out)
+    an = make_analyzer("en_nostem_simple")
+    cand, acc, _ = _exhaustive_candidates(r, parse_query("alpha", an))
+    order = sorted(
+        zip(cand.tolist(), acc.tolist()), key=lambda t: (-t[1], t[0])
+    )
+
+    for n in (1, 2):
+        got = diversified_search(
+            out, "alpha", ds, "src", k=4, max_per_key=n
+        ).to_pandas()
+        quota, want = {}, []
+        for d, s in order:
+            k_ = keys[d]
+            if quota.get(k_, 0) < n:
+                quota[k_] = quota.get(k_, 0) + 1
+                want.append(d)
+            if len(want) == 4:
+                break
+        assert got["doc_id"].tolist() == want, n
+    # N=1 == field collapsing
+    c = collapse_search(out, "alpha", ds, "src", k=4).to_pandas()
+    d1 = diversified_search(out, "alpha", ds, "src", k=4, max_per_key=1).to_pandas()
+    assert c["doc_id"].tolist() == d1["doc_id"].tolist()
