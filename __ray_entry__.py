@@ -1874,6 +1874,45 @@ def _search_collapse(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+# CommonTermsQuery: (terms, absolute df cutoff). At sf0.01 'dup' is the
+# only rare term (df 25 vs ~390 for everything else).
+COMMON_TERMS_QUERY_SETS: Dict[int, Tuple[str, int]] = {
+    0: ("dup data stream", 100),     # low={dup}, high boost {data, stream}
+    1: ("batch small", 100),         # all high -> plain OR fallback
+    2: ("dup zzzmissing key", 100),  # absent term dropped
+    3: ("dup key", 500),             # all low -> required-OR of both
+}
+
+
+def _bm25_common_terms(sf_dir: str):
+    """CommonTermsQuery top-k. -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import common_terms_query, score_blockmax
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    reader.bm25_params = (K1, B)
+    qids, ranks, docs_out, scores_out = [], [], [], []
+    for qid, (qs, cutoff) in sorted(COMMON_TERMS_QUERY_SETS.items()):
+        q = common_terms_query(reader, qs.split(), cutoff)
+        d, s = score_blockmax(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        scores_out.extend(round_half_away(np.asarray(s), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(scores_out, pa.float64()),
+        }
+    )
+
+
 def _search_diversified(sf_dir: str):
     """Diversified top-k: at most N hits per key value
     (DiversifiedTopDocsCollector analogue)."""
@@ -2284,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_bool_groups"] = lambda sf: _run_query_strings(
         sf, BOOL_GROUP_QUERY_SETS
     )
+    q["bm25_common_terms"] = lambda sf: _bm25_common_terms(sf)
     q["bm25_multifield"] = lambda sf: _bm25_multifield(sf)
     q["bm25_combined_field"] = lambda sf: _bm25_combined_field(sf)
     q["bm25_k1b"] = lambda sf: _run_query_strings(
@@ -3569,6 +3609,35 @@ def _collapse_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _common_terms_sql() -> str:
+    """Oracle for bm25_common_terms: every query term scores; the match
+    condition requires >= 1 LOW-df term unless no query term is low-df
+    in the index (the reference's all-high fallback)."""
+    selects = []
+    for qid, (qs, cutoff) in sorted(COMMON_TERMS_QUERY_SETS.items()):
+        qterms = _in_list(sorted(set(qs.split())))
+        selects.append(
+            f"""(SELECT {qid} AS query_id, rank, doc_id, round(score, 4) AS score FROM (
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM (
+      SELECT s.doc_id, SUM(s.score) AS score,
+             COUNT(DISTINCT CASE WHEN d.df <= {cutoff} THEN s.term END)
+               AS n_low
+      FROM sc s JOIN df d USING (term)
+      WHERE s.term IN {qterms}
+      GROUP BY s.doc_id
+    )
+    WHERE n_low >= 1
+       OR (SELECT COUNT(*) FROM df
+           WHERE term IN {qterms} AND df <= {cutoff}) = 0
+  ) WHERE rank <= {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _diversified_sql() -> str:
     """Oracle for search_diversified: per-key rn <= N over
     (score desc, doc asc), then one global top-k over the survivors."""
@@ -4658,6 +4727,7 @@ FROM tf GROUP BY term"""
     sql["bm25_set_filter"] = _set_filter_sql()
     sql["sort_multi"] = _sort_multi_sql()
     sql["bm25_bool_groups"] = _bool_groups_sql()
+    sql["bm25_common_terms"] = _common_terms_sql()
     sql["sort_by_ts"] = _sort_sql()
     sql["sort_by_len_sorted"] = _sort_len_sql()
     sql["bm25_must_multi"] = _must_multi_sql()

@@ -1470,6 +1470,26 @@ def score_boost_by_field(
     return _topk_from(cand, boosted, k)
 
 
+def common_terms_query(reader, terms, max_doc_freq: int) -> BooleanQuery:
+    """CommonTermsQuery (reference: queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java): terms are split by document frequency
+    at ``max_doc_freq`` — LOW-frequency terms form the match clause (a
+    required-OR group, lowFreqOccur=SHOULD with minimumNumberShouldMatch=1),
+    HIGH-frequency (stopword-ish) terms only boost scores of docs already
+    matched. With no low-frequency term present the high-frequency terms
+    become the match clause themselves (the reference's fallback). Terms
+    absent from the index are dropped."""
+    low, high = [], []
+    for t in dict.fromkeys(terms):  # de-dup, keep order
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            continue
+        (low if df <= max_doc_freq else high).append(t)
+    if not low:
+        return BooleanQuery(should=tuple(high))
+    return BooleanQuery(should=tuple(high), must_groups=(tuple(low),))
+
+
 #: FeatureField score functions (reference: document/FeatureField.java —
 #: newSaturationQuery / newLogQuery / newSigmoidQuery). Each maps a
 #: non-negative static feature v to a bounded relevance term.

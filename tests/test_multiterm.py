@@ -282,3 +282,49 @@ def test_parenthesized_term_groups(ray_session, tmp_path):
         ed, es = score_exhaustive(r, qq, 10)
         bd, bs = score_blockmax(r, qq, 10)
         assert bd.tolist() == ed.tolist() and bs.tolist() == es.tolist()
+
+
+def test_common_terms_query(ray_session, tmp_path):
+    """CommonTermsQuery: low-df terms are the match clause, high-df terms
+    only boost; all-high falls back to plain OR; absent terms drop."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.query import common_terms_query, matching_docs
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    # 'the0'-ish common term in every doc; 'rare' in one
+    texts = ["common rare", "common beta", "common gamma", "common beta"]
+    out = str(tmp_path / "ctidx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+        ),
+        doc_count=len(texts),
+    )
+    r = get_reader(out)
+    # cutoff 2: rare(df1), beta(df2) low; common(df4), gamma? df1 low too
+    q = common_terms_query(r, ["common", "rare"], max_doc_freq=2)
+    assert q.must_groups == (("rare",),) and q.should == ("common",)
+    assert matching_docs(r, q).tolist() == [0]  # only the rare doc matches
+
+    q2 = common_terms_query(r, ["common"], max_doc_freq=2)
+    assert q2.must_groups == () and q2.should == ("common",)
+    assert matching_docs(r, q2).tolist() == [0, 1, 2, 3]  # fallback OR
+
+    q3 = common_terms_query(r, ["common", "zzz", "beta"], max_doc_freq=2)
+    assert q3.must_groups == (("beta",),)  # zzz dropped
+    assert matching_docs(r, q3).tolist() == [1, 3]
+
+    q4 = common_terms_query(r, ["rare", "beta"], max_doc_freq=3)
+    assert q4.must_groups == (("rare", "beta"),)  # all low: any-of
+    assert matching_docs(r, q4).tolist() == [0, 1, 3]
