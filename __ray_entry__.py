@@ -916,6 +916,14 @@ def _quality_lm(sf_dir: str):
     return tbl.sort_by([("doc_id", "ascending")])
 
 
+def _repetition_stats(sf_dir: str):
+    """Gopher-rule repetition signals per doc.
+    -> (doc_id, dup_bigram_frac, top_bigram_frac, rep_trigram_frac)."""
+    from lucene_ray.pipelines.textops import repetition_stats
+
+    return repetition_stats(_load_documents(sf_dir))
+
+
 SAMPLE_CAP_N = 10       # max docs per source (domain capping)
 SAMPLE_HASH_FRAC = 0.25
 SAMPLE_STRAT_FRAC = 0.1
@@ -2355,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_hash"] = lambda sf: _sample_hash(sf)
     q["sample_stratified"] = lambda sf: _sample_stratified(sf)
     q["quality_lm"] = lambda sf: _quality_lm(sf)
+    q["repetition_stats"] = lambda sf: _repetition_stats(sf)
     q["join_query"] = lambda sf: _join_query(sf)
     q["block_join"] = lambda sf: _block_join(sf)
     q["block_join_child"] = lambda sf: _block_join_child(sf)
@@ -4761,6 +4770,43 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+
+    # Gopher-rule repetition fractions: integer counts divided once, so
+    # the float64 values are bit-identical on both sides
+    sql["repetition_stats"] = """WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM tl, UNNEST(range(1, len(toks))) AS s(i)
+  WHERE len(toks) >= 2
+),
+bic AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+bstat AS (
+  SELECT doc_id,
+         1.0 - COUNT(*) * 1.0 / SUM(c) AS dup2,
+         MAX(c) * 1.0 / SUM(c) AS top2
+  FROM bic GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+  FROM tl, UNNEST(range(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 3
+),
+tric AS (SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY doc_id, tg),
+tstat AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c) AS rep3
+  FROM tric GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(b.dup2, 0), 6) AS dup_bigram_frac,
+       round(COALESCE(b.top2, 0), 6) AS top_bigram_frac,
+       round(COALESCE(t.rep3, 0), 6) AS rep_trigram_frac
+FROM documents d
+LEFT JOIN bstat b USING (doc_id)
+LEFT JOIN tstat t USING (doc_id)"""
 
     # trigram-LM quality: trained and evaluated on the same corpus, so
     # every evaluated trigram is in the model (c >= 1); V = 37^3

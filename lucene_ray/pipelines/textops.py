@@ -308,3 +308,62 @@ def host_stats(web_pages: "ray.data.Dataset") -> "ray.data.Dataset":
             rd.aggregate.Sum("chars_part", alias_name="total_chars"),
         )
     )
+
+
+def repetition_stats(ds: "ray.data.Dataset", ndigits: int = 6):
+    """Gopher-rule repetition signals (Rae et al. 2021 quality filters,
+    public): per-doc word-bigram/trigram repetition ratios used to drop
+    boilerplate and keyword-stuffed pages. One streaming pass, stateless.
+
+    -> Dataset(doc_id, dup_bigram_frac, top_bigram_frac, rep_trigram_frac)
+
+    * dup_bigram_frac  = 1 - distinct_bigrams / total_bigrams
+    * top_bigram_frac  = count of the most frequent bigram / total_bigrams
+      (ties by the bigram's text order are irrelevant — only the max
+      count matters)
+    * rep_trigram_frac = fraction of trigram OCCURRENCES whose trigram
+      appears more than once in the doc
+
+    Docs with < 2 tokens emit 0.0 for all three (no bigrams; SQL mirrors
+    via the same guard).
+    """
+    from collections import Counter
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        dup2 = np.zeros(n, dtype=np.float64)
+        top2 = np.zeros(n, dtype=np.float64)
+        rep3 = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if len(toks) >= 2:
+                bi = Counter(zip(toks[:-1], toks[1:]))
+                total = len(toks) - 1
+                dup2[i] = 1.0 - len(bi) / total
+                top2[i] = max(bi.values()) / total
+            if len(toks) >= 3:
+                tri = Counter(zip(toks[:-2], toks[1:-1], toks[2:]))
+                total3 = len(toks) - 2
+                rep3[i] = (
+                    sum(c for c in tri.values() if c > 1) / total3
+                )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "dup_bigram_frac": pa.array(
+                    round_half_away(dup2, ndigits), pa.float64()
+                ),
+                "top_bigram_frac": pa.array(
+                    round_half_away(top2, ndigits), pa.float64()
+                ),
+                "rep_trigram_frac": pa.array(
+                    round_half_away(rep3, ndigits), pa.float64()
+                ),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )

@@ -757,3 +757,35 @@ def test_connected_components_long_chain_log_rounds(ray_session):
         ).take_all()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_repetition_stats(ray_session):
+    """Gopher repetition fractions vs hand-computed values."""
+    import ray.data
+
+    from lucene_ray.pipelines.textops import repetition_stats
+
+    texts = [
+        "a b a b a b",       # bigrams: ab,ba,ab,ba,ab -> 2 distinct / 5
+        "w x y z",           # all bigrams unique
+        "solo",              # <2 tokens -> zeros
+        "t t t t",           # single repeated bigram/trigram
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: (
+            r["dup_bigram_frac"], r["top_bigram_frac"], r["rep_trigram_frac"]
+        )
+        for r in repetition_stats(ray.data.from_arrow(docs)).take_all()
+    }
+    assert got[0] == (pytest.approx(1 - 2 / 5), pytest.approx(3 / 5),
+                      pytest.approx(1.0))  # aba x2, bab x2 all repeated
+    assert got[1] == (0.0, pytest.approx(1 / 3), 0.0)
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[3] == (pytest.approx(1 - 1 / 3), pytest.approx(1.0),
+                      pytest.approx(1.0))
