@@ -916,6 +916,62 @@ def _quality_lm(sf_dir: str):
     return tbl.sort_by([("doc_id", "ascending")])
 
 
+def _asof_join(sf_dir: str):
+    """As-of join over the events stream: each purchase pairs with the
+    user's latest click at or before the purchase time (ties on click ts
+    to the largest event_id). Purchases with no earlier click drop.
+    -> (event_id, user_id, ts_us, click_event_id, click_ts_us)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from lucene_ray.pipelines.joins import asof_join
+
+    ev = _read_sized(f"{sf_dir.rstrip('/')}/events.parquet").select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def typed(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.equal(b.column("event_type"), kind)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    left = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(typed("click"), batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="user_id", ts="ts", right_order="event_id"
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "click_event_id": b.column("r_event_id"),
+                "click_ts_us": b.column("r_ts").cast(pa.int64()),
+            }
+        )
+
+    tbl = pa.Table.from_pylist(
+        out.map_batches(shape, batch_format="pyarrow").take_all(),
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts_us", pa.int64()),
+                ("click_event_id", pa.int64()),
+                ("click_ts_us", pa.int64()),
+            ]
+        ),
+    )
+    return tbl.sort_by([("event_id", "ascending")])
+
+
 def _repetition_stats(sf_dir: str):
     """Gopher-rule repetition signals per doc.
     -> (doc_id, dup_bigram_frac, top_bigram_frac, rep_trigram_frac)."""
@@ -2364,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_stratified"] = lambda sf: _sample_stratified(sf)
     q["quality_lm"] = lambda sf: _quality_lm(sf)
     q["repetition_stats"] = lambda sf: _repetition_stats(sf)
+    q["asof_join"] = lambda sf: _asof_join(sf)
     q["join_query"] = lambda sf: _join_query(sf)
     q["block_join"] = lambda sf: _block_join(sf)
     q["block_join_child"] = lambda sf: _block_join_child(sf)
@@ -4770,6 +4827,24 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+
+    sql["asof_join"] = """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.event_id, p.user_id,
+         epoch_us(p.ts) AS ts_us,
+         c.event_id AS click_event_id,
+         epoch_us(c.ts) AS click_ts_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, ts_us, click_event_id, click_ts_us
+FROM m WHERE rn = 1 ORDER BY event_id"""
 
     # Gopher-rule repetition fractions: integer counts divided once, so
     # the float64 values are bit-identical on both sides

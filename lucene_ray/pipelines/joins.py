@@ -285,3 +285,146 @@ def join_query_topk(
             "score": t.column("score").cast(pa.float64()),
         }
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str = "user_id",
+    ts: str = "ts",
+    right_prefix: str = "r_",
+    num_buckets: int = 64,
+    right_order: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """As-of join (inner): every LEFT row pairs with the LATEST RIGHT row
+    of the same ``key`` whose ``ts`` <= the left row's ``ts``; left rows
+    with no earlier right row are dropped. Ties on the right timestamp
+    break to the largest ``right_order`` column value (pass a unique id
+    for full determinism across block orders; default = arrival order,
+    deterministic only within one block).
+
+    The classic event-stream enrichment (DuckDB/kdb ASOF JOIN; Ray Data
+    has no native equivalent) expressed with the same packed-IPC bucket
+    exchange as :func:`hash_join`: shuffle bytes = payload once, per-group
+    memory = the bucket's share of BOTH sides. Inside a bucket the right
+    side is sorted once by (key, ts); each left row's match is one
+    searchsorted into its key's slice — vectorized per key run.
+
+    Output = left columns + right columns prefixed ``right_prefix``
+    (the join key deduplicated).
+    """
+
+    def pack(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {
+                        "_jbucket": pa.array([], pa.int32()),
+                        "_jside": pa.array([], pa.string()),
+                        "_payload": pa.array([], pa.binary()),
+                    }
+                )
+            b = _key_bucket(batch.column(key), num_buckets)
+            order = np.argsort(b, kind="stable")
+            sb = batch.take(pa.array(order))
+            bs = b[order]
+            bounds = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            out_b, out_p = [], []
+            for lo, hi in zip(starts, ends):
+                out_b.append(int(bs[lo]))
+                out_p.append(_ipc_pack(sb.slice(lo, hi - lo)))
+            return pa.table(
+                {
+                    "_jbucket": pa.array(out_b, pa.int32()),
+                    "_jside": pa.array([side] * len(out_b), pa.string()),
+                    "_payload": pa.array(out_p, pa.binary()),
+                }
+            )
+
+        return fn
+
+    lt = left.map_batches(pack("l"), batch_format="pyarrow")
+    rt = right.map_batches(pack("r"), batch_format="pyarrow")
+
+    def ts_i64(col) -> np.ndarray:
+        c = col
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.int64())
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        sides = group.column("_jside").to_pylist()
+        payloads = group.column("_payload").to_pylist()
+        l_parts = [_ipc_unpack(p) for s, p in zip(sides, payloads) if s == "l"]
+        r_parts = [_ipc_unpack(p) for s, p in zip(sides, payloads) if s == "r"]
+        if not l_parts or not r_parts:
+            return None
+        lt_ = pa.concat_tables(l_parts)
+        rt_ = pa.concat_tables(r_parts)
+        lk = lt_.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt_ts = ts_i64(lt_.column(ts))
+        rk = rt_.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        rt_ts = ts_i64(rt_.column(ts))
+        # right sorted by (key, ts, tiebreak) — ties resolve to the LAST
+        if right_order is not None:
+            tb = rt_.column(right_order).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            tb = np.arange(len(rk))
+        r_order = np.lexsort((tb, rt_ts, rk))
+        rk_s, rts_s = rk[r_order], rt_ts[r_order]
+        # vectorized per-key searchsorted via one merged lexsort: right
+        # rows sort before left rows at equal (key, ts), so the running
+        # right-row count at each left row - 1 is the global index of its
+        # latest same-or-earlier right row; it is a real match iff it
+        # falls inside the left key's slice (>= lo)
+        nl, nr = len(lk), len(rk_s)
+        lo = np.searchsorted(rk_s, lk, side="left")
+        all_keys = np.concatenate([rk_s, lk])
+        all_ts = np.concatenate([rts_s, lt_ts])
+        flag = np.concatenate(
+            [np.zeros(nr, dtype=np.int8), np.ones(nl, dtype=np.int8)]
+        )
+        order = np.lexsort((flag, all_ts, all_keys))
+        is_left = flag[order] == 1
+        cum_right = np.cumsum(~is_left)
+        left_orig = order[is_left] - nr
+        pos = np.empty(nl, dtype=np.int64)
+        pos[left_orig] = cum_right[is_left] - 1
+        ok = pos >= lo
+        if not ok.any():
+            return None
+        lsel = lt_.filter(pa.array(ok))
+        rsel = rt_.take(pa.array(r_order[pos[ok]]))
+        cols = {name: lsel.column(name) for name in lsel.column_names}
+        for name in rsel.column_names:
+            if name == key:
+                continue
+            cols[f"{right_prefix}{name}"] = rsel.column(name)
+        return pa.table(cols)
+
+    # joined schema computed driver-side once (parquet schemas are cheap);
+    # only the plain pyarrow schema is captured by the group fn
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    empty_cols = {n: pa.array([], l_schema.field(n).type) for n in l_schema.names}
+    for n in r_schema.names:
+        if n != key:
+            empty_cols[f"{right_prefix}{n}"] = pa.array(
+                [], r_schema.field(n).type
+            )
+    empty_tbl = pa.table(empty_cols)
+
+    def join_bucket_safe(group: pa.Table) -> pa.Table:
+        out = join_bucket(group)
+        return out if out is not None else empty_tbl
+
+    return (
+        lt.union(rt)
+        .groupby("_jbucket")
+        .map_groups(join_bucket_safe, batch_format="pyarrow")
+    )

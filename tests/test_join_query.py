@@ -107,3 +107,67 @@ def test_join_query_distinct_to_field(join_index, ray_session):
         key=lambda p: (-p[0], p[1]),
     )[:10]
     assert got["doc_id"].tolist() == [d for _, d in rows]
+
+
+def test_asof_join_vs_bruteforce(ray_session):
+    """As-of join == brute per-row scan: latest same-key right row with
+    ts <= left ts; rows with no earlier right match drop; ties on right
+    ts resolve to the last arrival."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.joins import asof_join
+
+    rng = random.Random(11)
+    nl, nr = 120, 90
+    lt = pa.table(
+        {
+            "lid": pa.array(range(nl), pa.int64()),
+            "user_id": pa.array(
+                [rng.randint(0, 9) for _ in range(nl)], pa.int64()
+            ),
+            "ts": pa.array(
+                [rng.randint(0, 50) for _ in range(nl)], pa.int64()
+            ),
+        }
+    )
+    rt = pa.table(
+        {
+            "rid": pa.array(range(nr), pa.int64()),
+            "user_id": pa.array(
+                [rng.randint(0, 9) for _ in range(nr)], pa.int64()
+            ),
+            "ts": pa.array(
+                [rng.randint(0, 50) for _ in range(nr)], pa.int64()
+            ),
+            "val": pa.array(
+                [rng.random() for _ in range(nr)], pa.float64()
+            ),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(lt),
+        ray.data.from_arrow(rt),
+        key="user_id",
+        ts="ts",
+        num_buckets=8,
+        right_order="rid",
+    ).take_all()
+    got = {r["lid"]: (r["r_rid"], r["r_ts"]) for r in out}
+
+    # brute force (tie on right ts -> largest rid via right_order)
+    want = {}
+    for i in range(nl):
+        u, t = lt["user_id"][i].as_py(), lt["ts"][i].as_py()
+        best = None
+        for j in range(nr):
+            if rt["user_id"][j].as_py() == u and rt["ts"][j].as_py() <= t:
+                k = (rt["ts"][j].as_py(), j)
+                if best is None or k >= best:
+                    best = k
+        if best is not None:
+            want[i] = (best[1], best[0])
+    assert got == want
