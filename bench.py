@@ -583,6 +583,32 @@ def run_suite() -> dict:
             docs.select_columns(["doc_id"]), 0.25
         ).count(),
     )
+    from lucene_ray.pipelines.joins import asof_join
+    from lucene_ray.pipelines.textops import repetition_stats
+
+    def _asof():
+        import pyarrow.compute as pc
+
+        ev = _read_sized(f"{SF_DIR}/events.parquet").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]
+        )
+
+        def typed(kind):
+            def fn(b):
+                return b.filter(
+                    pc.equal(b.column("event_type"), kind)
+                ).drop_columns(["event_type"])
+
+            return fn
+
+        return asof_join(
+            ev.map_batches(typed("purchase"), batch_format="pyarrow"),
+            ev.map_batches(typed("click"), batch_format="pyarrow"),
+            key="user_id", ts="ts", right_order="event_id",
+        ).count()
+
+    timed("asof_join", _asof)
+    timed("repetition_stats", lambda: repetition_stats(docs).count())
 
     total = round(time.time() - t_all, 3)
     result = {
