@@ -980,6 +980,30 @@ def _repetition_stats(sf_dir: str):
     return repetition_stats(_load_documents(sf_dir))
 
 
+# training-mix source reweighting: per-source keep fractions
+MIXTURE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src3": 0.0}
+MIXTURE_DEFAULT = 0.1
+
+
+def _sample_mixture(sf_dir: str):
+    """Per-source training-mix sample. -> (doc_id, source)."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.sampling import mixture_sample
+
+    out = mixture_sample(
+        _load_documents(sf_dir).select_columns(["doc_id", "source"]),
+        MIXTURE_FRACTIONS,
+        key="source",
+        default=MIXTURE_DEFAULT,
+    )
+    tbl = pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
 SAMPLE_CAP_N = 10       # max docs per source (domain capping)
 SAMPLE_HASH_FRAC = 0.25
 SAMPLE_STRAT_FRAC = 0.1
@@ -2418,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_cap_per_source"] = lambda sf: _sample_cap(sf)
     q["sample_hash"] = lambda sf: _sample_hash(sf)
     q["sample_stratified"] = lambda sf: _sample_stratified(sf)
+    q["sample_mixture"] = lambda sf: _sample_mixture(sf)
     q["quality_lm"] = lambda sf: _quality_lm(sf)
     q["repetition_stats"] = lambda sf: _repetition_stats(sf)
     q["asof_join"] = lambda sf: _asof_join(sf)
@@ -4915,6 +4940,14 @@ ORDER BY doc_id"""
 ) WHERE rn <= {SAMPLE_CAP_N} ORDER BY doc_id"""
     sql["sample_hash"] = f"""SELECT doc_id FROM documents
 WHERE (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} < {_ht} ORDER BY doc_id"""
+    _mix_cases = " ".join(
+        f"WHEN '{k}' THEN {int(f * _MOD_SQL)}"
+        for k, f in sorted(MIXTURE_FRACTIONS.items())
+    )
+    sql["sample_mixture"] = f"""SELECT doc_id, source FROM documents
+WHERE (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} <
+      CASE source {_mix_cases} ELSE {int(MIXTURE_DEFAULT * _MOD_SQL)} END
+ORDER BY doc_id"""
     sql["sample_stratified"] = f"""SELECT doc_id, lang FROM documents
 WHERE (doc_id * {_KNUTH_SQL}) % {_MOD_SQL} < {_st}
 UNION ALL

@@ -140,3 +140,36 @@ def stratified_sample(
     # did not already keep
     floor_extra = floor.map_batches(not_sampled, batch_format="pyarrow")
     return sampled.union(floor_extra)
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    fractions: dict,
+    key: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> "ray.data.Dataset":
+    """Training-mix assembly: keep a per-key deterministic fraction of
+    rows (e.g. {'wiki': 1.0, 'crawl': 0.1}) — the standard source-
+    reweighting step before training-set writes. Shuffle-free: one
+    streaming pass, each row keeps iff its multiplicative hash clears the
+    key's threshold; keys absent from ``fractions`` use ``default``.
+    Deterministic across runs/retries and exactly expressible in SQL."""
+    for f in fractions.values():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError("fractions must be in [0, 1]")
+    thresholds = {k: int(f * _MOD) for k, f in fractions.items()}
+    default_t = int(default * _MOD)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        keys = batch.column(key).to_pylist()
+        th = np.fromiter(
+            (thresholds.get(k, default_t) for k in keys),
+            dtype=np.uint64,
+            count=len(keys),
+        )
+        return batch.filter(pa.array(h < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

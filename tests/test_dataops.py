@@ -789,3 +789,35 @@ def test_repetition_stats(ray_session):
     assert got[2] == (0.0, 0.0, 0.0)
     assert got[3] == (pytest.approx(1 - 1 / 3), pytest.approx(1.0),
                       pytest.approx(1.0))
+
+
+def test_mixture_sample(ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.sampling import mixture_sample
+
+    n = 400
+    keys = [f"s{i % 4}" for i in range(n)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "src": pa.array(keys, pa.string()),
+        }
+    )
+    fr = {"s0": 1.0, "s1": 0.5, "s3": 0.0}
+    out = mixture_sample(
+        ray.data.from_arrow(docs), fr, key="src", default=0.25
+    ).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["src"], []).append(r["doc_id"])
+    mod = 1 << 32
+    for k, f in (("s0", 1.0), ("s1", 0.5), ("s2", 0.25), ("s3", 0.0)):
+        th = int(f * mod)
+        want = [
+            d for d in range(n)
+            if keys[d] == k and (d * 2654435761) % mod < th
+        ]
+        assert got.get(k, []) == want, k
+    assert len(got.get("s0", [])) == 100  # fraction 1.0 keeps everything
+    assert "s3" not in got                # fraction 0.0 drops everything
