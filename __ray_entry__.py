@@ -980,6 +980,32 @@ def _repetition_stats(sf_dir: str):
     return repetition_stats(_load_documents(sf_dir))
 
 
+def _partitioned_sink(sf_dir: str):
+    """Resumable partitioned sink round-trip: documents written one
+    directory per source (atomic _DONE publish), read back through the
+    marker set. -> (source, n_rows)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from lucene_ray.sources.sink import read_partitioned, write_partitioned
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_sink/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned(
+        _load_documents(sf_dir).select_columns(["doc_id", "source"]),
+        out,
+        "source",
+    )
+    back = read_partitioned(out).groupby("source").count().take_all()
+    tbl = pa.Table.from_pylist(
+        [{"source": r["source"], "n_rows": r["count()"]} for r in back],
+        schema=pa.schema([("source", pa.string()), ("n_rows", pa.int64())]),
+    )
+    return tbl.sort_by([("source", "ascending")])
+
+
 # training-mix source reweighting: per-source keep fractions
 MIXTURE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src3": 0.0}
 MIXTURE_DEFAULT = 0.1
@@ -2443,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_hash"] = lambda sf: _sample_hash(sf)
     q["sample_stratified"] = lambda sf: _sample_stratified(sf)
     q["sample_mixture"] = lambda sf: _sample_mixture(sf)
+    q["partitioned_sink"] = lambda sf: _partitioned_sink(sf)
     q["quality_lm"] = lambda sf: _quality_lm(sf)
     q["repetition_stats"] = lambda sf: _repetition_stats(sf)
     q["asof_join"] = lambda sf: _asof_join(sf)
@@ -4852,6 +4879,11 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+
+    sql["partitioned_sink"] = (
+        "SELECT source, COUNT(*) AS n_rows FROM documents "
+        "GROUP BY source ORDER BY source"
+    )
 
     sql["asof_join"] = """WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -821,3 +821,44 @@ def test_mixture_sample(ray_session):
         assert got.get(k, []) == want, k
     assert len(got.get("s0", [])) == 100  # fraction 1.0 keeps everything
     assert "s3" not in got                # fraction 0.0 drops everything
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Partitioned sink: atomic per-partition publish; resume rewrites
+    ONLY unpublished partitions (finished rows never re-shuffle)."""
+    import os
+
+    import ray.data
+
+    from lucene_ray.sources.sink import (
+        finished_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    n = 60
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "grp": pa.array([f"g{i % 3}" for i in range(n)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    first = write_partitioned(ds, out, "grp")
+    assert first == ["g0", "g1", "g2"]
+    assert finished_partitions(out) == ["g0", "g1", "g2"]
+
+    # simulate a crash on g1: unpublish it
+    os.remove(os.path.join(out, "g1", "_DONE"))
+    os.remove(os.path.join(out, "g1", "part.parquet"))
+    mtime_g0 = os.path.getmtime(os.path.join(out, "g0", "part.parquet"))
+
+    second = write_partitioned(ds, out, "grp", resume=True)
+    assert second == ["g1"]  # only the missing partition rewrote
+    assert os.path.getmtime(os.path.join(out, "g0", "part.parquet")) == mtime_g0
+
+    back = read_partitioned(out).take_all()
+    assert sorted(r["doc_id"] for r in back) == list(range(n))
+    # resume with everything published is a no-op
+    assert write_partitioned(ds, out, "grp", resume=True) == []
