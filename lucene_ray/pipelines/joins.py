@@ -30,6 +30,15 @@ from ..functions.hashing import crc32_array
 
 
 def _key_bucket(arr: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Deterministic key -> bucket. Integer keys take a vectorized
+    multiplicative-hash path (no per-row Python); everything else hashes
+    the decimal string with crc32. The bucket map only controls GROUPING
+    — join results are invariant to it — but it must stay deterministic
+    across processes (never Python ``hash``)."""
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
     vals = arr.to_numpy(zero_copy_only=False)
     return (crc32_array([str(v) for v in vals]) % num_buckets).astype(np.int32)
 
