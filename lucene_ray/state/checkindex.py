@@ -161,6 +161,37 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
         ids = dv.doc_sorted_ids
         if len(ids) > 1 and np.any(np.diff(ids) <= 0):
             errors.append(f"docvalues[{field}]: duplicate or unsorted doc ids")
+    # string (SORTED) doc-values sidecars: unique sorted doc ids, ords
+    # inside the dictionary, dictionary sorted+unique
+    from .docvalues import DOCVALUES_STR_DIR, StrDocValues
+
+    sdv_root = os.path.join(index_dir, DOCVALUES_STR_DIR)
+    sdv_fields = (
+        sorted(os.listdir(sdv_root)) if os.path.isdir(sdv_root) else []
+    )
+    for field in sdv_fields:
+        try:
+            sdv = StrDocValues(index_dir, field)
+        except FileNotFoundError:
+            continue
+        ids = sdv.doc_sorted_ids
+        if len(ids) > 1 and np.any(np.diff(ids) <= 0):
+            errors.append(
+                f"docvalues-str[{field}]: duplicate or unsorted doc ids"
+            )
+        if len(sdv.doc_sorted_ords) and (
+            int(sdv.doc_sorted_ords.min()) < 0
+            or int(sdv.doc_sorted_ords.max()) >= len(sdv.dictionary)
+        ):
+            errors.append(
+                f"docvalues-str[{field}]: ordinal outside the dictionary"
+            )
+        d = sdv.dictionary
+        if len(d) > 1 and not all(d[i] < d[i + 1] for i in range(len(d) - 1)):
+            errors.append(
+                f"docvalues-str[{field}]: dictionary not sorted-unique"
+            )
+
     sort_meta = os.path.join(index_dir, "index_sort.json")
     if os.path.exists(sort_meta):
         import json
