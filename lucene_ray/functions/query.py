@@ -244,6 +244,14 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
 
     def _grab_group(m) -> str:
         sign, body = m.group(1), m.group(2)
+        if any(c in body for c in "*?~/[]\""):
+            # analyzing would silently strip the operator and change the
+            # query's meaning (same policy as the fuzzy-distance guard);
+            # a required multi-term clause is spelled `+pre*` instead
+            raise ValueError(
+                f"multi-term syntax inside a group is not supported: "
+                f"({body})"
+            )
         terms = tuple(analyzer.analyze(body))
         if not terms:
             return " "

@@ -328,3 +328,16 @@ def test_common_terms_query(ray_session, tmp_path):
     q4 = common_terms_query(r, ["rare", "beta"], max_doc_freq=3)
     assert q4.must_groups == (("rare", "beta"),)  # all low: any-of
     assert matching_docs(r, q4).tolist() == [0, 1, 3]
+
+
+def test_group_rejects_multiterm_syntax():
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    for qs in ("+(pre* x)", "(a? b)", "-(x ~2)"):
+        with pytest.raises(ValueError, match="multi-term syntax"):
+            parse_query(qs, an)
+    # set filters with a colon are untouched by the group guard
+    q = parse_query("lang:(en de) key", an)
+    assert q.filters and q.should == ("key",)
