@@ -481,6 +481,17 @@ BOOL_GROUP_QUERY_SETS: Dict[int, str] = {
     4: "(customer value) dup",      # bare group == flat SHOULD
 }
 
+# Phrase clauses MIXED with term clauses (BooleanQuery nesting
+# PhraseQuery): roles per clause; phrases stay at two distinct terms
+# (idf-sum order safety).
+PHRASE_MIXED_QUERY_SETS: Dict[int, str] = {
+    0: '+"data stream" key',      # must phrase, optional term boost
+    1: '"table hash" customer',   # should phrase ∪ should term
+    2: '-"data stream" +key',     # phrase exclusion over a must term
+    3: '+"hash table" +dup',      # must phrase ∩ must term
+    4: '"data stream"~2 dup',     # sloppy should phrase ∪ should term
+}
+
 # Three-term sloppy phrases: exact minimal window per anchor via the
 # smallest-range sweep (query.py::_min_window — no greedy pick since r2
 # late). The SQL oracle enumerates the full (b, c) cross product per
@@ -2447,6 +2458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase"] = lambda sf: _bm25_phrase(sf)
     q["bm25_phrase_sloppy"] = lambda sf: _bm25_phrase_sloppy(sf)
     q["bm25_phrase_sloppy3"] = lambda sf: _bm25_phrase_sloppy3(sf)
+    q["bm25_phrase_mixed"] = lambda sf: _run_query_strings(
+        sf, PHRASE_MIXED_QUERY_SETS,
+        index_dir=_ensure_index(sf, positions=True),
+    )
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -4158,6 +4173,108 @@ def _phrase_sloppy_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+def _phrase_score_sub(ph) -> str:
+    """Subquery -> (doc_id, pscore[unrounded]) for a two-term PhraseQuery
+    (exact offset-join pf, or per-anchor-MIN sloppy pf), BM25-scored with
+    idf = sum of the two terms' idfs."""
+    t0, t1 = ph.terms
+    o1 = ph.offsets[1]
+    vals = ", ".join(f"('{t}')" for t in ph.terms)
+    if ph.slop > 0:
+        pf_sub = f"""SELECT doc_id, SUM(1.0 / (1.0 + L)) AS pf FROM (
+        SELECT a.doc_id, a.pos,
+               MIN(ABS((b.pos - {o1}) - a.pos)) AS L
+        FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND b.term = '{t1}'
+        WHERE a.term = '{t0}'
+        GROUP BY a.doc_id, a.pos
+      ) WHERE L <= {ph.slop} GROUP BY doc_id"""
+    else:
+        pf_sub = f"""SELECT a.doc_id, COUNT(*) AS pf
+      FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id
+                              AND b.pos = a.pos + {o1}
+                              AND b.term = '{t1}'
+      WHERE a.term = '{t0}' GROUP BY a.doc_id"""
+    return f"""SELECT p.doc_id,
+           (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
+              FROM (VALUES {vals}) v(term) JOIN df d USING (term)
+              CROSS JOIN stats s2)
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS pscore
+    FROM ({pf_sub}) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s"""
+
+
+def _phrase_mixed_sql() -> str:
+    """Oracle for bm25_phrase_mixed: per-arm FULL OUTER JOIN of the
+    term-clause scores and the phrase-clause scores, combined under the
+    parsed roles (must phrase gates, should unions, not excludes; score
+    = term score + phrase score — two addends, order-safe)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import MixedQuery, parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, qs in sorted(PHRASE_MIXED_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert isinstance(q, MixedQuery)
+        assert len(q.phrases) == 1, "mixed oracle covers one phrase clause"
+        ph, role = q.phrases[0]
+        assert len(ph.terms) == 2
+        psub = _phrase_score_sub(ph)
+        base = q.base
+        bsub, bcond = _scored_match_sub(base)
+        bcond_m = (
+            bcond.replace("n_must", "m.n_must")
+            .replace("n_should", "m.n_should")
+            .replace("n_not", "m.n_not")
+        )
+        base_scores = (
+            f"SELECT m.doc_id, m.score FROM ({bsub}) m WHERE {bcond_m}"
+        )
+        base_required = bool(base.must)
+        if role == "must":
+            pred = "p.doc_id IS NOT NULL"
+            if base_required:
+                pred += " AND b.doc_id IS NOT NULL"
+        elif role == "must_not":
+            pred = "p.doc_id IS NULL AND b.doc_id IS NOT NULL"
+        else:
+            pred = (
+                "b.doc_id IS NOT NULL"
+                if base_required
+                else "TRUE"
+            )
+        score_expr = (
+            "COALESCE(b.score, 0) + COALESCE(p.pscore, 0)"
+            if role != "must_not"
+            else "b.score"
+        )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT COALESCE(p.doc_id, b.doc_id) AS doc_id,
+           {score_expr} AS score
+    FROM ({psub}) p
+    FULL OUTER JOIN ({base_scores}) b ON b.doc_id = p.doc_id
+    WHERE {pred}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
+
+
 def _phrase_sloppy3_sql() -> str:
     """Oracle for bm25_phrase_sloppy3 (three DISTINCT-term phrases): per
     anchor position of the first term, L = MIN over the full (b, c) cross
@@ -4856,6 +4973,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase"] = _phrase_sql()
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
+    sql["bm25_phrase_mixed"] = _phrase_mixed_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

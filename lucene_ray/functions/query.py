@@ -114,6 +114,23 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MixedQuery:
+    """Boolean query with PHRASE clauses alongside term clauses — the
+    reference's BooleanQuery nesting PhraseQuery sub-queries (e.g.
+    ``+"data stream" key``). ``base`` holds the flat term/filter part;
+    each phrase carries its occur role. Semantics follow BooleanQuery:
+    a MUST phrase makes plain SHOULD terms optional; with no required
+    clause anywhere, matching needs >= 1 SHOULD clause (term or phrase);
+    scores sum over every matching scoring clause (base first, then
+    phrases in query order — the canonical float accumulation order the
+    SQL oracle mirrors). minimum_should_match is not supported together
+    with phrase clauses."""
+
+    base: BooleanQuery
+    phrases: Tuple[Tuple[PhraseQuery, str], ...] = ()
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     """Every live document, constant score 1.0 (reference:
     search/MatchAllDocsQuery.java); parsed from the classic `*:*`."""
@@ -208,10 +225,34 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
             terms=tuple(terms), offsets=offsets,
             slop=int(pm.group(2) or 0),
         )
+    # quoted phrase CLAUSES mixed with terms: `+"data stream" key`,
+    # `-"exact phrase" term`, `"a b"~2 other` — the classic parser's
+    # BooleanQuery-nesting-PhraseQuery (queryparser/.../classic/
+    # QueryParserBase.java getFieldQuery with quoted input). A phrase
+    # that analyzes to nothing (all stopwords) drops its clause, like
+    # the reference parser.
+    phrase_clauses: List[Tuple[PhraseQuery, str]] = []
+
+    def _grab_phrase(m) -> str:
+        sign, body, slop = m.group(1), m.group(2), m.group(3)
+        role = {"+": "must", "-": "must_not", "": "should"}[sign]
+        p_terms, p_pos = analyzer.analyze_positions(body)
+        if p_terms:
+            offsets = tuple(p - p_pos[0] for p in p_pos)
+            phrase_clauses.append(
+                (
+                    PhraseQuery(
+                        terms=tuple(p_terms), offsets=offsets,
+                        slop=int(slop or 0),
+                    ),
+                    role,
+                )
+            )
+        return " "
+
+    text = _re.sub(r'([+-]?)"([^"]*)"(?:~(\d+))?', _grab_phrase, text)
     if '"' in text:
-        raise ValueError(
-            "quoted phrases are supported only as the whole query"
-        )
+        raise ValueError("unbalanced quote in query")
     # `field:[lo TO hi]` inclusive numeric range filter (classic parser's
     # range syntax; values are the field's int64 doc-values encoding, e.g.
     # epoch microseconds for timestamps)
@@ -361,12 +402,19 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
             )
         must.extend(should)
         should = []
-    return BooleanQuery(
+    base = BooleanQuery(
         must=tuple(must), should=tuple(should),
         must_not=tuple(must_not) + tuple(group_not),
         minimum_should_match=msm, multi=tuple(multi), boosts=tuple(boosts),
         filters=tuple(filters), must_groups=tuple(group_must),
     )
+    if phrase_clauses:
+        if msm:
+            raise ValueError(
+                "minimum_should_match with phrase clauses is not supported"
+            )
+        return MixedQuery(base=base, phrases=tuple(phrase_clauses))
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -1114,10 +1162,119 @@ def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:
     return allk[pos]
 
 
+def _mixed_candidates(reader, mq: "MixedQuery"):
+    """Exhaustive executor for phrase+term boolean mixes -> (cand, acc,
+    dtype). Required clauses = MUST phrases, plus the base when it has
+    MUST/filter/group content — or when it has SHOULD terms and no MUST
+    phrase exists (flat-boolean semantics degrade gracefully). Scores
+    accumulate base-then-phrases in query order."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, np.int64), np.empty(0, dtype=dtype), dtype)
+    must_p, should_p, not_p = [], [], []
+    for ph, role in mq.phrases:
+        got = _phrase_scored(reader, ph)
+        if got is None:
+            docs = np.empty(0, np.int64)
+            scores = np.empty(0, dtype=dtype)
+        else:
+            docs, scores, _ = got
+        if role == "must":
+            if len(docs) == 0:
+                return empty
+            must_p.append((docs, scores))
+        elif role == "should":
+            should_p.append((docs, scores))
+        else:
+            not_p.append(docs)
+    raw = mq.base
+    # the base's MUST_NOT clauses exclude at the MIXED level (a
+    # must_not-only base has no positive clause for the flat executor to
+    # anchor on); positive content stays in base
+    not_terms = tuple(sorted(set(raw.must_not)))
+    not_multi = tuple(
+        (k, p, a, "should") for (k, p, a, ro) in raw.multi
+        if ro == "must_not"
+    )
+    base = BooleanQuery(
+        must=raw.must, should=raw.should, must_not=(),
+        minimum_should_match=0,
+        multi=tuple(m for m in raw.multi if m[3] != "must_not"),
+        boosts=raw.boosts, filters=raw.filters,
+        must_groups=raw.must_groups,
+    )
+    if not_terms or not_multi:
+        ex = _exhaustive_candidates(
+            reader, BooleanQuery(should=not_terms, multi=not_multi)
+        )
+        if ex is not None and len(ex[0]):
+            not_p.append(np.asarray(ex[0], dtype=np.int64))
+    has_base = bool(
+        base.must or base.should or base.multi or base.filters
+        or base.must_groups
+    )
+    # a should-only base is required ONLY when nothing else can satisfy
+    # the query (no must phrase to gate on, no should phrase to union
+    # with) — otherwise flat SHOULD clauses, term or phrase, are a union
+    base_required = bool(
+        base.must or base.filters or base.multi or base.must_groups
+    ) or (bool(base.should) and not must_p and not should_p)
+    base_scored = None
+    if has_base:
+        r = _exhaustive_candidates(reader, base)
+        if r is not None and len(r[0]):
+            base_scored = (
+                np.asarray(r[0], dtype=np.int64),
+                np.asarray(r[1]),
+            )
+        elif base_required:
+            return empty
+    req = [d for d, _ in must_p]
+    if base_required and base_scored is not None:
+        req.append(base_scored[0])
+    if req:
+        cand = req[0]
+        for d in req[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+    else:
+        pools = [d for d, _ in should_p]
+        if base_scored is not None:
+            pools.append(base_scored[0])
+        pools = [p for p in pools if len(p)]
+        if not pools:
+            return empty
+        cand = np.unique(np.concatenate(pools))
+    for nd in not_p:
+        if len(nd) and len(cand):
+            pos = np.minimum(np.searchsorted(nd, cand), len(nd) - 1)
+            cand = cand[nd[pos] != cand]
+    if len(cand) == 0:
+        return empty
+    acc = np.zeros(len(cand), dtype=dtype)
+
+    def add(docs, scores):
+        if len(docs) == 0:
+            return
+        pos = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+        hit = docs[pos] == cand
+        acc[hit] += scores[pos[hit]].astype(dtype, copy=False)
+
+    if base_scored is not None:
+        add(*base_scored)
+    for d, s in must_p:
+        add(d, s)
+    for d, s in should_p:
+        add(d, s)
+    return cand, acc, dtype
+
+
 def _exhaustive_candidates(reader, query, _prep=None):
     """Shared exhaustive body -> (cand, acc, dtype) or None (no possible
     match). Uses the dense bulk accumulator when the searcher's doc space
     allows, the sparse unique/searchsorted combine otherwise."""
+    if isinstance(query, MixedQuery):
+        return _mixed_candidates(reader, query)
     if isinstance(query, PhraseQuery):
         return _phrase_scored(reader, query)
     if isinstance(query, MatchAllQuery):
@@ -1242,7 +1399,7 @@ def _single_term_shortcut(prep, query, k: int):
 def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
-    if isinstance(query, (PhraseQuery, MatchAllQuery)):
+    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery)):
         r = _exhaustive_candidates(reader, query)
         if r is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -1622,9 +1779,9 @@ def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    if isinstance(query, (PhraseQuery, MatchAllQuery)):
-        # positional verification / whole-corpus enumeration aren't
-        # modeled by interval bounds
+    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery)):
+        # positional verification / whole-corpus enumeration / phrase
+        # mixes aren't modeled by interval bounds
         return score_exhaustive(reader, query, k)
     if getattr(query, "filters", ()):
         # range FILTER clauses cut the candidate set doc-wise; interval

@@ -358,3 +358,133 @@ def test_sloppy_random_texts_exact_vs_bruteforce(ray_session, tmp_path):
         docs_u, pf = _sloppy_freqs(pos_cache, q)
         got = dict(zip(docs_u.tolist(), pf.tolist()))
         assert got == pytest.approx(ref), (terms, slop)
+
+
+def _term_score(corpus, d, t, k1=1.2, b=0.75):
+    import math
+
+    toks = corpus[d]
+    tf = toks.count(t)
+    df = sum(1 for v in corpus.values() if t in v)
+    if tf == 0 or df == 0:
+        return 0.0
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf / (tf + k1 * ((1 - b) + b * len(toks) / avgdl)))
+
+
+def _phrase_score(an, texts, corpus, d, terms, offsets, k1=1.2, b=0.75):
+    import math
+
+    pf = _brute_phrase(an, texts, terms, offsets).get(d, 0)
+    if pf == 0:
+        return 0.0
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    idf = 0.0
+    for t in terms:
+        df = sum(1 for v in corpus.values() if t in v)
+        idf += math.log(1 + (n - df + 0.5) / (df + 0.5))
+    dl = len(corpus[d])
+    return idf * (pf / (pf + k1 * ((1 - b) + b * dl / avgdl)))
+
+
+def test_mixed_phrase_boolean_queries(ray_session, tmp_path):
+    """Phrase clauses mixed with term clauses: role semantics + exact
+    scores vs a first-principles model (MixedQuery executor)."""
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        MixedQuery,
+        parse_query,
+        score_blockmax,
+        score_exhaustive,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    texts = [
+        "data stream key",
+        "key only here",
+        "data stream other words",
+        "stream data key",
+        "data key stream plus key",
+        "other words entirely",
+    ]
+    out = str(tmp_path / "mixidx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact",
+            num_partitions=2, positions=True,
+        ),
+        doc_count=len(texts),
+    )
+    r = get_reader(out)
+    an = make_analyzer("en_nostem_simple")
+    corpus = {d: an.analyze(t) for d, t in enumerate(texts)}
+    P = ("data", "stream")
+    phrase_docs = set(_brute_phrase(an, texts, list(P), [0, 1]))
+    key_docs = {d for d, v in corpus.items() if "key" in v}
+
+    def scores_for(docs_set, parts):
+        return {
+            d: sum(parts(d)) for d in docs_set
+        }
+
+    cases = {
+        '+"data stream" key': (
+            phrase_docs,
+            lambda d: (
+                _phrase_score(an, texts, corpus, d, P, (0, 1)),
+                _term_score(corpus, d, "key"),
+            ),
+        ),
+        '"data stream" key': (
+            phrase_docs | key_docs,
+            lambda d: (
+                _phrase_score(an, texts, corpus, d, P, (0, 1)),
+                _term_score(corpus, d, "key"),
+            ),
+        ),
+        '-"data stream" +key': (
+            key_docs - phrase_docs,
+            lambda d: (_term_score(corpus, d, "key"),),
+        ),
+        '+"data stream" +key': (
+            phrase_docs & key_docs,
+            lambda d: (
+                _phrase_score(an, texts, corpus, d, P, (0, 1)),
+                _term_score(corpus, d, "key"),
+            ),
+        ),
+    }
+    for qs, (want_docs, parts) in cases.items():
+        q = parse_query(qs, an)
+        assert isinstance(q, MixedQuery), qs
+        d_got, s_got = score_exhaustive(r, q, 10)
+        want = scores_for(want_docs, parts)
+        order = sorted(want, key=lambda x: (-want[x], x))
+        assert d_got.tolist() == order[: len(d_got)], qs
+        got = dict(zip(d_got.tolist(), s_got.tolist()))
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-12), (qs, d)
+        bd, bs = score_blockmax(r, q, 10)
+        assert bd.tolist() == d_got.tolist()
+        assert bs.tolist() == s_got.tolist()
+
+    # whole-query phrase unchanged; msm + phrase rejected
+    from lucene_ray.functions.query import PhraseQuery
+
+    assert isinstance(parse_query('"data stream"', an), PhraseQuery)
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        parse_query('"data stream" key ~1', an)
