@@ -232,6 +232,10 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
     # that analyzes to nothing (all stopwords) drops its clause, like
     # the reference parser.
     phrase_clauses: List[Tuple[PhraseQuery, str]] = []
+    if _re.search(r'\([^()]*"', text):
+        # a phrase inside a parenthesized group would be extracted as a
+        # top-level clause and silently change the grouping
+        raise ValueError("phrases inside parenthesized groups are not supported")
 
     def _grab_phrase(m) -> str:
         sign, body, slop = m.group(1), m.group(2), m.group(3)

@@ -488,3 +488,12 @@ def test_mixed_phrase_boolean_queries(ray_session, tmp_path):
     assert isinstance(parse_query('"data stream"', an), PhraseQuery)
     with pytest.raises(ValueError, match="minimum_should_match"):
         parse_query('"data stream" key ~1', an)
+
+
+def test_phrase_inside_group_rejected():
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    with pytest.raises(ValueError, match="groups"):
+        parse_query('+("data stream" key)', an)
