@@ -497,3 +497,58 @@ def test_phrase_inside_group_rejected():
     an = make_analyzer("en_nostem_simple")
     with pytest.raises(ValueError, match="groups"):
         parse_query('+("data stream" key)', an)
+
+
+def test_mixed_phrase_with_filters(ray_session, tmp_path):
+    """Phrase clauses compose with range AND set FILTER clauses — the
+    must-phrase candidates intersect the doc-values filters."""
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        MixedQuery,
+        matching_docs,
+        parse_query,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.docvalues import (
+        write_doc_values,
+        write_str_doc_values,
+    )
+
+    texts = ["data stream key", "key only", "data stream other",
+             "stream data", "data stream key two"]
+    langs = ["en", "en", "de", "en", "de"]
+    tss = [10, 20, 30, 40, 50]
+    out = str(tmp_path / "mfidx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "ts": pa.array(tss, pa.int64()),
+        }
+    )
+    build_index(
+        ray.data.from_arrow(docs),
+        out,
+        IndexConfig(
+            analyzer="en_nostem_simple", norm_kind="exact",
+            num_partitions=2, positions=True,
+        ),
+        doc_count=5,
+    )
+    write_str_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "lang"])), out, "lang"
+    )
+    write_doc_values(
+        ray.data.from_arrow(docs.select(["doc_id", "ts"])), out, "ts"
+    )
+    r = get_reader(out)
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query('+"data stream" lang:(en)', an)
+    assert isinstance(q, MixedQuery) and q.base.filters
+    assert matching_docs(r, q).tolist() == [0]
+    q2 = parse_query('+"data stream" ts:[25 TO 60]', an)
+    assert matching_docs(r, q2).tolist() == [2, 4]
