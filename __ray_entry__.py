@@ -1744,15 +1744,20 @@ def _block_join_child(sf_dir: str):
 
     from lucene_ray.functions.rounding import round_half_away
     from lucene_ray.pipelines.blockjoin import (
-        child_chunk_counts,
+        N_CHUNKS_FIELD,
         to_child_join,
+        write_chunk_count_doc_values,
     )
     from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.docvalues import DocValues, has_doc_values
 
-    reader = get_reader(_ensure_index(sf_dir))
-    counts = child_chunk_counts(
-        _load_documents(sf_dir), chunk_size=BLOCK_JOIN_CHUNK
-    )
+    idx = _ensure_index(sf_dir)
+    reader = get_reader(idx)
+    if not has_doc_values(idx, N_CHUNKS_FIELD):
+        write_chunk_count_doc_values(
+            _load_documents(sf_dir), idx, chunk_size=BLOCK_JOIN_CHUNK
+        )
+    counts = DocValues(idx, N_CHUNKS_FIELD)
     qids, kids, parents, scores = [], [], [], []
     for qid, qs in sorted(BLOCK_JOIN_CHILD_QUERY_SETS.items()):
         c, p, s = to_child_join(

@@ -29,7 +29,7 @@ chunks — the "sentences" of the synthetic corpus.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -151,7 +151,7 @@ def to_parent_join(
 def to_child_join(
     parent_reader,
     parent_query: str,
-    child_counts: Dict[int, int],
+    chunk_counts: "object",
     k_parents: int = 5,
     analyzer: str = "en_nostem_simple",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -159,6 +159,14 @@ def to_child_join(
     (top ``k_parents`` by BM25) expand to ALL their children, each child
     carrying the parent's score (the reference propagates the parent
     score unchanged to every child in the block).
+
+    ``chunk_counts`` is the per-parent chunk-count DOC-VALUES column
+    (:class:`lucene_ray.state.docvalues.DocValues` for the ``n_chunks``
+    field written by :func:`write_chunk_count_doc_values`) — block
+    structure lives in the index itself, exactly like the reference's
+    parents BitSet (``join/.../ToChildBlockJoinQuery.java`` resolves
+    children from in-index structure, never from caller-side state).
+    Only the ``k_parents`` hits are gathered — driver-side state is O(k).
     -> (child_ids, parents, scores), children in (parent rank, chunk)
     order."""
     from ..functions.analysis import make_analyzer
@@ -166,11 +174,12 @@ def to_child_join(
 
     q = parse_query(parent_query, make_analyzer(analyzer))
     pdocs, pscores = score_exhaustive(parent_reader, q, k_parents)
+    nchunks = chunk_counts.values_for(pdocs.astype(np.int64, copy=False))
     kids: List[np.ndarray] = []
     pids: List[np.ndarray] = []
     scs: List[np.ndarray] = []
-    for pid, ps in zip(pdocs.tolist(), pscores.tolist()):
-        n = int(child_counts.get(int(pid), 0))
+    for pid, ps, n in zip(pdocs.tolist(), pscores.tolist(), nchunks.tolist()):
+        n = int(n)
         if n == 0:
             continue
         c = (np.int64(pid) << CHILD_SHIFT) | np.arange(n, dtype=np.int64)
@@ -183,13 +192,14 @@ def to_child_join(
     return np.concatenate(kids), np.concatenate(pids), np.concatenate(scs)
 
 
-def child_chunk_counts(
+N_CHUNKS_FIELD = "n_chunks"
+
+
+def chunk_counts_ds(
     ds: "ray.data.Dataset", chunk_size: int = 16
-) -> Dict[int, int]:
-    """Per-parent chunk count via a streaming aggregate (tiny result: one
-    int per parent — at 100 TB this would stay a Dataset and the child
-    expansion would join on it; here the driver-side dict mirrors the
-    reference's in-memory parents BitSet)."""
+) -> "ray.data.Dataset":
+    """Streaming (doc_id, n_chunks) per parent — no shuffle, no driver
+    materialization; feeds the doc-values sidecar below."""
 
     def counts(batch: pa.Table) -> pa.Table:
         pids = batch.column("doc_id")
@@ -200,12 +210,27 @@ def child_chunk_counts(
         ]
         return pa.table({"doc_id": pids, "n_chunks": pa.array(n, pa.int64())})
 
-    out = (
-        ds.select_columns(["doc_id", "text"])
-        .map_batches(counts, batch_format="pyarrow")
-        .take_all()
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
     )
-    return {r["doc_id"]: r["n_chunks"] for r in out}
+
+
+def write_chunk_count_doc_values(
+    ds: "ray.data.Dataset", index_dir: str, chunk_size: int = 16
+) -> None:
+    """Persist per-parent chunk counts as a numeric doc-values field
+    (``n_chunks``) on the PARENT index, so ToChild expansion reads block
+    structure from the index — the reference keeps it in the index too
+    (its parents BitSet / doc blocks). Streaming write, idempotent per
+    index dir (write_doc_values' wipe-and-rewrite discipline)."""
+    from ..state.docvalues import write_doc_values
+
+    write_doc_values(
+        chunk_counts_ds(ds, chunk_size=chunk_size),
+        index_dir,
+        N_CHUNKS_FIELD,
+        value_col="n_chunks",
+    )
 
 
 def check_join_index(reader) -> None:

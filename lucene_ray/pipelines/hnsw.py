@@ -418,35 +418,38 @@ class _HnswSearchStage:
     the graph load is the expensive init, so this runs as an actor pool
     keyed on partition paths passed through the batch."""
 
-    def __init__(self, layout_dir: str, queries_ref, k: int, ef: int,
-                 allowed_ref=None):
+    def __init__(self, layout_dir: str, queries_ref, k: int, ef: int):
         self.layout_dir = layout_dir
         q = ray.get(queries_ref)
         self.qids = q["qids"]
         self.qmat = q["mat"].astype(np.float32)
         self.k = k
         self.ef = ef
-        # sorted vec_id array of filter matches (per-segment bitset analogue)
-        self.allowed_ids = (
-            None if allowed_ref is None else ray.get(allowed_ref)
-        )
         self._cache = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # optional per-partition filter payload: sorted int64 vec_ids packed
+        # as binary, computed IN-PLAN by knn_cosine_hnsw (the per-segment
+        # bitset analogue — each partition row carries only ITS matches,
+        # bounded by partition size; nothing corpus-sized on the driver)
+        allowed_col = (
+            batch.column("allowed")
+            if "allowed" in batch.column_names
+            else None
+        )
         out_q, out_v, out_s = [], [], []
-        for part in batch.column("part").to_pylist():
-            g = self._cache.get(part)
-            if g is None:
-                graph = _Graph.load(
+        for i, part in enumerate(batch.column("part").to_pylist()):
+            graph = self._cache.get(part)
+            if graph is None:
+                graph = self._cache[part] = _Graph.load(
                     os.path.join(self.layout_dir, f"part-{part:03d}.npz")
                 )
-                mask = (
-                    None
-                    if self.allowed_ids is None
-                    else np.isin(graph.vec_ids, self.allowed_ids)
+            mask = None
+            if allowed_col is not None:
+                allowed = np.frombuffer(
+                    allowed_col[i].as_py(), dtype=np.int64
                 )
-                g = self._cache[part] = (graph, mask)
-            graph, mask = g
+                mask = np.isin(graph.vec_ids, allowed)
             for qi in range(len(self.qids)):
                 ids, sims = graph.search(
                     self.qmat[qi], self.k, self.ef, allowed=mask
@@ -491,35 +494,65 @@ def knn_cosine_hnsw(
 
     ``prefilter`` (a Ray Data filter expression, e.g. ``"label == 3"``)
     restricts candidates exactly like the filter query on Lucene's
-    KnnFloatVectorQuery: the matching vec_ids are gathered once (bounded
-    by filter cardinality — the per-segment bitset analogue), broadcast
-    via ``ray.put``, and each partition graph searches with collection
-    limited to allowed nodes + exact fallback when the visit budget (the
-    filter cost) is exhausted."""
+    KnnFloatVectorQuery, and the allowed set is computed IN-PLAN: the
+    filtered vec_ids are hash-assigned to their layout partition (same
+    hash the build used) and grouped so each partition's search task
+    receives exactly ITS allowed ids as a packed binary payload — the
+    per-segment bitset analogue, bounded by partition size, never
+    materialized on the driver. Each partition graph then searches with
+    collection limited to allowed nodes + exact fallback when the visit
+    budget (the filter cost) is exhausted."""
     qids, qmat = load_queries(ds, query_ids)
     meta = build_hnsw_layout(
         ds, layout_dir, m, ef_construction, num_partitions,
         fingerprint=layout_fingerprint,
     )
-    allowed_ref = None
-    if prefilter is not None:
-        allowed = np.sort(
-            np.asarray(
-                [
-                    r["vec_id"]
-                    for r in ds.filter(expr=prefilter)
-                    .select_columns(["vec_id"])
-                    .take_all()
-                ],
-                dtype=np.int64,
-            )
-        )
-        allowed_ref = ray.put(allowed)
     queries_ref = ray.put({"qids": qids, "mat": _normalize(qmat)})
-    parts = ray.data.from_items(
-        [{"part": p["part"]} for p in meta["parts"]],
-        override_num_blocks=max(1, len(meta["parts"])),
-    )
+    n_parts = max(1, len(meta["parts"]))
+    if prefilter is None:
+        parts = ray.data.from_items(
+            [{"part": p["part"]} for p in meta["parts"]],
+            override_num_blocks=n_parts,
+        )
+    else:
+        P = int(meta["num_partitions"])
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            part = (
+                (ids.astype(np.uint64) * _GOLD) % np.uint64(P)
+            ).astype(np.int32)
+            return batch.append_column("_hpart", pa.array(part))
+
+        def pack(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return pa.table(
+                    {
+                        "part": pa.array([], pa.int32()),
+                        "allowed": pa.array([], pa.binary()),
+                    }
+                )
+            part = int(group.column("_hpart")[0].as_py())
+            ids = np.sort(
+                group.column("vec_id").to_numpy().astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "part": pa.array([part], pa.int32()),
+                    "allowed": pa.array([ids.tobytes()], pa.binary()),
+                }
+            )
+
+        # partitions with zero filter matches are skipped entirely (a
+        # filtered search there can return nothing)
+        parts = (
+            ds.filter(expr=prefilter)
+            .select_columns(["vec_id"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("_hpart")
+            .map_groups(pack, batch_format="pyarrow")
+            .repartition(n_parts)
+        )
 
     def topk_no_self(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
@@ -529,8 +562,7 @@ def knn_cosine_hnsw(
     return (
         parts.map_batches(
             _HnswSearchStage,
-            fn_constructor_args=(layout_dir, queries_ref, k + 1, ef,
-                                 allowed_ref),
+            fn_constructor_args=(layout_dir, queries_ref, k + 1, ef),
             batch_format="pyarrow",
             concurrency=(1, max(2, len(meta["parts"]))),
         )

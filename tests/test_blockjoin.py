@@ -121,16 +121,32 @@ def test_check_join_index(child_index):
     check_join_index(get_reader(child_index))
 
 
+class _CountingDV:
+    """DocValues proxy counting how many doc IDs get gathered — the O(k)
+    driver-state assertion: ToChild must look up only the top-k parents,
+    never materialize a corpus-sized count map."""
+
+    def __init__(self, dv):
+        self._dv = dv
+        self.gathered = 0
+
+    def values_for(self, docs):
+        self.gathered += len(docs)
+        return self._dv.values_for(docs)
+
+
 def test_to_child_join_propagates_parent_score(ray_session, tmp_path):
     import ray.data
 
     from lucene_ray.pipelines.blockjoin import (
         CHILD_SHIFT,
-        child_chunk_counts,
+        N_CHUNKS_FIELD,
         to_child_join,
+        write_chunk_count_doc_values,
     )
     from lucene_ray.pipelines.build import IndexConfig, build_index
     from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.docvalues import DocValues
 
     out = str(tmp_path / "parent_idx")
     docs = pa.table(
@@ -149,14 +165,23 @@ def test_to_child_join_propagates_parent_score(ray_session, tmp_path):
         doc_count=len(TEXTS),
     )
     reader = get_reader(out)
-    counts = child_chunk_counts(ds, chunk_size=CHUNK)
-    kids, parents, scores = to_child_join(reader, "hash join", counts, 3)
+    write_chunk_count_doc_values(ds, out, chunk_size=CHUNK)
+    counts = _CountingDV(DocValues(out, N_CHUNKS_FIELD))
+    k_parents = 3
+    kids, parents, scores = to_child_join(reader, "hash join", counts,
+                                          k_parents)
     assert len(kids) > 0
+    # driver-side gather is O(k): exactly the top-k parents, nothing else
+    assert counts.gathered <= k_parents
     # every child decodes back to its parent, chunks dense from 0
     assert np.array_equal(kids >> CHILD_SHIFT, parents)
+    expect_n = {
+        pid: (len(_TOK.findall(t.lower())) + CHUNK - 1) // CHUNK
+        for pid, t in enumerate(TEXTS)
+    }
     for pid in np.unique(parents):
         got = np.sort(kids[parents == pid] & ((1 << CHILD_SHIFT) - 1))
-        assert np.array_equal(got, np.arange(counts[int(pid)]))
+        assert np.array_equal(got, np.arange(expect_n[int(pid)]))
     # children of one parent all share the parent's score
     for pid in np.unique(parents):
         assert len(set(scores[parents == pid].tolist())) == 1
