@@ -63,17 +63,32 @@ class GlobalStatsView:
     def expand_multi(self, kind: str, pattern: str, arg: int):
         return self._local.expand_multi(kind, pattern, arg)
 
+    def __getattr__(self, name):
+        # everything not overridden above is LOCAL reader surface —
+        # liveDocs tombstones (`deleted`), positions, doc-values filters,
+        # doc-ID enumeration, term positions, ... Proxying keeps scorers
+        # delete-aware and position-capable under global stats.
+        return getattr(self._local, name)
 
-_READER_CACHE: Dict[str, object] = {}
+
+_READER_CACHE: Dict[tuple, object] = {}
 
 
 def _get_reader(index_dir: str):
+    from ..state.deletes import deletes_fingerprint
     from ..state.reader import IndexReader
 
-    r = _READER_CACHE.get(index_dir)
+    # keyed like pipelines/search.py: publishing new tombstones must
+    # reopen, or a warm shard actor keeps serving deleted docs
+    key = (index_dir, deletes_fingerprint(index_dir))
+    r = _READER_CACHE.get(key)
     if r is None:
+        # a new fingerprint supersedes older readers of the same dir —
+        # evict them so an actor's cache holds ONE reader per shard
+        for stale in [k for k in _READER_CACHE if k[0] == index_dir]:
+            del _READER_CACHE[stale]
         r = IndexReader(index_dir)
-        _READER_CACHE[index_dir] = r
+        _READER_CACHE[key] = r
     return r
 
 
@@ -94,20 +109,30 @@ class ShardedSearchService:
         @ray.remote
         class _ShardSearcher:
             def __init__(self, index_dir: str, k1: float, b: float):
-                self.reader = _get_reader(index_dir)
-                self.reader.bm25_params = (k1, b)
+                self.index_dir = index_dir
+                self.bm25 = (k1, b)
+                self._reader()  # warm the initial reader
+
+            def _reader(self):
+                # re-resolved per call: the cache key includes the
+                # tombstone fingerprint, so publishing deletes reopens on
+                # the next query instead of the warm actor serving a
+                # pre-delete reader forever (NRT reopen analogue)
+                r = _get_reader(self.index_dir)
+                r.bm25_params = self.bm25
+                return r
 
             def term_stats(self, terms: List[str]):
-                return {t: self.reader.term_stats(t) for t in terms}
+                reader = self._reader()
+                return {t: reader.term_stats(t) for t in terms}
 
             def expand(self, keys: List[tuple]):
-                return {
-                    kk: self.reader.expand_multi(*kk) for kk in keys
-                }
+                reader = self._reader()
+                return {kk: reader.expand_multi(*kk) for kk in keys}
 
             def topk(self, queries, k, doc_count, sum_total_tf, df_map):
                 view = GlobalStatsView(
-                    self.reader, doc_count, sum_total_tf, df_map
+                    self._reader(), doc_count, sum_total_tf, df_map
                 )
                 return {
                     qid: score_blockmax(view, q, k) for qid, q in queries

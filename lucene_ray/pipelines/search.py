@@ -43,6 +43,10 @@ def get_reader(index_dir: str):
     key = (index_dir, deletes_fingerprint(index_dir))
     r = _READER_CACHE.get(key)
     if r is None:
+        # newer tombstones supersede older readers of the same dir —
+        # evict so the per-process cache holds one reader per index
+        for stale in [k for k in _READER_CACHE if k[0] == index_dir]:
+            del _READER_CACHE[stale]
         if os.path.exists(os.path.join(index_dir, "shards.json")):
             from .incremental import open_index
 

@@ -8,6 +8,13 @@ partitions. The reference analogue is the index build's per-segment
 checkpoint/commit discipline (state/segment.py manifest) applied to the
 data-pipeline side (line-doc sink, WriteLineDocTask).
 
+Partition values are CRAWL-DERIVED and untrusted as path components: a
+host like ``a/b``, ``..`` or an empty string must not escape ``out_dir``
+or collide. Directory names are therefore a percent-encoding of the
+value (see :func:`encode_partition_value` — injective, restricted to
+``[A-Za-z0-9_%-]``, so no separators, no dot segments, no empty names),
+and the original value is stored inside the ``_DONE`` marker.
+
 Plan shape: the finished-marker set is tiny (one name per partition) —
 it is read once on the driver and broadcast; a streaming filter drops
 rows of finished partitions BEFORE the shuffle, then one
@@ -20,7 +27,9 @@ from __future__ import annotations
 
 import glob
 import os
+import string
 from typing import List, Optional
+from urllib.parse import unquote
 
 import numpy as np
 import pyarrow as pa
@@ -31,11 +40,37 @@ import ray.data
 
 DONE_MARKER = "_DONE"
 
+# no '.', no '/', no '~': dot segments and separators can never appear
+_SAFE = frozenset(string.ascii_letters + string.digits + "_-")
+
+
+def encode_partition_value(value) -> str:
+    """Injective value -> directory-name encoding. Safe chars map to
+    themselves; everything else percent-encodes its UTF-8 bytes ('%' too,
+    so decoding is unambiguous). The empty string encodes as a lone '%',
+    which no non-empty value can produce (their '%' is always '%25')."""
+    s = str(value)
+    if s == "":
+        return "%"
+    out: List[str] = []
+    for ch in s:
+        if ch in _SAFE:
+            out.append(ch)
+        else:
+            out.extend("%{:02X}".format(b) for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
+def decode_partition_value(name: str) -> str:
+    if name == "%":
+        return ""
+    return unquote(name, errors="strict")
+
 
 def finished_partitions(out_dir: str) -> List[str]:
-    """Partition values with a published marker."""
+    """Partition VALUES (decoded) with a published marker."""
     return sorted(
-        os.path.basename(os.path.dirname(p))
+        decode_partition_value(os.path.basename(os.path.dirname(p)))
         for p in glob.glob(os.path.join(out_dir, "*", DONE_MARKER))
     )
 
@@ -46,7 +81,7 @@ def write_partitioned(
     partition_col: str,
     resume: bool = True,
 ) -> List[str]:
-    """Write ``ds`` as ``<out_dir>/<partition value>/part.parquet`` with
+    """Write ``ds`` as ``<out_dir>/<encoded value>/part.parquet`` with
     atomic per-partition publish; with ``resume=True`` partitions that
     already carry a marker are skipped WITHOUT re-shuffling their rows.
     Returns the partition values written in this run."""
@@ -67,16 +102,22 @@ def write_partitioned(
 
     def write_group(group: pa.Table) -> pa.Table:
         val = str(group.column(partition_col)[0].as_py())
-        pdir = os.path.join(out_dir, val)
+        enc = encode_partition_value(val)
+        pdir = os.path.join(out_dir, enc)
+        # belt over suspenders: the encoding already forbids separators
+        # and dot segments, but never trust a path joining step
+        if os.path.dirname(enc) or os.path.normpath(pdir) != pdir:
+            raise ValueError(f"unsafe partition name {enc!r}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, "part.parquet.tmp")
         pq.write_table(group, tmp)
         os.replace(tmp, os.path.join(pdir, "part.parquet"))
         # marker LAST: a crash between the two renames leaves a readable
-        # but unpublished partition that a resume simply rewrites
+        # but unpublished partition that a resume simply rewrites. The
+        # marker records the ORIGINAL value (the dir name is encoded).
         mtmp = os.path.join(pdir, DONE_MARKER + ".tmp")
         with open(mtmp, "w") as f:
-            f.write(f"rows={len(group)}\n")
+            f.write(f"rows={len(group)}\nvalue={val}\n")
         os.replace(mtmp, os.path.join(pdir, DONE_MARKER))
         return pa.table({"partition": pa.array([val], pa.string())})
 
@@ -92,12 +133,14 @@ def write_partitioned(
 def read_partitioned(
     out_dir: str, partitions: Optional[List[str]] = None
 ) -> "ray.data.Dataset":
-    """Read back published partitions (unpublished ones are ignored)."""
+    """Read back published partitions by VALUE (unpublished are ignored)."""
     parts = partitions if partitions is not None else finished_partitions(out_dir)
     files = [
-        os.path.join(out_dir, p, "part.parquet")
+        os.path.join(out_dir, encode_partition_value(p), "part.parquet")
         for p in parts
-        if os.path.exists(os.path.join(out_dir, p, DONE_MARKER))
+        if os.path.exists(
+            os.path.join(out_dir, encode_partition_value(p), DONE_MARKER)
+        )
     ]
     if not files:
         raise FileNotFoundError(f"no published partitions under {out_dir}")

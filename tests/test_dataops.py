@@ -862,3 +862,52 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in back) == list(range(n))
     # resume with everything published is a no-op
     assert write_partitioned(ds, out, "grp", resume=True) == []
+
+
+def test_write_partitioned_hostile_values(ray_session, tmp_path):
+    """Crawl-derived partition values (slashes, dot segments, empty,
+    unicode, literal %) must stay inside out_dir, never collide, and
+    round-trip through resume + read."""
+    import os
+
+    import ray.data
+
+    from lucene_ray.sources.sink import (
+        decode_partition_value,
+        encode_partition_value,
+        finished_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    vals = ["a/b", "..", "", "héllo", "a%2Fb", "a b", ".", "a/b/../c"]
+    # injective encode, decode round-trips, no separators/dot segments
+    encs = [encode_partition_value(v) for v in vals]
+    assert len(set(encs)) == len(vals)
+    for v, e in zip(vals, encs):
+        assert decode_partition_value(e) == v
+        assert "/" not in e and e not in ("", ".", "..")
+        assert os.path.basename(e) == e
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals) * 2), pa.int64()),
+            "grp": pa.array(vals * 2, pa.string()),
+        }
+    )
+    out = str(tmp_path / "sink2")
+    written = write_partitioned(ray.data.from_arrow(docs), out, "grp")
+    assert written == sorted(vals)
+    assert finished_partitions(out) == sorted(vals)
+    # nothing escaped out_dir: exactly one dir per value, all inside
+    subdirs = [d for d in os.listdir(out)]
+    assert sorted(subdirs) == sorted(encs)
+    back = read_partitioned(out).take_all()
+    assert sorted(r["doc_id"] for r in back) == list(range(len(vals) * 2))
+    # selective read by VALUE
+    one = read_partitioned(out, ["a/b"]).take_all()
+    assert sorted(r["grp"] for r in one) == ["a/b", "a/b"]
+    # resume is a no-op with hostile names too
+    assert write_partitioned(
+        ray.data.from_arrow(docs), out, "grp", resume=True
+    ) == []

@@ -75,6 +75,43 @@ def test_sharded_service_warm_repeat(idx, tmp_path, ray_session):
             ), qt
 
 
+def test_sharded_service_sees_new_deletes(tmp_path, ray_session):
+    """Tombstones published AFTER the shard actors warmed up must filter
+    results on the next query (fingerprint-keyed reopen), matching the
+    driver-side delete-aware scorer."""
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.state.deletes import delete_docs
+
+    doc_ids, texts = make_corpus(n_docs=120, seed=47)
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=2,
+        heavy_df_threshold=64, sample_rate=1.0,
+    )
+    build_from_lists(tmp_path / "a", doc_ids[:60], texts[:60], cfg)
+    build_from_lists(tmp_path / "b", doc_ids[60:], texts[60:], cfg)
+    dirs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    svc = ShardedSearchService(dirs)
+    try:
+        warm = svc.search(["alpha"], k=10)[0]
+        assert len(warm[0]) > 0
+        # tombstone the current top hit on whichever shard holds it
+        top = int(warm[0][0])
+        delete_docs(dirs[0] if top < 60 else dirs[1], [top])
+        after = svc.search(["alpha"], k=10)[0]
+        assert top not in after[0].tolist()
+        # remaining ranking equals the warm ranking minus the deleted doc
+        # (stats stay pre-merge, so surviving scores are unchanged)
+        survivors = [
+            (d, s) for d, s in zip(warm[0].tolist(), warm[1].tolist())
+            if d != top
+        ]
+        # (a new doc may enter at the tail of the k-window; the surviving
+        # prefix must match exactly)
+        assert after[0].tolist()[: len(survivors)] == [d for d, _ in survivors]
+    finally:
+        svc.shutdown()
+
+
 def test_search_after_paging(idx):
     from lucene_ray.functions.query import score_after, score_exhaustive
 
