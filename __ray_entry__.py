@@ -492,6 +492,17 @@ PHRASE_MIXED_QUERY_SETS: Dict[int, str] = {
     4: '"data stream"~2 dup',     # sloppy should phrase ∪ should term
 }
 
+# Arbitrary-depth nested boolean trees (round 3): parens inside parens,
+# phrases inside groups — the classic parser's full recursion. Scores
+# accumulate base-first then children in canonical order; the SQL
+# mirrors the exact left-associated float64 addition per tree shape.
+NESTED_BOOL_QUERY_SETS: Dict[int, str] = {
+    0: '+("data stream" key) batch',   # phrase in a MUST group
+    1: '+(key ("data stream" fast)) batch',  # depth 3, phrase innermost
+    2: '-(("hash table") slow) +dup',  # must_not tree w/ nested phrase
+    3: "+((dup key) (merge value)) line",  # depth 2 term groups
+}
+
 # Three-term sloppy phrases: exact minimal window per anchor via the
 # smallest-range sweep (query.py::_min_window — no greedy pick since r2
 # late). The SQL oracle enumerates the full (b, c) cross product per
@@ -2467,6 +2478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, PHRASE_MIXED_QUERY_SETS,
         index_dir=_ensure_index(sf, positions=True),
     )
+    q["bm25_nested_bool"] = lambda sf: _run_query_strings(
+        sf, NESTED_BOOL_QUERY_SETS,
+        index_dir=_ensure_index(sf, positions=True),
+    )
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -2581,7 +2596,9 @@ _DRIVER_WINDOW = [
     # representatives of the round-1/2 proven core
     "bm25_term", "bm25_bool_msm", "bm25_phrase_sloppy3", "bm25_fuzzy",
     "bm25_update_latest", "bm25_set_filter", "sort_by_len_sorted",
-    "facet_taxonomy", "interval_unordered", "bm25_explain", "geo_distance",
+    "facet_taxonomy", "interval_unordered", "bm25_explain",
+    # round-3 additions
+    "bm25_nested_bool",
 ]
 
 
@@ -4318,6 +4335,111 @@ def _phrase_mixed_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
+def _nested_bool_sql() -> str:
+    """Oracle for bm25_nested_bool: each query's tree is flattened by hand
+    into per-clause LEFT JOINs over the shared term-score (sc) and
+    phrase-score subqueries; match predicates and score expressions
+    mirror the engine's NestedQuery combiner EXACTLY, including the
+    left-associated float64 addition order (base first, then children;
+    child-internal sums parenthesized as the child computes them)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    # guard: the hand-written arms below must stay in lockstep with the
+    # parser (a parse change shows up as an assert here, not a hash diff)
+    from lucene_ray.functions.query import NestedQuery as _NQ
+
+    for qs in NESTED_BOOL_QUERY_SETS.values():
+        assert isinstance(parse_query(qs, an), _NQ), qs
+
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+    def tjoin(alias: str, term: str) -> str:
+        return (
+            f"LEFT JOIN (SELECT doc_id, score FROM sc WHERE term = "
+            f"'{term}') {alias} ON {alias}.doc_id = d.doc_id"
+        )
+
+    def pjoin(alias: str, t0: str, t1: str) -> str:
+        from lucene_ray.functions.query import PhraseQuery
+
+        sub = _phrase_score_sub(
+            PhraseQuery(terms=(t0, t1), offsets=(0, 1))
+        )
+        return f"LEFT JOIN ({sub}) {alias} ON {alias}.doc_id = d.doc_id"
+
+    arms = []
+
+    def arm(qid: int, joins: List[str], pred: str, score: str) -> None:
+        j = "\n    ".join(joins)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT d.doc_id, {score} AS score
+    FROM (SELECT DISTINCT doc_id FROM tf) d
+    {j}
+    WHERE {pred}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+
+    # q0 `+("data stream" key) batch`: must child = (phrase OR key),
+    # score = batch + (key + phrase)
+    arm(
+        0,
+        [tjoin("tb", "batch"), tjoin("tk", "key"), pjoin("p", "data", "stream")],
+        "(tk.doc_id IS NOT NULL OR p.doc_id IS NOT NULL)",
+        "COALESCE(tb.score, 0) + (COALESCE(tk.score, 0) + COALESCE(p.pscore, 0))",
+    )
+    # q1 `+(key ("data stream" fast)) batch`: grandchild = (fast OR
+    # phrase), child = (key OR grandchild), score = batch + (key +
+    # (grandchild-if-matched: fast + phrase))
+    arm(
+        1,
+        [tjoin("tb", "batch"), tjoin("tk", "key"), tjoin("tfa", "fast"),
+         pjoin("p", "data", "stream")],
+        "(tk.doc_id IS NOT NULL OR tfa.doc_id IS NOT NULL "
+        "OR p.doc_id IS NOT NULL)",
+        "COALESCE(tb.score, 0) + (COALESCE(tk.score, 0) + "
+        "(CASE WHEN tfa.doc_id IS NOT NULL OR p.doc_id IS NOT NULL "
+        "THEN (COALESCE(tfa.score, 0) + COALESCE(p.pscore, 0)) "
+        "ELSE 0 END))",
+    )
+    # q2 `-(("hash table") slow) +dup`: exclude (phrase OR slow), score =
+    # the MUST term alone
+    arm(
+        2,
+        [tjoin("td", "dup"), tjoin("ts", "slow"), pjoin("p", "hash", "table")],
+        "td.doc_id IS NOT NULL AND NOT (ts.doc_id IS NOT NULL "
+        "OR p.doc_id IS NOT NULL)",
+        "td.score",
+    )
+    # q3 `+((dup key) (merge value)) line`: must child flattens to the
+    # 4-term union; child-internal sum in sorted-unique term order
+    arm(
+        3,
+        [tjoin("tl", "line"), tjoin("t1", "dup"), tjoin("t2", "key"),
+         tjoin("t3", "merge"), tjoin("t4", "value")],
+        "(t1.doc_id IS NOT NULL OR t2.doc_id IS NOT NULL "
+        "OR t3.doc_id IS NOT NULL OR t4.doc_id IS NOT NULL)",
+        "COALESCE(tl.score, 0) + (((COALESCE(t1.score, 0) + "
+        "COALESCE(t2.score, 0)) + COALESCE(t3.score, 0)) + "
+        "COALESCE(t4.score, 0))",
+    )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
+
+
 def _phrase_sloppy3_sql() -> str:
     """Oracle for bm25_phrase_sloppy3 (three DISTINCT-term phrases): per
     anchor position of the first term, L = MIN over the full (b, c) cross
@@ -5017,6 +5139,7 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase_sloppy"] = _phrase_sloppy_sql()
     sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
     sql["bm25_phrase_mixed"] = _phrase_mixed_sql()
+    sql["bm25_nested_bool"] = _nested_bool_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

@@ -131,6 +131,32 @@ class MixedQuery:
 
 
 @dataclass(frozen=True)
+class NestedQuery:
+    """Arbitrary-depth BooleanQuery tree — the classic parser's full
+    recursion (queryparser/.../classic/QueryParserBase.java:133 Clause ->
+    '(' Query ')', any depth, phrases allowed anywhere). ``base`` holds
+    this level's FLAT term/filter content (same executor and float
+    accumulation as a standalone flat query); ``children`` are the
+    sub-clauses in canonical order — phrase clauses in text order first,
+    then parenthesized groups in text order — each ``(occur, query)``
+    with occur in must/should/must_not and query a NestedQuery,
+    BooleanQuery, MixedQuery or PhraseQuery.
+
+    BooleanQuery semantics apply per node: every MUST child and a
+    required base must match; with no required clause, >= 1 SHOULD
+    clause (base or child) must; MUST_NOT children exclude. A matching
+    doc's score sums base first, then matching MUST children in
+    ``children`` order, then matching SHOULD children in ``children``
+    order (each child's internal order is its own canonical order) —
+    the float accumulation contract the SQL oracle mirrors (same
+    combiner as MixedQuery).
+    minimum_should_match composes only with a child-free level."""
+
+    base: BooleanQuery
+    children: Tuple[Tuple[str, object], ...] = ()
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     """Every live document, constant score 1.0 (reference:
     search/MatchAllDocsQuery.java); parsed from the classic `*:*`."""
@@ -180,7 +206,186 @@ class BooleanQuery:
     must_groups: Tuple[Tuple[str, ...], ...] = ()
 
 
-def parse_query(text: str, analyzer) -> BooleanQuery:
+def parse_query(text: str, analyzer):
+    """Query parser: flat queries take the flat fast path below
+    (:func:`_parse_flat`, byte-compatible with previous rounds); queries
+    with nested parentheses (depth >= 2) or a phrase inside a group —
+    which the flat grammar cannot represent (and used to silently
+    misparse / reject) — build a recursive :class:`NestedQuery` tree,
+    matching the classic parser's full recursion
+    (queryparser/.../classic/QueryParserBase.java:133)."""
+    if _needs_nesting(text):
+        return _parse_nested(text, analyzer)
+    return _parse_flat(text, analyzer)
+
+
+def _needs_nesting(text: str) -> bool:
+    """True when the query has parens depth >= 2 or a quoted phrase inside
+    a group. ``field:(...)`` set filters at the top level are flat syntax
+    and don't count. Malformed input returns False so the flat parser
+    raises its usual errors."""
+    import re as _re
+
+    depth = 0
+    maxd = 0
+    phrase_in_group = False
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = text.find('"', i + 1)
+            if j < 0:
+                return False
+            if depth > 0:
+                phrase_in_group = True
+            i = j + 1
+            continue
+        if c == "(":
+            if depth == 0 and _re.search(r"\w:$", text[:i]):
+                j = text.find(")", i + 1)
+                if j < 0:
+                    return False
+                i = j + 1
+                continue
+            depth += 1
+            maxd = max(maxd, depth)
+        elif c == ")":
+            depth = max(0, depth - 1)
+        i += 1
+    return maxd >= 2 or phrase_in_group
+
+
+def _split_groups(text: str):
+    """Split one nesting level: -> (flat remainder, [(sign, inner)]) for
+    the top-level parenthesized groups in text order. Quotes are opaque;
+    ``field:(...)`` set filters stay in the remainder."""
+    import re as _re
+
+    rem: List[str] = []
+    groups: List[Tuple[str, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = text.find('"', i + 1)
+            if j < 0:
+                raise ValueError("unbalanced quote in query")
+            rem.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            prev = "".join(rem)
+            if _re.search(r"\w:$", prev):
+                # set filter: copy atomically into the flat remainder
+                j = text.find(")", i + 1)
+                if j < 0:
+                    raise ValueError("unbalanced parenthesis in query")
+                rem.append(text[i : j + 1])
+                i = j + 1
+                continue
+            sign = ""
+            m = _re.search(r"(?:^|[\s(])([+-])$", prev)
+            if m is not None:
+                sign = m.group(1)
+                rem = [prev[:-1]]
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = text[j]
+                if cj == '"':
+                    jq = text.find('"', j + 1)
+                    if jq < 0:
+                        raise ValueError("unbalanced quote in query")
+                    j = jq + 1
+                    continue
+                if cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parenthesis in query")
+            groups.append((sign, text[i + 1 : j - 1]))
+            rem.append(" ")
+            i = j
+            continue
+        if c == ")":
+            raise ValueError("unbalanced parenthesis in query")
+        rem.append(c)
+        i += 1
+    return "".join(rem), groups
+
+
+def _is_empty_flat(q) -> bool:
+    return isinstance(q, BooleanQuery) and not (
+        q.must or q.should or q.must_not or q.multi or q.filters
+        or q.must_groups
+    )
+
+
+def _parse_nested(text: str, analyzer) -> "NestedQuery":
+    """One level of the recursive grammar: extract top-level groups, parse
+    the remainder with the flat parser (phrases become children), recurse
+    into each group through parse_query (which re-dispatches). Canonical
+    child order: this level's phrase clauses in text order, then groups
+    in text order."""
+    remainder, groups = _split_groups(text)
+    children: List[Tuple[str, object]] = []
+    flat = _parse_flat(remainder, analyzer)
+    if isinstance(flat, MatchAllQuery):
+        raise ValueError("*:* cannot combine with sub-clauses")
+    if isinstance(flat, PhraseQuery):
+        base: BooleanQuery = BooleanQuery()
+        children.append(("should", flat))
+    elif isinstance(flat, MixedQuery):
+        base = flat.base
+        children.extend((role, ph) for ph, role in flat.phrases)
+    else:
+        base = flat
+    if base.minimum_should_match:
+        raise ValueError(
+            "minimum_should_match with nested sub-clauses is not supported"
+        )
+    for sign, inner in groups:
+        sub = parse_query(inner, analyzer)
+        if _is_empty_flat(sub):
+            # a group that analyzes to nothing (stopwords) drops its
+            # clause, like the reference parser
+            continue
+        role = {"+": "must", "-": "must_not", "": "should"}[sign]
+        children.append((role, sub))
+    if not children:
+        return base
+    return NestedQuery(base=base, children=tuple(children))
+
+
+def query_terms(q) -> set:
+    """Every term in the query tree (the global-stats gather for sharded
+    search: df must be summed for each of these before scoring)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, DisMaxQuery):
+        return set(q.terms)
+    if isinstance(q, MatchAllQuery):
+        return set()
+    if isinstance(q, MixedQuery):
+        s = query_terms(q.base)
+        for ph, _role in q.phrases:
+            s |= set(ph.terms)
+        return s
+    if isinstance(q, NestedQuery):
+        s = query_terms(q.base)
+        for _role, child in q.children:
+            s |= query_terms(child)
+        return s
+    s = set(q.must) | set(q.should) | set(q.must_not)
+    for g in q.must_groups:
+        s |= set(g)
+    return s
+
+
+def _parse_flat(text: str, analyzer) -> BooleanQuery:
     """Tiny query parser for the reference query set: bare terms (SHOULD),
     ``+term`` (MUST), ``-term`` (MUST_NOT), the connectives AND / OR /
     NOT between bare terms, and a trailing ``~N`` setting
@@ -1173,15 +1378,47 @@ def _mixed_candidates(reader, mq: "MixedQuery"):
     phrase exists (flat-boolean semantics degrade gracefully). Scores
     accumulate base-then-phrases in query order."""
     dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
-    empty = (np.empty(0, np.int64), np.empty(0, dtype=dtype), dtype)
-    must_p, should_p, not_p = [], [], []
+    scored = []
     for ph, role in mq.phrases:
         got = _phrase_scored(reader, ph)
         if got is None:
-            docs = np.empty(0, np.int64)
-            scores = np.empty(0, dtype=dtype)
+            scored.append((role, np.empty(0, np.int64),
+                           np.empty(0, dtype=dtype)))
         else:
-            docs, scores, _ = got
+            scored.append((role, got[0], got[1]))
+    return _clauses_candidates(reader, mq.base, scored)
+
+
+def _nested_candidates(reader, nq: "NestedQuery"):
+    """Exhaustive executor for arbitrary-depth boolean trees: each child
+    clause evaluates RECURSIVELY through _exhaustive_candidates (nested
+    groups, phrases, flat booleans all come back as (docs, scores)), then
+    this level combines them under BooleanQuery semantics exactly like
+    the phrase-mix path — one shared combiner, one accumulation contract
+    (base first, then children in order)."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    scored = []
+    for role, child in nq.children:
+        got = _exhaustive_candidates(reader, child)
+        if got is None or len(got[0]) == 0:
+            scored.append((role, np.empty(0, np.int64),
+                           np.empty(0, dtype=dtype)))
+        else:
+            scored.append(
+                (role, np.asarray(got[0], dtype=np.int64),
+                 np.asarray(got[1]))
+            )
+    return _clauses_candidates(reader, nq.base, scored)
+
+
+def _clauses_candidates(reader, raw, scored):
+    """Shared BooleanQuery-level combiner: ``raw`` is the level's flat
+    base, ``scored`` the evaluated sub-clauses [(role, docs, scores)] in
+    canonical order. -> (cand, acc, dtype) or the empty triple."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, np.int64), np.empty(0, dtype=dtype), dtype)
+    must_p, should_p, not_p = [], [], []
+    for role, docs, scores in scored:
         if role == "must":
             if len(docs) == 0:
                 return empty
@@ -1190,7 +1427,6 @@ def _mixed_candidates(reader, mq: "MixedQuery"):
             should_p.append((docs, scores))
         else:
             not_p.append(docs)
-    raw = mq.base
     # the base's MUST_NOT clauses exclude at the MIXED level (a
     # must_not-only base has no positive clause for the flat executor to
     # anchor on); positive content stays in base
@@ -1279,6 +1515,8 @@ def _exhaustive_candidates(reader, query, _prep=None):
     allows, the sparse unique/searchsorted combine otherwise."""
     if isinstance(query, MixedQuery):
         return _mixed_candidates(reader, query)
+    if isinstance(query, NestedQuery):
+        return _nested_candidates(reader, query)
     if isinstance(query, PhraseQuery):
         return _phrase_scored(reader, query)
     if isinstance(query, MatchAllQuery):
@@ -1403,7 +1641,8 @@ def _single_term_shortcut(prep, query, k: int):
 def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
-    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery)):
+    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
+                           NestedQuery)):
         r = _exhaustive_candidates(reader, query)
         if r is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -1783,9 +2022,10 @@ def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery)):
+    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
+                           NestedQuery)):
         # positional verification / whole-corpus enumeration / phrase
-        # mixes aren't modeled by interval bounds
+        # mixes / boolean trees aren't modeled by interval bounds
         return score_exhaustive(reader, query, k)
     if getattr(query, "filters", ()):
         # range FILTER clauses cut the candidate set doc-wise; interval

@@ -32,7 +32,12 @@ import numpy as np
 import ray
 
 from ..functions.analysis import make_analyzer
-from ..functions.query import BooleanQuery, parse_query, score_blockmax
+from ..functions.query import (
+    BooleanQuery,
+    parse_query,
+    query_terms,
+    score_blockmax,
+)
 
 
 class GlobalStatsView:
@@ -158,7 +163,11 @@ class ShardedSearchService:
         # clauses against the UNION of the shards' term dictionaries so
         # every shard scores the same expanded set under the same stats
         multi_keys = sorted(
-            {(kk, p, a) for _, q in queries for (kk, p, a, _r) in q.multi}
+            {
+                (kk, p, a)
+                for _, q in queries
+                for (kk, p, a, _r) in getattr(q, "multi", ())
+            }
         )
         if multi_keys:
             from ..functions.multiterm import MAX_EXPANSIONS, resolve_multi
@@ -173,14 +182,14 @@ class ShardedSearchService:
                 kk: sorted(v)[:MAX_EXPANSIONS] for kk, v in merged.items()
             }
             queries = [
-                (qid, resolve_multi(q, (), cache)) for qid, q in queries
+                (qid, resolve_multi(q, (), cache)
+                 if getattr(q, "multi", ()) else q)
+                for qid, q in queries
             ]
+        # every term in every query TREE (phrases and nested groups
+        # included) — global df must cover them all before scoring
         all_terms = sorted(
-            {
-                t
-                for _, q in queries
-                for t in (*q.must, *q.should, *q.must_not)
-            }
+            {t for _, q in queries for t in query_terms(q)}
         )
 
         # phase 1: global term stats (one round trip per shard, parallel)

@@ -490,13 +490,22 @@ def test_mixed_phrase_boolean_queries(ray_session, tmp_path):
         parse_query('"data stream" key ~1', an)
 
 
-def test_phrase_inside_group_rejected():
+def test_phrase_inside_group_parses_nested():
+    """Round 2 rejected phrases inside groups (silent-misparse guard);
+    round 3's recursive grammar parses them as a NestedQuery child."""
     from lucene_ray.functions.analysis import make_analyzer
-    from lucene_ray.functions.query import parse_query
+    from lucene_ray.functions.query import (
+        MixedQuery,
+        NestedQuery,
+        parse_query,
+    )
 
     an = make_analyzer("en_nostem_simple")
-    with pytest.raises(ValueError, match="groups"):
-        parse_query('+("data stream" key)', an)
+    q = parse_query('+("data stream" key)', an)
+    assert isinstance(q, NestedQuery)
+    (role, child), = q.children
+    assert role == "must" and isinstance(child, MixedQuery)
+    assert child.phrases[0][0].terms == ("data", "stream")
 
 
 def test_mixed_phrase_with_filters(ray_session, tmp_path):
