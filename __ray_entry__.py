@@ -785,7 +785,7 @@ def _multi_result(sf_dir: str, set_name: str):
 
 def _run_query_strings(
     sf_dir: str, id_to_query: Dict[int, str], index_dir: str = None,
-    k1: float = K1, b: float = B,
+    k1: float = K1, b: float = B, similarity=None,
 ):
     import pyarrow as pa
 
@@ -794,7 +794,10 @@ def _run_query_strings(
 
     if index_dir is None:
         index_dir = _ensure_index(sf_dir)
-    stage = QueryExecStage(index_dir, k=TOPK, mode="blockmax", k1=k1, b=b)
+    stage = QueryExecStage(
+        index_dir, k=TOPK, mode="blockmax", k1=k1, b=b,
+        similarity=similarity,
+    )
     batch = pa.table(
         {
             "query_id": pa.array(list(id_to_query.keys()), pa.int64()),
@@ -802,7 +805,13 @@ def _run_query_strings(
             "k": pa.array([TOPK] * len(id_to_query), pa.int32()),
         }
     )
-    out = stage(batch)
+    try:
+        out = stage(batch)
+    finally:
+        # the reader is process-cached and similarity is per-searcher
+        # state — reset so later entries never score under a leaked model
+        # (same hazard as the mutable bm25_params, NOTES.md driver quirks)
+        stage.reader.similarity = None
     return pa.table(
         {
             "query_id": out.column("query_id"),
@@ -2482,6 +2491,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, NESTED_BOOL_QUERY_SETS,
         index_dir=_ensure_index(sf, positions=True),
     )
+    q["lmd_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("lmd", LMD_MU),
+    )
+    q["classic_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("classic",),
+    )
+    q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -2593,12 +2609,13 @@ _DRIVER_WINDOW = [
     "web_pages_urls", "url_parts", "host_stats", "media_meta",
     "events_window", "events_sessionize", "events_sliding",
     "top_docs_by_lang",
-    # representatives of the round-1/2 proven core
-    "bm25_term", "bm25_bool_msm", "bm25_phrase_sloppy3", "bm25_fuzzy",
+    # representatives of the round-1/2 proven core (driver-checked in
+    # earlier rounds)
+    "bm25_bool_msm", "bm25_phrase_sloppy3",
     "bm25_update_latest", "bm25_set_filter", "sort_by_len_sorted",
-    "facet_taxonomy", "interval_unordered", "bm25_explain",
+    "facet_taxonomy", "interval_unordered",
     # round-3 additions
-    "bm25_nested_bool",
+    "bm25_nested_bool", "lmd_term", "classic_term", "bm25_synonym_query",
 ]
 
 
@@ -3055,6 +3072,27 @@ K1B_QUERY_SETS: Dict[int, str] = {
     1: "batch small scan",
     2: "+data -stream",
     3: "dup key fast line ~2",
+}
+
+# Non-BM25 similarities through the scorer protocol (reference:
+# IndexSearcher.setSimilarity over search/similarities/
+# LMDirichletSimilarity.java and ClassicSimilarity.java). Queries stay
+# at <= 2 scoring terms so the sorted-order float64 sum is one addition.
+LMD_MU = 2000.0
+SIM_QUERY_SETS: Dict[int, str] = {
+    0: "data",
+    1: "stream batch",
+    2: "+dup key",
+    3: "customer -slow",
+}
+
+# Query-time synonym blending (reference: search/SynonymQuery.java:50 —
+# blended max-df idf, per-doc freq = sum over the synonym terms).
+SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
+    0: ("data", "stream"),
+    1: ("dup", "key", "fast"),
+    2: ("customer", "line"),
+    3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
 
 
@@ -4335,6 +4373,147 @@ def _phrase_mixed_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
+def _bm25_synonym(sf_dir: str):
+    """SynonymQuery through the engine: each query set scores as one
+    pseudo-term with blended stats. -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import SynonymQuery, score_exhaustive
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in sorted(SYNONYM_QUERY_SETS.items()):
+        d, s = score_exhaustive(reader, SynonymQuery(terms=terms), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _synonym_sql() -> str:
+    """Oracle for bm25_synonym_query: per doc tfsum = SUM(tf) over the
+    synonym terms, idf from the blended MAX df, one BM25 application —
+    literally the engine's pseudo-term (SynonymQuery.java:211-229)."""
+    arms = []
+    for qid, terms in sorted(SYNONYM_QUERY_SETS.items()):
+        inl = _in_list([t for t in terms])
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT g.doc_id,
+           (SELECT ln(1 + (s.n_docs - mx.dfb + 0.5) / (mx.dfb + 0.5))
+              FROM (SELECT MAX(df) AS dfb FROM df WHERE term IN {inl}) mx
+              CROSS JOIN stats s)
+             * (g.tfsum / (g.tfsum + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS tfsum
+      FROM tf WHERE term IN {inl} GROUP BY doc_id
+    ) g
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES}\n{body}"
+
+
+def _similarity_sql(model: str) -> str:
+    """Oracle for lmd_term / classic_term: per-(doc, term) scores under
+    the selected similarity, combined by flat boolean roles. Per-term
+    expressions mirror the engine's float64 op order literally
+    (functions/similarities.py):
+
+    * lmd:     GREATEST(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))),
+               p = (ttf+1)/(sum_tf+1)      (LMDirichletSimilarity.java:76)
+    * classic: (sqrt(tf) * (ln((N+1)/(df+1)) + 1)) * (1/sqrt(dl))
+               (ClassicSimilarity.java + TFIDFSimilarity.java:472)
+    """
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import BooleanQuery, parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ttf_cte = (
+        "ttfs AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS ttf "
+        "FROM tf GROUP BY term)"
+    )
+
+    def tsub(term: str) -> str:
+        if model == "lmd":
+            p = f"((t2.ttf + 1.0) / (s.sum_tf + 1.0))"
+            expr = (
+                f"GREATEST(0.0, ln(1.0 + tf.tf / ({LMD_MU} * {p})) "
+                f"+ ln({LMD_MU} / (dl.dl + {LMD_MU})))"
+            )
+            return (
+                f"SELECT tf.doc_id, {expr} AS score FROM tf "
+                f"JOIN dl USING (doc_id) JOIN ttfs t2 USING (term) "
+                f"CROSS JOIN stats s WHERE tf.term = '{term}'"
+            )
+        expr = (
+            f"(sqrt(CAST(tf.tf AS DOUBLE)) * "
+            f"(ln((s.n_docs + 1.0) / (d2.df + 1.0)) + 1.0)) "
+            f"* (1.0 / sqrt(CAST(dl.dl AS DOUBLE)))"
+        )
+        return (
+            f"SELECT tf.doc_id, {expr} AS score FROM tf "
+            f"JOIN dl USING (doc_id) JOIN df d2 USING (term) "
+            f"CROSS JOIN stats s WHERE tf.term = '{term}'"
+        )
+
+    arms = []
+    for qid, qs in sorted(SIM_QUERY_SETS.items()):
+        q = parse_query(qs, an)
+        assert isinstance(q, BooleanQuery) and not q.multi and not q.filters
+        scoring = sorted(set(q.must) | set(q.should))
+        alias = {t: f"t{i}" for i, t in enumerate(scoring)}
+        nalias = {t: f"n{i}" for i, t in enumerate(sorted(set(q.must_not)))}
+        joins = [
+            f"LEFT JOIN ({tsub(t)}) {a} ON {a}.doc_id = d.doc_id"
+            for t, a in {**alias, **nalias}.items()
+        ]
+        preds = [f"{alias[t]}.doc_id IS NOT NULL" for t in sorted(set(q.must))]
+        if not q.must:
+            preds.append(
+                "(" + " OR ".join(
+                    f"{alias[t]}.doc_id IS NOT NULL" for t in scoring
+                ) + ")"
+            )
+        preds.extend(f"{a}.doc_id IS NULL" for a in nalias.values())
+        score = f"COALESCE({alias[scoring[0]]}.score, 0)"
+        for t in scoring[1:]:
+            score = f"({score} + COALESCE({alias[t]}.score, 0))"
+        j = "\n    ".join(joins)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT d.doc_id, {score} AS score
+    FROM (SELECT DISTINCT doc_id FROM tf) d
+    {j}
+    WHERE {' AND '.join(preds)}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ttf_cte}\n{body}"
+
+
 def _nested_bool_sql() -> str:
     """Oracle for bm25_nested_bool: each query's tree is flattened by hand
     into per-clause LEFT JOINs over the shared term-score (sc) and
@@ -5140,6 +5319,9 @@ FROM tf GROUP BY term"""
     sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
     sql["bm25_phrase_mixed"] = _phrase_mixed_sql()
     sql["bm25_nested_bool"] = _nested_bool_sql()
+    sql["lmd_term"] = _similarity_sql("lmd")
+    sql["classic_term"] = _similarity_sql("classic")
+    sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

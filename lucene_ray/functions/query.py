@@ -157,6 +157,18 @@ class NestedQuery:
 
 
 @dataclass(frozen=True)
+class SynonymQuery:
+    """Query-time synonym blending (reference: core/.../search/
+    SynonymQuery.java:50,211-229): the terms score as ONE pseudo-term —
+    blended docFreq = max of the terms' docFreqs, totalTermFreq = sum,
+    and per-doc freq = sum of the terms' freqs in that doc — so a rare
+    synonym cannot dominate via its own high idf (the demoted-idf path).
+    Unboosted variant (every synonym at boost 1)."""
+
+    terms: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     """Every live document, constant score 1.0 (reference:
     search/MatchAllDocsQuery.java); parsed from the classic `*:*`."""
@@ -365,7 +377,7 @@ def query_terms(q) -> set:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, DisMaxQuery):
+    if isinstance(q, (DisMaxQuery, SynonymQuery)):
         return set(q.terms)
     if isinstance(q, MatchAllQuery):
         return set()
@@ -888,6 +900,26 @@ def _topk_from(cand: np.ndarray, scores: np.ndarray, k: int):
 # ---------------------------------------------------------------------------
 
 
+def _term_scorer(reader, df: int, ttf: int, boost: float = 1.0):
+    """Per-term scorer honoring the searcher's similarity selection:
+    ``reader.similarity`` None/("bm25",) -> BM25 with reader.bm25_params;
+    otherwise functions/similarities.py builds the model (LMDirichlet,
+    Classic TF-IDF) from the same collection + term stats."""
+    sim = getattr(reader, "similarity", None)
+    if sim is None or sim[0] == "bm25":
+        k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+        return make_scorer(
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
+            k1=k1, b=b, boost=boost,
+        )
+    from .similarities import make_similarity
+
+    return make_similarity(
+        sim, reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
+        ttf, boost=boost,
+    )
+
+
 def _prepare(reader, query: BooleanQuery):
     """-> (scoring cursors in canonical order, is_must flags, not_cursors,
     dtype, must-group cursor lists) or None when a MUST term — or every
@@ -913,20 +945,17 @@ def _prepare(reader, query: BooleanQuery):
     full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
     boost_map = dict(getattr(query, "boosts", ()))
     # query-time similarity parameters (reference: IndexSearcher
-    # .setSimilarity(new BM25Similarity(k1, b)) — per-searcher, not
-    # per-index); set via the search APIs' k1/b kwargs
-    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    # .setSimilarity — per-searcher, not per-index); BM25(k1, b) via
+    # reader.bm25_params, non-BM25 models via reader.similarity (a spec
+    # tuple handled by functions/similarities.py)
     deleted = getattr(reader, "deleted", None)
     for term, m in roles:
-        df, _ = reader.term_stats(term)
+        df, ttf = reader.term_stats(term)
         if df == 0:
             if m:
                 return None
             continue
-        scorer = make_scorer(
-            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
-            k1=k1, b=b, boost=boost_map.get(term, 1.0),
-        )
+        scorer = _term_scorer(reader, df, ttf, boost_map.get(term, 1.0))
         cursors.append(
             TermCursor(term, reader.postings(term), scorer, full_cache,
                        deleted=deleted)
@@ -944,13 +973,10 @@ def _prepare(reader, query: BooleanQuery):
     for g in getattr(query, "must_groups", ()):
         gc = []
         for t in sorted(set(g)):
-            df, _ = reader.term_stats(t)
+            df, ttf = reader.term_stats(t)
             if df == 0:
                 continue
-            scorer = make_scorer(
-                reader.norm_kind, reader.doc_count, reader.sum_total_tf, df,
-                k1=k1, b=b, boost=boost_map.get(t, 1.0),
-            )
+            scorer = _term_scorer(reader, df, ttf, boost_map.get(t, 1.0))
             gc.append(
                 TermCursor(t, reader.postings(t), scorer, full_cache,
                            deleted=deleted)
@@ -1371,6 +1397,49 @@ def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:
     return allk[pos]
 
 
+def _synonym_scored(reader, query: "SynonymQuery"):
+    """-> (docs, scores, dtype) or None. Implements the reference blend
+    (SynonymQuery.java:211-229): one scorer built from (max df, sum ttf),
+    fed the per-doc SUM of the synonym terms' freqs; the norm key is the
+    doc's own (terms share the document length)."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    df_blend, ttf_blend = 0, 0
+    present: List[str] = []
+    for t in sorted(set(query.terms)):
+        df, ttf = reader.term_stats(t)
+        if df > 0:
+            df_blend = max(df_blend, df)
+            ttf_blend += ttf
+            present.append(t)
+    if df_blend == 0:
+        return None
+    docs_parts, tf_parts, key_parts = [], [], []
+    for t in present:
+        for tp in reader.postings(t):
+            d, tfs, keys = tp.decode_all()
+            docs_parts.append(np.asarray(d, dtype=np.int64))
+            tf_parts.append(np.asarray(tfs))
+            key_parts.append(np.asarray(keys))
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    keys = np.concatenate(key_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, keys = docs[order], tfs[order], keys[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    sum_tf = np.add.reduceat(tfs.astype(np.int64), starts)
+    key_u = keys[starts]
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(uniq):
+        pos = np.minimum(np.searchsorted(deleted, uniq), len(deleted) - 1)
+        keep = deleted[pos] != uniq
+        uniq, sum_tf, key_u = uniq[keep], sum_tf[keep], key_u[keep]
+    if len(uniq) == 0:
+        return (np.empty(0, np.int64), np.empty(0, dtype=dtype), dtype)
+    scorer = _term_scorer(reader, df_blend, ttf_blend)
+    scores = scorer.score_array(sum_tf, key_u)
+    return uniq, scores.astype(dtype, copy=False), dtype
+
+
 def _mixed_candidates(reader, mq: "MixedQuery"):
     """Exhaustive executor for phrase+term boolean mixes -> (cand, acc,
     dtype). Required clauses = MUST phrases, plus the base when it has
@@ -1517,6 +1586,8 @@ def _exhaustive_candidates(reader, query, _prep=None):
         return _mixed_candidates(reader, query)
     if isinstance(query, NestedQuery):
         return _nested_candidates(reader, query)
+    if isinstance(query, SynonymQuery):
+        return _synonym_scored(reader, query)
     if isinstance(query, PhraseQuery):
         return _phrase_scored(reader, query)
     if isinstance(query, MatchAllQuery):
@@ -1642,7 +1713,7 @@ def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
-                           NestedQuery)):
+                           NestedQuery, SynonymQuery)):
         r = _exhaustive_candidates(reader, query)
         if r is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -2023,9 +2094,14 @@ def score_blockmax(reader, query, k: int = 10):
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
-                           NestedQuery)):
+                           NestedQuery, SynonymQuery)):
         # positional verification / whole-corpus enumeration / phrase
-        # mixes / boolean trees aren't modeled by interval bounds
+        # mixes / boolean trees / blended-stats synonyms aren't modeled
+        # by interval bounds
+        return score_exhaustive(reader, query, k)
+    if getattr(reader, "similarity", None) is not None:
+        # non-BM25 similarities (LMDirichlet clamps in-document scores to
+        # 0) aren't modeled by the interval pruning; exhaustive is exact
         return score_exhaustive(reader, query, k)
     if getattr(query, "filters", ()):
         # range FILTER clauses cut the candidate set doc-wise; interval

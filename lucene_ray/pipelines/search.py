@@ -82,9 +82,14 @@ class QueryExecStage:
     """Stateful actor: warm index + analyzer, executes query batches."""
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax",
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75, similarity=None):
         self.reader = get_reader(index_dir)
         self.reader.bm25_params = (k1, b)
+        # IndexSearcher.setSimilarity analogue: None = BM25(k1, b);
+        # ("lmd", mu) / ("classic",) select functions/similarities.py
+        # models. Always assigned so a cached reader never leaks a
+        # previous stage's similarity into this one.
+        self.reader.similarity = similarity
         self.analyzer = make_analyzer(self.reader.analyzer_name)
         self.k = k
         self.exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive
