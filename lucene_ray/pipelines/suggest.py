@@ -38,7 +38,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -89,13 +88,23 @@ def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int):
 
 
 def _topk_spell(k: int):
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["dist", "df", "term"], ascending=[True, False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", "term", "dist", "df"]]
+    # (dist asc, df desc, term asc); term ties break via np.lexsort on
+    # the string column (ascending)
+    def topk(group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -dfs, dist))[:k]
+        out = group.take(pa.array(order))
+        return pa.table(
+            {
+                "query_id": out.column("query_id"),
+                "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int32)),
+                "term": out.column("term"),
+                "dist": out.column("dist"),
+                "df": out.column("df"),
+            }
+        )
 
     return topk
 
@@ -117,7 +126,7 @@ def spell_suggest(
         _suggest_matcher(words, max_edits, min_df), batch_format="pyarrow"
     )
     return cands.groupby("query_id").map_groups(
-        _topk_spell(k), batch_format="pandas"
+        _topk_spell(k), batch_format="pyarrow"
     )
 
 
@@ -145,11 +154,20 @@ def _prefix_matcher(prefixes: Sequence[str]):
 
 
 def _topk_prefix(k: int):
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["df", "term"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", "term", "df"]]
+    # (df desc, term asc) — Arrow-native lexsort, no pandas round-trip
+    def topk(group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -dfs))[:k]
+        out = group.take(pa.array(order))
+        return pa.table(
+            {
+                "query_id": out.column("query_id"),
+                "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int32)),
+                "term": out.column("term"),
+                "df": out.column("df"),
+            }
+        )
 
     return topk
 
@@ -165,7 +183,7 @@ def complete_prefix(
     stats = term_stats(ds, cfg)
     cands = stats.map_batches(_prefix_matcher(prefixes), batch_format="pyarrow")
     return cands.groupby("query_id").map_groups(
-        _topk_prefix(k), batch_format="pandas"
+        _topk_prefix(k), batch_format="pyarrow"
     )
 
 
@@ -225,13 +243,22 @@ def _fuzzy_complete_matcher(
 
 
 def _topk_fuzzy(k: int):
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["dist", "df", "term"], ascending=[True, False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", "term", "df", "dist"]]
+    # (dist asc, df desc, term asc) — Arrow-native
+    def topk(group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -dfs, dist))[:k]
+        out = group.take(pa.array(order))
+        return pa.table(
+            {
+                "query_id": out.column("query_id"),
+                "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int32)),
+                "term": out.column("term"),
+                "df": out.column("df"),
+                "dist": out.column("dist"),
+            }
+        )
 
     return topk
 
@@ -266,7 +293,7 @@ def complete_fuzzy(
         batch_format="pyarrow",
     )
     return cands.groupby("query_id").map_groups(
-        _topk_fuzzy(k), batch_format="pandas"
+        _topk_fuzzy(k), batch_format="pyarrow"
     )
 
 
@@ -312,5 +339,5 @@ def complete_infix(
         _infix_matcher(substrings), batch_format="pyarrow"
     )
     return cands.groupby("query_id").map_groups(
-        _topk_prefix(k), batch_format="pandas"
+        _topk_prefix(k), batch_format="pyarrow"
     )
