@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -45,6 +45,10 @@ from .knn import _batch_matrix, _final_topk, _normalize, load_queries
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 HNSW_META = "hnsw_meta.json"
+# bumped when the construction algorithm changes shape — a cached layout
+# from an older builder must rebuild, not resume (2 = bulk exact-candidate
+# per-level build; 1 = sequential per-insert beam)
+_BUILDER_VERSION = 2
 
 
 def _levels_for(vec_ids: np.ndarray, m: int) -> np.ndarray:
@@ -178,29 +182,74 @@ class _Graph:
             self.neighbors[level][nb] = merged
 
     def build(self) -> None:
+        """Bulk construction (round 3): instead of the sequential
+        per-insert beam (the round-2 hot loop, ~4 ms/vector of Python
+        heap/set work), every level's candidate lists come from EXACT
+        chunked matmuls over that level's member set — pure BLAS — and
+        the diversity heuristic then selects edges from strictly better
+        candidates than a beam would surface. Two passes per level keep
+        the insert semantics: out-edges from each node's own selection,
+        then reverse edges merged in with the same overflow prune. The
+        hierarchy provides cluster bridging exactly as in per-insert
+        HNSW (upper levels are 1/M^lev sparse, so their exact top-efc
+        spans clusters). Search, serialization and recall gates are
+        unchanged; cost is O(k^2 . dim) flops per level member set k —
+        the per-partition size cap (partition count) is the documented
+        lever, same as the reference's per-segment graph sizes."""
         n = len(self.mat)
-        for i in range(n):
-            li = int(self.levels[i])
-            if self.entry < 0:
-                self.entry = i
-                for lev in range(li + 1):
-                    self.neighbors[lev][i] = np.empty(0, np.int32)
+        if n == 0:
+            return
+        # entry = first node at the max level (ascending-id insert order)
+        self.entry = int(np.nonzero(self.levels == self.max_level)[0][0])
+        for lev in range(self.max_level, -1, -1):
+            members = np.nonzero(self.levels >= lev)[0]
+            k = len(members)
+            if k == 1:
+                self.neighbors[lev][int(members[0])] = np.empty(0, np.int32)
                 continue
-            q = self.mat[i]
-            cur = self.entry
-            top = int(self.levels[self.entry])
-            for lev in range(top, li, -1):
-                cur = self._greedy_level(q, cur, lev)
-            for lev in range(min(li, top), -1, -1):
-                ids, sims = self._beam(q, cur, self.efc, lev)
-                mmax = self.m0 if lev == 0 else self.m
-                nbrs = self._select(i, ids, sims, min(self.m, mmax))
-                self._link(i, nbrs, lev)
-                cur = int(ids[0])
-            if li > top:
-                for lev in range(top + 1, li + 1):
-                    self.neighbors[lev][i] = np.empty(0, np.int32)
-                self.entry = i
+            mm = self.mat[members]
+            mmax = self.m0 if lev == 0 else self.m
+            msel = min(self.m, mmax)
+            ncand = min(self.efc, k - 1)
+            sel: Dict[int, np.ndarray] = {}
+            # ~16 MB of float32 sims per chunk
+            chunk = max(1, (1 << 22) // k)
+            for s in range(0, k, chunk):
+                e = min(k, s + chunk)
+                sims = mm[s:e] @ mm.T  # (c, k) exact cosines
+                rows = np.arange(e - s)
+                sims[rows, np.arange(s, e)] = -np.inf  # mask self
+                if ncand < k - 1:
+                    idx = np.argpartition(-sims, ncand, axis=1)[:, :ncand]
+                else:
+                    idx = np.argsort(-sims, axis=1, kind="stable")[:, :ncand]
+                for r in range(e - s):
+                    node = int(members[s + r])
+                    cand = idx[r]
+                    sel[node] = self._select(
+                        node, members[cand], sims[r, cand], msel
+                    )
+            # reverse edges + one overflow prune per node
+            rev: Dict[int, List[int]] = {}
+            for u, nbrs in sel.items():
+                for v in nbrs.tolist():
+                    rev.setdefault(v, []).append(u)
+            for node_np in members:
+                node = int(node_np)
+                extra = rev.get(node)
+                own = sel[node]
+                if extra:
+                    merged = np.unique(
+                        np.concatenate(
+                            [own, np.asarray(extra, dtype=np.int32)]
+                        )
+                    ).astype(np.int32)
+                else:
+                    merged = own
+                if len(merged) > mmax:
+                    sims_m = self.mat[merged] @ self.mat[node]
+                    merged = self._select(node, merged, sims_m, mmax)
+                self.neighbors[lev][node] = merged
 
     def search(self, q: np.ndarray, k: int, ef: int,
                allowed: "np.ndarray | None" = None
@@ -360,7 +409,8 @@ def build_hnsw_layout(
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("fingerprint") == fingerprint:
+        if (meta.get("fingerprint") == fingerprint
+                and meta.get("builder") == _BUILDER_VERSION):
             return meta
 
     os.makedirs(out_dir, exist_ok=True)
@@ -398,6 +448,7 @@ def build_hnsw_layout(
     )
     meta = {
         "fingerprint": fingerprint,
+        "builder": _BUILDER_VERSION,
         "m": m,
         "ef_construction": ef_construction,
         "num_partitions": num_partitions,
