@@ -307,6 +307,62 @@ def run_suite() -> dict:
     stages["highlight_all_docs"] = round(time.time() - t0, 3)
     log(f"highlight: {stages['highlight_all_docs']}s / {n_base} docs")
 
+    # 2d'. postings-offsets highlighter (r3): same snippets read off the
+    # .off sidecar instead of re-analyzing every document
+    from lucene_ray.functions.highlight import IndexHighlightStage
+
+    off_idx = f"/tmp/lucene_ray_bench/idx-off-{NUM_CPUS}"
+    shutil.rmtree(off_idx, ignore_errors=True)
+    build_index(
+        base_docs.select_columns(["doc_id", "text"]),
+        off_idx,
+        IndexConfig(analyzer="standard_en", norm_kind="byte4",
+                    num_partitions=8, positions=True, offsets=True),
+        doc_count=n_base,
+    )
+    t0 = time.time()
+    base_docs.select_columns(["doc_id", "text"]).map_batches(
+        IndexHighlightStage,
+        fn_constructor_args=(off_idx, ("data", "stream", "batch")),
+        batch_format="pyarrow",
+        concurrency=4,
+    ).count()
+    stages["highlight_offsets"] = round(time.time() - t0, 3)
+    # per-hit cost without the fixed Ray stage overhead (small corpora are
+    # pool-startup-dominated; the per-doc kernel is what scales)
+    from lucene_ray.functions.highlight import (
+        best_fragment,
+        best_fragment_from_index,
+    )
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.pipelines.search import get_reader
+
+    _tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    _ids = _tbl.column("doc_id").to_pylist()
+    _txt = _tbl.column("text").to_pylist()
+    _an = make_analyzer("standard_en")
+    _rd = get_reader(off_idx)
+    _q = ("data", "stream", "batch")
+    t0 = time.time()
+    _a = [best_fragment(x or "", _q, _an) for x in _txt]
+    _t_re = time.time() - t0
+    t0 = time.time()
+    _b = [
+        best_fragment_from_index(_rd, d, x or "", _q)
+        for d, x in zip(_ids, _txt)
+    ]
+    _t_off = time.time() - t0
+    assert _a == _b, "offsets highlighter diverged from re-analysis"
+    stages["highlight_perdoc_speedup"] = round(_t_re / max(_t_off, 1e-9), 2)
+    log(
+        f"highlight_offsets: stage {stages['highlight_offsets']}s; per-doc "
+        f"{_t_re / len(_txt) * 1e6:.0f}us re-analysis vs "
+        f"{_t_off / len(_txt) * 1e6:.0f}us offsets "
+        f"({stages['highlight_perdoc_speedup']}x, byte-identical)"
+    )
+
     # 2e. phrase + range + sort on a positions-enabled base index with
     # warc_ts doc values (PhraseQuery / PointRangeQuery / TopFieldCollector)
     import numpy as np

@@ -112,6 +112,31 @@ class StandardEnglishAnalyzer:
                 pos.append(i)
         return terms, pos
 
+    def analyze_offsets(self, text: str):
+        """(terms, positions, starts, ends): surface character offsets per
+        kept term (OffsetAttribute semantics — offsets span the SURFACE
+        token, not the normalized term; reference: analysis/
+        tokenattributes/OffsetAttribute.java). Spans come from a running-
+        cursor scan (tokens are in-order substrings; rare non-contiguous
+        tokens — combining marks skipped mid-token — get (-1, -1))."""
+        term = self._term
+        terms: List[str] = []
+        pos: List[int] = []
+        starts: List[int] = []
+        ends: List[int] = []
+        cur = 0
+        for i, raw in enumerate(tokenize(text)):
+            j = text.find(raw, cur)
+            if j >= 0:
+                cur = j + len(raw)
+            t = term(raw)
+            if t is not None:
+                terms.append(t)
+                pos.append(i)
+                starts.append(j)
+                ends.append(-1 if j < 0 else j + len(raw))
+        return terms, pos, starts, ends
+
 
 class SimpleAnalyzer:
     """lower(text) then extract [a-z0-9]+ runs — SQL-parity analyzer."""
@@ -125,6 +150,18 @@ class SimpleAnalyzer:
     def analyze_positions(self, text: str):
         toks = self._RE.findall(text.lower())
         return toks, list(range(len(toks)))
+
+    def analyze_offsets(self, text: str):
+        """Spans via finditer over lower(text) — 1:1 with the original for
+        length-preserving lowercase (ASCII corpora; length-changing
+        Unicode lowercase would shift spans, documented limitation)."""
+        terms, pos, starts, ends = [], [], [], []
+        for i, m in enumerate(self._RE.finditer(text.lower())):
+            terms.append(m.group())
+            pos.append(i)
+            starts.append(m.start())
+            ends.append(m.end())
+        return terms, pos, starts, ends
 
 
 class SimpleStopAnalyzer(SimpleAnalyzer):
@@ -140,6 +177,18 @@ class SimpleStopAnalyzer(SimpleAnalyzer):
     def analyze(self, text: str) -> List[str]:
         stop = ENGLISH_STOP_WORDS
         return [t for t in self._RE.findall(text.lower()) if t not in stop]
+
+    def analyze_offsets(self, text: str):
+        stop = ENGLISH_STOP_WORDS
+        terms, pos, starts, ends = [], [], [], []
+        for i, m in enumerate(self._RE.finditer(text.lower())):
+            t = m.group()
+            if t not in stop:
+                terms.append(t)
+                pos.append(i)
+                starts.append(m.start())
+                ends.append(m.end())
+        return terms, pos, starts, ends
 
     def analyze_positions(self, text: str):
         stop = ENGLISH_STOP_WORDS

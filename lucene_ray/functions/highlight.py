@@ -49,26 +49,59 @@ def _term_of(analyzer, token: str) -> Optional[str]:
     return terms[0] if terms else None
 
 
-def best_fragment(
+def _analysis_matches(text: str, query_terms: Sequence[str], analyzer):
+    """[(start, end, term)] in text order via re-analysis (the
+    UnifiedHighlighter ANALYSIS offset source)."""
+    qset = set(query_terms)
+    return [
+        (s, e, term)
+        for tok, s, e in token_offsets(text)
+        for term in (_term_of(analyzer, tok),)
+        if term in qset
+    ]
+
+
+def index_matches(reader, doc_id: int, query_terms: Sequence[str]):
+    """[(start, end, term)] in text order read straight off the postings
+    offsets (.off sidecar) — UnifiedHighlighter's OffsetSource.POSTINGS:
+    no re-analysis of the stored text, cost O(query terms), not O(doc
+    tokens). Per-term (docs, tf-cumsum, flat pairs) views are cached on
+    the reader (warm searcher state)."""
+    import numpy as np
+
+    cache = reader.__dict__.setdefault("_offsets_view", {})
+    out = []
+    for term in sorted(set(query_terms)):
+        view = cache.get(term)
+        if view is None:
+            docs, tfs, flat = reader.term_offsets(term)
+            starts = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            view = cache[term] = (docs, starts, flat)
+        docs, starts, flat = view
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or int(docs[i]) != doc_id:
+            continue
+        lo, hi = int(starts[i]) * 2, int(starts[i + 1]) * 2
+        pairs = flat[lo:hi]
+        out.extend(
+            (int(pairs[2 * j]), int(pairs[2 * j + 1]), term)
+            for j in range(len(pairs) // 2)
+            if int(pairs[2 * j]) >= 0
+        )
+    out.sort()
+    return out
+
+
+def render_best_fragment(
     text: str,
-    query_terms: Sequence[str],
-    analyzer,
+    matches,
     frag_size: int = 100,
     pre: str = "<b>",
     post: str = "</b>",
 ) -> str:
-    """Best ``frag_size``-char snippet with query terms wrapped, '' if the
-    text has no match."""
-    qset = set(query_terms)
-    if not text or not qset:
-        return ""
-    toks = token_offsets(text)
-    matches = [
-        (s, e, term)
-        for tok, s, e in toks
-        for term in (_term_of(analyzer, tok),)
-        if term in qset
-    ]
+    """Fragment selection + wrapping over a prepared match list — shared
+    by the re-analysis and postings-offsets sources (byte-identical
+    output for identical matches)."""
     if not matches:
         return ""
     # candidate windows anchored at each match start; match ends are
@@ -99,6 +132,41 @@ def best_fragment(
     if w_end < len(text):
         frag = frag + "..."
     return frag
+
+
+def best_fragment(
+    text: str,
+    query_terms: Sequence[str],
+    analyzer,
+    frag_size: int = 100,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> str:
+    """Best ``frag_size``-char snippet with query terms wrapped, '' if the
+    text has no match."""
+    if not text or not query_terms:
+        return ""
+    matches = _analysis_matches(text, query_terms, analyzer)
+    return render_best_fragment(text, matches, frag_size, pre, post)
+
+
+def best_fragment_from_index(
+    reader,
+    doc_id: int,
+    text: str,
+    query_terms: Sequence[str],
+    frag_size: int = 100,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> str:
+    """Offsets-source variant of :func:`best_fragment` — identical output
+    when the index was built with ``IndexConfig(offsets=True)`` over the
+    same analyzer chain, at O(query terms) per hit instead of a full
+    re-analysis of the document."""
+    if not text or not query_terms:
+        return ""
+    matches = index_matches(reader, doc_id, query_terms)
+    return render_best_fragment(text, matches, frag_size, pre, post)
 
 
 class HighlightStage:
@@ -149,18 +217,49 @@ def top_passages(
     already chosen (score desc, start asc ties), then emit in text order
     with matches wrapped.
     """
+    if not text or not query_terms or max_passages <= 0:
+        return []
+    matches = _analysis_matches(text, query_terms, analyzer)
+    return render_passages(
+        text, matches, max_passages=max_passages, frag_size=frag_size,
+        weights=weights, pre=pre, post=post,
+    )
+
+
+def top_passages_from_index(
+    reader,
+    doc_id: int,
+    text: str,
+    query_terms: Sequence[str],
+    max_passages: int = 3,
+    frag_size: int = 100,
+    weights: Optional[dict] = None,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> List[str]:
+    """Offsets-source variant of :func:`top_passages` (identical output
+    over an offsets-enabled index, no re-analysis)."""
+    if not text or not query_terms or max_passages <= 0:
+        return []
+    matches = index_matches(reader, doc_id, query_terms)
+    return render_passages(
+        text, matches, max_passages=max_passages, frag_size=frag_size,
+        weights=weights, pre=pre, post=post,
+    )
+
+
+def render_passages(
+    text: str,
+    matches,
+    max_passages: int = 3,
+    frag_size: int = 100,
+    weights: Optional[dict] = None,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> List[str]:
     import math
 
-    qset = set(query_terms)
-    if not text or not qset or max_passages <= 0:
-        return []
     w = weights or {}
-    matches = [
-        (s, e, term)
-        for tok, s, e in token_offsets(text)
-        for term in (_term_of(analyzer, tok),)
-        if term in qset
-    ]
     if not matches:
         return []
     import bisect
@@ -207,6 +306,36 @@ def top_passages(
             frag = frag + "..."
         out.append(frag)
     return out
+
+
+class IndexHighlightStage:
+    """Actor-pool stage: postings-offsets highlighter — the reader (and
+    its per-term offsets views) load once per actor; per batch each row
+    costs O(query terms) bisects, no re-analysis of the text."""
+
+    def __init__(self, index_dir: str, query_terms: Sequence[str],
+                 frag_size: int = 100):
+        from ..pipelines.search import get_reader
+
+        self.reader = get_reader(index_dir)
+        self.query_terms = tuple(query_terms)
+        self.frag_size = frag_size
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        snippets = [
+            best_fragment_from_index(
+                self.reader, did, t or "", self.query_terms, self.frag_size
+            )
+            for did, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            )
+        ]
+        return batch.drop_columns(["text"]).append_column(
+            "snippet", pa.array(snippets, pa.string())
+        )
 
 
 class PassageStage:

@@ -70,6 +70,13 @@ POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA.append(
     pa.field("positions", pa.binary())
 )
 
+#: offsets variant: + per-(term, doc) (start, end) int32-LE pairs in the
+#: same per-doc ascending-position order as the positions column
+#: (reference: IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS)
+POSTINGS_POS_OFF_SCHEMA = POSTINGS_POS_SCHEMA.append(
+    pa.field("offsets", pa.binary())
+)
+
 
 @dataclass
 class IndexConfig:
@@ -104,6 +111,12 @@ class IndexConfig:
     # (reference: IndexOptions.DOCS_AND_FREQS_AND_POSITIONS,
     # Lucene104PostingsWriter.java:237-298 positions stream)
     positions: bool = False
+    # index character offsets: per occurrence a (start, end) surface span
+    # rides next to the positions column into a .off sidecar — highlight
+    # reads matches straight off the index instead of re-analyzing text
+    # (reference: IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    # UnifiedHighlighter's OffsetSource.POSTINGS). Requires positions.
+    offsets: bool = False
 
 
 class AnalyzerStage:
@@ -128,6 +141,8 @@ class AnalyzerStage:
         self._term_meta: Dict[str, tuple] = {}
 
     def _empty(self) -> pa.Table:
+        if self.cfg.offsets:
+            return POSTINGS_POS_OFF_SCHEMA.empty_table()
         if self.cfg.positions:
             return POSTINGS_POS_SCHEMA.empty_table()
         return POSTINGS_SCHEMA.empty_table()
@@ -168,7 +183,14 @@ class AnalyzerStage:
         texts = batch.column(cfg.text_col).to_pylist()
         doc_ids = batch.column(cfg.id_col).to_numpy()
         pos_lists: Optional[List[List[int]]] = None
-        if cfg.positions:
+        off_lists: Optional[List[tuple]] = None
+        if cfg.offsets:
+            analyze_o = self.analyzer.analyze_offsets
+            quads = [analyze_o(t) if t else ([], [], [], []) for t in texts]
+            term_lists = [qd[0] for qd in quads]
+            pos_lists = [qd[1] for qd in quads]
+            off_lists = [(qd[2], qd[3]) for qd in quads]
+        elif cfg.positions:
             analyze_p = self.analyzer.analyze_positions
             pairs_tp = [analyze_p(t) if t else ([], []) for t in texts]
             term_lists = [tp[0] for tp in pairs_tp]
@@ -200,6 +222,7 @@ class AnalyzerStage:
         u_code = uniq % nv
 
         pos_col = None
+        off_col = None
         if pos_lists is not None:
             # per-(doc, term) ascending positions, packed int32-LE binary;
             # np.unique's ascending pair order == lexsort's primary order,
@@ -223,6 +246,32 @@ class AnalyzerStage:
                     pa.py_buffer(pos_sorted.tobytes()),
                 ],
             )
+            if off_lists is not None:
+                # (start, end) int32 pairs in the SAME occurrence order as
+                # the positions column (one lexsort serves both streams)
+                st_flat = np.fromiter(
+                    itertools.chain.from_iterable(s for s, _ in off_lists),
+                    dtype=np.int32, count=total,
+                )
+                en_flat = np.fromiter(
+                    itertools.chain.from_iterable(e for _, e in off_lists),
+                    dtype=np.int32, count=total,
+                )
+                inter = np.empty(2 * total, dtype="<i4")
+                inter[0::2] = st_flat[order]
+                inter[1::2] = en_flat[order]
+                off_offsets = (
+                    np.concatenate(([0], np.cumsum(tfs))) * 8
+                ).astype(np.int32)
+                off_col = pa.BinaryArray.from_buffers(
+                    pa.binary(),
+                    len(uniq),
+                    [
+                        None,
+                        pa.py_buffer(off_offsets.tobytes()),
+                        pa.py_buffer(np.ascontiguousarray(inter).tobytes()),
+                    ],
+                )
 
         keys_doc = (
             int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
@@ -260,6 +309,10 @@ class AnalyzerStage:
             "bucket": pa.array(bucket),
             "gpart": pa.array(gpart),
         }
+        if off_col is not None:
+            cols["positions"] = pos_col
+            cols["offsets"] = off_col
+            return pa.table(cols, schema=POSTINGS_POS_OFF_SCHEMA)
         if pos_col is not None:
             cols["positions"] = pos_col
             return pa.table(cols, schema=POSTINGS_POS_SCHEMA)
@@ -403,11 +456,17 @@ class SegmentEncoder:
         tfs = group.column("tf").to_numpy()
         keys = group.column("key").to_numpy()
         has_pos = "positions" in group.schema.names
+        has_off = "offsets" in group.schema.names
         if has_pos:
             from ..util import binary_flat_i32
 
             pos_flat, pos_lens = binary_flat_i32(group.column("positions"))
             pos_row_starts = np.concatenate(([0], np.cumsum(pos_lens)))
+        if has_off:
+            from ..util import binary_flat_i32
+
+            off_flat, off_lens = binary_flat_i32(group.column("offsets"))
+            off_row_starts = np.concatenate(([0], np.cumsum(off_lens)))
 
         # run boundaries where (term, bucket) changes
         change = np.empty(len(term_codes), dtype=bool)
@@ -422,6 +481,7 @@ class SegmentEncoder:
 
         blob = bytearray()
         pos_blob = bytearray()
+        off_blob = bytearray()
         rows_term: List[str] = []
         rows_bucket: List[int] = []
         rows_df: List[int] = []
@@ -431,6 +491,8 @@ class SegmentEncoder:
         rows_len: List[int] = []
         rows_poff: List[int] = []
         rows_plen: List[int] = []
+        rows_ooff: List[int] = []
+        rows_olen: List[int] = []
         for lo, hi in zip(starts, ends):
             off, length = encode_term_postings(
                 blob, doc_ids[lo:hi], tfs[lo:hi], keys[lo:hi]
@@ -449,6 +511,13 @@ class SegmentEncoder:
                     np.ascontiguousarray(pos_flat[s:e], dtype="<i4").tobytes()
                 )
                 rows_plen.append((e - s) * 4)
+            if has_off:
+                s, e = int(off_row_starts[lo]), int(off_row_starts[hi])
+                rows_ooff.append(len(off_blob))
+                off_blob.extend(
+                    np.ascontiguousarray(off_flat[s:e], dtype="<i4").tobytes()
+                )
+                rows_olen.append((e - s) * 4)
 
         os.makedirs(self.seg_dir, exist_ok=True)
         tmp = base + ".post.tmp"
@@ -460,6 +529,11 @@ class SegmentEncoder:
             with open(tmp, "wb") as f:
                 f.write(pos_blob)
             os.replace(tmp, base + ".pos")
+        if has_off:
+            tmp = base + ".off.tmp"
+            with open(tmp, "wb") as f:
+                f.write(off_blob)
+            os.replace(tmp, base + ".off")
         cols = {
             "term": pa.array(rows_term, pa.string()),
             "bucket": pa.array(rows_bucket, pa.int32()),
@@ -476,6 +550,12 @@ class SegmentEncoder:
             schema = TERMS_SCHEMA.append(
                 pa.field("pos_offset", pa.int64())
             ).append(pa.field("pos_length", pa.int64()))
+        if has_off:
+            cols["off_offset"] = pa.array(rows_ooff, pa.int64())
+            cols["off_length"] = pa.array(rows_olen, pa.int64())
+            schema = schema.append(
+                pa.field("off_offset", pa.int64())
+            ).append(pa.field("off_length", pa.int64()))
         terms_tbl = pa.table(cols, schema=schema)
         import pyarrow.parquet as pq
 
@@ -497,6 +577,7 @@ class SegmentEncoder:
             # codecs/CodecUtil.java) — validated by state/checkindex.py
             "post_crc32": zlib.crc32(bytes(blob)),
             "pos_crc32": zlib.crc32(bytes(pos_blob)) if has_pos else -1,
+            "off_crc32": zlib.crc32(bytes(off_blob)) if has_off else -1,
             "wall_sec": round(time.time() - t0, 3),
             "fingerprint": self.fingerprint,  # lineage: ties segment to input
             "resumed": False,
@@ -657,6 +738,11 @@ def build_index(
     ``heavy_terms`` to reuse a prior detection pass (e.g. term stats from an
     earlier build of the same corpus) instead of sampling here."""
     cfg = cfg or IndexConfig()
+    if cfg.offsets and not cfg.positions:
+        raise ValueError(
+            "offsets=True requires positions=True "
+            "(DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS)"
+        )
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     t0 = time.time()
 
@@ -671,6 +757,7 @@ def build_index(
         f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
         f"parts={cfg.num_partitions}"
         + (";pos=1" if cfg.positions else "")
+        + (";off=1" if cfg.offsets else "")
     )
 
     heavy: Set[str] = set(heavy_terms) if heavy_terms is not None else set()
@@ -753,6 +840,7 @@ def build_index(
         "analyzer": cfg.analyzer,
         "norm_kind": cfg.norm_kind,
         "positions": bool(cfg.positions),
+        "offsets": bool(cfg.offsets),
         "num_partitions": cfg.num_partitions,
         "bucket_shift": cfg.bucket_shift,
         "heavy_terms": sorted(heavy),

@@ -93,6 +93,10 @@ class IndexReader:
     def has_positions(self) -> bool:
         return bool(self.manifest.get("positions", False))
 
+    @property
+    def has_offsets(self) -> bool:
+        return bool(self.manifest.get("offsets", False))
+
     def all_doc_ids(self):
         """Sorted doc IDs of every indexed doc (MatchAllDocsQuery /
         liveDocs-universe enumeration): from the doc_map sidecar when the
@@ -139,6 +143,28 @@ class IndexReader:
             for b, tp in seg.postings_with_buckets(term):
                 d, t, _ = tp.decode_all()
                 tagged.append((b, d, t, pos_by_bucket[b]))
+        tagged.sort(key=lambda x: x[0])
+        if not tagged:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int32)
+        docs = np.concatenate([x[1] for x in tagged]).astype(np.int64)
+        tfs = np.concatenate([x[2] for x in tagged]).astype(np.int64)
+        flat = np.concatenate([x[3] for x in tagged]).astype(np.int32)
+        return docs, tfs, flat
+
+    def term_offsets(self, term: str):
+        """-> (docs:int64, tfs:int64, flat_pairs:int32) in global doc
+        order; flat_pairs interleaves (start, end) per occurrence, each
+        doc's 2*tf int32s concatenated in ascending-position order
+        (parallel to :meth:`term_positions`)."""
+        import numpy as np
+
+        tagged = []
+        for seg in self._segments_for(term):
+            off_by_bucket = dict(seg.offsets_with_buckets(term))
+            for b, tp in seg.postings_with_buckets(term):
+                d, t, _ = tp.decode_all()
+                tagged.append((b, d, t, off_by_bucket[b]))
         tagged.sort(key=lambda x: x[0])
         if not tagged:
             e = np.empty(0, dtype=np.int64)

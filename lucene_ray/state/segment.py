@@ -369,6 +369,16 @@ class SegmentReader:
             self._pos_length = None
         self._pos_path = base + ".pos"
         self._pos_blob: Optional[memoryview] = None
+        # optional character-offsets sidecar (.off blob: (start, end)
+        # int32 pairs per occurrence, same run order as .pos)
+        if "off_offset" in tbl.schema.names:
+            self._off_offset = tbl.column("off_offset").to_numpy()
+            self._off_length = tbl.column("off_length").to_numpy()
+        else:
+            self._off_offset = None
+            self._off_length = None
+        self._off_path = base + ".off"
+        self._off_blob: Optional[memoryview] = None
         # rows are written sorted by (term, bucket); index term -> row range
         self._row_range: Dict[str, Tuple[int, int]] = {}
         start = 0
@@ -458,6 +468,42 @@ class SegmentReader:
                     dtype="<i4",
                     count=int(self._pos_length[i]) // 4,
                     offset=int(self._pos_offset[i]),
+                ),
+            )
+            for i in order
+        ]
+
+    @property
+    def has_offsets(self) -> bool:
+        return self._off_offset is not None
+
+    def offsets_with_buckets(self, term: str) -> List[Tuple[int, np.ndarray]]:
+        """(bucket, flat int32 (start, end) pairs) per (term, bucket) run,
+        ascending bucket order — occurrence order matches the .pos stream
+        (both were written from one lexsort). Per-doc slice bounds come
+        from the postings' tf column, width 2*tf int32s per doc."""
+        if self._off_offset is None:
+            raise ValueError(
+                "index was built without offsets "
+                "(IndexConfig.offsets=True required for postings-offset "
+                "highlighting)"
+            )
+        rng = self._row_range.get(term)
+        if rng is None:
+            return []
+        if self._off_blob is None:
+            with open(self._off_path, "rb") as f:
+                self._off_blob = memoryview(f.read())
+        lo, hi = rng
+        order = np.argsort(self._buckets[lo:hi], kind="stable") + lo
+        return [
+            (
+                int(self._buckets[i]),
+                np.frombuffer(
+                    self._off_blob,
+                    dtype="<i4",
+                    count=int(self._off_length[i]) // 4,
+                    offset=int(self._off_offset[i]),
                 ),
             )
             for i in order

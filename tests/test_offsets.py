@@ -1,0 +1,130 @@
+"""Postings character offsets (.off sidecar) — the reference's
+DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS IndexOptions +
+UnifiedHighlighter OffsetSource.POSTINGS. The offsets path must be
+byte-identical to the re-analysis highlighter on the same index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.highlight import (
+    best_fragment,
+    best_fragment_from_index,
+    index_matches,
+    top_passages,
+    top_passages_from_index,
+)
+from lucene_ray.pipelines.build import IndexConfig, build_index
+
+TEXTS = [
+    "Data streams flow through the spark window, and the data stream "
+    "keeps flowing where the batch value merges into the line table.",
+    "hash join order batch stream spark window window dup key fast",
+    "plain DATA row; hash-join hash join hash join customer value!",
+    "the a of and to",
+    "stream",
+    "",
+    "Exotic punctuation: data... stream?! DATA, stream; 'data' (stream) "
+    "and one u.s.a token plus 1,024 numbers.",
+]
+
+
+@pytest.fixture(scope="module")
+def off_idx(tmp_path_factory, ray_session):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("off") / "idx")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=3,
+        positions=True, offsets=True, sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(TEXTS))
+    return out
+
+
+def test_offsets_require_positions(ray_session, tmp_path):
+    import ray.data
+
+    with pytest.raises(ValueError, match="positions"):
+        build_index(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([0], pa.int64()),
+                          "text": pa.array(["x"], pa.string())})
+            ),
+            str(tmp_path / "bad"),
+            IndexConfig(offsets=True, positions=False),
+            doc_count=1,
+        )
+
+
+def test_term_offsets_match_analyzer_spans(off_idx):
+    """Every stored (start, end) span equals what re-analysis computes."""
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(off_idx)
+    assert reader.has_offsets
+    an = make_analyzer("standard_en")
+    want = {}  # (doc, term) -> [(s, e)] in position order
+    for doc, text in enumerate(TEXTS):
+        terms, _pos, starts, ends = an.analyze_offsets(text)
+        for t, s, e in zip(terms, starts, ends):
+            want.setdefault((doc, t), []).append((s, e))
+    all_terms = {t for (_d, t) in want}
+    got = {}
+    for t in all_terms:
+        docs, tfs, flat = reader.term_offsets(t)
+        cur = 0
+        for d, n in zip(docs.tolist(), tfs.tolist()):
+            pairs = flat[cur : cur + 2 * n]
+            got[(d, t)] = [
+                (int(pairs[2 * j]), int(pairs[2 * j + 1]))
+                for j in range(n)
+            ]
+            cur += 2 * n
+    assert got == want
+    # spans really cover the surface tokens
+    for (d, t), spans in got.items():
+        for s, e in spans:
+            surface = TEXTS[d][s:e]
+            assert surface, (d, t, s, e)
+
+
+@pytest.mark.parametrize(
+    "qterms",
+    [("data", "stream"), ("hash", "join"), ("batch",), ("zzz",),
+     ("stream", "valu", "window")],
+)
+def test_offsets_highlight_byte_identical(off_idx, qterms):
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(off_idx)
+    an = make_analyzer("standard_en")
+    for doc, text in enumerate(TEXTS):
+        a = best_fragment(text, qterms, an, frag_size=60)
+        b = best_fragment_from_index(reader, doc, text, qterms,
+                                     frag_size=60)
+        assert a == b, (doc, qterms)
+        pa_ = top_passages(text, qterms, an, max_passages=2, frag_size=40)
+        pb_ = top_passages_from_index(reader, doc, text, qterms,
+                                      max_passages=2, frag_size=40)
+        assert pa_ == pb_, (doc, qterms)
+
+
+def test_index_matches_sorted_and_cached(off_idx):
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(off_idx)
+    m = index_matches(reader, 0, ("data", "stream"))
+    assert m == sorted(m)
+    assert "_offsets_view" in reader.__dict__
+    # repeat uses the cached view, same result
+    assert index_matches(reader, 0, ("data", "stream")) == m
