@@ -193,13 +193,49 @@ def sample_frames(
     )
 
 
+def decode_wav(blob: bytes):
+    """REAL codec path (round 3): PCM WAV decode via the stdlib ``wave``
+    module -> (sample_rate, float32 mono samples in [-1, 1]) or None when
+    the payload is not a decodable RIFF/WAVE. 8/16/32-bit PCM; channels
+    are mean-downmixed."""
+    import io
+    import wave
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(blob)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2**31
+    else:
+        return None
+    if ch > 1 and len(arr) % ch == 0:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return sr, arr
+
+
 class AudioFeatureStage:
     """Binary "audio" payload -> fixed-dim windowed features (one row per
-    payload, features = list<float> of ``dim`` values). A real decoder +
-    MFCC would load once per actor; the deterministic fallback hashes even
-    byte windows (one value per window) so the schema/batch plumbing and
-    the feature-vector contract (usable by knn/hnsw pipelines directly)
-    are real and tested."""
+    payload, features = list<float> of ``dim`` values, plus sample_rate /
+    n_samples / decoded metadata).
+
+    PCM WAV payloads take the REAL path: stdlib ``wave`` decode (no
+    external codecs needed) then per-window RMS energy — a genuine
+    audio-quality feature a 100 TB speech pipeline filters on. Anything
+    else falls back to the deterministic byte-window hash so the
+    schema/batch plumbing and the feature-vector contract (usable by
+    knn/hnsw pipelines directly) stay end-to-end testable."""
 
     FEATURE_DIM = 16
 
@@ -207,17 +243,46 @@ class AudioFeatureStage:
         self.payload_col = payload_col
         self.dim = dim
 
+    def _features_real(self, samples: np.ndarray) -> np.ndarray:
+        n = max(len(samples), 1)
+        vals = np.empty(self.dim, dtype=np.float32)
+        for i in range(self.dim):
+            w = samples[i * n // self.dim : (i + 1) * n // self.dim]
+            vals[i] = (
+                np.sqrt(np.mean(w.astype(np.float64) ** 2))
+                if len(w)
+                else 0.0
+            )
+        return vals
+
+    def _features_fake(self, b: bytes) -> np.ndarray:
+        n = max(len(b), 1)
+        vals = np.empty(self.dim, dtype=np.float32)
+        for i in range(self.dim):
+            w = b[i * n // self.dim : (i + 1) * n // self.dim]
+            h = hashlib.blake2b(w, digest_size=4).digest()
+            vals[i] = int.from_bytes(h, "big") / 2**32
+        return vals
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats: List[np.ndarray] = []
+        srs: List[int] = []
+        nsamp: List[int] = []
+        decoded: List[bool] = []
         for blob in batch.column(self.payload_col).to_pylist():
             b = bytes(blob or b"")
-            n = max(len(b), 1)
-            vals = np.empty(self.dim, dtype=np.float32)
-            for i in range(self.dim):
-                w = b[i * n // self.dim : (i + 1) * n // self.dim]
-                h = hashlib.blake2b(w, digest_size=4).digest()
-                vals[i] = int.from_bytes(h, "big") / 2**32
-            feats.append(vals)
+            wav = decode_wav(b)
+            if wav is not None:
+                sr, samples = wav
+                feats.append(self._features_real(samples))
+                srs.append(int(sr))
+                nsamp.append(len(samples))
+                decoded.append(True)
+            else:
+                feats.append(self._features_fake(b))
+                srs.append(0)
+                nsamp.append(0)
+                decoded.append(False)
         out_cols = {
             name: batch.column(name)
             for name in batch.schema.names
@@ -226,4 +291,7 @@ class AudioFeatureStage:
         out_cols["features"] = pa.array(
             [f.tolist() for f in feats], pa.list_(pa.float32())
         )
+        out_cols["sample_rate"] = pa.array(srs, pa.int32())
+        out_cols["n_samples"] = pa.array(nsamp, pa.int64())
+        out_cols["decoded"] = pa.array(decoded, pa.bool_())
         return pa.table(out_cols)

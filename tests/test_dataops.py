@@ -537,6 +537,75 @@ def test_frame_sample_and_audio_features(ray_session):
         concurrency=1,
     ).take_all()
     assert {r["doc_id"]: r["features"] for r in feats2} == by_doc
+    # non-WAV payloads take the fake path
+    assert all(not r["decoded"] and r["sample_rate"] == 0 for r in feats)
+
+
+def test_audio_real_wav_decode(ray_session):
+    """REAL codec path: stdlib-wave PCM decode -> per-window RMS features
+    verified against a direct numpy computation on the known signal."""
+    import io
+    import wave as wavmod
+
+    import ray.data
+
+    from lucene_ray.pipelines.multimodal import AudioFeatureStage, decode_wav
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+    # half silence, half loud sine -> RMS windows split low/high
+    sig = np.where(t < 0.5, 0.0, 0.5 * np.sin(2 * np.pi * 440 * t))
+    pcm = (sig * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+
+    got = decode_wav(wav_bytes)
+    assert got is not None
+    sr2, samples = got
+    assert sr2 == sr and len(samples) == sr
+    np.testing.assert_allclose(
+        samples, pcm.astype(np.float32) / 32768.0, rtol=0, atol=0
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([wav_bytes, b"not audio"], pa.binary()),
+        }
+    )
+    rows = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_args=("payload",),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    by = {r["doc_id"]: r for r in rows}
+    assert by[0]["decoded"] and by[0]["sample_rate"] == sr
+    assert by[0]["n_samples"] == sr
+    f = np.asarray(by[0]["features"])
+    dim = AudioFeatureStage.FEATURE_DIM
+    # direct RMS over the same windows
+    dec = pcm.astype(np.float32) / 32768.0
+    want = [
+        float(np.sqrt(np.mean(
+            dec[i * sr // dim : (i + 1) * sr // dim].astype(np.float64) ** 2
+        )))
+        for i in range(dim)
+    ]
+    np.testing.assert_allclose(f, want, rtol=1e-6)
+    # first half (silence) ~0, second half ~0.35 RMS of a 0.5-amp sine
+    assert all(v < 1e-3 for v in f[: dim // 2])
+    assert all(0.2 < v < 0.5 for v in f[dim // 2 :])
+    assert not by[1]["decoded"]
 
 
 def test_connected_components(ray_session):
