@@ -2497,6 +2497,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["classic_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("classic",),
     )
+    q["lmjm_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("lmjm", LMJM_LAMBDA),
+    )
+    q["dfr_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("dfr_inl2", 1.0),
+    )
+    q["ib_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("ib_ll", 1.0),
+    )
+    q["dfi_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("dfi",),
+    )
+    q["boolean_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("boolean",),
+    )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
@@ -2611,11 +2626,12 @@ _DRIVER_WINDOW = [
     "top_docs_by_lang",
     # representatives of the round-1/2 proven core (driver-checked in
     # earlier rounds)
-    "bm25_bool_msm", "bm25_phrase_sloppy3",
-    "bm25_update_latest", "bm25_set_filter", "sort_by_len_sorted",
+    "bm25_bool_msm",
+    "bm25_set_filter", "sort_by_len_sorted",
     "facet_taxonomy", "interval_unordered",
     # round-3 additions
     "bm25_nested_bool", "lmd_term", "classic_term", "bm25_synonym_query",
+    "dfr_term", "ib_term",
 ]
 
 
@@ -3079,6 +3095,7 @@ K1B_QUERY_SETS: Dict[int, str] = {
 # LMDirichletSimilarity.java and ClassicSimilarity.java). Queries stay
 # at <= 2 scoring terms so the sorted-order float64 sum is one addition.
 LMD_MU = 2000.0
+LMJM_LAMBDA = 0.1
 SIM_QUERY_SETS: Dict[int, str] = {
     0: "data",
     1: "stream batch",
@@ -4442,6 +4459,14 @@ def _similarity_sql(model: str) -> str:
                p = (ttf+1)/(sum_tf+1)      (LMDirichletSimilarity.java:76)
     * classic: (sqrt(tf) * (ln((N+1)/(df+1)) + 1)) * (1/sqrt(dl))
                (ClassicSimilarity.java + TFIDFSimilarity.java:472)
+    * lmjm:    ln(1 + ((1-L)*tf/dl)/(L*p))  (LMJelinekMercerSimilarity:68)
+    * dfr:     I(n)L2 — A*(1 - 1/(1+tfn)), A = log2((N+1)/(df+0.5)),
+               tfn = tf*log2(1 + avgdl/dl)  (BasicModelIn + NormalizationH2)
+    * ib:      LL-DF-H2 — -ln(lam/(tfn+lam)), lam = float32((df+1)/(N+1))
+               (DistributionLL + LambdaDF; the float cast is kept via REAL)
+    * dfi:     Standardized — 0 if tf <= e else log2((tf-e)/sqrt(e) + 1),
+               e = (ttf+1)*dl/(sum_tf+1)    (DFISimilarity.java:70-81)
+    * boolean: 1.0 per matching term        (BooleanSimilarity.java:50)
     """
     from lucene_ray.functions.analysis import make_analyzer
     from lucene_ray.functions.query import BooleanQuery, parse_query
@@ -4452,27 +4477,52 @@ def _similarity_sql(model: str) -> str:
         "FROM tf GROUP BY term)"
     )
 
+    p_col = "((t2.ttf + 1.0) / (s.sum_tf + 1.0))"
+    avgdl = "(CAST(s.sum_tf AS DOUBLE) / s.n_docs)"
+    tfn = f"(tf.tf * (ln(1.0 + 1.0 * {avgdl} / dl.dl) / ln(2.0)))"
+    needs_ttf = model in ("lmd", "lmjm", "dfi")
+    needs_df = model in ("classic", "dfr", "ib")
+
     def tsub(term: str) -> str:
         if model == "lmd":
-            p = f"((t2.ttf + 1.0) / (s.sum_tf + 1.0))"
             expr = (
-                f"GREATEST(0.0, ln(1.0 + tf.tf / ({LMD_MU} * {p})) "
+                f"GREATEST(0.0, ln(1.0 + tf.tf / ({LMD_MU} * {p_col})) "
                 f"+ ln({LMD_MU} / (dl.dl + {LMD_MU})))"
             )
-            return (
-                f"SELECT tf.doc_id, {expr} AS score FROM tf "
-                f"JOIN dl USING (doc_id) JOIN ttfs t2 USING (term) "
-                f"CROSS JOIN stats s WHERE tf.term = '{term}'"
+        elif model == "lmjm":
+            lam = LMJM_LAMBDA
+            expr = (
+                f"ln(1.0 + ((1.0 - {lam!r}) * tf.tf / dl.dl) "
+                f"/ ({lam!r} * {p_col}))"
             )
-        expr = (
-            f"(sqrt(CAST(tf.tf AS DOUBLE)) * "
-            f"(ln((s.n_docs + 1.0) / (d2.df + 1.0)) + 1.0)) "
-            f"* (1.0 / sqrt(CAST(dl.dl AS DOUBLE)))"
-        )
+        elif model == "dfr":
+            a_expr = "(ln((s.n_docs + 1.0) / (d2.df + 0.5)) / ln(2.0))"
+            expr = f"({a_expr} * (1.0 - 1.0 / (1.0 + {tfn})))"
+        elif model == "ib":
+            lam = "CAST((d2.df + 1.0) / (s.n_docs + 1.0) AS REAL)"
+            expr = f"-ln({lam} / ({tfn} + {lam}))"
+        elif model == "dfi":
+            e = "((t2.ttf + 1) * dl.dl / (s.sum_tf + 1))"
+            expr = (
+                f"CASE WHEN tf.tf <= {e} THEN 0.0 "
+                f"ELSE ln((tf.tf - {e}) / sqrt({e}) + 1.0) / ln(2.0) END"
+            )
+        elif model == "boolean":
+            expr = "1.0"
+        else:  # classic
+            expr = (
+                f"(sqrt(CAST(tf.tf AS DOUBLE)) * "
+                f"(ln((s.n_docs + 1.0) / (d2.df + 1.0)) + 1.0)) "
+                f"* (1.0 / sqrt(CAST(dl.dl AS DOUBLE)))"
+            )
+        joins = "JOIN dl USING (doc_id) "
+        if needs_ttf:
+            joins += "JOIN ttfs t2 USING (term) "
+        if needs_df:
+            joins += "JOIN df d2 USING (term) "
         return (
             f"SELECT tf.doc_id, {expr} AS score FROM tf "
-            f"JOIN dl USING (doc_id) JOIN df d2 USING (term) "
-            f"CROSS JOIN stats s WHERE tf.term = '{term}'"
+            f"{joins}CROSS JOIN stats s WHERE tf.term = '{term}'"
         )
 
     arms = []
@@ -5321,6 +5371,11 @@ FROM tf GROUP BY term"""
     sql["bm25_nested_bool"] = _nested_bool_sql()
     sql["lmd_term"] = _similarity_sql("lmd")
     sql["classic_term"] = _similarity_sql("classic")
+    sql["lmjm_term"] = _similarity_sql("lmjm")
+    sql["dfr_term"] = _similarity_sql("dfr")
+    sql["ib_term"] = _similarity_sql("ib")
+    sql["dfi_term"] = _similarity_sql("dfi")
+    sql["boolean_term"] = _similarity_sql("boolean")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()

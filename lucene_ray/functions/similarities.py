@@ -39,6 +39,9 @@ import numpy as np
 from .smallfloat import LENGTH_TABLE
 
 
+_LOG_2 = float(np.log(2.0))
+
+
 class _LenDecode:
     def __init__(self, norm_kind: str):
         self.norm_kind = norm_kind
@@ -48,6 +51,30 @@ class _LenDecode:
         if self.norm_kind == "byte4":
             return LENGTH_TABLE[keys.astype(np.int64)].astype(np.float64)
         return keys.astype(np.float64)
+
+    # -- generic protocol pieces derived from score_array ------------------
+    def cache_key(self):
+        return self._key
+
+    def ratio_key(self):
+        # the cached block bound IS the score for these models -> the key
+        # must be term-specific (includes df/ttf), unlike BM25's shared
+        # weight x ratio factorization
+        return self._key
+
+    def max_score(self, frontier_tfs, frontier_keys) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        return float(self.score_array(frontier_tfs, frontier_keys).max())
+
+    def frontier_m(self, frontier_tfs, frontier_keys) -> float:
+        return self.max_score(frontier_tfs, frontier_keys)
+
+    def ratio_array(self, tfs, keys) -> np.ndarray:
+        return self.score_array(tfs, keys).astype(np.float64, copy=False)
+
+    def scores_from_m(self, m: np.ndarray) -> np.ndarray:
+        return m.astype(self.dtype, copy=False)
 
 
 class LMDirichlet(_LenDecode):
@@ -66,13 +93,6 @@ class LMDirichlet(_LenDecode):
         self._key = ("lmd", norm_kind, doc_count, sum_total_tf, doc_freq,
                      total_tf, mu, boost)
 
-    def cache_key(self):
-        return self._key
-
-    def ratio_key(self):
-        # the cached block bound IS the score here -> term-specific
-        return self._key
-
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)
         dl = self.doc_len(keys)
@@ -81,20 +101,6 @@ class LMDirichlet(_LenDecode):
             + np.log(self.mu / (dl + self.mu))
         )
         return np.maximum(s, 0.0).astype(self.dtype, copy=False)
-
-    def max_score(self, frontier_tfs, frontier_keys) -> float:
-        if len(frontier_tfs) == 0:
-            return 0.0
-        return float(self.score_array(frontier_tfs, frontier_keys).max())
-
-    def frontier_m(self, frontier_tfs, frontier_keys) -> float:
-        return self.max_score(frontier_tfs, frontier_keys)
-
-    def ratio_array(self, tfs, keys) -> np.ndarray:
-        return self.score_array(tfs, keys).astype(np.float64, copy=False)
-
-    def scores_from_m(self, m: np.ndarray) -> np.ndarray:
-        return m.astype(self.dtype, copy=False)
 
 
 class ClassicTFIDF(_LenDecode):
@@ -108,12 +114,6 @@ class ClassicTFIDF(_LenDecode):
         self.weight = self.boost * self.idf
         self._key = ("classic", norm_kind, doc_count, doc_freq, boost)
 
-    def cache_key(self):
-        return self._key
-
-    def ratio_key(self):
-        return self._key
-
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = np.sqrt(tfs.astype(np.float64))
         dl = self.doc_len(keys)
@@ -122,30 +122,148 @@ class ClassicTFIDF(_LenDecode):
         s = (tf * self.weight) * norm
         return s.astype(self.dtype, copy=False)
 
-    def max_score(self, frontier_tfs, frontier_keys) -> float:
-        if len(frontier_tfs) == 0:
-            return 0.0
-        return float(self.score_array(frontier_tfs, frontier_keys).max())
 
-    def frontier_m(self, frontier_tfs, frontier_keys) -> float:
-        return self.max_score(frontier_tfs, frontier_keys)
+class LMJelinekMercer(_LenDecode):
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:68-74):
+    ``score = boost * log(1 + ((1-lambda)*freq/dl) / (lambda*p))`` with
+    the default collection model p (LMSimilarity.java:151-153)."""
 
-    def ratio_array(self, tfs, keys) -> np.ndarray:
-        return self.score_array(tfs, keys).astype(np.float64, copy=False)
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int, lam: float = 0.1,
+                 boost: float = 1.0):
+        super().__init__(norm_kind)
+        if not (0.0 < lam <= 1.0):
+            raise ValueError(f"illegal lambda value: {lam}")
+        self.lam = float(lam)
+        self.boost = float(boost)
+        self.p_col = (total_tf + 1.0) / (sum_total_tf + 1.0)
+        self._key = ("lmjm", norm_kind, doc_count, sum_total_tf, doc_freq,
+                     total_tf, lam, boost)
 
-    def scores_from_m(self, m: np.ndarray) -> np.ndarray:
-        return m.astype(self.dtype, copy=False)
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(self.doc_len(keys), 1.0)
+        s = self.boost * np.log(
+            1.0 + ((1.0 - self.lam) * tf / dl) / (self.lam * self.p_col)
+        )
+        return s.astype(self.dtype, copy=False)
+
+
+class DFRInL2(_LenDecode):
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(c)) —
+    the common I(n)L2 configuration. tfn = freq * log2(1 + c*avgdl/dl)
+    (NormalizationH2.java:57-58); AfterEffectL contributes 1
+    (AfterEffectL.java:32-34); score = boost * A * (1 - 1/(1+tfn)) with
+    A = log2((N+1)/(n+0.5)) (BasicModelIn.java:34-45)."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int, c: float = 1.0,
+                 boost: float = 1.0):
+        super().__init__(norm_kind)
+        self.c = float(c)
+        self.boost = float(boost)
+        self.avgdl = sum_total_tf / float(doc_count)
+        self.A = np.log((doc_count + 1.0) / (doc_freq + 0.5)) / _LOG_2
+        self._key = ("dfr_inl2", norm_kind, doc_count, sum_total_tf,
+                     doc_freq, c, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(self.doc_len(keys), 1.0)
+        tfn = tf * (np.log(1.0 + self.c * self.avgdl / dl) / _LOG_2)
+        s = self.boost * (self.A * (1.0 - 1.0 / (1.0 + tfn)))
+        return s.astype(self.dtype, copy=False)
+
+
+class IBLLDFH2(_LenDecode):
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)):
+    lambda = float32((df+1)/(N+1)) (LambdaDF.java:32-38, float cast kept);
+    tfn as NormalizationH2; score = boost * -log(lambda/(tfn+lambda))
+    (DistributionLL.java:33-35)."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int, c: float = 1.0,
+                 boost: float = 1.0):
+        super().__init__(norm_kind)
+        self.c = float(c)
+        self.boost = float(boost)
+        self.avgdl = sum_total_tf / float(doc_count)
+        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
+        self.lam = float(lam)
+        self._key = ("ib_ll", norm_kind, doc_count, sum_total_tf, doc_freq,
+                     c, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = np.maximum(self.doc_len(keys), 1.0)
+        tfn = tf * (np.log(1.0 + self.c * self.avgdl / dl) / _LOG_2)
+        s = self.boost * -np.log(self.lam / (tfn + self.lam))
+        return s.astype(self.dtype, copy=False)
+
+
+class DFIStandardized(_LenDecode):
+    """DFISimilarity(IndependenceStandardized): expected =
+    (ttf+1)*dl/(sumTF+1); 0 when freq <= expected, else
+    boost * log2((freq-expected)/sqrt(expected) + 1)
+    (DFISimilarity.java:70-81, IndependenceStandardized.java:34)."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int, boost: float = 1.0):
+        super().__init__(norm_kind)
+        self.boost = float(boost)
+        self.total_tf = int(total_tf)
+        self.sum_total_tf = int(sum_total_tf)
+        self._key = ("dfi", norm_kind, doc_count, sum_total_tf, doc_freq,
+                     total_tf, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = self.doc_len(keys)
+        expected = (self.total_tf + 1) * dl / (self.sum_total_tf + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = (tf - expected) / np.sqrt(expected)
+            s = self.boost * (np.log(measure + 1.0) / _LOG_2)
+        s = np.where(tf <= expected, 0.0, s)
+        return s.astype(self.dtype, copy=False)
+
+
+class BooleanSim(_LenDecode):
+    """BooleanSimilarity (BooleanSimilarity.java:50-52): every matching
+    term scores its boost, no statistics."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int = 0, boost: float = 1.0):
+        super().__init__(norm_kind)
+        self.boost = float(boost)
+        self._key = ("boolean", norm_kind, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        return np.full(len(tfs), self.boost, dtype=self.dtype)
+
+
+_MODELS = {
+    "lmd": (LMDirichlet, "mu", 2000.0),
+    "lmjm": (LMJelinekMercer, "lam", 0.1),
+    "dfr_inl2": (DFRInL2, "c", 1.0),
+    "ib_ll": (IBLLDFH2, "c", 1.0),
+    "dfi": (DFIStandardized, None, None),
+    "classic": (ClassicTFIDF, None, None),
+    "boolean": (BooleanSim, None, None),
+}
 
 
 def make_similarity(sim, norm_kind: str, doc_count: int, sum_total_tf: int,
                     doc_freq: int, total_tf: int, boost: float = 1.0):
-    """Factory for a ``reader.similarity`` spec tuple."""
+    """Factory for a ``reader.similarity`` spec tuple: (name,) or
+    (name, param) with the model's single tunable (mu / lambda / c)."""
     name = sim[0]
-    if name == "lmd":
-        mu = float(sim[1]) if len(sim) > 1 else 2000.0
-        return LMDirichlet(norm_kind, doc_count, sum_total_tf, doc_freq,
-                           total_tf, mu=mu, boost=boost)
-    if name == "classic":
-        return ClassicTFIDF(norm_kind, doc_count, sum_total_tf, doc_freq,
-                            total_tf, boost=boost)
-    raise ValueError(f"unknown similarity {sim!r}")
+    entry = _MODELS.get(name)
+    if entry is None:
+        raise ValueError(f"unknown similarity {sim!r}")
+    cls, pname, default = entry
+    kw = {"boost": boost}
+    if pname is not None:
+        kw[pname] = float(sim[1]) if len(sim) > 1 else default
+    return cls(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf, **kw)

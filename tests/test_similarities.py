@@ -53,7 +53,13 @@ def test_classic_formula_golden():
     assert got[0] == pytest.approx(want, rel=1e-12)
 
 
-@pytest.mark.parametrize("sim", [("lmd", 2000.0), ("classic",)])
+ALL_SIMS = [
+    ("lmd", 2000.0), ("classic",), ("lmjm", 0.1), ("dfr_inl2", 1.0),
+    ("ib_ll", 1.0), ("dfi",), ("boolean",),
+]
+
+
+@pytest.mark.parametrize("sim", ALL_SIMS)
 def test_monotonicity_matrix(sim):
     """SimilarityBase invariants: score non-decreasing in tf,
     non-increasing in dl, non-increasing in df (idf side), never
@@ -103,7 +109,7 @@ def _brute_stats(texts):
     return kept, df, ttf, sum(len(k) for k in kept)
 
 
-@pytest.mark.parametrize("sim", [("lmd", 2000.0), ("classic",)])
+@pytest.mark.parametrize("sim", ALL_SIMS)
 def test_engine_matches_brute(sim_idx, sim):
     from lucene_ray.pipelines.search import get_reader
 
