@@ -2513,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, SIM_QUERY_SETS, similarity=("boolean",),
     )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
+    q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -3101,6 +3102,18 @@ SIM_QUERY_SETS: Dict[int, str] = {
     1: "stream batch",
     2: "+dup key",
     3: "customer -slow",
+}
+
+# MultiPhraseQuery (reference: search/MultiPhraseQuery.java): each
+# position accepts any of an array of terms; idf sums every present
+# (slot, term) in declaration order; freq = phrase occurrences.
+# Sets are ((term_arrays...), offsets).
+MULTI_PHRASE_QUERY_SETS: Dict[int, Tuple[tuple, tuple]] = {
+    0: ((("data", "hash"), ("stream", "join")), (0, 1)),
+    1: ((("dup",), ("key", "value")), (0, 1)),
+    2: ((("customer", "line"), ("table", "merge")), (0, 1)),
+    3: ((("data",), ("zzzmissing", "stream")), (0, 1)),  # absent alt skipped
+    4: ((("batch", "scan"), ("slow", "fast")), (0, 2)),  # stopword gap
 }
 
 # Query-time synonym blending (reference: search/SynonymQuery.java:50 —
@@ -4418,6 +4431,100 @@ def _bm25_synonym(sf_dir: str):
     )
 
 
+def _multi_phrase(sf_dir: str):
+    """MultiPhraseQuery through the engine.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import MultiPhrase, score_exhaustive
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (arrays, offs) in sorted(MULTI_PHRASE_QUERY_SETS.items()):
+        q = MultiPhrase(
+            term_arrays=tuple(tuple(a) for a in arrays),
+            offsets=tuple(offs),
+        )
+        d, s = score_exhaustive(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _multi_phrase_sql() -> str:
+    """Oracle for multi_phrase: anchors = slot-0 matching positions whose
+    other slots each have a matching (term, pos) at the phrase offset;
+    idf as explicit left-associated addition over the declaration-order
+    present terms (COALESCE 0 for absent — float-identical to skipping)."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+    def idf_sub(term: str) -> str:
+        return (
+            f"COALESCE((SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{term}'), 0.0)"
+        )
+
+    arms = []
+    for qid, (arrays, offs) in sorted(MULTI_PHRASE_QUERY_SETS.items()):
+        idf = idf_sub(arrays[0][0])
+        for arr_i, arr in enumerate(arrays):
+            for t in arr:
+                if arr_i == 0 and t == arrays[0][0]:
+                    continue
+                idf = f"({idf} + {idf_sub(t)})"
+        conds = []
+        for i in range(1, len(arrays)):
+            inl = _in_list(list(arrays[i]))
+            delta = offs[i] - offs[0]
+            conds.append(
+                f"EXISTS (SELECT 1 FROM ptok b WHERE b.doc_id = a.doc_id "
+                f"AND b.pos = a.pos + {delta} AND b.term IN {inl})"
+            )
+        where = " AND ".join(
+            [f"a.term IN {_in_list(list(arrays[0]))}"] + conds
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf
+      FROM ptok a WHERE {where}
+      GROUP BY a.doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _synonym_sql() -> str:
     """Oracle for bm25_synonym_query: per doc tfsum = SUM(tf) over the
     synonym terms, idf from the blended MAX df, one BM25 application —
@@ -5377,6 +5484,7 @@ FROM tf GROUP BY term"""
     sql["dfi_term"] = _similarity_sql("dfi")
     sql["boolean_term"] = _similarity_sql("boolean")
     sql["bm25_synonym_query"] = _synonym_sql()
+    sql["multi_phrase"] = _multi_phrase_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

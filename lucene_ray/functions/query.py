@@ -169,6 +169,22 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhrase:
+    """MultiPhraseQuery (reference: core/.../search/MultiPhraseQuery.java):
+    a phrase where each position accepts ANY of an array of terms (the
+    classic parser builds these from multi-term-per-position analysis,
+    e.g. synonyms inside quotes). Matching unions each slot's postings
+    (UnionPostingsEnum, :414) and intersects across slots at the phrase
+    offsets; scoring uses ONE similarity application with idf summed over
+    every present (slot, term) pair in declaration order (:218-239 —
+    duplicated terms count once per slot, faithfully kept) and
+    freq = number of phrase occurrences. Exact (slop=0) matcher."""
+
+    term_arrays: Tuple[Tuple[str, ...], ...]
+    offsets: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class MatchAllQuery:
     """Every live document, constant score 1.0 (reference:
     search/MatchAllDocsQuery.java); parsed from the classic `*:*`."""
@@ -379,6 +395,8 @@ def query_terms(q) -> set:
         return set(q.terms)
     if isinstance(q, (DisMaxQuery, SynonymQuery)):
         return set(q.terms)
+    if isinstance(q, MultiPhrase):
+        return {t for arr in q.term_arrays for t in arr}
     if isinstance(q, MatchAllQuery):
         return set()
     if isinstance(q, MixedQuery):
@@ -1397,6 +1415,101 @@ def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:
     return allk[pos]
 
 
+def _multi_phrase_scored(reader, q: "MultiPhrase"):
+    """-> (docs, scores, dtype) or None. Vectorized UnionPostingsEnum:
+    each slot's key set is the UNION of its terms' shifted position keys,
+    then the same iterated sorted intersection as the exact phrase; one
+    BM25 application with the declaration-order idf sum."""
+    import math
+
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "multi-phrase queries need a positions-enabled index "
+            "(IndexConfig.positions=True)"
+        )
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype), dtype)
+    if not q.term_arrays:
+        return None
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    pad = max(q.offsets) + 1
+    pos_cache: Dict[str, tuple] = {}
+    idf64 = 0.0
+    present_per_slot: List[List[str]] = []
+    for slot_terms in q.term_arrays:
+        present: List[str] = []
+        for t in slot_terms:
+            df, _ = reader.term_stats(t)
+            if df == 0:
+                continue  # absent terms contribute no stats (:227)
+            idf64 += math.log(
+                1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+            )
+            present.append(t)
+            if t not in pos_cache:
+                pos_cache[t] = reader.term_positions(t)
+        if not present:
+            return empty  # a slot with zero indexed terms cannot match
+        present_per_slot.append(present)
+    key_sets: List[np.ndarray] = []
+    for present, off in zip(present_per_slot, q.offsets):
+        parts = []
+        for t in present:
+            docs, tfs, flat = pos_cache[t]
+            if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
+                raise ValueError("document too long for phrase key packing")
+            doc_rep = np.repeat(docs, tfs)
+            parts.append(
+                (doc_rep << np.int64(_POS_SHIFT))
+                + (flat.astype(np.int64) - off + pad)
+            )
+        keys = np.concatenate(parts)
+        keys.sort()  # union across the slot's terms (one term per token)
+        key_sets.append(keys)
+    key_sets.sort(key=len)
+    inter = key_sets[0]
+    for ks in key_sets[1:]:
+        if len(inter) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ks, inter), len(ks) - 1)
+        inter = inter[ks[pos] == inter]
+    if len(inter) == 0:
+        return empty
+    occ_docs = inter >> np.int64(_POS_SHIFT)
+    docs_u, pf = np.unique(occ_docs, return_counts=True)
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs_u):
+        pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
+        keep = deleted[pos] != docs_u
+        docs_u, pf = docs_u[keep], pf[keep]
+    if len(docs_u) == 0:
+        return empty
+    # norm key per doc from whichever slot-0 term the doc carries
+    keys_u = np.zeros(len(docs_u), dtype=np.int64)
+    have = np.zeros(len(docs_u), dtype=bool)
+    for t in present_per_slot[0]:
+        docs_t = pos_cache[t][0]
+        if len(docs_t) == 0:
+            continue
+        pos = np.minimum(np.searchsorted(docs_t, docs_u), len(docs_t) - 1)
+        hit = (docs_t[pos] == docs_u) & ~have
+        if hit.any():
+            keys_u[hit] = _gather_norm_keys(reader, t, docs_u[hit])
+            have[hit] = True
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    scores = scorer.score_array(np.asarray(pf), keys_u)
+    return docs_u.astype(np.int64), scores.astype(dtype, copy=False), dtype
+
+
 def _synonym_scored(reader, query: "SynonymQuery"):
     """-> (docs, scores, dtype) or None. Implements the reference blend
     (SynonymQuery.java:211-229): one scorer built from (max df, sum ttf),
@@ -1588,6 +1701,8 @@ def _exhaustive_candidates(reader, query, _prep=None):
         return _nested_candidates(reader, query)
     if isinstance(query, SynonymQuery):
         return _synonym_scored(reader, query)
+    if isinstance(query, MultiPhrase):
+        return _multi_phrase_scored(reader, query)
     if isinstance(query, PhraseQuery):
         return _phrase_scored(reader, query)
     if isinstance(query, MatchAllQuery):
@@ -1713,7 +1828,7 @@ def score_exhaustive(reader, query, k: int = 10, _prep=None):
     """Decode-everything executor — the in-engine oracle. ``_prep`` lets
     score_blockmax's cost-based fallback reuse its already-built cursors."""
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
-                           NestedQuery, SynonymQuery)):
+                           NestedQuery, SynonymQuery, MultiPhrase)):
         r = _exhaustive_candidates(reader, query)
         if r is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -2094,7 +2209,7 @@ def score_blockmax(reader, query, k: int = 10):
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
-                           NestedQuery, SynonymQuery)):
+                           NestedQuery, SynonymQuery, MultiPhrase)):
         # positional verification / whole-corpus enumeration / phrase
         # mixes / boolean trees / blended-stats synonyms aren't modeled
         # by interval bounds

@@ -490,6 +490,80 @@ def test_mixed_phrase_boolean_queries(ray_session, tmp_path):
         parse_query('"data stream" key ~1', an)
 
 
+def test_multi_phrase_matches_brute(pos_index):
+    """MultiPhraseQuery: per-slot union matching + declaration-order idf
+    sum, vs a from-scratch evaluator over the analyzed corpus."""
+    import math
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        MultiPhrase,
+        PhraseQuery,
+        score_exhaustive,
+    )
+
+    idx, analyzer_name = pos_index
+    reader = _reader(idx)
+    an = make_analyzer(analyzer_name)
+    cases = [
+        ((("data", "plain"), ("stream", "row")), (0, 1)),
+        ((("data",), ("zzz", "stream")), (0, 1)),   # absent alternative
+        ((("data",), ("stream",)), (0, 2)),          # stopword gap
+        ((("stream", "row"), ("extra",), ("word",)), (0, 1, 2)),
+    ]
+    # brute stats over analyzed corpus
+    kept = [an.analyze(t) for t in TEXTS]
+    n_docs = len(TEXTS)
+    dls = [len(k) for k in kept]
+    avgdl = sum(dls) / n_docs
+    df = {}
+    for k in kept:
+        for w in set(k):
+            df[w] = df.get(w, 0) + 1
+    for arrays, offs in cases:
+        q = MultiPhrase(term_arrays=arrays, offsets=offs)
+        # brute: anchors where each slot has one of its terms
+        want = {}
+        idf = 0.0
+        for arr in arrays:
+            for t in arr:
+                if df.get(t, 0):
+                    idf += math.log(
+                        1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+                    )
+        for d, text in enumerate(TEXTS):
+            terms, pos = an.analyze_positions(text)
+            by_pos = dict(zip(pos, terms))
+            pf = 0
+            for p0, t0 in by_pos.items():
+                if t0 not in arrays[0]:
+                    continue
+                if all(
+                    by_pos.get(p0 + off - offs[0]) in arr
+                    for arr, off in zip(arrays[1:], offs[1:])
+                ):
+                    pf += 1
+            if pf:
+                want[d] = idf * (
+                    pf / (pf + 1.2 * ((1 - 0.75) + 0.75 * dls[d] / avgdl))
+                )
+        d_, s_ = score_exhaustive(reader, q, 10)
+        order = sorted(want, key=lambda x: (-want[x], x))
+        assert d_.tolist() == order[:10], (arrays, offs)
+        if analyzer_name == "en_nostem_simple":
+            np.testing.assert_allclose(
+                np.asarray(s_, np.float64), [want[x] for x in order[:10]],
+                rtol=1e-12,
+            )
+    # single-alternative MultiPhrase == plain PhraseQuery, bit-identical
+    mp = MultiPhrase(term_arrays=(("data",), ("stream",)), offsets=(0, 1))
+    ph = PhraseQuery(terms=("data", "stream"), offsets=(0, 1))
+    d1, s1 = score_exhaustive(reader, mp, 10)
+    d2, s2 = score_exhaustive(reader, ph, 10)
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_phrase_inside_group_parses_nested():
     """Round 2 rejected phrases inside groups (silent-misparse guard);
     round 3's recursive grammar parses them as a NestedQuery child."""
