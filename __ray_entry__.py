@@ -2514,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
+    q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -2627,12 +2628,11 @@ _DRIVER_WINDOW = [
     "top_docs_by_lang",
     # representatives of the round-1/2 proven core (driver-checked in
     # earlier rounds)
-    "bm25_bool_msm",
-    "bm25_set_filter", "sort_by_len_sorted",
+    "sort_by_len_sorted",
     "facet_taxonomy", "interval_unordered",
     # round-3 additions
     "bm25_nested_bool", "lmd_term", "classic_term", "bm25_synonym_query",
-    "dfr_term", "ib_term",
+    "dfr_term", "ib_term", "multi_phrase", "decontaminate",
 ]
 
 
@@ -4431,6 +4431,51 @@ def _bm25_synonym(sf_dir: str):
     )
 
 
+DECON_N = 4
+DECON_MOD = 97  # benchmark = documents with doc_id % DECON_MOD == 0
+
+
+def _decontaminate(sf_dir: str):
+    """Eval decontamination: docs sharing any 4-gram with the benchmark
+    subset (doc_id % 97 == 0). -> (doc_id, n_hits) for contaminated docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.textops import decontaminate
+
+    docs = _load_documents(sf_dir)
+
+    def pick(batch: "pa.Table") -> "pa.Table":
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % DECON_MOD == 0))
+
+    bench = docs.map_batches(pick, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=DECON_N)
+
+
+def _decontaminate_sql() -> str:
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, DECON_N)
+    )
+    gram = " || ' ' || ".join(f"t{i}.term" for i in range(DECON_N))
+    return f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT t0.doc_id, {gram} AS g
+  FROM tok t0 {joins}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_MOD} = 0)
+SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+FROM grams
+WHERE g IN (SELECT g FROM bench)
+GROUP BY doc_id"""
+
+
 def _multi_phrase(sf_dir: str):
     """MultiPhraseQuery through the engine.
     -> (query_id, rank, doc_id, score)."""
@@ -5485,6 +5530,7 @@ FROM tf GROUP BY term"""
     sql["boolean_term"] = _similarity_sql("boolean")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
+    sql["decontaminate"] = _decontaminate_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

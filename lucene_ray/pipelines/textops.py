@@ -367,3 +367,121 @@ def repetition_stats(ds: "ray.data.Dataset", ndigits: int = 6):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark_ds: "ray.data.Dataset",
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Flag training documents sharing any ``n``-gram (raw ``[a-z0-9]+``
+    token shingles over lower(text) — the SQL-parity tokenization) with a
+    benchmark/eval corpus -> Dataset(doc_id, n_hits) with one row per
+    CONTAMINATED doc, n_hits = count of DISTINCT overlapping n-grams.
+    Filter-join ``ds`` against this to drop them (the standard eval-
+    decontamination step of an LLM training pipeline).
+
+    Scale shape: the benchmark side is an EVAL SET — small by definition —
+    so its n-gram set is gathered once on the driver (bounded by benchmark
+    size, not corpus size) and broadcast via ``ray.put``; the corpus side
+    streams through one stateless ``map_batches``, no shuffle. At 100 TB
+    the broadcast would hold 64-bit n-gram hashes instead of strings
+    (collision-tolerable for a filter); strings are kept here so the
+    DuckDB oracle is exact.
+    """
+    bench: set = set()
+    for batch in benchmark_ds.select_columns([text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for txt in batch.column(text_col).to_pylist():
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            bench.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+    import ray
+
+    ref = ray.put(bench)
+
+    def check(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bset = _ray.get(ref)
+        out_ids: List[int] = []
+        out_hits: List[int] = []
+        for did, txt in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = _TOKEN_RE.findall((txt or "").lower())
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            h = len(grams & bset)
+            if h:
+                out_ids.append(did)
+                out_hits.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        check, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# Deliberately lookaround-free patterns so python re and RE2-style engines
+# (DuckDB regexp_replace) agree; boundaries are handled by the character
+# classes themselves.
+PII_PATTERNS = (
+    ("EMAIL", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")),
+    ("IPV4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")),
+    ("PHONE", re.compile(r"\+?\d[\d\- ]{7,14}\d")),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, text) -> (doc_id, text scrubbed, n_email, n_ipv4, n_phone):
+    each PII class replaced by its <TAG>. One streaming pass, no state —
+    the standard pre-training redaction step. Patterns are ordered
+    (emails first, so their digits never re-match as phones)."""
+    ids = batch.column("doc_id")
+    texts = batch.column(text_col).to_pylist()
+    out_text: List[str] = []
+    counts = {tag: [] for tag, _ in PII_PATTERNS}
+    for t in texts:
+        s = t or ""
+        for tag, pat in PII_PATTERNS:
+            s, k = pat.subn(f"<{tag}>", s)
+            counts[tag].append(k)
+        out_text.append(s)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "text": pa.array(out_text, pa.string()),
+            "n_email": pa.array(counts["EMAIL"], pa.int32()),
+            "n_ipv4": pa.array(counts["IPV4"], pa.int32()),
+            "n_phone": pa.array(counts["PHONE"], pa.int32()),
+        }
+    )
+
+
+def pii_scrub(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.select_columns(["doc_id", text_col]).map_batches(
+        lambda b: pii_scrub_batch(b, text_col), batch_format="pyarrow"
+    )

@@ -980,3 +980,90 @@ def test_write_partitioned_hostile_values(ray_session, tmp_path):
     assert write_partitioned(
         ray.data.from_arrow(docs), out, "grp", resume=True
     ) == []
+
+
+def test_decontaminate(ray_session):
+    """n-gram eval decontamination vs a brute python set computation,
+    including a doc contaminated only via a cross-doc shared window."""
+    import re
+
+    import ray.data
+
+    from lucene_ray.pipelines.textops import decontaminate
+
+    TOK = re.compile(r"[a-z0-9]+")
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "to be or not to be that is the question",
+    ]
+    corpus = [
+        "totally clean document about spark windows",        # clean
+        "he saw the quick brown fox jumps away",             # 4-gram overlap
+        "to be or not to match here",                        # 4-gram overlap
+        "quick brown fox nearby",                            # only 3-gram: clean at n=4
+        bench_texts[0],                                      # benchmark verbatim
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(corpus)), pa.int64()),
+                "text": pa.array(corpus, pa.string()),
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 100 + len(bench_texts)), pa.int64()),
+                "text": pa.array(bench_texts, pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=4).take_all()
+    }
+
+    def grams(t, n=4):
+        toks = TOK.findall(t.lower())
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bset = set().union(*[grams(t) for t in bench_texts])
+    want = {}
+    for d, t in enumerate(corpus):
+        h = len(grams(t) & bset)
+        if h:
+            want[d] = h
+    assert got == want
+    assert 0 not in got and 3 not in got  # clean docs stay clean
+    assert got[4] == len(grams(bench_texts[0]))  # verbatim copy: all grams
+
+
+def test_pii_scrub(ray_session):
+    import ray.data
+
+    from lucene_ray.pipelines.textops import pii_scrub
+
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk or 192.168.1.254 thanks",
+        "call +1 555-123-4567 or 555 987 6543 now",
+        "no pii here at all",
+        "a@b.io and 10.0.0.1 and 10.0.0.2",
+        "",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).take_all()}
+    assert rows[0]["text"] == "contact me at <EMAIL> or <IPV4> thanks"
+    assert rows[0]["n_email"] == 1 and rows[0]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 2 and "<PHONE>" in rows[1]["text"]
+    assert "555" not in rows[1]["text"]
+    assert rows[2]["text"] == texts[2]
+    assert rows[3]["n_email"] == 1 and rows[3]["n_ipv4"] == 2
+    assert rows[4]["text"] == ""
