@@ -2515,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
+    q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -4476,6 +4477,23 @@ WHERE g IN (SELECT g FROM bench)
 GROUP BY doc_id"""
 
 
+def _bpe_token_count(sf_dir: str):
+    """BPE-ish pre-tokenizer segment counts + whitespace token counts."""
+    from lucene_ray.pipelines.textops import bpe_token_counts
+
+    return bpe_token_counts(_load_documents(sf_dir))
+
+
+def _bpe_token_count_sql() -> str:
+    from lucene_ray.pipelines.textops import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+FROM documents"""
+
+
 def _multi_phrase(sf_dir: str):
     """MultiPhraseQuery through the engine.
     -> (query_id, rank, doc_id, score)."""
@@ -5531,6 +5549,7 @@ FROM tf GROUP BY term"""
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()
+    sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()

@@ -485,3 +485,41 @@ def pii_scrub(
     return ds.select_columns(["doc_id", text_col]).map_batches(
         lambda b: pii_scrub_batch(b, text_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (pre-tokenizer segment counts)
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer, ASCII-simplified and lookahead-free so python
+#: re and RE2 (DuckDB regexp_extract_all) segment identically: contraction
+#: suffixes, space-prefixed letter/digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+_BPE_RE = re.compile(BPE_PRETOKEN_PATTERN)
+_WS_RE = re.compile(r"\S+")
+
+
+def bpe_token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens, n_ws_tokens): pre-tokenizer segment count (a
+    cheap, deterministic token-budget proxy for BPE vocabularies — real
+    BPE merges only split WITHIN these segments, so this upper-bounds and
+    tracks the true token count) plus the whitespace token count. One
+    stateless streaming pass."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nb = [len(_BPE_RE.findall(t or "")) for t in texts]
+        nw = [len(_WS_RE.findall(t or "")) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(nb, pa.int64()),
+                "n_ws_tokens": pa.array(nw, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
