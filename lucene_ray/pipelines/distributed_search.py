@@ -82,10 +82,13 @@ _READER_CACHE: Dict[tuple, object] = {}
 def _get_reader(index_dir: str):
     from ..state.deletes import deletes_fingerprint
     from ..state.reader import IndexReader
+    from .incremental import registry_fingerprint
 
-    # keyed like pipelines/search.py: publishing new tombstones must
-    # reopen, or a warm shard actor keeps serving deleted docs
-    key = (index_dir, deletes_fingerprint(index_dir))
+    # keyed like pipelines/search.py: publishing new tombstones OR a new
+    # incremental shard must reopen, or a warm shard actor keeps serving
+    # a stale commit point
+    key = (index_dir, deletes_fingerprint(index_dir),
+           registry_fingerprint(index_dir))
     r = _READER_CACHE.get(key)
     if r is None:
         # a new fingerprint supersedes older readers of the same dir —

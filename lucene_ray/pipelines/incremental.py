@@ -96,6 +96,21 @@ def add_batch(
     return manifest
 
 
+def registry_fingerprint(index_dir: str) -> str:
+    """Commit-point identity of an incremental root: a digest of its
+    shards.json content ('' for plain single-index dirs). Part of the
+    reader-cache key so publishing a new shard REOPENS on the next call —
+    the ControlledRealTimeReopenThread visibility contract (without it, a
+    warm process served pre-append readers forever)."""
+    import hashlib
+
+    try:
+        with open(_registry_path(index_dir), "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+    except FileNotFoundError:
+        return ""
+
+
 def open_index(root: str) -> ShardedReader:
     """Reader over every published shard (global stats summed), honoring
     root-level liveDocs tombstones."""

@@ -35,12 +35,16 @@ _READER_CACHE: Dict[str, object] = {}
 def get_reader(index_dir: str):
     """Reader for a single-index dir OR an incremental root (shards.json).
 
-    Cached per (dir, tombstone fingerprint): publishing new deletes yields
-    a fresh reader on the next call (the reference's reopen-after-commit),
-    so warm caches never serve stale liveDocs."""
+    Cached per (dir, tombstone fingerprint, commit fingerprint):
+    publishing new deletes OR a new incremental shard yields a fresh
+    reader on the next call (the reference's reopen-after-commit /
+    ControlledRealTimeReopenThread visibility), so warm caches never
+    serve stale liveDocs or miss appended shards."""
     from ..state.deletes import deletes_fingerprint
+    from .incremental import registry_fingerprint
 
-    key = (index_dir, deletes_fingerprint(index_dir))
+    key = (index_dir, deletes_fingerprint(index_dir),
+           registry_fingerprint(index_dir))
     r = _READER_CACHE.get(key)
     if r is None:
         # newer tombstones supersede older readers of the same dir —

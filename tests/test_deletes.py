@@ -179,3 +179,36 @@ def test_compaction_equals_fresh_build_of_live_corpus(ray_session, tmp_path):
         b = search(ref, q, k=10)
         assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
         assert a.column("score").to_pylist() == b.column("score").to_pylist()
+
+
+def test_append_reopens_warm_reader(ray_session, tmp_path):
+    """NRT visibility: publishing a NEW shard must reopen a warm cached
+    reader on the next get_reader call (commit fingerprint in the cache
+    key), exactly like publishing tombstones does — and the sharded
+    service sees the append on its next query too."""
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.incremental import add_batch
+    from lucene_ray.pipelines.search import get_reader, search
+
+    root = str(tmp_path / "nrt_root")
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2
+    )
+    add_batch(root, ray.data.from_arrow(_docs(TEXTS[:4])), cfg, doc_count=4)
+    r1 = get_reader(root)
+    df1, ttf1 = r1.term_stats("alpha")
+    hits1 = search(root, "alpha", k=10).num_rows
+    add_batch(
+        root,
+        ray.data.from_arrow(_docs(["alpha alpha", "alpha beta"], [10, 11])),
+        cfg,
+        doc_count=2,
+    )
+    r2 = get_reader(root)
+    assert r2 is not r1  # new commit point -> new reader
+    df2, ttf2 = r2.term_stats("alpha")
+    assert df2 == df1 + 2 and ttf2 == ttf1 + 3
+    hits2 = search(root, "alpha", k=10).num_rows
+    assert hits2 == hits1 + 2
