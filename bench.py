@@ -666,6 +666,21 @@ def run_suite() -> dict:
     timed("asof_join", _asof)
     timed("repetition_stats", lambda: repetition_stats(docs).count())
 
+    from lucene_ray.pipelines.textops import bpe_token_counts, decontaminate
+
+    def _decon():
+        import pyarrow as _pa
+
+        def pick(b):
+            ids = b.column("doc_id").to_numpy()
+            return b.filter(_pa.array(ids % 97 == 0))
+
+        bench_side = docs.map_batches(pick, batch_format="pyarrow")
+        return decontaminate(docs, bench_side, n=4).count()
+
+    timed("decontaminate", _decon)
+    timed("bpe_token_count", lambda: bpe_token_counts(docs).count())
+
     total = round(time.time() - t_all, 3)
     result = {
         "metric": "lucene_ray suite wall time (index build + BM25 queries + data ops)",
