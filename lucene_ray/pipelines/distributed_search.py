@@ -44,7 +44,7 @@ class GlobalStatsView:
     """Reader protocol view: local postings, GLOBAL collection statistics."""
 
     def __init__(self, local_reader, doc_count: int, sum_total_tf: int,
-                 df_map: Dict[str, int]):
+                 df_map: Dict[str, Tuple[int, int]]):
         self._local = local_reader
         self.doc_count = doc_count
         self.sum_total_tf = sum_total_tf
@@ -52,12 +52,14 @@ class GlobalStatsView:
         self.norm_kind = local_reader.norm_kind
         self.analyzer_name = local_reader.analyzer_name
         self.bm25_params = getattr(local_reader, "bm25_params", (1.2, 0.75))
+        self.similarity = getattr(local_reader, "similarity", None)
         self._df = df_map
 
     def term_stats(self, term: str) -> Tuple[int, int]:
-        # global df drives idf; a term globally present but locally absent
-        # simply yields an empty local cursor
-        return self._df.get(term, 0), 0
+        # global (df, ttf) drive idf / collection models (LM-family
+        # similarities need global totalTermFreq too); a term globally
+        # present but locally absent simply yields an empty local cursor
+        return self._df.get(term, (0, 0))
 
     def postings(self, term: str):
         return self._local.postings(term)
@@ -111,14 +113,16 @@ class ShardedSearchService:
     scoring, and disjoint doc ranges make (score desc, doc asc) total)."""
 
     def __init__(self, index_dirs: Sequence[str], mode: str = "blockmax",
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75, similarity=None):
         from ..state.reader import IndexReader
 
         @ray.remote
         class _ShardSearcher:
-            def __init__(self, index_dir: str, k1: float, b: float):
+            def __init__(self, index_dir: str, k1: float, b: float,
+                         similarity):
                 self.index_dir = index_dir
                 self.bm25 = (k1, b)
+                self.sim = similarity
                 self._reader()  # warm the initial reader
 
             def _reader(self):
@@ -128,6 +132,7 @@ class ShardedSearchService:
                 # pre-delete reader forever (NRT reopen analogue)
                 r = _get_reader(self.index_dir)
                 r.bm25_params = self.bm25
+                r.similarity = self.sim
                 return r
 
             def term_stats(self, terms: List[str]):
@@ -152,7 +157,8 @@ class ShardedSearchService:
         self.sum_total_tf = sum(m["sum_total_tf"] for m in manifests)
         self.analyzer = make_analyzer(manifests[0]["analyzer"])
         self._actors = [
-            _ShardSearcher.remote(d, k1, b) for d in self.index_dirs
+            _ShardSearcher.remote(d, k1, b, similarity)
+            for d in self.index_dirs
         ]
 
     def search(
@@ -196,12 +202,13 @@ class ShardedSearchService:
         )
 
         # phase 1: global term stats (one round trip per shard, parallel)
-        df_map: Dict[str, int] = {}
+        df_map: Dict[str, Tuple[int, int]] = {}
         for shard_stats in ray.get(
             [a.term_stats.remote(all_terms) for a in self._actors]
         ):
-            for t, (df, _ttf) in shard_stats.items():
-                df_map[t] = df_map.get(t, 0) + df
+            for t, (df, ttf) in shard_stats.items():
+                d0, t0 = df_map.get(t, (0, 0))
+                df_map[t] = (d0 + df, t0 + ttf)
 
         # phase 2: per-shard top-k under global stats
         per_shard = ray.get(

@@ -109,7 +109,8 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
                 errors.append(f"missing segment file {base + suffix}")
         # per-file CRC32 (CodecUtil header/footer checksum analogue,
         # codecs/CodecUtil.java) — recorded at encode time
-        for suffix, key in ((".post", "post_crc32"), (".pos", "pos_crc32")):
+        for suffix, key in ((".post", "post_crc32"), (".pos", "pos_crc32"),
+                            (".off", "off_crc32")):
             want = int(seg.get(key, -1))
             if want < 0:
                 continue
@@ -142,6 +143,32 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
                 if np.any(np.diff(flat.astype(np.int64))[same] <= 0):
                     errors.append(
                         f"positions[{term}]: not strictly ascending in doc"
+                    )
+
+    # offsets stream (round 3): one (start, end) pair per occurrence —
+    # pair count == totalTermFreq, start <= end per pair, starts
+    # non-decreasing within each doc (surface tokens are in text order)
+    if getattr(reader, "has_offsets", False):
+        for term in reader.all_terms():
+            docs, tfs, flat = reader.term_offsets(term)
+            if len(flat) != 2 * int(tfs.sum()):
+                errors.append(
+                    f"offsets[{term}]: {len(flat)} ints != 2 * sum tf "
+                    f"{int(tfs.sum())}"
+                )
+                continue
+            starts = flat[0::2].astype(np.int64)
+            ends = flat[1::2].astype(np.int64)
+            ok = (starts <= ends) | (starts < 0)  # (-1,-1) = span unknown
+            if not np.all(ok):
+                errors.append(f"offsets[{term}]: start > end")
+            if len(starts) > 1:
+                run = np.repeat(np.arange(len(docs)), tfs)
+                same = run[1:] == run[:-1]
+                both_known = (starts[1:] >= 0) & (starts[:-1] >= 0)
+                if np.any(np.diff(starts)[same & both_known] < 0):
+                    errors.append(
+                        f"offsets[{term}]: starts not non-decreasing in doc"
                     )
 
     # doc-values sidecars: one row per doc, unique sorted doc ids; under an

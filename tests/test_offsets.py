@@ -128,3 +128,32 @@ def test_index_matches_sorted_and_cached(off_idx):
     assert "_offsets_view" in reader.__dict__
     # repeat uses the cached view, same result
     assert index_matches(reader, 0, ("data", "stream")) == m
+
+
+def test_checkindex_validates_offsets(off_idx):
+    from lucene_ray.state.checkindex import check_index
+
+    report = check_index(off_idx)
+    assert not report.get("errors")
+    # corrupt the .off sidecar -> CRC failure surfaces
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    cp_root = off_idx + "_corrupt"
+    shutil.rmtree(cp_root, ignore_errors=True)
+    shutil.copytree(off_idx, cp_root)
+    off_files = sorted(glob.glob(os.path.join(cp_root, "segments", "*.off")))
+    victim = next(p for p in off_files if os.path.getsize(p) > 0)
+    with open(victim, "r+b") as f:
+        f.seek(0)
+        b = f.read(1)
+        f.seek(0)
+        f.write(bytes([b[0] ^ 0xFF]))
+    from lucene_ray.state.checkindex import IndexCorruptError
+
+    with _pytest.raises(IndexCorruptError, match="crc32|offsets"):
+        check_index(cp_root)
+    shutil.rmtree(cp_root, ignore_errors=True)

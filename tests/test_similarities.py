@@ -160,6 +160,43 @@ def test_engine_matches_brute(sim_idx, sim):
         reader.similarity = None
 
 
+@pytest.mark.parametrize("sim", [("lmd", 2000.0), ("dfr_inl2", 1.0)])
+def test_sharded_similarity_matches_single_index(tmp_path, ray_session, sim):
+    """Doc-range-sharded serving under a non-BM25 similarity must equal
+    the single-index result exactly — global (df, ttf) are summed before
+    scoring so collection models see whole-corpus stats."""
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    doc_ids, texts = make_corpus(n_docs=200, seed=29)
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0,
+    )
+    build_from_lists(tmp_path / "full", doc_ids, texts, cfg)
+    build_from_lists(tmp_path / "a", doc_ids[:100], texts[:100], cfg)
+    build_from_lists(tmp_path / "b", doc_ids[100:], texts[100:], cfg)
+    reader = get_reader(str(tmp_path / "full"))
+    reader.similarity = sim
+    an = make_analyzer("en_nostem_simple")
+    svc = ShardedSearchService(
+        [str(tmp_path / "a"), str(tmp_path / "b")], similarity=sim
+    )
+    try:
+        queries = ["alpha", "kappa mu", "+alpha beta"]
+        res = svc.search(queries, k=10)
+        for i, qt in enumerate(queries):
+            d, s = score_exhaustive(reader, parse_query(qt, an), 10)
+            assert np.array_equal(d, res[i][0]), (sim, qt)
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(res[i][1], np.float64)
+            )
+    finally:
+        reader.similarity = None
+        svc.shutdown()
+
+
 def test_similarity_does_not_leak(sim_idx):
     """A similarity run must not change later default-BM25 scoring on the
     same cached reader (per-searcher state, reset discipline)."""
