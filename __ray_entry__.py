@@ -2512,6 +2512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["boolean_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("boolean",),
     )
+    q["axiomatic_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("axiomatic_f2exp",),
+    )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
@@ -4651,7 +4654,7 @@ def _similarity_sql(model: str) -> str:
     avgdl = "(CAST(s.sum_tf AS DOUBLE) / s.n_docs)"
     tfn = f"(tf.tf * (ln(1.0 + 1.0 * {avgdl} / dl.dl) / ln(2.0)))"
     needs_ttf = model in ("lmd", "lmjm", "dfi")
-    needs_df = model in ("classic", "dfr", "ib")
+    needs_df = model in ("classic", "dfr", "ib", "axiomatic")
 
     def tsub(term: str) -> str:
         if model == "lmd":
@@ -4676,6 +4679,16 @@ def _similarity_sql(model: str) -> str:
             expr = (
                 f"CASE WHEN tf.tf <= {e} THEN 0.0 "
                 f"ELSE ln((tf.tf - {e}) / sqrt({e}) + 1.0) / ln(2.0) END"
+            )
+        elif model == "axiomatic":
+            import numpy as _np
+
+            s_lit = repr(float(_np.float32(0.25)))
+            k_lit = repr(float(_np.float32(0.35)))
+            expr = (
+                f"GREATEST(0.0, (tf.tf / (tf.tf + {s_lit} + {s_lit} "
+                f"* dl.dl / {avgdl})) "
+                f"* pow((s.n_docs + 1.0) / d2.df, {k_lit}))"
             )
         elif model == "boolean":
             expr = "1.0"
@@ -5546,6 +5559,7 @@ FROM tf GROUP BY term"""
     sql["ib_term"] = _similarity_sql("ib")
     sql["dfi_term"] = _similarity_sql("dfi")
     sql["boolean_term"] = _similarity_sql("boolean")
+    sql["axiomatic_term"] = _similarity_sql("axiomatic")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()

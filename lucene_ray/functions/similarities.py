@@ -229,6 +229,32 @@ class DFIStandardized(_LenDecode):
         return s.astype(self.dtype, copy=False)
 
 
+class AxiomaticF2EXP(_LenDecode):
+    """AxiomaticF2EXP (Axiomatic.java:107-117 + AxiomaticF2EXP.java:59-85):
+    ``score = max(0, boost * (freq/(freq + s + s*dl/avgdl))
+    * ((N+1)/df)^k)`` with float32 hyperparams s=0.25, k=0.35 (kept as
+    their float32 values, like the reference's float fields)."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int = 0, s: float = 0.25,
+                 k: float = 0.35, boost: float = 1.0):
+        super().__init__(norm_kind)
+        self.s = float(np.float32(s))
+        self.k = float(np.float32(k))
+        self.boost = float(boost)
+        self.avgdl = sum_total_tf / float(doc_count)
+        self.idf = ((doc_count + 1.0) / doc_freq) ** self.k
+        self._key = ("axiomatic_f2exp", norm_kind, doc_count, sum_total_tf,
+                     doc_freq, self.s, self.k, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = self.doc_len(keys)
+        tfln = tf / (tf + self.s + self.s * dl / self.avgdl)
+        s = self.boost * (tfln * self.idf)
+        return np.maximum(s, 0.0).astype(self.dtype, copy=False)
+
+
 class BooleanSim(_LenDecode):
     """BooleanSimilarity (BooleanSimilarity.java:50-52): every matching
     term scores its boost, no statistics."""
@@ -251,6 +277,7 @@ _MODELS = {
     "dfi": (DFIStandardized, None, None),
     "classic": (ClassicTFIDF, None, None),
     "boolean": (BooleanSim, None, None),
+    "axiomatic_f2exp": (AxiomaticF2EXP, "s", 0.25),
 }
 
 

@@ -55,7 +55,7 @@ def test_classic_formula_golden():
 
 ALL_SIMS = [
     ("lmd", 2000.0), ("classic",), ("lmjm", 0.1), ("dfr_inl2", 1.0),
-    ("ib_ll", 1.0), ("dfi",), ("boolean",),
+    ("ib_ll", 1.0), ("dfi",), ("boolean",), ("axiomatic_f2exp",),
 ]
 
 
