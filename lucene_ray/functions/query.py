@@ -248,15 +248,18 @@ def parse_query(text: str, analyzer):
 
 
 def _needs_nesting(text: str) -> bool:
-    """True when the query has parens depth >= 2 or a quoted phrase inside
-    a group. ``field:(...)`` set filters at the top level are flat syntax
-    and don't count. Malformed input returns False so the flat parser
-    raises its usual errors."""
+    """True when the query has parens depth >= 2, a quoted phrase inside a
+    group, or SIGNED members / connectives inside a group — everything the
+    flat one-level grammar would silently strip (the flat group body is
+    analyzed as bare terms, so ``+(a -b)`` used to lose the ``-``).
+    ``field:(...)`` set filters at the top level are flat syntax and don't
+    count. Malformed input returns False so the flat parser raises its
+    usual errors."""
     import re as _re
 
     depth = 0
     maxd = 0
-    phrase_in_group = False
+    structured_group = False
     i, n = 0, len(text)
     while i < n:
         c = text[i]
@@ -265,7 +268,7 @@ def _needs_nesting(text: str) -> bool:
             if j < 0:
                 return False
             if depth > 0:
-                phrase_in_group = True
+                structured_group = True
             i = j + 1
             continue
         if c == "(":
@@ -277,10 +280,26 @@ def _needs_nesting(text: str) -> bool:
                 continue
             depth += 1
             maxd = max(maxd, depth)
-        elif c == ")":
+            i += 1
+            continue
+        if c == ")":
             depth = max(0, depth - 1)
+            i += 1
+            continue
+        if depth > 0:
+            prev = text[i - 1] if i > 0 else " "
+            nxt = text[i + 1] if i + 1 < n else " "
+            if prev in " (" and (
+                (c == "+" and (nxt.isalnum() or nxt in '("'))
+                or (c == "-" and (nxt.isalpha() or nxt in '("'))
+            ):
+                structured_group = True
+            elif c in "AON" and prev == " ":
+                m = _re.match(r"(?:AND|OR|NOT)(?=\s|$)", text[i:])
+                if m is not None:
+                    structured_group = True
         i += 1
-    return maxd >= 2 or phrase_in_group
+    return maxd >= 2 or structured_group
 
 
 def _split_groups(text: str):

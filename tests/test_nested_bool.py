@@ -157,13 +157,22 @@ class Brute:
                     continue
             elif q.minimum_should_match and n_should < q.minimum_should_match:
                 continue
-            terms = list(q.must) + [t for t in q.should if t in kept]
-            terms += [t for g in q.must_groups for t in g if t in kept]
+            # Lucene clause semantics: a term appearing both as a bare
+            # SHOULD clause and inside a required-OR group is TWO clauses
+            # and scores twice (the engine builds separate cursors); the
+            # base must/should set is deduped, each group separately.
             s = 0.0
-            for t in sorted(set(terms)):
+            for t in sorted(set(q.must) | {t for t in q.should
+                                           if t in kept}):
                 ts = self.term_score(doc, t)
                 if ts is not None:
                     s += ts
+            for g in q.must_groups:
+                for t in sorted(set(g)):
+                    if t in kept:
+                        ts = self.term_score(doc, t)
+                        if ts is not None:
+                            s += ts
             out[doc] = s
         return out
 
@@ -335,3 +344,49 @@ def test_nested_respects_deletes(nested_idx, tmp_path):
     reader2 = get_reader(cp)
     d2, _ = score_exhaustive(reader2, q, 5)
     assert top not in d2.tolist()
+
+
+def test_random_nested_queries_vs_brute(nested_idx):
+    """Property test: randomly generated nested query strings (depth <= 3,
+    signed groups, phrases at any level) — engine == from-scratch
+    evaluator on docs and float64 scores."""
+    from lucene_ray.pipelines.search import get_reader
+
+    idx, texts = nested_idx
+    reader = get_reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    brute = Brute(texts)
+    rng = np.random.default_rng(31)
+    CONTENT = ["alpha", "beta", "gamma", "delta", "epsilon", "kappa",
+               "mu", "nu", "xi"]
+
+    def gen_clause(depth):
+        sign = rng.choice(["", "", "+", "-"])
+        kind = rng.random()
+        if kind < 0.45 or depth >= 3:
+            return sign + rng.choice(CONTENT)
+        if kind < 0.65:
+            a, b = rng.choice(CONTENT, size=2, replace=False)
+            return f'{sign}"{a} {b}"'
+        n = int(rng.integers(2, 4))
+        inner = " ".join(gen_clause(depth + 1) for _ in range(n))
+        return f"{sign}({inner})"
+
+    checked = 0
+    for trial in range(60):
+        n = int(rng.integers(2, 4))
+        qtext = " ".join(gen_clause(1) for _ in range(n))
+        try:
+            q = parse_query(qtext, an)
+        except ValueError:
+            continue  # generator can produce unsupported shapes; skip
+        want = brute.eval(q)
+        order = sorted(want, key=lambda d: (-want[d], d))[:10]
+        d, s = score_exhaustive(reader, q, 10)
+        assert d.tolist() == order, qtext
+        np.testing.assert_allclose(
+            np.asarray(s, dtype=np.float64),
+            [want[doc] for doc in order], rtol=1e-9, err_msg=qtext,
+        )
+        checked += 1
+    assert checked >= 40  # the grammar accepts the vast majority
