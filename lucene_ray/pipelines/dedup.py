@@ -1097,6 +1097,22 @@ def connected_components_ds(
     )
 
 
+def dedup_clusters_ds(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    df_max: int = 10,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Near-dup CLUSTERS as a Dataset (doc_id, cluster_id) — the 100-TB
+    path: verified Jaccard pairs -> in-plan connected components; consume
+    with ``write_parquet`` (or join against the corpus to drop
+    non-keepers). cluster_id = min doc_id of the component (the canonical
+    keeper); a doc keeps itself iff doc_id == cluster_id."""
+    pairs = jaccard_neardup_pairs_ds(ds, k, df_max, threshold, num_buckets)
+    return connected_components_ds(pairs)
+
+
 def dedup_clusters(
     ds: "ray.data.Dataset",
     k: int = 3,
@@ -1104,13 +1120,11 @@ def dedup_clusters(
     threshold: float = 0.8,
     num_buckets: int = 64,
 ) -> pa.Table:
-    """Near-dup CLUSTERS: verified Jaccard pairs -> connected components
-    -> sorted Arrow table (doc_id, cluster_id). cluster_id = min doc_id
-    of the component (the canonical keeper a 100-TB pipeline would
-    retain); a doc keeps itself iff doc_id == cluster_id."""
-    pairs = jaccard_neardup_pairs_ds(ds, k, df_max, threshold, num_buckets)
-    cc = connected_components_ds(pairs)
-    rows = cc.take_all()
+    """Small-result convenience wrapper over :func:`dedup_clusters_ds`:
+    the cluster table (ONLY docs that belong to some near-dup component —
+    tiny relative to the corpus) gathered and doc-sorted for the oracle
+    entry. At scale, call dedup_clusters_ds and write_parquet instead."""
+    rows = dedup_clusters_ds(ds, k, df_max, threshold, num_buckets).take_all()
     if not rows:
         return CLUSTERS_SCHEMA.empty_table()
     tbl = pa.Table.from_pylist(rows, schema=CLUSTERS_SCHEMA)
