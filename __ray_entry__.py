@@ -2515,6 +2515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["axiomatic_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("axiomatic_f2exp",),
     )
+    q["dfr_gb1_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("dfr", "g", "b", "h1"),
+    )
+    q["ib_spl_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("ib", "spl", "ttf", "h2"),
+    )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
@@ -4653,8 +4659,9 @@ def _similarity_sql(model: str) -> str:
     p_col = "((t2.ttf + 1.0) / (s.sum_tf + 1.0))"
     avgdl = "(CAST(s.sum_tf AS DOUBLE) / s.n_docs)"
     tfn = f"(tf.tf * (ln(1.0 + 1.0 * {avgdl} / dl.dl) / ln(2.0)))"
-    needs_ttf = model in ("lmd", "lmjm", "dfi")
-    needs_df = model in ("classic", "dfr", "ib", "axiomatic")
+    needs_ttf = model in ("lmd", "lmjm", "dfi", "dfr_gb1", "ib_spl")
+    needs_df = model in ("classic", "dfr", "ib", "axiomatic", "dfr_gb1")
+    tfn_h1 = f"(tf.tf * 1.0 * ({avgdl} / dl.dl))"
 
     def tsub(term: str) -> str:
         if model == "lmd":
@@ -4679,6 +4686,24 @@ def _similarity_sql(model: str) -> str:
             expr = (
                 f"CASE WHEN tf.tf <= {e} THEN 0.0 "
                 f"ELSE ln((tf.tf - {e}) / sqrt({e}) + 1.0) / ln(2.0) END"
+            )
+        elif model == "dfr_gb1":
+            # DFR(G, B, H1): lam = (F+1)/(N+F+1), A=log2(lam+1),
+            # B=log2((1+lam)/lam), ae = ((F+1)+1)/(n+1)
+            lam = "((t2.ttf + 1.0) / (s.n_docs + (t2.ttf + 1.0)))"
+            a_e = f"(ln({lam} + 1.0) / ln(2.0))"
+            b_e = f"(ln((1.0 + {lam}) / {lam}) / ln(2.0))"
+            ae = "(((t2.ttf + 1) + 1.0) / (d2.df + 1))"
+            expr = (
+                f"(({b_e} - ({b_e} - {a_e}) / (1.0 + {tfn_h1})) * {ae})"
+            )
+        elif model == "ib_spl":
+            # IB(SPL, TTF, H2): lam = float32((ttf+1)/(N+1)); q =
+            # 1 - 1/(tfn+1); -ln((lam^q - lam)/(1 - lam))
+            lam = "CAST((t2.ttf + 1.0) / (s.n_docs + 1.0) AS REAL)"
+            q_e = f"(1.0 - 1.0 / ({tfn} + 1.0))"
+            expr = (
+                f"-ln((pow({lam}, {q_e}) - {lam}) / (1.0 - {lam}))"
             )
         elif model == "axiomatic":
             import numpy as _np
@@ -5560,6 +5585,8 @@ FROM tf GROUP BY term"""
     sql["dfi_term"] = _similarity_sql("dfi")
     sql["boolean_term"] = _similarity_sql("boolean")
     sql["axiomatic_term"] = _similarity_sql("axiomatic")
+    sql["dfr_gb1_term"] = _similarity_sql("dfr_gb1")
+    sql["ib_spl_term"] = _similarity_sql("ib_spl")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()

@@ -149,58 +149,144 @@ class LMJelinekMercer(_LenDecode):
         return s.astype(self.dtype, copy=False)
 
 
-class DFRInL2(_LenDecode):
-    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(c)) —
-    the common I(n)L2 configuration. tfn = freq * log2(1 + c*avgdl/dl)
-    (NormalizationH2.java:57-58); AfterEffectL contributes 1
-    (AfterEffectL.java:32-34); score = boost * A * (1 - 1/(1+tfn)) with
-    A = log2((N+1)/(n+0.5)) (BasicModelIn.java:34-45)."""
+def _tfn_fn(normalization: str, c: float, doc_count: int,
+            sum_total_tf: int, total_tf: int):
+    """DFR/IB normalization component -> tfn(tf, dl) (Normalization.java
+    subclasses, literal op order per file)."""
+    avgdl = sum_total_tf / float(doc_count)
+    if normalization == "h1":  # NormalizationH1.java:56-58
+        return lambda tf, dl: tf * c * (avgdl / dl)
+    if normalization == "h2":  # NormalizationH2.java:57-58
+        return lambda tf, dl: tf * (np.log(1.0 + c * avgdl / dl) / _LOG_2)
+    if normalization == "h3":  # NormalizationH3.java (mu = c; the
+        # (ttf+1F)/(sumTF+1F) division happens in float32, kept)
+        p32 = float(
+            np.float32(np.float32(total_tf) + np.float32(1.0))
+            / np.float32(np.float32(sum_total_tf) + np.float32(1.0))
+        )
+        return lambda tf, dl: (tf + c * p32) / (dl + c) * c
+    if normalization == "z":  # NormalizationZ.java (z = c)
+        return lambda tf, dl: tf * np.power(avgdl / dl, c)
+    if normalization == "none":
+        return lambda tf, dl: tf
+    raise ValueError(f"unknown normalization {normalization!r}")
+
+
+class DFR(_LenDecode):
+    """Composable DFRSimilarity (DFRSimilarity.java:127-131): score =
+    boost * basicModel(tfn, aeTimes1pTfn). Basic models g / if / in /
+    ine (BasicModel*.java, aeTimes1pTfn-rewritten forms), after effects
+    l / b (AfterEffect{L,B}.java), normalizations h1 / h2 / h3 / z /
+    none."""
 
     def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
-                 doc_freq: int, total_tf: int, c: float = 1.0,
-                 boost: float = 1.0):
+                 doc_freq: int, total_tf: int, basic: str = "in",
+                 after: str = "l", normalization: str = "h2",
+                 c: float = 1.0, boost: float = 1.0):
         super().__init__(norm_kind)
-        self.c = float(c)
         self.boost = float(boost)
-        self.avgdl = sum_total_tf / float(doc_count)
-        self.A = np.log((doc_count + 1.0) / (doc_freq + 0.5)) / _LOG_2
-        self._key = ("dfr_inl2", norm_kind, doc_count, sum_total_tf,
-                     doc_freq, c, boost)
+        self.tfn = _tfn_fn(normalization, float(c), doc_count,
+                           sum_total_tf, total_tf)
+        N, n, F = doc_count, doc_freq, total_tf
+        if after == "l":  # AfterEffectL.java:32-34
+            self.ae1p = 1.0
+        elif after == "b":  # AfterEffectB.java:32-36 (F=ttf+1, n=df+1)
+            self.ae1p = ((F + 1) + 1.0) / (n + 1)
+        else:
+            raise ValueError(f"unknown after effect {after!r}")
+        if basic == "in":  # BasicModelIn.java:34-45
+            A = np.log((N + 1.0) / (n + 0.5)) / _LOG_2
+            self.model = lambda tfn, ae: A * ae * (1.0 - 1.0 / (1.0 + tfn))
+        elif basic == "if":  # BasicModelIF.java (A over F)
+            A = np.log(1.0 + (N + 1) / (F + 0.5)) / _LOG_2
+            self.model = lambda tfn, ae: A * ae * (1.0 - 1.0 / (1.0 + tfn))
+        elif basic == "ine":  # BasicModelIne.java (expected df)
+            ne = N * (1.0 - np.power((N - 1) / float(N), float(F)))
+            A = np.log((N + 1.0) / (ne + 0.5)) / _LOG_2
+            self.model = lambda tfn, ae: A * ae * (1.0 - 1.0 / (1.0 + tfn))
+        elif basic == "g":  # BasicModelG.java (geometric, lambda=F/(N+F))
+            Fg = F + 1.0
+            lam = Fg / (N + Fg)
+            A = np.log(lam + 1.0) / _LOG_2
+            Bv = np.log((1.0 + lam) / lam) / _LOG_2
+            self.model = lambda tfn, ae: (Bv - (Bv - A) / (1.0 + tfn)) * ae
+        else:
+            raise ValueError(f"unknown basic model {basic!r}")
+        self._key = ("dfr", basic, after, normalization, norm_kind,
+                     doc_count, sum_total_tf, doc_freq, total_tf, c, boost)
 
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)
         dl = np.maximum(self.doc_len(keys), 1.0)
-        tfn = tf * (np.log(1.0 + self.c * self.avgdl / dl) / _LOG_2)
-        s = self.boost * (self.A * (1.0 - 1.0 / (1.0 + tfn)))
+        s = self.boost * self.model(self.tfn(tf, dl), self.ae1p)
         return s.astype(self.dtype, copy=False)
 
 
-class IBLLDFH2(_LenDecode):
-    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)):
-    lambda = float32((df+1)/(N+1)) (LambdaDF.java:32-38, float cast kept);
-    tfn as NormalizationH2; score = boost * -log(lambda/(tfn+lambda))
-    (DistributionLL.java:33-35)."""
+class IB(_LenDecode):
+    """Composable IBSimilarity (IBSimilarity.java:115-118): score =
+    boost * distribution(tfn, lambda). Distributions ll / spl
+    (Distribution{LL,SPL}.java incl. the SPL rounding guards), lambdas
+    df / ttf (float32 casts kept, Lambda{DF,TTF}.java), normalizations
+    as DFR."""
 
     def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
-                 doc_freq: int, total_tf: int, c: float = 1.0,
-                 boost: float = 1.0):
+                 doc_freq: int, total_tf: int, distribution: str = "ll",
+                 lam: str = "df", normalization: str = "h2",
+                 c: float = 1.0, boost: float = 1.0):
         super().__init__(norm_kind)
-        self.c = float(c)
         self.boost = float(boost)
-        self.avgdl = sum_total_tf / float(doc_count)
-        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
-        if lam == np.float32(1.0):
-            lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
-        self.lam = float(lam)
-        self._key = ("ib_ll", norm_kind, doc_count, sum_total_tf, doc_freq,
-                     c, boost)
+        self.distribution = distribution
+        self.tfn = _tfn_fn(normalization, float(c), doc_count,
+                           sum_total_tf, total_tf)
+        if lam == "df":  # LambdaDF.java:32-38
+            lv = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+            if lv == np.float32(1.0):
+                lv = np.nextafter(lv, np.float32(0.0), dtype=np.float32)
+        elif lam == "ttf":  # LambdaTTF.java:32-38
+            lv = np.float32((total_tf + 1.0) / (doc_count + 1.0))
+            if lv == np.float32(1.0):
+                lv = np.nextafter(lv, np.float32(2.0), dtype=np.float32)
+        else:
+            raise ValueError(f"unknown lambda {lam!r}")
+        self.lam = float(lv)
+        if distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown distribution {distribution!r}")
+        self._key = ("ib", distribution, lam, normalization, norm_kind,
+                     doc_count, sum_total_tf, doc_freq, total_tf, c, boost)
 
     def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)
         dl = np.maximum(self.doc_len(keys), 1.0)
-        tfn = tf * (np.log(1.0 + self.c * self.avgdl / dl) / _LOG_2)
-        s = self.boost * -np.log(self.lam / (tfn + self.lam))
+        tfn = self.tfn(tf, dl)
+        if self.distribution == "ll":  # DistributionLL.java:33-35
+            s = self.boost * -np.log(self.lam / (tfn + self.lam))
+        else:  # DistributionSPL.java:35-59 with the rounding guards
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+            powv = np.power(self.lam, q)
+            bump = (
+                np.nextafter(self.lam, np.inf)
+                if self.lam < 1
+                else np.nextafter(self.lam, 0.0)
+            )
+            powv = np.where(powv == self.lam, bump, powv)
+            s = self.boost * -np.log((powv - self.lam) / (1.0 - self.lam))
         return s.astype(self.dtype, copy=False)
+
+
+def DFRInL2(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+            c=1.0, boost=1.0):
+    """The common I(n)L2 configuration (kept as the ``dfr_inl2`` spec)."""
+    return DFR(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+               basic="in", after="l", normalization="h2", c=c, boost=boost)
+
+
+def IBLLDFH2(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+             c=1.0, boost=1.0):
+    """The LL-DF-H2 configuration (kept as the ``ib_ll`` spec)."""
+    return IB(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+              distribution="ll", lam="df", normalization="h2", c=c,
+              boost=boost)
 
 
 class DFIStandardized(_LenDecode):
@@ -284,8 +370,19 @@ _MODELS = {
 def make_similarity(sim, norm_kind: str, doc_count: int, sum_total_tf: int,
                     doc_freq: int, total_tf: int, boost: float = 1.0):
     """Factory for a ``reader.similarity`` spec tuple: (name,) or
-    (name, param) with the model's single tunable (mu / lambda / c)."""
+    (name, param) with the model's single tunable (mu / lambda / c); the
+    composable families take component names —
+    ("dfr", basic, after, normalization[, c]) and
+    ("ib", distribution, lambda, normalization[, c])."""
     name = sim[0]
+    if name == "dfr" and len(sim) >= 4:
+        return DFR(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+                   basic=sim[1], after=sim[2], normalization=sim[3],
+                   c=float(sim[4]) if len(sim) > 4 else 1.0, boost=boost)
+    if name == "ib" and len(sim) >= 4:
+        return IB(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
+                  distribution=sim[1], lam=sim[2], normalization=sim[3],
+                  c=float(sim[4]) if len(sim) > 4 else 1.0, boost=boost)
     entry = _MODELS.get(name)
     if entry is None:
         raise ValueError(f"unknown similarity {sim!r}")

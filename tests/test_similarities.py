@@ -56,6 +56,24 @@ def test_classic_formula_golden():
 ALL_SIMS = [
     ("lmd", 2000.0), ("classic",), ("lmjm", 0.1), ("dfr_inl2", 1.0),
     ("ib_ll", 1.0), ("dfi",), ("boolean",), ("axiomatic_f2exp",),
+    ("dfr", "g", "b", "h1"), ("dfr", "if", "l", "h2"),
+    ("dfr", "ine", "b", "h2"), ("ib", "spl", "ttf", "h2"),
+    ("ib", "ll", "ttf", "h1"),
+]
+
+# the full composable grid (DFRSimilarity / IBSimilarity component
+# matrices) — every combination must satisfy the monotonicity matrix
+DFR_GRID = [
+    ("dfr", b, a, n)
+    for b in ("g", "if", "in", "ine")
+    for a in ("l", "b")
+    for n in ("h1", "h2", "h3", "z", "none")
+]
+IB_GRID = [
+    ("ib", d, l, n)
+    for d in ("ll", "spl")
+    for l in ("df", "ttf")
+    for n in ("h1", "h2", "h3", "z", "none")
 ]
 
 
@@ -158,6 +176,24 @@ def test_engine_matches_brute(sim_idx, sim):
             )
     finally:
         reader.similarity = None
+
+
+@pytest.mark.parametrize("sim", DFR_GRID + IB_GRID)
+def test_composable_grid_monotonicity(sim):
+    """Every DFR/IB component combination (40 models) keeps the
+    SimilarityBase invariants: non-decreasing in tf, non-increasing in
+    dl (z-normalization included), non-negative, finite."""
+    N, SUM = 1000, 50_000
+    tfs = np.arange(1, 40)
+    for df, ttf in [(3, 30), (200, 9_000)]:
+        sc = make_similarity(sim, "exact", N, SUM, df, ttf)
+        for dl in [2, 40, 400]:
+            s = sc.score_array(tfs, np.full(len(tfs), dl))
+            assert np.all(np.diff(s) >= -1e-12), (sim, df, dl)
+            assert np.all(s >= 0) and np.all(np.isfinite(s)), (sim, df, dl)
+        dls = np.array([2, 10, 50, 250])
+        s = sc.score_array(np.full(len(dls), 5), dls)
+        assert np.all(np.diff(s) <= 1e-12), (sim, df)
 
 
 @pytest.mark.parametrize("sim", [("lmd", 2000.0), ("dfr_inl2", 1.0)])
