@@ -2526,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
+    q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
@@ -3124,6 +3125,16 @@ MULTI_PHRASE_QUERY_SETS: Dict[int, Tuple[tuple, tuple]] = {
     2: ((("customer", "line"), ("table", "merge")), (0, 1)),
     3: ((("data",), ("zzzmissing", "stream")), (0, 1)),  # absent alt skipped
     4: ((("batch", "scan"), ("slow", "fast")), (0, 2)),  # stopword gap
+}
+
+# SpanNotQuery (reference: queries/spans/SpanNotQuery.java): include
+# positions with no exclude position within [p-pre, p+post]. Sets are
+# (include, exclude, pre, post).
+SPAN_NOT_QUERY_SETS: Dict[int, Tuple[str, str, int, int]] = {
+    0: ("data", "stream", 0, 1),   # data not right before stream
+    1: ("key", "value", 1, 1),     # key not adjacent to value
+    2: ("dup", "zzzmissing", 1, 1),  # absent exclude -> plain term freq
+    3: ("batch", "merge", 2, 2),   # wider exclusion window
 }
 
 # Query-time synonym blending (reference: search/SynonymQuery.java:50 —
@@ -4413,6 +4424,84 @@ def _phrase_mixed_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
+def _bm25_span_not(sf_dir: str):
+    """SpanNotQuery through the engine.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import SpanNotQuery, score_span
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (inc, exc, pre, post) in sorted(SPAN_NOT_QUERY_SETS.items()):
+        d, s = score_span(
+            reader, SpanNotQuery(include=inc, exclude=exc, pre=pre,
+                                 post=post), k=TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _span_not_sql() -> str:
+    """Oracle for bm25_span_not: surviving include positions counted per
+    doc via NOT EXISTS over the exclusion window; BM25 with the include
+    term's idf alone (the reference scores from the include side only)."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    arms = []
+    for qid, (inc, exc, pre, post) in sorted(SPAN_NOT_QUERY_SETS.items()):
+        idf = (
+            f"(SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{inc}')"
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf
+      FROM ptok a
+      WHERE a.term = '{inc}'
+        AND NOT EXISTS (
+          SELECT 1 FROM ptok b
+          WHERE b.doc_id = a.doc_id AND b.term = '{exc}'
+            AND b.pos BETWEEN a.pos - {pre} AND a.pos + {post}
+        )
+      GROUP BY a.doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _bm25_synonym(sf_dir: str):
     """SynonymQuery through the engine: each query set scores as one
     pseudo-term with blended stats. -> (query_id, rank, doc_id, score)."""
@@ -5588,6 +5677,7 @@ FROM tf GROUP BY term"""
     sql["dfr_gb1_term"] = _similarity_sql("dfr_gb1")
     sql["ib_spl_term"] = _similarity_sql("ib_spl")
     sql["bm25_synonym_query"] = _synonym_sql()
+    sql["bm25_span_not"] = _span_not_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()

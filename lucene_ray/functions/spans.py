@@ -56,6 +56,22 @@ class SpanFirstQuery:
     end: int  # match positions p (0-based) with p < end
 
 
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """SpanNotQuery (queries/spans/SpanNotQuery.java:40-71): spans of
+    ``include`` with no ``exclude`` span within ``pre`` tokens before or
+    ``post`` tokens after. Term-include subset: include spans are the
+    term's width-1 positions, so a position p survives iff no exclude
+    position lies in [p-pre, p+post]; frequency = surviving count
+    (width-0 spans weigh 1 each). Scoring stats come from the include
+    side only (the reference builds excludeWeight COMPLETE_NO_SCORES)."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+
+
 def _doc_keys(reader, term: str) -> np.ndarray:
     """Doc-tagged position keys ``doc << POS_SHIFT | pos``, ascending —
     one flat sorted array over the whole index, so span chaining is a
@@ -159,6 +175,8 @@ def span_scored(reader, query):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype), dtype)
     if isinstance(query, SpanFirstQuery):
         terms = (query.term,)
+    elif isinstance(query, SpanNotQuery):
+        terms = (query.include,)
     else:
         terms = tuple(query.terms)
         if len(terms) < 2:
@@ -185,6 +203,25 @@ def span_scored(reader, query):
         if not m.any():
             return empty
         docs_u, pf = _freqs_by_doc(keys[m], np.ones(int(m.sum())))
+    elif isinstance(query, SpanNotQuery):
+        keys = key_cache[terms[0]]
+        ex_df, _ = reader.term_stats(query.exclude)
+        if ex_df == 0 or len(keys) == 0:
+            surviving = keys  # nothing to exclude
+        else:
+            ex_keys = _doc_keys(reader, query.exclude)
+            # include position p (doc-tagged key k) is rejected iff some
+            # exclude position q lies in [p - pre, p + post]; in key space
+            # that window is [k - pre, k + post], and the doc tag keeps it
+            # doc-local (pre/post << 2^POS_SHIFT by construction)
+            lo = keys - np.int64(query.pre)
+            hi = keys + np.int64(query.post)
+            left = np.searchsorted(ex_keys, lo, side="left")
+            right = np.searchsorted(ex_keys, hi, side="right")
+            surviving = keys[left == right]
+        if len(surviving) == 0:
+            return empty
+        docs_u, pf = _freqs_by_doc(surviving, np.ones(len(surviving)))
     else:
         key_lists = [key_cache[t] for t in terms]
         if query.in_order:

@@ -175,3 +175,43 @@ def test_unordered_requires_two(span_index):
             span_index,
             SpanNearQuery(("a", "b", "c"), slop=1, in_order=False),
         )
+
+
+def test_span_not(span_index):
+    """SpanNotQuery vs brute: include positions with no exclude position
+    in [p-pre, p+post], include-only idf."""
+    from lucene_ray.functions.spans import SpanNotQuery, span_scored
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(span_index) if isinstance(span_index, str) else span_index
+    # brute over the known TEXTS
+    import re as _re
+
+    TOK = _re.compile(r"[a-z0-9]+")
+
+    def brute(inc, exc, pre, post):
+        out = {}
+        for d, t in enumerate(TEXTS):
+            toks = [w for w in TOK.findall(t.lower()) if w not in STOPS]
+            # positions must match the analyzer's increments (stopword
+            # gaps), so recompute with raw indices like the engine
+            raw = TOK.findall(t.lower())
+            inc_pos = [i for i, w in enumerate(raw) if w == inc and w not in STOPS]
+            exc_pos = {i for i, w in enumerate(raw) if w == exc and w not in STOPS}
+            pf = sum(
+                1 for p in inc_pos
+                if not any(q in exc_pos for q in range(p - pre, p + post + 1))
+            )
+            if pf:
+                out[d] = pf
+        return out
+
+    for inc, exc, pre, post in [
+        ("data", "stream", 0, 1), ("data", "stream", 1, 0),
+        ("data", "zzz", 1, 1), ("data", "data", 0, 0),
+    ]:
+        got = span_scored(
+            reader, SpanNotQuery(include=inc, exclude=exc, pre=pre, post=post)
+        )
+        want = brute(inc, exc, pre, post)
+        assert set(got[0].tolist()) == set(want), (inc, exc, pre, post)
