@@ -442,6 +442,19 @@ UNORDERED_INTERVAL_QUERY_SETS: Dict[
     3: (("hash", "zzzmissing"), None, None),
 }
 
+# Intervals.containing / not_containing (reference: queries/intervals/
+# {Containing,NotContaining}IntervalsSource.java): big = UNORDERED pair
+# (terms, maxgaps, maxwidth), small = a term; negate selects
+# not_containing. Sets are (big_terms, mg, mw, small, negate).
+CONTAINING_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], Optional[int], Optional[int], str, bool]
+] = {
+    0: (("stream", "data"), 4, None, "key", False),
+    1: (("stream", "data"), 4, None, "key", True),
+    2: (("customer", "table"), 6, None, "value", False),
+    3: (("key", "merge"), None, 10, "zzzmissing", True),  # absent small
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -2164,6 +2177,104 @@ def _interval_unordered(sf_dir: str):
     )
 
 
+def _interval_containing(sf_dir: str):
+    """Intervals.containing / not_containing over unordered big sources.
+    -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import (
+        IntervalContaining,
+        IntervalQuery,
+        score_intervals,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (terms, mg, mw, small, neg) in sorted(
+        CONTAINING_INTERVAL_QUERY_SETS.items()
+    ):
+        q = IntervalContaining(
+            big=IntervalQuery(terms, max_gaps=mg, max_width=mw,
+                              ordered=False),
+            small=small,
+            negate=neg,
+        )
+        d, s = score_intervals(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
+def _interval_containing_sql() -> str:
+    """Oracle for interval_containing: the unordered minimal-interval CTE
+    filtered by EXISTS / NOT EXISTS of a small-term position inside
+    [spos, epos], weights and saturation unchanged."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, (terms, mg, mw, small, neg) in sorted(
+        CONTAINING_INTERVAL_QUERY_SETS.items()
+    ):
+        n = len(terms)
+        prev_cols = ", ".join(
+            f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
+            f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
+            for i, t in enumerate(terms)
+        )
+        not_null = " AND ".join(f"p{i} IS NOT NULL" for i in range(n))
+        least = "LEAST(" + ", ".join(f"p{i}" for i in range(n)) + ")"
+        filters = []
+        if mg is not None:
+            filters.append(f"(epos - spos + 1 - {n}) <= {mg}")
+        if mw is not None:
+            filters.append(f"(epos - spos + 1) <= {mw}")
+        exists = (
+            f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM ptok q "
+            f"WHERE q.doc_id = mi.doc_id AND q.term = '{small}' "
+            f"AND q.pos BETWEEN mi.spos AND mi.epos)"
+        )
+        filters.append(exists)
+        where = " WHERE " + " AND ".join(filters)
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1))
+               / (SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1)) + 1.0) AS score
+      FROM (
+        SELECT doc_id, spos, MIN(epos) AS epos FROM (
+          SELECT doc_id, epos, {least} AS spos FROM (
+            SELECT e.doc_id, e.pos AS epos, {prev_cols}
+            FROM ptok e WHERE e.term IN {_in_list(sorted(terms))}
+          ) WHERE {not_null}
+        ) GROUP BY doc_id, spos
+      ) mi{where}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _geo_distance(sf_dir: str):
     """LatLonDocValues distance sort / LatLonPoint distance query: k
     nearest docs per center (optionally term-filtered or radius-bounded),
@@ -2529,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
+    q["interval_containing"] = lambda sf: _interval_containing(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
@@ -5684,6 +5796,7 @@ FROM tf GROUP BY term"""
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()
+    sql["interval_containing"] = _interval_containing_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()

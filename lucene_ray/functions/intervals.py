@@ -54,28 +54,21 @@ class IntervalQuery:
     ordered: bool = True  # False = Intervals.unordered (minimal semantics)
 
 
-def interval_freqs(reader, query: IntervalQuery):
-    """Minimal intervals -> per-doc float frequency.
-
-    Returns ``(docs, freqs)`` with ``freqs[i] = sum of
-    1/max(length - n + 1, 1)`` (``1/(1+gaps)`` for non-overlapping
-    matches) over the doc's minimal intervals surviving the
-    maxgaps/maxwidth filters. ``ordered=False`` uses TRUE minimal-
-    interval semantics for unordered sources — stricter than the
-    reference's lazily non-minimal ``UnorderedIntervalsSource`` PQ walk
-    (documented deviation: we never count an interval that contains
-    another match)."""
+def minimal_intervals(reader, query: IntervalQuery):
+    """Minimal intervals of ``query`` surviving its maxgaps/maxwidth
+    filters -> (start_keys, end_keys), doc-tagged, end-ascending. The
+    combinator sources (containing / not_containing) compose over this."""
     if not getattr(reader, "has_positions", False):
         raise ValueError(
             "interval queries need a positions-enabled index "
             "(IndexConfig.positions=True)"
         )
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     n = len(query.terms)
     if n == 0:
         return empty
     if not query.ordered:
-        return _unordered_freqs(reader, query)
+        return _unordered_minimal(reader, query)
     key_lists = [_doc_keys(reader, t) for t in query.terms]
     a = key_lists[0]
     if len(a) == 0:
@@ -106,12 +99,75 @@ def interval_freqs(reader, query: IntervalQuery):
         m &= gaps <= query.max_gaps
     if query.max_width is not None:
         m &= (gaps + n) <= query.max_width
-    if not m.any():
+    return av[m], ev[m]
+
+
+def _interval_weights(s: np.ndarray, e: np.ndarray, n: int) -> np.ndarray:
+    """IntervalScorer.java:63-67 — 1/max(length - minExtent + 1, 1)."""
+    length = (e & _POS_MASK) - (s & _POS_MASK) + 1
+    return 1.0 / np.maximum(length - n + 1, 1)
+
+
+def interval_freqs(reader, query: IntervalQuery):
+    """Minimal intervals -> per-doc float frequency.
+
+    Returns ``(docs, freqs)`` with ``freqs[i] = sum of
+    1/max(length - n + 1, 1)`` (``1/(1+gaps)`` for non-overlapping
+    matches) over the doc's minimal intervals surviving the
+    maxgaps/maxwidth filters. ``ordered=False`` uses TRUE minimal-
+    interval semantics for unordered sources — stricter than the
+    reference's lazily non-minimal ``UnorderedIntervalsSource`` PQ walk
+    (documented deviation: we never count an interval that contains
+    another match)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    s, e = minimal_intervals(reader, query)
+    if len(s) == 0:
         return empty
-    return _freqs_by_doc(av[m], 1.0 / (1.0 + gaps[m]))
+    return _freqs_by_doc(s, _interval_weights(s, e, len(query.terms)))
 
 
-def _unordered_freqs(reader, query: IntervalQuery):
+@dataclass(frozen=True)
+class IntervalContaining:
+    """Intervals.containing / not_containing (reference:
+    queries/intervals/ContainingIntervalsSource.java /
+    NotContainingIntervalsSource.java): the minimal intervals of ``big``
+    (its own filters applied first) that contain at least one — or, with
+    ``negate``, none — of the ``small`` term's positions. Weights and
+    saturation scoring are the big source's."""
+
+    big: IntervalQuery
+    small: str
+    negate: bool = False
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+def interval_containing_freqs(reader, query: IntervalContaining):
+    """-> (docs, freqs) over the filtered big intervals."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    s, e = minimal_intervals(reader, query.big)
+    if len(s) == 0:
+        return empty
+    small_keys = _doc_keys(reader, query.small)
+    if len(small_keys) == 0:
+        has = np.zeros(len(s), dtype=bool)
+    else:
+        # a small position is inside [s, e] iff its key lies in the key
+        # range (s and e share the doc tag, so any key between them is
+        # the same doc); two searchsorteds per big interval
+        lo = np.searchsorted(small_keys, s, side="left")
+        hi = np.searchsorted(small_keys, e, side="right")
+        has = hi > lo
+    keep = ~has if query.negate else has
+    if not keep.any():
+        return empty
+    s, e = s[keep], e[keep]
+    return _freqs_by_doc(
+        s, _interval_weights(s, e, len(query.big.terms))
+    )
+
+
+def _unordered_minimal(reader, query: IntervalQuery):
     """Exact minimal UNORDERED intervals, vectorized.
 
     Construction: for every candidate end position ``e`` (any query
@@ -120,11 +176,11 @@ def _unordered_freqs(reader, query: IntervalQuery):
     position <= e. Its start is non-decreasing in ``e``, so the minimal
     set is exactly "first (smallest) end per distinct start" — one
     searchsorted per term over the merged end array, no per-doc loop.
-    Weight per interval = 1/max(length - n + 1, 1) (overlapping term
-    positions are allowed, as in Intervals.unordered; length < n floors
-    the divisor at 1). Repeated terms are not supported (the reference's
-    repeats handling is tied to its non-minimal iterator)."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    Returns the (start_keys, end_keys) pre-weighting; overlapping term
+    positions are allowed, as in Intervals.unordered. Repeated terms are
+    not supported (the reference's repeats handling is tied to its
+    non-minimal iterator)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     n = len(query.terms)
     if len(set(query.terms)) != n:
         raise ValueError("unordered intervals need distinct terms")
@@ -154,16 +210,17 @@ def _unordered_freqs(reader, query: IntervalQuery):
         m &= (length - n) <= query.max_gaps
     if query.max_width is not None:
         m &= length <= query.max_width
-    if not m.any():
-        return empty
-    w = 1.0 / np.maximum(length[m] - n + 1, 1)
-    return _freqs_by_doc(s[m], w)
+    return s[m], e[m]
 
 
-def score_intervals(reader, query: IntervalQuery, k: int = 10):
+def score_intervals(reader, query, k: int = 10):
     """Top-k by the saturation score ``boost * freq / (freq + pivot)``,
-    tie-broken by doc asc. Returns ``(docs, float64 scores)``."""
-    docs, freqs = interval_freqs(reader, query)
+    tie-broken by doc asc. Accepts IntervalQuery or IntervalContaining.
+    Returns ``(docs, float64 scores)``."""
+    if isinstance(query, IntervalContaining):
+        docs, freqs = interval_containing_freqs(reader, query)
+    else:
+        docs, freqs = interval_freqs(reader, query)
     if len(docs) == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = query.boost * (freqs / (freqs + query.pivot))

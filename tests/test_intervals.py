@@ -283,3 +283,79 @@ def test_unordered_random_vs_model(ray_session, tmp_path):
         got = dict(zip(docs_u.tolist(), freqs.tolist()))
         want = _model_unordered_freqs(an, texts, list(terms), mg, None)
         assert got == pytest.approx(want), (terms, mg)
+
+
+def test_interval_containing(pos_index):
+    """Intervals.containing / not_containing: big unordered intervals
+    filtered by small-term containment, vs a brute per-doc evaluation."""
+    import re as _re
+
+    from lucene_ray.functions.intervals import (
+        IntervalContaining,
+        interval_containing_freqs,
+        minimal_intervals,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(pos_index)
+    big = IntervalQuery(("alpha", "beta"), ordered=False)
+    TOK = _re.compile(r"[a-z0-9]+")
+
+    def brute(small, negate):
+        # recompute big minimal unordered intervals per doc, then filter
+        out = {}
+        for d, t in enumerate(TEXTS):
+            raw = TOK.findall(t.lower())
+            pos = {w: [i for i, x in enumerate(raw) if x == w]
+                   for w in ("alpha", "beta", small)}
+            if not pos["alpha"] or not pos["beta"]:
+                continue
+            # minimal unordered: per end e (any term), tightest window
+            cands = []
+            for e in sorted(set(pos["alpha"]) | set(pos["beta"])):
+                prevs = []
+                ok = True
+                for w in ("alpha", "beta"):
+                    p = [x for x in pos[w] if x <= e]
+                    if not p:
+                        ok = False
+                        break
+                    prevs.append(max(p))
+                if ok:
+                    cands.append((min(prevs), e))
+            mins = {}
+            for s, e in cands:
+                mins[s] = min(mins.get(s, e), e)
+            freq = 0.0
+            for s, e in mins.items():
+                has = any(s <= q <= e for q in pos.get(small, ()))
+                if has != negate:
+                    freq += 1.0 / max(e - s + 1 - 2 + 1, 1)
+            if freq:
+                out[d] = freq
+        return out
+
+    for small, negate in [("filler", False), ("filler", True),
+                          ("zzz", True), ("gamma", False)]:
+        q = IntervalContaining(big=big, small=small, negate=negate)
+        docs, freqs = interval_containing_freqs(reader, q)
+        got = dict(zip(docs.tolist(), freqs.tolist()))
+        want = brute(small, negate)
+        assert got == pytest.approx(want), (small, negate)
+    # containing + not_containing partition the big interval weights
+    s_all, e_all = minimal_intervals(reader, big)
+    docs_c, f_c = interval_containing_freqs(
+        reader, IntervalContaining(big=big, small="filler", negate=False)
+    )
+    docs_n, f_n = interval_containing_freqs(
+        reader, IntervalContaining(big=big, small="filler", negate=True)
+    )
+    total = {}
+    for d, f in list(zip(docs_c.tolist(), f_c.tolist())) + list(
+        zip(docs_n.tolist(), f_n.tolist())
+    ):
+        total[d] = total.get(d, 0.0) + f
+    from lucene_ray.functions.intervals import interval_freqs
+
+    docs_b, f_b = interval_freqs(reader, big)
+    assert total == pytest.approx(dict(zip(docs_b.tolist(), f_b.tolist())))
