@@ -390,3 +390,60 @@ def test_random_nested_queries_vs_brute(nested_idx):
         )
         checked += 1
     assert checked >= 40  # the grammar accepts the vast majority
+
+
+def test_nested_search_after_paging(nested_idx):
+    """searchAfter paging works for nested trees (generic through the
+    exhaustive candidates): concatenated pages == deep top-k."""
+    from lucene_ray.functions.query import score_after
+    from lucene_ray.pipelines.search import get_reader
+
+    idx, _texts = nested_idx
+    reader = get_reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query('+("alpha beta" gamma) delta', an)
+    full_d, full_s = score_exhaustive(reader, q, 15)
+    pages_d, after = [], None
+    for _ in range(3):
+        d, s = score_after(reader, q, 5, after=after)
+        if len(d) == 0:
+            break
+        pages_d.append(d)
+        after = (float(np.asarray(s, np.float64)[-1]), int(d[-1]))
+    got = np.concatenate(pages_d) if pages_d else np.empty(0, np.int64)
+    assert np.array_equal(full_d, got)
+
+
+def test_sharded_nested_and_phrase_parity(tmp_path, ray_session):
+    """Doc-range-sharded serving of NESTED and PHRASE queries equals the
+    single-index result exactly (tree-wide global stats + proxied
+    positions)."""
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    doc_ids, texts = _corpus(n_docs=200, seed=41)
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        positions=True, sample_rate=1.0,
+    )
+    build_from_lists(tmp_path / "full", doc_ids, texts, cfg)
+    build_from_lists(tmp_path / "a", doc_ids[:100], texts[:100], cfg)
+    build_from_lists(tmp_path / "b", doc_ids[100:], texts[100:], cfg)
+    reader = get_reader(str(tmp_path / "full"))
+    an = make_analyzer("en_nostem_simple")
+    svc = ShardedSearchService([str(tmp_path / "a"), str(tmp_path / "b")])
+    try:
+        queries = [
+            '"alpha beta"',
+            '+("alpha beta" gamma) delta',
+            "+(kappa (mu nu)) alpha",
+        ]
+        res = svc.search(queries, k=10)
+        for i, qt in enumerate(queries):
+            d, s = score_exhaustive(reader, parse_query(qt, an), 10)
+            assert np.array_equal(d, res[i][0]), qt
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(res[i][1], np.float64),
+            )
+    finally:
+        svc.shutdown()
