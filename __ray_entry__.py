@@ -2680,6 +2680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
     q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
     q["suggest_infix"] = lambda sf: _suggest_infix(sf)
+    q["suggest_freetext"] = lambda sf: _suggest_freetext(sf)
 
     # --- queries module: MoreLikeThis ---
     q["mlt"] = lambda sf: _mlt(sf, boost=False)
@@ -4536,6 +4537,87 @@ def _phrase_mixed_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
+# FreeTextSuggester analogue (suggest/analyzing/FreeTextSuggester.java):
+# (context word, typed prefix) -> next-word completions under the
+# word-bigram stupid-backoff LM (ALPHA=0.4).
+FREETEXT_INPUTS: Dict[int, Tuple[str, str]] = {
+    0: ("data", "s"),
+    1: ("hash", "j"),
+    2: ("customer", "v"),
+    3: ("zzzmissing", "ke"),  # unseen context -> unigram backoff
+}
+
+
+def _suggest_freetext(sf_dir: str):
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import freetext_suggest
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return freetext_suggest(
+        _load_documents(sf_dir),
+        [FREETEXT_INPUTS[i] for i in sorted(FREETEXT_INPUTS)],
+        k=SPELL_TOPK,
+        cfg=cfg,
+    )
+
+
+def _suggest_freetext_sql() -> str:
+    """Oracle for suggest_freetext: bigrams = adjacent KEPT tokens
+    (row_number over the stopword-filtered stream); score = cnt /
+    ctx_total, unigram backoff 0.4 * ttf/sum_tf only when the context
+    yields no prefix-matched bigram."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+),
+kept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM ptok
+),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM kept a JOIN kept b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  GROUP BY a.term, b.term
+),
+ttfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)"""
+    ctes = [ptok]
+    arms = []
+    for qid, (ctx, prefix) in sorted(FREETEXT_INPUTS.items()):
+        ctes.append(
+            f"""bc{qid} AS (
+  SELECT w2 AS term,
+         CAST(cnt AS DOUBLE)
+           / (SELECT SUM(cnt) FROM big WHERE w1 = '{ctx}') AS score
+  FROM big WHERE w1 = '{ctx}' AND w2 LIKE '{prefix}%'
+)"""
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INTEGER) AS rank,
+       term, round(score, 6) AS score
+  FROM (
+    SELECT term, score FROM bc{qid}
+    UNION ALL
+    SELECT t.term,
+           0.4 * (CAST(t.ttf AS DOUBLE) / (SELECT SUM(ttf) FROM ttfs))
+             AS score
+    FROM ttfs t
+    WHERE t.term LIKE '{prefix}%'
+      AND NOT EXISTS (SELECT 1 FROM bc{qid})
+  )
+  ORDER BY rank LIMIT {SPELL_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH {_BASE_CTES},\n" + ",\n".join(ctes) + "\n" + body
+    )
+
+
 def _bm25_span_not(sf_dir: str):
     """SpanNotQuery through the engine.
     -> (query_id, rank, doc_id, score)."""
@@ -5790,6 +5872,7 @@ FROM tf GROUP BY term"""
     sql["ib_spl_term"] = _similarity_sql("ib_spl")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_not"] = _span_not_sql()
+    sql["suggest_freetext"] = _suggest_freetext_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()

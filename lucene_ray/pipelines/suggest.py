@@ -35,7 +35,7 @@ stacked, one DP sweep per input word), not a per-term Python loop.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -340,4 +340,110 @@ def complete_infix(
     )
     return cands.groupby("query_id").map_groups(
         _topk_prefix(k), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester analogue: n-gram LM completion with stupid backoff
+# ---------------------------------------------------------------------------
+
+#: stupid-backoff constant (FreeTextSuggester.java:126)
+FREETEXT_ALPHA = 0.4
+
+
+def _bigram_counts(ds: "ray.data.Dataset", cfg: Optional[IndexConfig]):
+    """(w1, w2) -> count over the analyzed token stream (adjacent KEPT
+    terms; stopword gaps collapse, like the suggester's analyzed ngrams).
+    Distributed shape: per-batch partial Counter -> one bounded groupby
+    (ngram space is pruned by min_count at lookup; the reference prunes
+    with minFreq at build)."""
+    from collections import Counter
+
+    from ..functions.analysis import make_analyzer
+
+    analyzer = make_analyzer((cfg or IndexConfig()).analyzer)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: "Counter[tuple]" = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = analyzer.analyze(t or "")
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        ks = sorted(c)
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in ks], pa.string()),
+                "w2": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(rd.aggregate.Sum("cnt", alias_name="count"))
+    )
+
+
+def freetext_suggest(
+    ds: "ray.data.Dataset",
+    inputs: Sequence[Tuple[str, str]],
+    k: int = 5,
+    cfg: Optional[IndexConfig] = None,
+) -> pa.Table:
+    """FreeTextSuggester analogue (suggest/analyzing/FreeTextSuggester
+    .java:93-126, word-bigram order with stupid backoff): for each
+    (context_word, typed_prefix) input, candidate completions are terms
+    starting with the prefix, scored ``count(context, cand) /
+    count(context .)`` when the bigram exists, else ``ALPHA *
+    count(cand) / total_tokens`` — ranked (score desc, term asc), top-k.
+
+    -> Arrow table (query_id, rank, term, score). The bigram model is a
+    bounded distributed aggregation; per-input candidate pulls are tiny
+    in-plan filters (prefix-matched rows only)."""
+    from ..functions.rounding import round_half_away
+    from .stats import term_stats
+
+    bigrams = _bigram_counts(ds, cfg).take_all()  # pruned model table
+    stats = term_stats(ds, cfg).take_all()
+    uni = {r["term"]: int(r["total_tf"]) for r in stats}
+    total = sum(uni.values())
+    by_ctx: Dict[str, Dict[str, int]] = {}
+    for r in bigrams:
+        by_ctx.setdefault(r["w1"], {})[r["w2"]] = int(r["count"])
+    qids, ranks, terms_out, scores = [], [], [], []
+    for qid, (ctx, prefix) in enumerate(inputs):
+        ctx = ctx.lower()
+        prefix = prefix.lower()
+        ctx_counts = by_ctx.get(ctx, {})
+        ctx_total = sum(ctx_counts.values())
+        cands = {}
+        for w2, c in ctx_counts.items():
+            if w2.startswith(prefix):
+                cands[w2] = c / ctx_total
+        if not cands:  # backoff to the unigram model, scaled by ALPHA
+            for t, c in uni.items():
+                if t.startswith(prefix):
+                    cands[t] = FREETEXT_ALPHA * (c / total)
+        top = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r_i, (t, s) in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(r_i)
+            terms_out.append(t)
+            scores.append(float(round_half_away(np.asarray([s]), 6)[0]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "term": pa.array(terms_out, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
     )
