@@ -2638,6 +2638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
+    q["html_extract"] = lambda sf: _html_extract(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
     q["interval_containing"] = lambda sf: _interval_containing(sf)
@@ -2752,11 +2753,11 @@ _DRIVER_WINDOW = [
     "top_docs_by_lang",
     # representatives of the round-1/2 proven core (driver-checked in
     # earlier rounds)
-    "sort_by_len_sorted",
     "facet_taxonomy", "interval_unordered",
-    # round-3 additions
+    # round-3 additions (html_extract drives the input-hint per-row
+    # invariant: byte-identical extracted text per url)
     "bm25_nested_bool", "lmd_term", "classic_term", "bm25_synonym_query",
-    "dfr_term", "ib_term", "multi_phrase", "decontaminate",
+    "dfr_term", "ib_term", "multi_phrase", "decontaminate", "html_extract",
 ]
 
 
@@ -4618,6 +4619,25 @@ ttfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)"""
     )
 
 
+def _html_extract(sf_dir: str):
+    """The input-hint PER-ROW INVARIANT, driven end-to-end: extract text
+    from the html binary column and return (url, text_extracted); the
+    oracle returns the ORIGINAL text per url — the hash compare proves
+    byte-identical extraction for every row."""
+    from lucene_ray.sources.web_pages import extract_text, load_web_pages
+
+    pages = load_web_pages(sf_dir, include_html=True).drop_columns(["text"])
+    return extract_text(pages).select_columns(["url", "text_extracted"])
+
+
+def _html_extract_sql() -> str:
+    return """SELECT
+  'https://site' || (doc_id % 997) || '.example/'
+    || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+  text AS text_extracted
+FROM documents"""
+
+
 def _bm25_span_not(sf_dir: str):
     """SpanNotQuery through the engine.
     -> (query_id, rank, doc_id, score)."""
@@ -5873,6 +5893,7 @@ FROM tf GROUP BY term"""
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_not"] = _span_not_sql()
     sql["suggest_freetext"] = _suggest_freetext_sql()
+    sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()

@@ -75,3 +75,46 @@ def load_web_pages(sf_dir: str, *, include_html: bool = True) -> "ray.data.Datas
     return ds.map_batches(
         derive_batch, batch_format="pyarrow", fn_kwargs={"include_html": include_html}
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (HTMLStripCharFilter analogue)
+# ---------------------------------------------------------------------------
+
+import html as _html
+import re as _re
+
+_TAG_RE = _re.compile(rb"<[^>]*>")
+
+
+def extract_text_batch(batch: pa.Table, html_col: str = "html") -> pa.Table:
+    """binary html -> extracted text: tag strip + entity decode (reference:
+    analysis/common/.../charfilter/HTMLStripCharFilter.java — the
+    generated char filter removes markup and resolves entities; this is
+    the regex-scale subset sufficient for body-wrapped content). The
+    extraction is the PER-ROW INVARIANT of the input hint: over the
+    synthetic web_pages derivation it must reproduce the text column
+    byte-identically per url (asserted by the html_extract oracle
+    entry)."""
+    blobs = batch.column(html_col).to_pylist()
+    out = [
+        _html.unescape(
+            _TAG_RE.sub(b"", bytes(b or b"")).decode("utf-8", "replace")
+        )
+        for b in blobs
+    ]
+    cols = {
+        name: batch.column(name)
+        for name in batch.schema.names
+        if name != html_col  # drop the wide column immediately
+    }
+    cols["text_extracted"] = pa.array(out, pa.string())
+    return pa.table(cols)
+
+
+def extract_text(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Streaming extraction stage over a web_pages-shaped Dataset (small
+    batches — the html payload dominates block memory)."""
+    return ds.map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=256
+    )
