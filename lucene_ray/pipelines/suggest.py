@@ -406,16 +406,44 @@ def freetext_suggest(
     count(context .)`` when the bigram exists, else ``ALPHA *
     count(cand) / total_tokens`` — ranked (score desc, term asc), top-k.
 
-    -> Arrow table (query_id, rank, term, score). The bigram model is a
-    bounded distributed aggregation; per-input candidate pulls are tiny
-    in-plan filters (prefix-matched rows only)."""
+    -> Arrow table (query_id, rank, term, score). Scale shape: the
+    bigram model stays IN-PLAN — only rows whose context word is among
+    the inputs' contexts (and prefix-matched unigrams) are gathered, so
+    the driver pull is bounded by the input set, never the model; the
+    corpus-total token count is a Dataset aggregate."""
+    import pyarrow.compute as pc
+
     from ..functions.rounding import round_half_away
     from .stats import term_stats
 
-    bigrams = _bigram_counts(ds, cfg).take_all()  # pruned model table
-    stats = term_stats(ds, cfg).take_all()
-    uni = {r["term"]: int(r["total_tf"]) for r in stats}
-    total = sum(uni.values())
+    ctxs = sorted({c.lower() for c, _ in inputs})
+    prefixes = sorted({p.lower() for _, p in inputs})
+
+    def keep_ctx(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("w1"),
+                                     value_set=pa.array(ctxs)))
+
+    bigrams = (
+        _bigram_counts(ds, cfg)
+        .map_batches(keep_ctx, batch_format="pyarrow")
+        .take_all()
+    )
+    stats = term_stats(ds, cfg)
+    total = int(stats.sum("total_tf"))
+
+    def keep_prefix(batch: pa.Table) -> pa.Table:
+        m = None
+        for p in prefixes:
+            cur = pc.starts_with(batch.column("term"), p)
+            m = cur if m is None else pc.or_(m, cur)
+        return batch.filter(m)
+
+    uni = {
+        r["term"]: int(r["total_tf"])
+        for r in stats.map_batches(
+            keep_prefix, batch_format="pyarrow"
+        ).take_all()
+    }
     by_ctx: Dict[str, Dict[str, int]] = {}
     for r in bigrams:
         by_ctx.setdefault(r["w1"], {})[r["w2"]] = int(r["count"])
