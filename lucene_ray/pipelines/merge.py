@@ -39,6 +39,7 @@ from ..state.segment import (
 def _merge_gpart(
     shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int,
     deleted=None, with_positions: bool = False,
+    with_offsets: bool = False,
 ) -> dict:
     import time
 
@@ -70,15 +71,18 @@ def _merge_gpart(
     terms = sorted(term_set)
     blob = bytearray()
     pos_blob = bytearray()
+    off_blob = bytearray()
     rows: Dict[str, list] = {
         "term": [], "bucket": [], "doc_freq": [], "total_tf": [],
         "max_tf": [], "offset": [], "length": [],
         "pos_offset": [], "pos_length": [],
+        "off_offset": [], "off_length": [],
     }
     num_postings = 0
     sum_tf = 0
     for term in terms:
         docs_parts, tf_parts, key_parts, pos_parts = [], [], [], []
+        offp_parts = []
         for r in readers:
             for tp in r.postings(term):  # IndexReader restores bucket order
                 d, t, k = tp.decode_all()
@@ -87,6 +91,8 @@ def _merge_gpart(
                 key_parts.append(k)
             if with_positions:
                 pos_parts.append(r.term_positions(term)[2])
+            if with_offsets:
+                offp_parts.append(r.term_offsets(term)[2])
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         keys = np.concatenate(key_parts)
@@ -104,6 +110,18 @@ def _merge_gpart(
             w_o = widths[order]
             idx = np.repeat(starts[order], w_o) + concat_aranges(w_o)
             flat_pos = flat_all[idx]
+            if with_offsets:
+                # offsets store 2 int32 per occurrence: expand the
+                # occurrence permutation to interleaved pair indices
+                flat_all_off = (
+                    np.concatenate(offp_parts)
+                    if offp_parts
+                    else np.empty(0, np.int32)
+                )
+                off_idx = np.empty(2 * len(idx), dtype=np.int64)
+                off_idx[0::2] = 2 * idx
+                off_idx[1::2] = 2 * idx + 1
+                flat_off = flat_all_off[off_idx]
         docs, tfs, keys = docs[order], tfs[order], keys[order]
         if deleted is not None and len(deleted) and len(docs):
             # physically drop tombstoned postings (the reference's merge
@@ -115,6 +133,11 @@ def _merge_gpart(
                 w_k = tfs[keep].astype(np.int64)
                 idx2 = np.repeat(starts2[keep], w_k) + concat_aranges(w_k)
                 flat_pos = flat_pos[idx2]
+                if with_offsets:
+                    off_idx2 = np.empty(2 * len(idx2), dtype=np.int64)
+                    off_idx2[0::2] = 2 * idx2
+                    off_idx2[1::2] = 2 * idx2 + 1
+                    flat_off = flat_off[off_idx2]
             docs, tfs, keys = docs[keep], tfs[keep], keys[keep]
         if len(docs) == 0:
             continue
@@ -132,6 +155,12 @@ def _merge_gpart(
                 np.ascontiguousarray(flat_pos, dtype="<i4").tobytes()
             )
             rows["pos_length"].append(len(flat_pos) * 4)
+        if with_offsets:
+            rows["off_offset"].append(len(off_blob))
+            off_blob.extend(
+                np.ascontiguousarray(flat_off, dtype="<i4").tobytes()
+            )
+            rows["off_length"].append(len(flat_off) * 4)
         num_postings += len(docs)
         sum_tf += int(tfs.sum())
     seg_dir = os.path.join(out_dir, SEGMENT_DIR)
@@ -146,6 +175,11 @@ def _merge_gpart(
         with open(tmp, "wb") as f:
             f.write(pos_blob)
         os.replace(tmp, base + ".pos")
+    if with_offsets:
+        tmp = base + ".off.tmp"
+        with open(tmp, "wb") as f:
+            f.write(off_blob)
+        os.replace(tmp, base + ".off")
     cols = {
         "term": pa.array(rows["term"], pa.string()),
         "bucket": pa.array(rows["bucket"], pa.int32()),
@@ -162,6 +196,12 @@ def _merge_gpart(
         schema = TERMS_SCHEMA.append(pa.field("pos_offset", pa.int64())).append(
             pa.field("pos_length", pa.int64())
         )
+    if with_offsets:
+        cols["off_offset"] = pa.array(rows["off_offset"], pa.int64())
+        cols["off_length"] = pa.array(rows["off_length"], pa.int64())
+        schema = schema.append(pa.field("off_offset", pa.int64())).append(
+            pa.field("off_length", pa.int64())
+        )
     tbl = pa.table(cols, schema=schema)
     tmp = base + ".terms.parquet.tmp"
     pq.write_table(tbl, tmp)
@@ -177,6 +217,7 @@ def _merge_gpart(
         "blob_bytes": len(blob),
         "post_crc32": zlib.crc32(bytes(blob)),
         "pos_crc32": zlib.crc32(bytes(pos_blob)) if with_positions else -1,
+        "off_crc32": zlib.crc32(bytes(off_blob)) if with_offsets else -1,
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -235,6 +276,7 @@ def compact_shards(
                 raise ValueError(f"shards disagree on {key}")
     num_partitions = first["num_partitions"]
     with_positions = all(m.get("positions", False) for m in manifests)
+    with_offsets = all(m.get("offsets", False) for m in manifests)
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     dead = (
         np.unique(np.asarray(list(deleted), dtype=np.int64))
@@ -245,7 +287,7 @@ def compact_shards(
         [
             _merge_gpart.remote(
                 list(shard_dirs), out_dir, g, num_partitions, dead,
-                with_positions,
+                with_positions, with_offsets,
             )
             for g in range(num_partitions)
         ]
@@ -259,6 +301,7 @@ def compact_shards(
         "analyzer": first["analyzer"],
         "norm_kind": first["norm_kind"],
         "positions": with_positions,
+        "offsets": with_offsets,
         "num_partitions": num_partitions,
         "bucket_shift": first.get("bucket_shift", 16),
         "heavy_terms": [],

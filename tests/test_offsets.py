@@ -157,3 +157,54 @@ def test_checkindex_validates_offsets(off_idx):
     with _pytest.raises(IndexCorruptError, match="crc32|offsets"):
         check_index(cp_root)
     shutil.rmtree(cp_root, ignore_errors=True)
+
+
+def test_compaction_carries_offsets(ray_session, tmp_path):
+    """Delete-aware compaction must carry the .off sidecar: after merging
+    two offsets-enabled shards with a tombstone, term_offsets still match
+    re-analysis spans and the offsets highlighter stays byte-identical."""
+    import ray.data
+
+    from lucene_ray.pipelines.merge import compact_shards
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.checkindex import check_index
+
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=3,
+        positions=True, offsets=True, sample_rate=1.0,
+    )
+    half = len(TEXTS) // 2
+
+    def build(ids, texts, out):
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        build_index(ray.data.from_arrow(docs), str(out), cfg,
+                    doc_count=len(ids))
+
+    build(range(half), TEXTS[:half], tmp_path / "s0")
+    build(range(half, len(TEXTS)), TEXTS[half:], tmp_path / "s1")
+    out = str(tmp_path / "merged")
+    dead = np.asarray([1], dtype=np.int64)  # tombstone a doc
+    manifest = compact_shards(
+        [str(tmp_path / "s0"), str(tmp_path / "s1")], out, deleted=dead
+    )
+    assert manifest["offsets"] is True
+    reader = get_reader(out)
+    assert reader.has_offsets
+    check_index(out)
+    an = make_analyzer("standard_en")
+    for doc, text in enumerate(TEXTS):
+        if doc == 1:
+            continue
+        a = best_fragment(text, ("data", "stream", "hash"), an, frag_size=60)
+        b = best_fragment_from_index(
+            reader, doc, text, ("data", "stream", "hash"), frag_size=60
+        )
+        assert a == b, doc
+    # the tombstoned doc's occurrences are physically gone
+    docs, _tfs, _flat = reader.term_offsets("hash")
+    assert 1 not in docs.tolist()
