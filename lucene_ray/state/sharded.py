@@ -132,6 +132,29 @@ class ShardedReader:
             np.concatenate([p[2] for p in parts]),
         )
 
+    @property
+    def has_offsets(self) -> bool:
+        return all(
+            getattr(sh, "has_offsets", False) for sh in self.shards
+        )
+
+    def term_offsets(self, term: str):
+        """Concatenated per-shard (docs, tfs, flat (start,end) pairs),
+        global doc order — postings-source highlighting over incremental
+        roots."""
+        import numpy as np
+
+        parts = [sh.term_offsets(term) for sh in self.shards]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int32)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
     def filter_docs(self, filters):
         """Per-shard range results concatenate in global doc order (shard
         doc ranges are disjoint ascending)."""

@@ -208,3 +208,44 @@ def test_compaction_carries_offsets(ray_session, tmp_path):
     # the tombstoned doc's occurrences are physically gone
     docs, _tfs, _flat = reader.term_offsets("hash")
     assert 1 not in docs.tolist()
+
+
+def test_incremental_root_offsets(ray_session, tmp_path):
+    """Offsets highlighting over an incremental root (ShardedReader):
+    append two offsets-enabled shards, highlight from the index."""
+    import os
+
+    import ray.data
+
+    from lucene_ray.pipelines.incremental import add_batch
+    from lucene_ray.pipelines.search import get_reader
+
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=2,
+        positions=True, offsets=True, sample_rate=1.0,
+    )
+
+    def mk(ids, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    half = len(TEXTS) // 2
+    add_batch(root, mk(range(half), TEXTS[:half]), cfg, doc_count=half)
+    add_batch(root, mk(range(half, len(TEXTS)), TEXTS[half:]), cfg,
+              doc_count=len(TEXTS) - half)
+    reader = get_reader(root)
+    assert reader.has_offsets
+    an = make_analyzer("standard_en")
+    for doc, text in enumerate(TEXTS):
+        a = best_fragment(text, ("data", "hash"), an, frag_size=60)
+        b = best_fragment_from_index(reader, doc, text, ("data", "hash"),
+                                     frag_size=60)
+        assert a == b, doc
