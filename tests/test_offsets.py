@@ -249,3 +249,43 @@ def test_incremental_root_offsets(ray_session, tmp_path):
         b = best_fragment_from_index(reader, doc, text, ("data", "hash"),
                                      frag_size=60)
         assert a == b, doc
+
+
+def test_offsets_with_heavy_term_split(ray_session, tmp_path):
+    """Heavy-term doc-range bucket splits must keep the offsets stream
+    aligned with the postings (same lexsort writes both)."""
+    import ray.data
+
+    from lucene_ray.pipelines.search import get_reader
+
+    texts = [f"data common{i % 3} data tail{i}" for i in range(40)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = str(tmp_path / "heavy_off")
+    cfg = IndexConfig(
+        analyzer="standard_en", norm_kind="byte4", num_partitions=3,
+        positions=True, offsets=True, heavy_df_threshold=5,
+        bucket_shift=3, sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(docs), out, cfg, doc_count=len(texts))
+    reader = get_reader(out)
+    assert reader.manifest["heavy_terms"]  # the split actually happened
+    an = make_analyzer("standard_en")
+    for term in ("data", "common0", "tail7"):
+        dd, tfs, flat = reader.term_offsets(term)
+        cur = 0
+        for d, nf in zip(dd.tolist(), tfs.tolist()):
+            t_terms, _p, starts, ends = an.analyze_offsets(texts[d])
+            want = [
+                (s, e) for t, s, e in zip(t_terms, starts, ends) if t == term
+            ]
+            got = [
+                (int(flat[cur + 2 * j]), int(flat[cur + 2 * j + 1]))
+                for j in range(nf)
+            ]
+            assert got == want, (term, d)
+            cur += 2 * nf
