@@ -2223,8 +2223,30 @@ def score_sort_by_fields(
     )
 
 
+def _set_path(path: str) -> None:
+    """Record which engine the last score_blockmax call selected (test /
+    bench observability for 'is pruning actually engaged?'; per-process,
+    like any module global — read it in the same process that searched)."""
+    score_blockmax.last_path = path
+
+
 def score_blockmax(reader, query, k: int = 10):
-    """Block-max pruned executor; result-identical to score_exhaustive."""
+    """Block-max pruned executor; result-identical to score_exhaustive.
+
+    Since r4 the pruned path also covers non-BM25 similarities and
+    FILTER-carrying boolean queries (the reference computes impact score
+    bounds for ANY SimScorer — search/MaxScoreCache.java:63-80 — and
+    intersects filter clauses in the block-max conjunction,
+    search/BooleanScorerSupplier.java:398-418): every similarity in
+    functions/similarities.py is monotone non-decreasing in tf and
+    non-increasing in decoded doc length, so the max of score_array over
+    the stored (tf, key) Pareto frontier IS the exact per-block upper
+    bound; clamped-at-zero models (LMDirichlet, DFI, AxiomaticF2EXP)
+    yield bound-0 blocks whose docs still MATCH at score 0, so interval
+    feasibility keys on cursor activity, not on bound > 0. FILTER
+    clauses become a doc-wise conjunction: an interval without any
+    filter-passing doc is infeasible, and surviving candidates are
+    intersected with the filter set before entering the heap."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
@@ -2232,26 +2254,33 @@ def score_blockmax(reader, query, k: int = 10):
         # positional verification / whole-corpus enumeration / phrase
         # mixes / boolean trees / blended-stats synonyms aren't modeled
         # by interval bounds
-        return score_exhaustive(reader, query, k)
-    if getattr(reader, "similarity", None) is not None:
-        # non-BM25 similarities (LMDirichlet clamps in-document scores to
-        # 0) aren't modeled by the interval pruning; exhaustive is exact
-        return score_exhaustive(reader, query, k)
-    if getattr(query, "filters", ()):
-        # range FILTER clauses cut the candidate set doc-wise; interval
-        # bounds don't model them, so the exhaustive executor (which
-        # intersects exactly) is the correct engine here
+        _set_path("exhaustive:query-kind")
         return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)
     if prep is None:
+        _set_path("empty")
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    filters = getattr(query, "filters", ())
+    fdocs = None
+    if filters:
+        if len(prep[0]) == 0:
+            # pure-filter query (no scoring terms): exhaustive owns the
+            # match-all-passing-docs semantics
+            _set_path("exhaustive:pure-filter")
+            return score_exhaustive(reader, query, k, _prep=prep)
+        fdocs = reader.filter_docs(filters)
+        if fdocs is None or len(fdocs) == 0:
+            _set_path("empty")
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=prep[3])
     single = _single_term_shortcut(prep, query, k)
     if single is not None and single.n_blocks > 0:
+        _set_path("champion")
         return _champion_topk(reader, single, k)
     cursors, is_must, not_cursors, dtype, groups = prep
     if groups:
         # nested required-OR groups aren't modeled by interval bounds;
         # the exhaustive group path is exact
+        _set_path("exhaustive:groups")
         return score_exhaustive(reader, query, k, _prep=prep)
     # a cursor can be block-less locally even with global df > 0 (sharded
     # search under global stats): an empty MUST list empties the result;
@@ -2289,18 +2318,29 @@ def score_blockmax(reader, query, k: int = 10):
             active_all_must &= act
         else:
             active_cnt_should += act.astype(np.int32)
-    # feasibility masks
-    feasible = bounds > 0
+    # feasibility masks — activity-based, NOT ``bounds > 0``: clamped
+    # similarities (LMDirichlet / DFI / AxiomaticF2EXP) legitimately
+    # produce bound-0 blocks whose docs still MATCH at score 0 and can
+    # enter an under-filled top-k (doc-id tie order)
     if n_must:
-        feasible &= active_all_must
+        feasible = active_all_must.copy()
         if msm > 0:
             feasible &= active_cnt_should >= msm
     else:
-        feasible &= active_cnt_should >= max(1, msm)
+        feasible = active_cnt_should >= max(1, msm)
+    if fdocs is not None:
+        # FILTER conjunction at interval granularity (reference analogue:
+        # filter clauses participate in the block-max conjunction,
+        # BooleanScorerSupplier.java:398-418): an interval containing no
+        # filter-passing doc is infeasible
+        feasible &= (
+            np.searchsorted(fdocs, edges[1:]) > np.searchsorted(fdocs, starts)
+        )
     # conservative pad for float32 accumulation wobble (round-up analogue)
     pad = 1.0 + (n + 2) * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
     bounds = bounds * pad
 
+    _set_path("pruned")
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []  # (score, -doc_id), heap[0] = worst
     not_docs = _NotCursorView.all_docs(not_cursors) if not_cursors else None
@@ -2321,6 +2361,7 @@ def score_blockmax(reader, query, k: int = 10):
             thr = heap[0][0] if len(heap) == k else -np.inf
             alive = int((bounds[feasible] >= thr).sum())
             if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
                 return score_exhaustive(
                     reader, query, k,
                     _prep=(cursors, is_must, not_cursors, dtype, []),
@@ -2330,6 +2371,12 @@ def score_blockmax(reader, query, k: int = 10):
         hi = int(edges[i + 1]) - 1
         per_term = [c.docs_in(lo, hi) for c in cursors]
         cand, acc = _combine(per_term, is_must, n_must, msm, not_docs, dtype)
+        if fdocs is not None and len(cand):
+            # FILTER doc-wise intersection inside the pruned loop (filter
+            # docs are sorted unique; candidates are sorted)
+            pos = np.minimum(np.searchsorted(fdocs, cand), len(fdocs) - 1)
+            fkeep = fdocs[pos] == cand
+            cand, acc = cand[fkeep], acc[fkeep]
         if len(cand) == 0:
             continue
         # vectorized pre-filter: only candidates at/above the current kth

@@ -1,0 +1,177 @@
+"""Round-4 block-max coverage: the pruned executor must now handle
+non-BM25 similarities and FILTER-carrying boolean queries instead of
+bailing to the exhaustive path (reference analogues: MaxScoreCache
+computes impact score bounds for ANY SimScorer,
+core/src/java/org/apache/lucene/search/MaxScoreCache.java:63-80;
+filter clauses participate in the block-max conjunction,
+core/src/java/org/apache/lucene/search/BooleanScorerSupplier.java:398-418).
+
+Every comparison demands bit-identical doc IDs AND scores
+(dumb-vs-smart, the TestWANDScorer pattern), and the tests assert via
+``score_blockmax.last_path`` that the PRUNED path was actually selected
+— a regression back to silent exhaustive routing fails here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.query import (
+    BooleanQuery,
+    parse_query,
+    score_blockmax,
+    score_exhaustive,
+)
+from lucene_ray.pipelines.build import IndexConfig, build_index
+
+from test_engine_oracle import WORDS, make_corpus, random_queries, analyzed
+from test_similarities import ALL_SIMS
+
+CONTENT = [w for w in WORDS if w not in ("the", "and", "of")]
+
+
+@pytest.fixture(scope="module")
+def bx_index(ray_session, tmp_path_factory):
+    """600-doc corpus, 5 partitions -> every frequent term spans multiple
+    posting blocks, plus a ``ts`` doc-values field for range filters."""
+    import ray.data
+
+    from lucene_ray.state.docvalues import write_doc_values
+
+    doc_ids, texts = make_corpus(n_docs=600, seed=41)
+    rng = np.random.default_rng(43)
+    ts = [int(v) for v in rng.integers(0, 1000, size=len(doc_ids))]
+    out = str(tmp_path_factory.mktemp("bx") / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=5,
+        sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
+    write_doc_values(
+        ray.data.from_arrow(tbl.select(["doc_id", "ts"])), out, "ts"
+    )
+    return out, ts
+
+
+def _reader(index_dir):
+    from lucene_ray.pipelines.search import get_reader
+
+    return get_reader(index_dir)
+
+
+def _identical(reader, q, k=10):
+    ed, es = score_exhaustive(reader, q, k)
+    bd, bs = score_blockmax(reader, q, k)
+    assert np.array_equal(ed, bd), q
+    assert np.array_equal(np.asarray(es), np.asarray(bs)), q
+    return score_blockmax.last_path
+
+
+@pytest.mark.parametrize("sim", ALL_SIMS)
+def test_similarity_queries_take_pruned_path(bx_index, sim):
+    """Every similarity family: random boolean queries are result-identical
+    dumb-vs-smart AND at least one multi-term query runs the pruned
+    interval loop (not an exhaustive bail)."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    reader.similarity = sim
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(sum(ord(c) for c in str(sim)))
+    paths = []
+    try:
+        for q in analyzed(random_queries(rng, n=12), an):
+            paths.append(_identical(reader, q, k=10))
+    finally:
+        reader.similarity = None
+    assert any(p in ("pruned", "champion") for p in paths), paths
+    assert not any(p.startswith("exhaustive:similarity") for p in paths)
+
+
+def test_filter_queries_take_pruned_path(bx_index):
+    """Range-FILTER boolean queries: bit-identical dumb-vs-smart, pruned
+    path engaged (filters intersect inside the interval loop)."""
+    idx, ts = bx_index
+    reader = _reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(47)
+    pruned_seen = 0
+    for _ in range(25):
+        lo, hi = sorted(int(v) for v in rng.integers(0, 1000, size=2))
+        terms = [str(w) for w in rng.choice(CONTENT, size=int(rng.integers(1, 4)), replace=False)]
+        shape = int(rng.integers(0, 3))
+        if shape == 0:
+            qs = f"{' '.join(terms)} ts:[{lo} TO {hi}]"
+        elif shape == 1:
+            qs = f"+{terms[0]} {' '.join(terms[1:])} ts:[{lo} TO {hi}]"
+        else:
+            qs = f"{' '.join(terms[:-1]) or terms[0]} -{terms[-1]} ts:[{lo} TO {hi}]"
+        path = _identical(reader, parse_query(qs, an), k=10)
+        if path == "pruned":
+            pruned_seen += 1
+    assert pruned_seen >= 5, pruned_seen
+
+
+def test_filter_edge_cases(bx_index):
+    """Empty-range filter, all-covering filter, filter + msm, filter +
+    similarity combined — all bit-identical dumb-vs-smart."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    # empty range: no doc passes
+    d, s = score_blockmax(reader, parse_query("alpha ts:[2000 TO 3000]", an), 10)
+    assert len(d) == 0
+    # all-covering range == unfiltered result
+    q_f = parse_query("alpha beta ts:[0 TO 1000]", an)
+    q_u = parse_query("alpha beta", an)
+    fd, fs = score_blockmax(reader, q_f, 10)
+    ud, us = score_blockmax(reader, q_u, 10)
+    assert np.array_equal(fd, ud)
+    assert np.array_equal(np.asarray(fs), np.asarray(us))
+    # msm + filter
+    q = BooleanQuery(
+        should=("alpha", "beta", "gamma"), minimum_should_match=2,
+        filters=(("ts", 100, 900),),
+    )
+    _identical(reader, q, k=10)
+    # similarity + filter through the same pruned machinery
+    for sim in [("lmd", 2000.0), ("classic",), ("dfi",)]:
+        reader.similarity = sim
+        try:
+            path = _identical(
+                reader, parse_query("alpha beta ts:[100 TO 900]", an), k=10
+            )
+        finally:
+            reader.similarity = None
+        assert not path.startswith("exhaustive:query-kind"), (sim, path)
+
+
+def test_clamped_zero_scores_fill_topk(bx_index):
+    """LMDirichlet with tiny mu clamps common-term scores in long docs to
+    0; those docs still MATCH and must fill an under-filled top-k in
+    doc-id order — identical between executors (the activity-based
+    feasibility fix: a bound-0 block is not infeasible)."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    reader.similarity = ("lmd", 1.0)  # aggressive clamping
+    try:
+        for qt in ["alpha", "alpha beta", "+alpha mu", "alpha -beta"]:
+            q = parse_query(qt, an)
+            ed, es = score_exhaustive(reader, q, 50)
+            bd, bs = score_blockmax(reader, q, 50)
+            assert np.array_equal(ed, bd), qt
+            assert np.array_equal(np.asarray(es), np.asarray(bs)), qt
+            # the clamp actually fires somewhere (test is vacuous otherwise)
+        assert float(np.asarray(es).min()) == 0.0
+    finally:
+        reader.similarity = None
