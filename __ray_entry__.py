@@ -2408,7 +2408,7 @@ def _doc_map(sf_dir: str):
     return build_doc_map(_load_documents(sf_dir), cfg)
 
 
-def _read_sized(path: str, rows_per_block: int = 1024):
+def _read_sized(path: str, rows_per_block: int = 1024, columns=None):
     """read_parquet with ~1k-row blocks: Ray's default splits tiny files
     into num_cpus*2 near-empty blocks and every downstream all-to-all then
     pays O(blocks^2) scheduling — the small-input clamp (bench.py has the
@@ -2419,7 +2419,8 @@ def _read_sized(path: str, rows_per_block: int = 1024):
 
     n = pq.ParquetFile(path).metadata.num_rows
     return ray.data.read_parquet(
-        path, override_num_blocks=max(1, min(64, n // rows_per_block))
+        path, columns=columns,
+        override_num_blocks=max(1, min(64, n // rows_per_block)),
     )
 
 
@@ -2634,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
+    q["payload_score"] = lambda sf: _payload_score(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
@@ -3259,6 +3261,138 @@ SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
     2: ("customer", "line"),
     3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
+
+# PayloadScoreQuery (reference: queries/payloads/PayloadScoreQuery.java
+# with {Max,Min,Average,Sum}PayloadFunction.java): a pre-pass annotates
+# every token as "term|ordinal" (1-based token position), the index is
+# built through the DelimitedPayloadTokenFilter analogue
+# (IndexConfig.payloads=True -> .pay sidecar), and docs rank by
+# fn(payloads at the query term's positions). Sets are (term, function).
+PAYLOAD_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data", "max"),
+    1: ("stream", "sum"),
+    2: ("key", "avg"),
+    3: ("batch", "min"),
+    4: ("customer", "max"),
+}
+
+
+def _ensure_payload_index(sf_dir: str) -> str:
+    """Annotate documents with per-token "term|ordinal" payloads and build
+    the payloads-enabled index (reused via checkpoint fingerprint)."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.segment import read_manifest
+
+    key = (sf_dir, "payload")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/lucene_ray_idx/{tag}-payload"
+    cfg = IndexConfig(
+        analyzer="whitespace_payload", norm_kind="exact", num_partitions=8,
+        positions=True, payloads=True,
+    )
+    doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    fingerprint = (
+        f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
+        f"parts={cfg.num_partitions};pos=1;pay=1"
+    )
+    try:
+        mf = read_manifest(out)
+        if mf.get("fingerprint") == fingerprint and mf.get("version") == 1:
+            _INDEX_CACHE[key] = out
+            return out
+    except Exception:
+        pass
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ann = [
+            " ".join(
+                f"{m.group()}|{i + 1}"
+                for i, m in enumerate(tok_re.finditer(t.lower()))
+            )
+            if t
+            else ""
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(ann, pa.string()),
+            }
+        )
+
+    ds = _read_sized(_docs_path(sf_dir), columns=["doc_id", "text"]).map_batches(
+        annotate, batch_format="pyarrow"
+    )
+    build_index(ds, out, cfg, doc_count=doc_count)
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _payload_score(sf_dir: str):
+    """PayloadScoreQuery top-k per (term, function) set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.payloads import score_payload
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_payload_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid in sorted(PAYLOAD_QUERY_SETS):
+        term, fn = PAYLOAD_QUERY_SETS[qid]
+        d, s = score_payload(reader, term, k=TOPK, function=fn)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _payload_sql() -> str:
+    """Oracle for payload_score: token ordinals via zipped unnest; ranking
+    by the UNROUNDED aggregate (rounded only in the projection)."""
+    arms = []
+    for qid in sorted(PAYLOAD_QUERY_SETS):
+        term, fn = PAYLOAD_QUERY_SETS[qid]
+        agg = {"max": "MAX", "min": "MIN", "sum": "SUM", "avg": "AVG"}[fn]
+        arms.append(
+            f"""(
+WITH ptok AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(range(1, len(l) + 1)) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id, {agg}(CAST(ord AS DOUBLE)) AS score
+  FROM ptok WHERE term = '{term}' GROUP BY doc_id
+)
+SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, ROUND(score, 4) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {TOPK})"""
+        )
+    return "\nUNION ALL\n".join(arms)
 
 
 def _in_list(terms: Sequence[str]) -> str:
@@ -5895,6 +6029,7 @@ FROM tf GROUP BY term"""
     sql["suggest_freetext"] = _suggest_freetext_sql()
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
+    sql["payload_score"] = _payload_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()

@@ -744,6 +744,63 @@ def _parse_synonym_name(name: str) -> SynonymAnalyzer:
     return SynonymAnalyzer(make_analyzer(base), mapping, name=name)
 
 
+class DelimitedPayloadAnalyzer:
+    """Whitespace tokenizer + DelimitedPayloadTokenFilter analogue
+    (reference: analysis/common/src/java/org/apache/lucene/analysis/
+    payloads/DelimitedPayloadTokenFilter.java:53-70 — characters before
+    the FIRST delimiter are the term, those after are the payload,
+    decoded by an encoder; tokens without the delimiter carry no payload
+    — the reference sets the payload attribute to null). Tokens are
+    whitespace-split because, per the reference's own caveat, "make sure
+    your Tokenizer doesn't split on the delimiter". Terms are lowercased
+    (the usual lowercase filter downstream of the payload split).
+
+    Encoders (reference: payloads/FloatEncoder.java,
+    IntegerEncoder.java): ``float`` parses the payload text as a decimal
+    float; ``int`` as an integer. A missing payload is represented as
+    NaN — payload scoring skips it (numPayloadsSeen semantics,
+    queries/payloads/PayloadScoreQuery.java PayloadSpanCollector)."""
+
+    name = "whitespace_payload"
+
+    def __init__(self, delimiter: str = "|", encoder: str = "float"):
+        if len(delimiter) != 1:
+            raise ValueError("payload delimiter must be a single character")
+        if encoder not in ("float", "int"):
+            raise ValueError(f"unknown payload encoder {encoder!r}")
+        self.delimiter = delimiter
+        self.encoder = encoder
+
+    def _split(self, raw: str):
+        i = raw.find(self.delimiter)
+        if i < 0:
+            return raw.lower(), float("nan")
+        body = raw[i + 1:]
+        val = float(body) if self.encoder == "float" else float(int(body))
+        return raw[:i].lower(), val
+
+    def analyze_payloads(self, text: str):
+        """(terms, positions, payloads); empty terms (token was all
+        payload, e.g. ``|5``) are dropped like any empty token."""
+        terms: List[str] = []
+        pos: List[int] = []
+        pays: List[float] = []
+        for i, raw in enumerate(text.split()):
+            t, p = self._split(raw)
+            if t:
+                terms.append(t)
+                pos.append(i)
+                pays.append(p)
+        return terms, pos, pays
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_payloads(text)[0]
+
+    def analyze_positions(self, text: str):
+        terms, pos, _ = self.analyze_payloads(text)
+        return terms, pos
+
+
 _REGISTRY: Dict[str, Callable[[], object]] = {
     "standard_en": StandardEnglishAnalyzer,
     "standard_en_nostem": lambda: StandardEnglishAnalyzer(stem=False),
@@ -764,6 +821,8 @@ _REGISTRY: Dict[str, Callable[[], object]] = {
     "keyword_repeat": KeywordRepeatAnalyzer,
     "common_grams": CommonGramsAnalyzer,
     "path_hierarchy": PathHierarchyAnalyzer,
+    "whitespace_payload": DelimitedPayloadAnalyzer,
+    "whitespace_payload_int": lambda: DelimitedPayloadAnalyzer(encoder="int"),
 }
 
 

@@ -1,0 +1,99 @@
+"""PayloadScoreQuery: score docs by a function of a term's per-occurrence
+payloads (reference: queries/src/java/org/apache/lucene/queries/payloads/
+PayloadScoreQuery.java — wraps a span query, collects each matched
+position's payload through a PayloadDecoder, folds them with a
+PayloadFunction, and optionally multiplies by the wrapped query's score).
+
+Implemented shape: the SpanTermQuery wrap (the common term-weighting use),
+reading the ``.pay`` sidecar written by ``IndexConfig(payloads=True)``
+builds (the DelimitedPayloadTokenFilter analogue in functions/analysis.py).
+
+Functions (reference: MaxPayloadFunction.java:26-43,
+MinPayloadFunction.java:23-40, AveragePayloadFunction.java:27-44,
+SumPayloadFunction.java): per doc fold every non-missing payload (a token
+without a delimiter carries none — stored NaN — and does not count toward
+``numPayloadsSeen``); ``docScore`` is the folded value when
+``numPayloadsSeen > 0`` and the neutral 1.0 otherwise, exactly the
+reference's ``numPayloadsSeen > 0 ? payloadScore : 1``.
+
+``include_span_score=True`` multiplies by the term's similarity score
+(PayloadScoreQuery.java includeSpanScore ctor flag); the default
+False returns the payload score alone, SQL-expressible for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .query import _term_scorer, _topk_from
+
+PAYLOAD_FUNCTIONS = ("max", "min", "avg", "sum")
+
+
+def payload_doc_scores(reader, term: str, function: str = "max"):
+    """-> (docs:int64, scores) for every doc containing ``term``; scores
+    in the reader's score dtype (float32 for byte4 norms, float64 exact),
+    folded per the named PayloadFunction with the reference's neutral-1.0
+    no-payload fallback. Tombstoned docs (liveDocs) are dropped."""
+    if function not in PAYLOAD_FUNCTIONS:
+        raise ValueError(
+            f"unknown payload function {function!r}; one of {PAYLOAD_FUNCTIONS}"
+        )
+    docs, tfs, flat = reader.term_payloads(term)
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    if len(docs) == 0:
+        return docs, np.empty(0, dtype=dtype)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    valid = ~np.isnan(flat)
+    seen = np.add.reduceat(valid.astype(np.int64), starts)
+    flat64 = flat.astype(np.float64)
+    if function == "max":
+        agg = np.maximum.reduceat(np.where(valid, flat64, -np.inf), starts)
+    elif function == "min":
+        agg = np.minimum.reduceat(np.where(valid, flat64, np.inf), starts)
+    else:
+        agg = np.add.reduceat(np.where(valid, flat64, 0.0), starts)
+        if function == "avg":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                agg = agg / seen
+    scores = np.where(seen > 0, agg, 1.0).astype(dtype)
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs):
+        pos = np.minimum(np.searchsorted(deleted, docs), len(deleted) - 1)
+        keep = deleted[pos] != docs
+        docs, scores = docs[keep], scores[keep]
+    return docs, scores
+
+
+def score_payload(reader, term: str, k: int = 10, function: str = "max",
+                  include_span_score: bool = False):
+    """Top-k (score desc, doc asc) under the payload function; with
+    ``include_span_score`` the payload score multiplies the term's
+    similarity score (reference: PayloadScoreQuery.java includeSpanScore —
+    the two-arg ctor defaults to including it; our default False keeps the
+    pure payload ranking)."""
+    docs, scores = payload_doc_scores(reader, term, function)
+    if include_span_score and len(docs):
+        df, ttf = reader.term_stats(term)
+        scorer = _term_scorer(reader, df, ttf)
+        tagged = []
+        for seg in reader._segments_for(term):
+            for b, tp in seg.postings_with_buckets(term):
+                d, t, key = tp.decode_all()
+                tagged.append((b, t, key))
+        tagged.sort(key=lambda x: x[0])
+        tfs = np.concatenate([x[1] for x in tagged])
+        keys = np.concatenate([x[2] for x in tagged])
+        sim = scorer.score_array(tfs, keys)
+        deleted = getattr(reader, "deleted", None)
+        if deleted is not None and len(deleted):
+            # payload_doc_scores dropped tombstones; realign sim scores
+            alldocs, _, _ = reader.term_payloads(term)
+            pos = np.minimum(
+                np.searchsorted(deleted, alldocs), len(deleted) - 1
+            )
+            sim = sim[deleted[pos] != alldocs]
+        scores = (scores.astype(np.float64) * sim.astype(np.float64)).astype(
+            scores.dtype
+        )
+    return _topk_from(docs, scores, k)

@@ -77,6 +77,14 @@ POSTINGS_POS_OFF_SCHEMA = POSTINGS_POS_SCHEMA.append(
     pa.field("offsets", pa.binary())
 )
 
+#: payloads variant: + per-occurrence float32-LE payloads in the same
+#: per-doc ascending-position order as the positions column (reference:
+#: the positions stream's per-position payload bytes,
+#: codecs/lucene104/Lucene104PostingsWriter.java payload channel)
+POSTINGS_POS_PAY_SCHEMA = POSTINGS_POS_SCHEMA.append(
+    pa.field("payloads", pa.binary())
+)
+
 
 @dataclass
 class IndexConfig:
@@ -117,6 +125,14 @@ class IndexConfig:
     # (reference: IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
     # UnifiedHighlighter's OffsetSource.POSTINGS). Requires positions.
     offsets: bool = False
+    # index per-position payloads: one float32 per occurrence rides next
+    # to the positions column into a .pay sidecar — PayloadScoreQuery
+    # reads term weights straight off the index (reference: the postings
+    # payload channel + queries/payloads/PayloadScoreQuery.java). The
+    # analyzer must expose analyze_payloads (e.g. "whitespace_payload",
+    # the DelimitedPayloadTokenFilter analogue). Requires positions;
+    # mutually exclusive with offsets (no analyzer produces both streams).
+    payloads: bool = False
 
 
 class AnalyzerStage:
@@ -143,6 +159,8 @@ class AnalyzerStage:
     def _empty(self) -> pa.Table:
         if self.cfg.offsets:
             return POSTINGS_POS_OFF_SCHEMA.empty_table()
+        if self.cfg.payloads:
+            return POSTINGS_POS_PAY_SCHEMA.empty_table()
         if self.cfg.positions:
             return POSTINGS_POS_SCHEMA.empty_table()
         return POSTINGS_SCHEMA.empty_table()
@@ -184,12 +202,19 @@ class AnalyzerStage:
         doc_ids = batch.column(cfg.id_col).to_numpy()
         pos_lists: Optional[List[List[int]]] = None
         off_lists: Optional[List[tuple]] = None
+        pay_lists: Optional[List[List[float]]] = None
         if cfg.offsets:
             analyze_o = self.analyzer.analyze_offsets
             quads = [analyze_o(t) if t else ([], [], [], []) for t in texts]
             term_lists = [qd[0] for qd in quads]
             pos_lists = [qd[1] for qd in quads]
             off_lists = [(qd[2], qd[3]) for qd in quads]
+        elif cfg.payloads:
+            analyze_pp = self.analyzer.analyze_payloads
+            trips = [analyze_pp(t) if t else ([], [], []) for t in texts]
+            term_lists = [tr[0] for tr in trips]
+            pos_lists = [tr[1] for tr in trips]
+            pay_lists = [tr[2] for tr in trips]
         elif cfg.positions:
             analyze_p = self.analyzer.analyze_positions
             pairs_tp = [analyze_p(t) if t else ([], []) for t in texts]
@@ -223,6 +248,7 @@ class AnalyzerStage:
 
         pos_col = None
         off_col = None
+        pay_col = None
         if pos_lists is not None:
             # per-(doc, term) ascending positions, packed int32-LE binary;
             # np.unique's ascending pair order == lexsort's primary order,
@@ -272,6 +298,28 @@ class AnalyzerStage:
                         pa.py_buffer(np.ascontiguousarray(inter).tobytes()),
                     ],
                 )
+            if pay_lists is not None:
+                # float32 payloads in the SAME occurrence order as the
+                # positions column (one lexsort serves both streams)
+                pay_flat = np.fromiter(
+                    itertools.chain.from_iterable(pay_lists),
+                    dtype=np.float32, count=total,
+                )
+                pay_sorted = np.ascontiguousarray(
+                    pay_flat[order], dtype="<f4"
+                )
+                pay_offsets = (
+                    np.concatenate(([0], np.cumsum(tfs))) * 4
+                ).astype(np.int32)
+                pay_col = pa.BinaryArray.from_buffers(
+                    pa.binary(),
+                    len(uniq),
+                    [
+                        None,
+                        pa.py_buffer(pay_offsets.tobytes()),
+                        pa.py_buffer(pay_sorted.tobytes()),
+                    ],
+                )
 
         keys_doc = (
             int_to_byte4(lens).astype(np.int64) if self.byte4 else lens
@@ -313,6 +361,10 @@ class AnalyzerStage:
             cols["positions"] = pos_col
             cols["offsets"] = off_col
             return pa.table(cols, schema=POSTINGS_POS_OFF_SCHEMA)
+        if pay_col is not None:
+            cols["positions"] = pos_col
+            cols["payloads"] = pay_col
+            return pa.table(cols, schema=POSTINGS_POS_PAY_SCHEMA)
         if pos_col is not None:
             cols["positions"] = pos_col
             return pa.table(cols, schema=POSTINGS_POS_SCHEMA)
@@ -467,6 +519,14 @@ class SegmentEncoder:
 
             off_flat, off_lens = binary_flat_i32(group.column("offsets"))
             off_row_starts = np.concatenate(([0], np.cumsum(off_lens)))
+        has_pay = "payloads" in group.schema.names
+        if has_pay:
+            from ..util import binary_flat_i32
+
+            # payload bytes are float32-LE; binary_flat_i32 only moves
+            # bytes (same width), so the reinterpret is lossless
+            pay_flat, pay_lens = binary_flat_i32(group.column("payloads"))
+            pay_row_starts = np.concatenate(([0], np.cumsum(pay_lens)))
 
         # run boundaries where (term, bucket) changes
         change = np.empty(len(term_codes), dtype=bool)
@@ -482,6 +542,9 @@ class SegmentEncoder:
         blob = bytearray()
         pos_blob = bytearray()
         off_blob = bytearray()
+        pay_blob = bytearray()
+        rows_payoff: List[int] = []
+        rows_paylen: List[int] = []
         rows_term: List[str] = []
         rows_bucket: List[int] = []
         rows_df: List[int] = []
@@ -518,6 +581,13 @@ class SegmentEncoder:
                     np.ascontiguousarray(off_flat[s:e], dtype="<i4").tobytes()
                 )
                 rows_olen.append((e - s) * 4)
+            if has_pay:
+                s, e = int(pay_row_starts[lo]), int(pay_row_starts[hi])
+                rows_payoff.append(len(pay_blob))
+                pay_blob.extend(
+                    np.ascontiguousarray(pay_flat[s:e], dtype="<i4").tobytes()
+                )
+                rows_paylen.append((e - s) * 4)
 
         os.makedirs(self.seg_dir, exist_ok=True)
         tmp = base + ".post.tmp"
@@ -534,6 +604,11 @@ class SegmentEncoder:
             with open(tmp, "wb") as f:
                 f.write(off_blob)
             os.replace(tmp, base + ".off")
+        if has_pay:
+            tmp = base + ".pay.tmp"
+            with open(tmp, "wb") as f:
+                f.write(pay_blob)
+            os.replace(tmp, base + ".pay")
         cols = {
             "term": pa.array(rows_term, pa.string()),
             "bucket": pa.array(rows_bucket, pa.int32()),
@@ -556,6 +631,12 @@ class SegmentEncoder:
             schema = schema.append(
                 pa.field("off_offset", pa.int64())
             ).append(pa.field("off_length", pa.int64()))
+        if has_pay:
+            cols["pay_offset"] = pa.array(rows_payoff, pa.int64())
+            cols["pay_length"] = pa.array(rows_paylen, pa.int64())
+            schema = schema.append(
+                pa.field("pay_offset", pa.int64())
+            ).append(pa.field("pay_length", pa.int64()))
         terms_tbl = pa.table(cols, schema=schema)
         import pyarrow.parquet as pq
 
@@ -578,6 +659,7 @@ class SegmentEncoder:
             "post_crc32": zlib.crc32(bytes(blob)),
             "pos_crc32": zlib.crc32(bytes(pos_blob)) if has_pos else -1,
             "off_crc32": zlib.crc32(bytes(off_blob)) if has_off else -1,
+            "pay_crc32": zlib.crc32(bytes(pay_blob)) if has_pay else -1,
             "wall_sec": round(time.time() - t0, 3),
             "fingerprint": self.fingerprint,  # lineage: ties segment to input
             "resumed": False,
@@ -743,6 +825,16 @@ def build_index(
             "offsets=True requires positions=True "
             "(DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS)"
         )
+    if cfg.payloads and not cfg.positions:
+        raise ValueError(
+            "payloads=True requires positions=True "
+            "(payloads ride the positions stream)"
+        )
+    if cfg.payloads and cfg.offsets:
+        raise ValueError(
+            "payloads=True is mutually exclusive with offsets=True "
+            "(no analyzer produces both streams)"
+        )
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     t0 = time.time()
 
@@ -758,6 +850,7 @@ def build_index(
         f"parts={cfg.num_partitions}"
         + (";pos=1" if cfg.positions else "")
         + (";off=1" if cfg.offsets else "")
+        + (";pay=1" if cfg.payloads else "")
     )
 
     heavy: Set[str] = set(heavy_terms) if heavy_terms is not None else set()
@@ -841,6 +934,7 @@ def build_index(
         "norm_kind": cfg.norm_kind,
         "positions": bool(cfg.positions),
         "offsets": bool(cfg.offsets),
+        "payloads": bool(cfg.payloads),
         "num_partitions": cfg.num_partitions,
         "bucket_shift": cfg.bucket_shift,
         "heavy_terms": sorted(heavy),

@@ -39,7 +39,7 @@ from ..state.segment import (
 def _merge_gpart(
     shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int,
     deleted=None, with_positions: bool = False,
-    with_offsets: bool = False,
+    with_offsets: bool = False, with_payloads: bool = False,
 ) -> dict:
     import time
 
@@ -72,17 +72,20 @@ def _merge_gpart(
     blob = bytearray()
     pos_blob = bytearray()
     off_blob = bytearray()
+    pay_blob = bytearray()
     rows: Dict[str, list] = {
         "term": [], "bucket": [], "doc_freq": [], "total_tf": [],
         "max_tf": [], "offset": [], "length": [],
         "pos_offset": [], "pos_length": [],
         "off_offset": [], "off_length": [],
+        "pay_offset": [], "pay_length": [],
     }
     num_postings = 0
     sum_tf = 0
     for term in terms:
         docs_parts, tf_parts, key_parts, pos_parts = [], [], [], []
         offp_parts = []
+        payp_parts = []
         for r in readers:
             for tp in r.postings(term):  # IndexReader restores bucket order
                 d, t, k = tp.decode_all()
@@ -93,6 +96,8 @@ def _merge_gpart(
                 pos_parts.append(r.term_positions(term)[2])
             if with_offsets:
                 offp_parts.append(r.term_offsets(term)[2])
+            if with_payloads:
+                payp_parts.append(r.term_payloads(term)[2])
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         keys = np.concatenate(key_parts)
@@ -122,6 +127,15 @@ def _merge_gpart(
                 off_idx[0::2] = 2 * idx
                 off_idx[1::2] = 2 * idx + 1
                 flat_off = flat_all_off[off_idx]
+            if with_payloads:
+                # one float32 per occurrence: the positions permutation
+                # applies directly (payloads require positions)
+                flat_all_pay = (
+                    np.concatenate(payp_parts)
+                    if payp_parts
+                    else np.empty(0, np.float32)
+                )
+                flat_pay = flat_all_pay[idx]
         docs, tfs, keys = docs[order], tfs[order], keys[order]
         if deleted is not None and len(deleted) and len(docs):
             # physically drop tombstoned postings (the reference's merge
@@ -138,6 +152,8 @@ def _merge_gpart(
                     off_idx2[0::2] = 2 * idx2
                     off_idx2[1::2] = 2 * idx2 + 1
                     flat_off = flat_off[off_idx2]
+                if with_payloads:
+                    flat_pay = flat_pay[idx2]
             docs, tfs, keys = docs[keep], tfs[keep], keys[keep]
         if len(docs) == 0:
             continue
@@ -161,6 +177,12 @@ def _merge_gpart(
                 np.ascontiguousarray(flat_off, dtype="<i4").tobytes()
             )
             rows["off_length"].append(len(flat_off) * 4)
+        if with_payloads:
+            rows["pay_offset"].append(len(pay_blob))
+            pay_blob.extend(
+                np.ascontiguousarray(flat_pay, dtype="<f4").tobytes()
+            )
+            rows["pay_length"].append(len(flat_pay) * 4)
         num_postings += len(docs)
         sum_tf += int(tfs.sum())
     seg_dir = os.path.join(out_dir, SEGMENT_DIR)
@@ -180,6 +202,11 @@ def _merge_gpart(
         with open(tmp, "wb") as f:
             f.write(off_blob)
         os.replace(tmp, base + ".off")
+    if with_payloads:
+        tmp = base + ".pay.tmp"
+        with open(tmp, "wb") as f:
+            f.write(pay_blob)
+        os.replace(tmp, base + ".pay")
     cols = {
         "term": pa.array(rows["term"], pa.string()),
         "bucket": pa.array(rows["bucket"], pa.int32()),
@@ -202,6 +229,12 @@ def _merge_gpart(
         schema = schema.append(pa.field("off_offset", pa.int64())).append(
             pa.field("off_length", pa.int64())
         )
+    if with_payloads:
+        cols["pay_offset"] = pa.array(rows["pay_offset"], pa.int64())
+        cols["pay_length"] = pa.array(rows["pay_length"], pa.int64())
+        schema = schema.append(pa.field("pay_offset", pa.int64())).append(
+            pa.field("pay_length", pa.int64())
+        )
     tbl = pa.table(cols, schema=schema)
     tmp = base + ".terms.parquet.tmp"
     pq.write_table(tbl, tmp)
@@ -218,6 +251,7 @@ def _merge_gpart(
         "post_crc32": zlib.crc32(bytes(blob)),
         "pos_crc32": zlib.crc32(bytes(pos_blob)) if with_positions else -1,
         "off_crc32": zlib.crc32(bytes(off_blob)) if with_offsets else -1,
+        "pay_crc32": zlib.crc32(bytes(pay_blob)) if with_payloads else -1,
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -277,6 +311,7 @@ def compact_shards(
     num_partitions = first["num_partitions"]
     with_positions = all(m.get("positions", False) for m in manifests)
     with_offsets = all(m.get("offsets", False) for m in manifests)
+    with_payloads = all(m.get("payloads", False) for m in manifests)
     os.makedirs(os.path.join(out_dir, SEGMENT_DIR), exist_ok=True)
     dead = (
         np.unique(np.asarray(list(deleted), dtype=np.int64))
@@ -287,7 +322,7 @@ def compact_shards(
         [
             _merge_gpart.remote(
                 list(shard_dirs), out_dir, g, num_partitions, dead,
-                with_positions, with_offsets,
+                with_positions, with_offsets, with_payloads,
             )
             for g in range(num_partitions)
         ]
@@ -302,6 +337,7 @@ def compact_shards(
         "norm_kind": first["norm_kind"],
         "positions": with_positions,
         "offsets": with_offsets,
+        "payloads": with_payloads,
         "num_partitions": num_partitions,
         "bucket_shift": first.get("bucket_shift", 16),
         "heavy_terms": [],

@@ -110,7 +110,7 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
         # per-file CRC32 (CodecUtil header/footer checksum analogue,
         # codecs/CodecUtil.java) — recorded at encode time
         for suffix, key in ((".post", "post_crc32"), (".pos", "pos_crc32"),
-                            (".off", "off_crc32")):
+                            (".off", "off_crc32"), (".pay", "pay_crc32")):
             want = int(seg.get(key, -1))
             if want < 0:
                 continue
@@ -170,6 +170,21 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
                     errors.append(
                         f"offsets[{term}]: starts not non-decreasing in doc"
                     )
+
+    # payloads stream (round 4): one float32 per occurrence — count ==
+    # totalTermFreq, values finite-or-NaN only (NaN = token carried no
+    # payload; infinities would mean a corrupted encode)
+    if getattr(reader, "has_payloads", False):
+        for term in reader.all_terms():
+            docs, tfs, flat = reader.term_payloads(term)
+            if len(flat) != int(tfs.sum()):
+                errors.append(
+                    f"payloads[{term}]: {len(flat)} payloads != sum tf "
+                    f"{int(tfs.sum())}"
+                )
+                continue
+            if np.any(np.isinf(flat)):
+                errors.append(f"payloads[{term}]: non-finite payload value")
 
     # doc-values sidecars: one row per doc, unique sorted doc ids; under an
     # index_sort marker the sort field's doc-ordered values must be

@@ -174,6 +174,32 @@ class IndexReader:
         flat = np.concatenate([x[3] for x in tagged]).astype(np.int32)
         return docs, tfs, flat
 
+    @property
+    def has_payloads(self) -> bool:
+        return bool(self.manifest.get("payloads", False))
+
+    def term_payloads(self, term: str):
+        """-> (docs:int64, tfs:int64, flat_payloads:float32) in global doc
+        order; flat payloads are each doc's per-occurrence payloads
+        concatenated in ascending-position order, NaN where the token
+        carried none (parallel to :meth:`term_positions`)."""
+        import numpy as np
+
+        tagged = []
+        for seg in self._segments_for(term):
+            pay_by_bucket = dict(seg.payloads_with_buckets(term))
+            for b, tp in seg.postings_with_buckets(term):
+                d, t, _ = tp.decode_all()
+                tagged.append((b, d, t, pay_by_bucket[b]))
+        tagged.sort(key=lambda x: x[0])
+        if not tagged:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.float32)
+        docs = np.concatenate([x[1] for x in tagged]).astype(np.int64)
+        tfs = np.concatenate([x[2] for x in tagged]).astype(np.int64)
+        flat = np.concatenate([x[3] for x in tagged]).astype(np.float32)
+        return docs, tfs, flat
+
     def doc_values(self, field: str):
         """Lazily-loaded numeric doc-values column (state/docvalues.py)."""
         cache = self.__dict__.setdefault("_doc_values", {})

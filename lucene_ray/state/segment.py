@@ -379,6 +379,16 @@ class SegmentReader:
             self._off_length = None
         self._off_path = base + ".off"
         self._off_blob: Optional[memoryview] = None
+        # optional payloads sidecar (.pay blob: float32 per occurrence,
+        # same run order as .pos)
+        if "pay_offset" in tbl.schema.names:
+            self._pay_offset = tbl.column("pay_offset").to_numpy()
+            self._pay_length = tbl.column("pay_length").to_numpy()
+        else:
+            self._pay_offset = None
+            self._pay_length = None
+        self._pay_path = base + ".pay"
+        self._pay_blob: Optional[memoryview] = None
         # rows are written sorted by (term, bucket); index term -> row range
         self._row_range: Dict[str, Tuple[int, int]] = {}
         start = 0
@@ -504,6 +514,43 @@ class SegmentReader:
                     dtype="<i4",
                     count=int(self._off_length[i]) // 4,
                     offset=int(self._off_offset[i]),
+                ),
+            )
+            for i in order
+        ]
+
+
+    @property
+    def has_payloads(self) -> bool:
+        return self._pay_offset is not None
+
+    def payloads_with_buckets(self, term: str) -> List[Tuple[int, np.ndarray]]:
+        """(bucket, flat float32 payloads) per (term, bucket) run,
+        ascending bucket order — occurrence order matches the .pos stream
+        (both were written from one lexsort). Per-doc slice bounds come
+        from the postings' tf column; a missing payload (token without
+        delimiter) is NaN."""
+        if self._pay_offset is None:
+            raise ValueError(
+                "index was built without payloads "
+                "(IndexConfig.payloads=True required for PayloadScoreQuery)"
+            )
+        rng = self._row_range.get(term)
+        if rng is None:
+            return []
+        if self._pay_blob is None:
+            with open(self._pay_path, "rb") as f:
+                self._pay_blob = memoryview(f.read())
+        lo, hi = rng
+        order = np.argsort(self._buckets[lo:hi], kind="stable") + lo
+        return [
+            (
+                int(self._buckets[i]),
+                np.frombuffer(
+                    self._pay_blob,
+                    dtype="<f4",
+                    count=int(self._pay_length[i]) // 4,
+                    offset=int(self._pay_offset[i]),
                 ),
             )
             for i in order

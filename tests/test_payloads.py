@@ -1,0 +1,161 @@
+"""Payloads: DelimitedPayloadTokenFilter analogue, the .pay sidecar,
+PayloadScoreQuery min/max/avg/sum, merge carry-through and CheckIndex
+coverage (reference: analysis/common/.../payloads/
+DelimitedPayloadTokenFilter.java, queries/.../payloads/
+PayloadScoreQuery.java + {Max,Min,Average,Sum}PayloadFunction.java)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.functions.analysis import make_analyzer
+from lucene_ray.functions.payloads import payload_doc_scores, score_payload
+from lucene_ray.pipelines.build import IndexConfig, build_index
+
+
+def test_delimited_payload_filter_goldens():
+    an = make_analyzer("whitespace_payload")
+    terms, pos, pays = an.analyze_payloads("Foo|1.5 bar baz|2 QUX|0.25")
+    assert terms == ["foo", "bar", "baz", "qux"]
+    assert pos == [0, 1, 2, 3]
+    assert pays[0] == 1.5 and pays[2] == 2.0 and pays[3] == 0.25
+    assert math.isnan(pays[1])  # no delimiter -> no payload (null attr)
+    # split at the FIRST delimiter (the reference scans forward): the
+    # remainder "1|2" is the payload text, and the float encoder rejects
+    # it exactly like FloatEncoder's NumberFormatException
+    with pytest.raises(ValueError):
+        an.analyze_payloads("a|1|2")
+
+
+def test_delimited_payload_first_delimiter_and_int_encoder():
+    an = make_analyzer("whitespace_payload_int")
+    terms, _, pays = an.analyze_payloads("x|7 y|12")
+    assert terms == ["x", "y"] and pays == [7.0, 12.0]
+    # empty term (all payload) drops like any empty token
+    t, p, v = make_analyzer("whitespace_payload").analyze_payloads("|5 ok|1")
+    assert t == ["ok"] and v == [1.0]
+
+
+CORPUS = [
+    "apple|3 pear|1 apple|5",          # apple: max 5 sum 8 avg 4 min 3
+    "apple|2",                          # apple: 2
+    "pear|9 apple plum|4",              # apple: no payload -> docScore 1.0
+    "plum|1 plum|2 plum|3",
+    "apple|0.5 apple|0.25",
+]
+
+
+@pytest.fixture(scope="module")
+def pay_idx(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("pay") / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(CORPUS)), pa.int64()),
+            "text": pa.array(CORPUS, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="whitespace_payload", norm_kind="exact",
+        num_partitions=3, positions=True, payloads=True, sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(CORPUS))
+    return out
+
+
+def _reader(idx):
+    from lucene_ray.pipelines.search import get_reader
+
+    return get_reader(idx)
+
+
+def test_payload_functions_golden(pay_idx):
+    r = _reader(pay_idx)
+    docs, s = payload_doc_scores(r, "apple", "max")
+    assert docs.tolist() == [0, 1, 2, 4]
+    assert s.tolist() == [5.0, 2.0, 1.0, 0.5]  # doc2: none seen -> 1.0
+    _, s = payload_doc_scores(r, "apple", "sum")
+    assert s.tolist() == [8.0, 2.0, 1.0, 0.75]
+    _, s = payload_doc_scores(r, "apple", "avg")
+    assert s.tolist() == [4.0, 2.0, 1.0, 0.375]
+    _, s = payload_doc_scores(r, "apple", "min")
+    assert s.tolist() == [3.0, 2.0, 1.0, 0.25]
+    with pytest.raises(ValueError):
+        payload_doc_scores(r, "apple", "median")
+
+
+def test_score_payload_topk_and_span_score(pay_idx):
+    r = _reader(pay_idx)
+    d, s = score_payload(r, "apple", k=2, function="max")
+    assert d.tolist() == [0, 1] and s.tolist() == [5.0, 2.0]
+    # include_span_score multiplies by the term's BM25 score
+    from lucene_ray.functions.query import TermQuery, score_exhaustive
+
+    bd, bs = score_exhaustive(r, TermQuery("apple"), 10)
+    bm = dict(zip(bd.tolist(), np.asarray(bs, np.float64).tolist()))
+    pd_, ps = payload_doc_scores(r, "apple", "max")
+    want = {
+        int(doc): float(p) * bm[int(doc)] for doc, p in zip(pd_, ps)
+    }
+    d2, s2 = score_payload(r, "apple", k=5, function="max",
+                           include_span_score=True)
+    for doc, sc in zip(d2.tolist(), np.asarray(s2, np.float64).tolist()):
+        assert sc == pytest.approx(want[doc], rel=1e-12)
+
+
+def test_payload_checkindex_and_merge(ray_session, tmp_path):
+    import ray.data
+
+    from lucene_ray.pipelines.merge import compact_shards
+    from lucene_ray.state.checkindex import check_index
+
+    cfg = IndexConfig(
+        analyzer="whitespace_payload", norm_kind="exact",
+        num_partitions=2, positions=True, payloads=True, sample_rate=1.0,
+    )
+    half = len(CORPUS) // 2
+    for name, lo, hi in (("a", 0, half), ("b", half, len(CORPUS))):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(CORPUS[lo:hi], pa.string()),
+            }
+        )
+        build_index(ray.data.from_arrow(tbl), str(tmp_path / name), cfg,
+                    doc_count=hi - lo)
+    rep_a = check_index(str(tmp_path / "a"))
+    assert rep_a["errors"] == []
+    merged = str(tmp_path / "m")
+    compact_shards([str(tmp_path / "a"), str(tmp_path / "b")], merged)
+    rep = check_index(merged)
+    assert rep["errors"] == []
+    from lucene_ray.state.reader import IndexReader
+
+    r = IndexReader(merged)
+    assert r.has_payloads
+    docs, s = payload_doc_scores(r, "apple", "max")
+    assert docs.tolist() == [0, 1, 2, 4]
+    assert s.tolist() == [5.0, 2.0, 1.0, 0.5]
+
+
+def test_payload_config_validation(ray_session, tmp_path):
+    import ray.data
+
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["a|1"], pa.string())})
+    with pytest.raises(ValueError, match="requires positions"):
+        build_index(ray.data.from_arrow(tbl), str(tmp_path / "x"),
+                    IndexConfig(analyzer="whitespace_payload", payloads=True),
+                    doc_count=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_index(
+            ray.data.from_arrow(tbl), str(tmp_path / "y"),
+            IndexConfig(analyzer="whitespace_payload", positions=True,
+                        payloads=True, offsets=True),
+            doc_count=1,
+        )
