@@ -2640,6 +2640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
+    q["span_or"] = lambda sf: _span_or(sf)
+    q["span_first"] = lambda sf: _span_first(sf)
     q["html_extract"] = lambda sf: _html_extract(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -3261,6 +3263,173 @@ SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
     2: ("customer", "line"),
     3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
+
+# SpanOrQuery (reference: queries/spans/SpanOrQuery.java): union of the
+# clause spans; every position of every PRESENT clause term is a width-1
+# match weighing 1; idf sums the present clauses (absent terms drop out).
+SPAN_OR_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
+    0: ("data", "stream"),
+    1: ("dup", "key", "value"),
+    2: ("batch", "zzzmissing"),  # absent clause drops out of the union
+    3: ("customer", "line"),
+}
+
+# SpanFirstQuery / SpanPositionRangeQuery (reference: queries/spans/
+# SpanFirstQuery.java extends SpanPositionRangeQuery.java — keep spans
+# with startPosition() >= start and endPosition() <= end; width-1 term
+# spans at p match iff start <= p <= end-1). Sets are (term, start, end);
+# start=0 rows are SpanFirstQuery proper.
+SPAN_FIRST_QUERY_SETS: Dict[int, Tuple[str, int, int]] = {
+    0: ("data", 0, 5),
+    1: ("stream", 0, 12),
+    2: ("key", 3, 25),     # interior window (position-range shape)
+    3: ("batch", 0, 2),    # near-the-title window
+}
+
+
+def _span_or(sf_dir: str):
+    """SpanOrQuery top-k over the positions-enabled index."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import SpanOrQuery, score_span
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in sorted(SPAN_OR_QUERY_SETS.items()):
+        d, s = score_span(reader, SpanOrQuery(terms=terms), k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _span_first(sf_dir: str):
+    """SpanFirst / SpanPositionRange top-k over the positions index."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import (
+        SpanPositionRangeQuery,
+        score_span,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (term, start, end) in sorted(SPAN_FIRST_QUERY_SETS.items()):
+        d, s = score_span(
+            reader, SpanPositionRangeQuery(term, start, end), k=TOPK
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+_SPAN_OR_ABSENT = ("zzzmissing", "alsogone")  # sentinels never indexed
+
+
+def _span_idf_expr(terms: Sequence[str]) -> str:
+    """Left-associated explicit idf additions (SQL SUM order is
+    unspecified; the engine adds in declaration order)."""
+    parts = [
+        f"(SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+        f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{t}')"
+        for t in terms
+    ]
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"({expr} + {p})"
+    return expr
+
+
+def _span_or_sql() -> str:
+    """Oracle for span_or: pf = SUM(tf) over the present clause terms
+    (every width-1 position weighs 1), idf = declaration-order sum over
+    the present clauses, one BM25 application."""
+    arms = []
+    for qid, terms in sorted(SPAN_OR_QUERY_SETS.items()):
+        present = [t for t in terms if t not in _SPAN_OR_ABSENT]
+        inl = _in_list(present)
+        idf = _span_idf_expr(present)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT g.doc_id,
+           {idf}
+             * (g.pf / (g.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS pf
+      FROM tf WHERE term IN {inl} GROUP BY doc_id
+    ) g
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES}\n{body}"
+
+
+def _span_first_sql() -> str:
+    """Oracle for span_first: positions from the stopword-gap ptok CTE
+    (1-based raw token index; the engine's are 0-based, so p_engine =
+    pos - 1); pf = count of positions with start <= pos-1 <= end-1."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    arms = []
+    for qid, (term, start, end) in sorted(SPAN_FIRST_QUERY_SETS.items()):
+        idf = _span_idf_expr([term])
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT g.doc_id,
+           {idf}
+             * (g.pf / (g.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS pf
+      FROM ptok
+      WHERE term = '{term}' AND pos - 1 >= {start} AND pos <= {end}
+      GROUP BY doc_id
+    ) g
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
 
 # PayloadScoreQuery (reference: queries/payloads/PayloadScoreQuery.java
 # with {Max,Min,Average,Sum}PayloadFunction.java): a pre-pass annotates
@@ -6030,6 +6199,8 @@ FROM tf GROUP BY term"""
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["payload_score"] = _payload_sql()
+    sql["span_or"] = _span_or_sql()
+    sql["span_first"] = _span_first_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()

@@ -57,6 +57,58 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery:
+    """SpanPositionRangeQuery (queries/spans/SpanPositionRangeQuery.java:
+    accept spans with startPosition() >= start and endPosition() <= end).
+    Term subset: width-1 spans at p have start=p, end=p+1, so a position
+    matches iff ``start <= p <= end - 1``. SpanFirstQuery is the start=0
+    special case (SpanFirstQuery.java extends this class)."""
+
+    term: str
+    start: int
+    end: int
+
+
+@dataclass(frozen=True)
+class SpanOrQuery:
+    """SpanOrQuery (queries/spans/SpanOrQuery.java): the union of the
+    clause spans. Term-clause subset: every position of every present
+    term is a width-1 match weighing 1 (two terms at the same position
+    are two distinct spans, both counted — the reference's
+    DisiPriorityQueue emits each sub-span). Absent terms drop out
+    (zero-df clauses contribute no spans); idf sums the PRESENT clauses'
+    idfs in declaration order (SpanWeight builds its scorer from all
+    clause TermStatistics)."""
+
+    terms: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery:
+    """SpanContainingQuery (queries/spans/SpanContainingQuery.java +
+    ContainSpans.java): big spans that CONTAIN at least one little span.
+    Implemented shape: big = ordered SpanNearQuery chain [a..e], little =
+    a term (width-1 at q); containment = a <= q <= e. Matches keep the
+    big chain's sloppyWeight 1/(1+gap); scoring stats sum idf over big
+    AND little terms (SpanContainQuery extracts terms from both sides)."""
+
+    big: "SpanNearQuery"
+    little: str
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery:
+    """SpanWithinQuery (queries/spans/SpanWithinQuery.java): little spans
+    that lie WITHIN some big span. Little = term (width-1 at q), big =
+    ordered SpanNearQuery chain [a..e]; q matches iff some chain in the
+    same doc has a <= q <= e; each surviving little position weighs 1
+    (width-0 sloppyWeight). Stats sum idf over big AND little terms."""
+
+    big: "SpanNearQuery"
+    little: str
+
+
+@dataclass(frozen=True)
 class SpanNotQuery:
     """SpanNotQuery (queries/spans/SpanNotQuery.java:40-71): spans of
     ``include`` with no ``exclude`` span within ``pre`` tokens before or
@@ -97,24 +149,33 @@ def _freqs_by_doc(match_keys: np.ndarray, weights: np.ndarray):
     return docs_u, np.bincount(inv, weights=weights)
 
 
-def _ordered_matches(key_lists: List[np.ndarray], slop: int):
+def _ordered_chains(key_lists: List[np.ndarray]):
     """Vectorized ordered chains over ALL docs at once: each link is one
     searchsorted into the next clause's global key array; a chain that
     crosses a doc boundary lands on a different doc tag and is dropped.
-    -> (docs, float freqs)."""
+    -> (anchor keys, end keys, int gaps) of every completed same-doc
+    chain, ascending anchor order (ends are then non-decreasing: the
+    greedy smallest-successor link is monotone in its input)."""
     a = key_lists[0]
     ends = a
     valid = np.ones(len(a), dtype=bool)
     for nxt in key_lists[1:]:
         if len(nxt) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+            e = np.empty(0, np.int64)
+            return e, e, np.empty(0, np.int64)
         idx = np.searchsorted(nxt, ends, side="right")
         valid &= idx < len(nxt)
         idx = np.minimum(idx, len(nxt) - 1)
         ends = nxt[idx]
     valid &= (ends >> np.int64(_POS_SHIFT)) == (a >> np.int64(_POS_SHIFT))
     gaps = (ends & _POS_MASK) - (a & _POS_MASK) - (len(key_lists) - 1)
-    m = valid & (gaps <= slop)
+    return a[valid], ends[valid], gaps[valid]
+
+
+def _ordered_matches(key_lists: List[np.ndarray], slop: int):
+    """Ordered chains within slop, folded to (docs, float freqs)."""
+    a, _ends, gaps = _ordered_chains(key_lists)
+    m = gaps <= slop
     if not m.any():
         return np.empty(0, np.int64), np.empty(0, np.float64)
     return _freqs_by_doc(a[m], 1.0 / (1.0 + gaps[m]))
@@ -163,6 +224,24 @@ def _unordered_matches(a: np.ndarray, b: np.ndarray, slop: int):
     return _freqs_by_doc(a_rep[m], 1.0 / (1.0 + gaps[m]))
 
 
+def _gather_norm_keys_union(reader, terms, docs_u: np.ndarray) -> np.ndarray:
+    """Norm keys for docs that may contain ANY of ``terms`` (SpanOr union:
+    a doc need not contain the first clause). Norm keys are doc-level
+    (analyzed doc length), so any containing term supplies the value."""
+    parts_d, parts_k = [], []
+    for t in terms:
+        for tp in reader.postings(t):
+            d, _, k = tp.decode_all()
+            parts_d.append(d)
+            parts_k.append(k)
+    alld = np.concatenate(parts_d)
+    allk = np.concatenate(parts_k)
+    order = np.argsort(alld, kind="stable")
+    alld, allk = alld[order], allk[order]
+    pos = np.minimum(np.searchsorted(alld, docs_u), len(alld) - 1)
+    return allk[pos]
+
+
 def span_scored(reader, query):
     """-> (docs, scores, dtype) for a span query over a positions-enabled
     index; same scoring tail as the phrase executor."""
@@ -173,10 +252,26 @@ def span_scored(reader, query):
         )
     dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype), dtype)
+    norm_union = False
     if isinstance(query, SpanFirstQuery):
+        terms = (query.term,)
+    elif isinstance(query, SpanPositionRangeQuery):
         terms = (query.term,)
     elif isinstance(query, SpanNotQuery):
         terms = (query.include,)
+    elif isinstance(query, SpanOrQuery):
+        # absent clauses drop out of the union instead of emptying it
+        terms = tuple(t for t in query.terms if reader.term_stats(t)[0] > 0)
+        if not terms:
+            return empty
+        norm_union = True
+    elif isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
+        big = query.big
+        if not big.in_order or len(big.terms) < 2:
+            raise ValueError(
+                "containing/within need an ordered SpanNearQuery big side"
+            )
+        terms = tuple(big.terms) + (query.little,)
     else:
         terms = tuple(query.terms)
         if len(terms) < 2:
@@ -203,6 +298,49 @@ def span_scored(reader, query):
         if not m.any():
             return empty
         docs_u, pf = _freqs_by_doc(keys[m], np.ones(int(m.sum())))
+    elif isinstance(query, SpanPositionRangeQuery):
+        keys = key_cache[terms[0]]
+        pos = keys & _POS_MASK
+        # width-1 span [p, p+1]: start >= query.start and end <= query.end
+        m = (pos >= query.start) & (pos <= query.end - 1)
+        if not m.any():
+            return empty
+        docs_u, pf = _freqs_by_doc(keys[m], np.ones(int(m.sum())))
+    elif isinstance(query, SpanOrQuery):
+        union = np.concatenate([key_cache[t] for t in terms])
+        docs_u, pf = _freqs_by_doc(union, np.ones(len(union)))
+    elif isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
+        big_lists = [key_cache[t] for t in query.big.terms]
+        anchors, ends, gaps = _ordered_chains(big_lists)
+        m = gaps <= query.big.slop
+        anchors, ends, gaps = anchors[m], ends[m], gaps[m]
+        little = key_cache[query.little]
+        if len(anchors) == 0 or len(little) == 0:
+            return empty
+        if isinstance(query, SpanContainingQuery):
+            # big span [a..e] contains a width-1 little span iff some
+            # little key lies in [a, e] (doc tags keep it doc-local)
+            has = np.searchsorted(little, anchors, side="left") < (
+                np.searchsorted(little, ends, side="right")
+            )
+            if not has.any():
+                return empty
+            docs_u, pf = _freqs_by_doc(
+                anchors[has], 1.0 / (1.0 + gaps[has])
+            )
+        else:
+            # little q lies within some chain iff the LAST chain with
+            # anchor <= q still ends at or after q (anchors ascending,
+            # ends non-decreasing — greedy links are monotone)
+            j = np.searchsorted(anchors, little, side="right") - 1
+            ok = j >= 0
+            jc = np.maximum(j, 0)
+            ok &= ends[jc] >= little
+            if not ok.any():
+                return empty
+            docs_u, pf = _freqs_by_doc(
+                little[ok], np.ones(int(ok.sum()))
+            )
     elif isinstance(query, SpanNotQuery):
         keys = key_cache[terms[0]]
         ex_df, _ = reader.term_stats(query.exclude)
@@ -239,7 +377,10 @@ def span_scored(reader, query):
         docs_u, pf = docs_u[alive], pf[alive]
     if len(docs_u) == 0:
         return empty
-    keys = _gather_norm_keys(reader, terms[0], docs_u)
+    if norm_union:
+        keys = _gather_norm_keys_union(reader, terms, docs_u)
+    else:
+        keys = _gather_norm_keys(reader, terms[0], docs_u)
     scorer = make_scorer(
         reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
         k1=k1, b=b,

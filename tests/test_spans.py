@@ -215,3 +215,136 @@ def test_span_not(span_index):
         )
         want = brute(inc, exc, pre, post)
         assert set(got[0].tolist()) == set(want), (inc, exc, pre, post)
+
+
+# --- round-4 span family completion ---------------------------------------
+
+
+def _model_chains(doc, terms):
+    """Greedy ordered chains (anchor, end, gap) — the NearSpansOrdered
+    model _model_ordered uses, with endpoints exposed."""
+    plists = [_positions(doc, t) for t in terms]
+    if any(not p for p in plists):
+        return []
+    out = []
+    for a in plists[0]:
+        prev = a
+        ok = True
+        for nxt in plists[1:]:
+            cand = [p for p in nxt if p > prev]
+            if not cand:
+                ok = False
+                break
+            prev = min(cand)
+        if ok:
+            out.append((a, prev, prev - a - (len(terms) - 1)))
+    return out
+
+
+def test_span_or_vs_model(span_index):
+    from lucene_ray.functions.spans import SpanOrQuery, score_span
+
+    for terms in [("data", "stream"), ("batch", "scan", "small"),
+                  ("data", "zzzmissing"), ("zzzmissing", "alsogone")]:
+        present = [t for t in terms
+                   if any(_positions(d, t) for d in range(len(TEXTS)))]
+        docs, scores = score_span(span_index, SpanOrQuery(terms=terms), k=10)
+        if not present:
+            assert len(docs) == 0
+            continue
+        model = {
+            d: float(sum(len(_positions(d, t)) for t in present))
+            for d in range(len(TEXTS))
+        }
+        exp = _model_scores(model, tuple(present))
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+        assert list(docs) == ranked, terms
+        np.testing.assert_allclose(
+            scores, [exp[d] for d in ranked], rtol=1e-12
+        )
+
+
+def test_span_position_range_vs_model(span_index):
+    from lucene_ray.functions.spans import (
+        SpanFirstQuery,
+        SpanPositionRangeQuery,
+        score_span,
+    )
+
+    for term, start, end in [("data", 0, 1), ("data", 1, 4),
+                             ("batch", 1, 3), ("stream", 2, 99)]:
+        docs, scores = score_span(
+            span_index, SpanPositionRangeQuery(term, start, end), k=10
+        )
+        model = {
+            d: float(len([p for p in _positions(d, term)
+                          if start <= p and p + 1 <= end]))
+            for d in range(len(TEXTS))
+        }
+        exp = _model_scores(model, (term,))
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+        assert list(docs) == ranked, (term, start, end)
+        np.testing.assert_allclose(
+            scores, [exp[d] for d in ranked], rtol=1e-12
+        )
+    # SpanFirstQuery == SpanPositionRangeQuery(start=0) exactly
+    for term, end in [("data", 1), ("data", 3), ("scan", 2)]:
+        a = score_span(span_index, SpanFirstQuery(term, end), k=10)
+        b = score_span(
+            span_index, SpanPositionRangeQuery(term, 0, end), k=10
+        )
+        assert list(a[0]) == list(b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_span_containing_and_within_vs_model(span_index):
+    from lucene_ray.functions.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanWithinQuery,
+        score_span,
+    )
+
+    cases = [
+        (("data", "stream"), 3, "batch"),   # batch inside data..stream?
+        (("data", "stream"), 0, "data"),    # little == big start term
+        (("batch", "scan"), 2, "small"),
+        (("data", "data"), 9, "batch"),
+    ]
+    for big_terms, slop, little in cases:
+        big = SpanNearQuery(terms=big_terms, slop=slop, in_order=True)
+        stats_terms = tuple(big_terms) + (little,)
+        chains = {d: [(a, e, g) for a, e, g in _model_chains(d, big_terms)
+                      if g <= slop]
+                  for d in range(len(TEXTS))}
+        lit = {d: _positions(d, little) for d in range(len(TEXTS))}
+
+        # containing: big chains holding some little position
+        model_c = {
+            d: float(sum(1.0 / (1.0 + g) for a, e, g in chains[d]
+                         if any(a <= q <= e for q in lit[d])))
+            for d in range(len(TEXTS))
+        }
+        exp = _model_scores(model_c, stats_terms)
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+        d1, s1 = score_span(
+            span_index, SpanContainingQuery(big=big, little=little), k=10
+        )
+        assert list(d1) == ranked, (big_terms, slop, little)
+        np.testing.assert_allclose(s1, [exp[d] for d in ranked], rtol=1e-12)
+
+        # within: little positions inside some chain, weight 1 each
+        model_w = {
+            d: float(sum(1 for q in lit[d]
+                         if any(a <= q <= e for a, e, g in chains[d])))
+            for d in range(len(TEXTS))
+        }
+        exp_w = _model_scores(model_w, stats_terms)
+        ranked_w = sorted(exp_w, key=lambda d: (-exp_w[d], d))[:10]
+        d2, s2 = score_span(
+            span_index, SpanWithinQuery(big=big, little=little), k=10
+        )
+        assert list(d2) == ranked_w, (big_terms, slop, little)
+        np.testing.assert_allclose(
+            s2, [exp_w[d] for d in ranked_w], rtol=1e-12
+        )
