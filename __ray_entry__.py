@@ -651,6 +651,33 @@ def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
             index_dir,
             "len_bucket",
         )
+    if not has_doc_values(index_dir, "min_match"):
+        # per-doc minimum-should-match source for CoveringQuery: a small
+        # deterministic value (1 + doc_id % 3) the SQL oracle recomputes
+        import pyarrow as pa
+
+        import ray.data
+
+        def mm(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy()
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "min_match": pa.array(
+                        (ids % 3 + 1).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        write_doc_values(
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id"]
+            ).map_batches(mm, batch_format="pyarrow"),
+            index_dir,
+            "min_match",
+        )
 
 
 def _mf_title_py(text: str) -> str:
@@ -1161,6 +1188,51 @@ def _facet_taxonomy(sf_dir: str):
         t.insert(0, "query_id", qid)
         outs.append(t)
     return pd.concat(outs, ignore_index=True)
+
+
+def _facet_assoc(sf_dir: str):
+    """Taxonomy facet associations: per-path SUM of the hits' n_chars
+    (int association values; reference: facet/taxonomy/
+    TaxonomyFacetIntAssociations.java, AssociationAggregationFunction.SUM).
+    -> (query_id, level, path, value)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import taxonomy_facet_associations
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid, query in sorted(TAX_FACET_QUERY_SETS.items()):
+        t = taxonomy_facet_associations(
+            index_dir, query, _load_documents(sf_dir), ["lang", "source"],
+            "n_chars",
+        ).to_pandas()
+        t["value"] = t["value"].astype("int64")  # int association: exact
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _facet_assoc_sql() -> str:
+    """Oracle for facet_assoc: per-query hit set, n_chars summed at every
+    path prefix of the lang/source taxonomy."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(TAX_FACET_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id, CAST(1 AS INTEGER) AS level,
+        lang AS path, CAST(SUM(n_chars) AS BIGINT) AS value
+  FROM documents WHERE doc_id IN ({match}) GROUP BY lang)
+UNION ALL
+(SELECT {qid} AS query_id, CAST(2 AS INTEGER) AS level,
+        lang || '/' || source AS path, CAST(SUM(n_chars) AS BIGINT) AS value
+  FROM documents WHERE doc_id IN ({match}) GROUP BY lang, source)"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
 def _load_ts(sf_dir: str):
@@ -2637,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
+    q["decontaminate_fuzzy"] = lambda sf: _decontaminate_fuzzy(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
@@ -2659,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
     q["facet_taxonomy"] = lambda sf: _facet_taxonomy(sf)
+    q["facet_assoc"] = lambda sf: _facet_assoc(sf)
 
     # --- corpus sampling (training-data assembly) ---
     q["sample_cap_per_source"] = lambda sf: _sample_cap(sf)
@@ -2682,6 +2756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- suggest module (DirectSpellChecker / WFSTCompletionLookup) ---
     q["spell_suggest"] = lambda sf: _spell_suggest(sf)
+    q["spell_wordbreak"] = lambda sf: _spell_wordbreak(sf)
+    q["covering_query"] = lambda sf: _covering_query(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
     q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
     q["suggest_infix"] = lambda sf: _suggest_infix(sf)
@@ -2741,27 +2817,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # representative of each already-proven core family; redundant bm25
 # variants follow in their original order.
 _DRIVER_WINDOW = [
-    # round-2 tail (oracled, previously outside the window)
-    "dedup_exact", "neardup_jaccard", "dedup_clusters", "neardup_embedding",
-    "knn_cosine", "knn_filtered",
-    "mlt", "mlt_boost", "monitor_match",
-    "spell_suggest", "suggest_prefix", "suggest_fuzzy", "suggest_infix",
-    "classify_nb", "classify_knn",
-    "asof_join", "join_query", "block_join", "block_join_child",
-    "join_broadcast", "join_hash",
-    "sample_hash", "sample_stratified", "sample_mixture",
-    "partitioned_sink", "quality_lm", "repetition_stats",
-    "token_count", "quality_score", "langid", "fingerprint",
-    "web_pages_urls", "url_parts", "host_stats", "media_meta",
-    "events_window", "events_sessionize", "events_sliding",
-    "top_docs_by_lang",
-    # representatives of the round-1/2 proven core (driver-checked in
-    # earlier rounds)
-    "facet_taxonomy", "interval_unordered",
-    # round-3 additions (html_extract drives the input-hint per-row
-    # invariant: byte-identical extracted text per url)
-    "bm25_nested_bool", "lmd_term", "classic_term", "bm25_synonym_query",
-    "dfr_term", "ib_term", "multi_phrase", "decontaminate", "html_extract",
+    # round-4 additions (new operators this round)
+    "payload_score", "span_or", "span_first", "spell_wordbreak",
+    "covering_query", "facet_assoc", "decontaminate_fuzzy",
+    # entries that have NEVER appeared in a driver correctness file
+    # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
+    "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
+    "dfr_gb1_term", "ib_spl_term", "bpe_token_count", "bm25_span_not",
+    "interval_containing", "highlight_passages", "suggest_freetext",
+    "media_frames", "knn_cosine_hnsw", "knn_hnsw_filtered", "knn_cosine_sq",
+    # stalest evidence next: checked only in round 1
+    "analysis_postings", "highlight_top", "knn_cosine_ivf",
+    "neardup_minhash", "neardup_simhash",
+    # last checked in round 2 — diverse family representatives, with the
+    # filter/param entries re-proving the r4 block-max routing change
+    "bm25_term", "bm25_bool_and", "bm25_bool_msm", "bm25_bool_groups",
+    "bm25_phrase", "bm25_phrase_sloppy3", "bm25_phrase_mixed",
+    "bm25_fuzzy", "bm25_regexp", "bm25_wildcard", "bm25_prefix",
+    "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
+    "bm25_explain", "bm25_dismax", "bm25_combined_field", "bm25_multifield",
+    "bm25_span_near", "interval_ordered", "sort_multi", "term_vectors",
 ]
 
 
@@ -3263,6 +3338,152 @@ SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
     2: ("customer", "line"),
     3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
+
+# CoveringQuery (reference: sandbox/src/java/org/apache/lucene/sandbox/
+# search/CoveringQuery.java:51-76): SHOULD term clauses with a PER-DOC
+# minimum-should-match from the min_match doc-values source
+# (1 + doc_id % 3, written by _ensure_doc_values); score = sum of the
+# matching clauses' BM25 scores in sorted-term order.
+COVERING_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
+    0: ("data", "stream", "key"),
+    1: ("batch", "scan"),
+    2: ("dup", "key", "value", "fast"),
+    3: ("customer", "zzzmissing", "line"),  # absent clause never matches
+}
+
+
+def _covering_query(sf_dir: str):
+    """CoveringQuery top-k per term set (per-doc msm from doc values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import score_covering
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in sorted(COVERING_QUERY_SETS.items()):
+        d, s = score_covering(reader, terms, "min_match", k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _covering_sql() -> str:
+    """Oracle for covering_query: per-(doc, term) BM25 via the shared sc
+    CTE; per-doc clause count vs GREATEST(1, doc_id % 3 + 1); score as
+    explicit left-associated additions in sorted-term order (the
+    engine's reproducible-sum convention)."""
+    arms = []
+    for qid, terms in sorted(COVERING_QUERY_SETS.items()):
+        present = sorted(set(terms))
+        inl = _in_list(present)
+        parts = [
+            f"COALESCE(MAX(CASE WHEN term = '{t}' THEN score END), 0)"
+            for t in present
+        ]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = f"({expr} + {p})"
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, {expr} AS score
+    FROM sc WHERE term IN {inl}
+    GROUP BY doc_id
+    HAVING COUNT(*) >= GREATEST(1, doc_id % 3 + 1)
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+# WordBreakSpellChecker break suggestions (reference: suggest/src/java/
+# org/apache/lucene/search/spell/WordBreakSpellChecker.java:241-330):
+# split a run-together query word at every position where BOTH halves
+# are dictionary terms (df >= 1); rank by max(df_left, df_right) desc,
+# then suggestion text asc (deterministic tie refinement). One break
+# (bi-sect) keeps the oracle join flat.
+WORDBREAK_QUERY_SETS: Dict[int, str] = {
+    0: "datastream",
+    1: "keyvalue",
+    2: "batchscan",
+    3: "customerline",
+    4: "streamdata",
+    5: "zqzqzq",  # no valid split
+}
+WORDBREAK_TOPK = 5
+
+
+def _spell_wordbreak(sf_dir: str):
+    """WordBreakSpellChecker.suggestWordBreaks over the index term dict."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.pipelines.suggest import suggest_word_breaks
+
+    reader = get_reader(_ensure_index(sf_dir))
+    words = [WORDBREAK_QUERY_SETS[i] for i in sorted(WORDBREAK_QUERY_SETS)]
+    res = suggest_word_breaks(reader, words, k=WORDBREAK_TOPK)
+    qids, ranks, sugg, freqs = [], [], [], []
+    for qid, (_w, ranked) in zip(sorted(WORDBREAK_QUERY_SETS), res):
+        for r, (text, _changes, freq) in enumerate(ranked, 1):
+            qids.append(qid)
+            ranks.append(r)
+            sugg.append(text)
+            freqs.append(freq)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "suggestion": pa.array(sugg, pa.string()),
+            "freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
+def _spell_wordbreak_sql() -> str:
+    """Oracle for spell_wordbreak: split positions enumerated at
+    generation time into a VALUES list, each (left, right) kept when both
+    halves appear in the df dictionary; freq = GREATEST of the halves'
+    dfs; ordered (freq desc, suggestion asc)."""
+    arms = []
+    for qid in sorted(WORDBREAK_QUERY_SETS):
+        w = WORDBREAK_QUERY_SETS[qid]
+        pairs = ", ".join(
+            f"('{w[:i]}', '{w[i:]}')" for i in range(1, len(w))
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY freq DESC, suggestion ASC) AS INTEGER) AS rank,
+       suggestion, freq
+  FROM (
+    SELECT v.l || ' ' || v.r AS suggestion,
+           CAST(GREATEST(d1.df, d2.df) AS BIGINT) AS freq
+    FROM (VALUES {pairs}) v(l, r)
+    JOIN df d1 ON d1.term = v.l
+    JOIN df d2 ON d2.term = v.r
+  )
+  ORDER BY rank LIMIT {WORDBREAK_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES}\n{body}"
+
 
 # SpanOrQuery (reference: queries/spans/SpanOrQuery.java): union of the
 # clause spans; every position of every PRESENT clause term is a width-1
@@ -5069,6 +5290,60 @@ def _decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=DECON_N)
 
 
+FUZZY_DECON_MOD = 17   # benchmark = documents with doc_id % 17 == 0
+FUZZY_DECON_K = 3      # word shingle width (the dedup stack's default)
+FUZZY_DECON_THRESHOLD = 0.5
+
+
+def _decontaminate_fuzzy(sf_dir: str):
+    """Fuzzy (near-duplicate) eval decontamination: training docs with
+    3-shingle Jaccard >= 0.5 against the benchmark subset
+    (doc_id % 17 == 0). -> (doc_id, bench_id, jaccard)."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.textops import decontaminate_fuzzy
+
+    docs = _load_documents(sf_dir)
+
+    def pick(batch: "pa.Table") -> "pa.Table":
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % FUZZY_DECON_MOD == 0))
+
+    bench = docs.map_batches(pick, batch_format="pyarrow")
+    return decontaminate_fuzzy(
+        docs, bench, k=FUZZY_DECON_K, threshold=FUZZY_DECON_THRESHOLD
+    )
+
+
+def _decontaminate_fuzzy_sql() -> str:
+    """Oracle for decontaminate_fuzzy: exact distinct-3-shingle Jaccard
+    between every doc and the modulo-picked benchmark side; threshold on
+    the unrounded ratio, self-pairs excluded."""
+    return f"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tl, UNNEST(range(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= {FUZZY_DECON_K}
+),
+bsh AS (SELECT * FROM sh WHERE doc_id % {FUZZY_DECON_MOD} = 0),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS icnt
+  FROM sh a JOIN bsh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT i.doc_id, i.bench_id,
+       round(icnt * 1.0 / (sa.n + sb.n - icnt), 4) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_id
+JOIN sz sb ON sb.doc_id = i.bench_id
+WHERE icnt * 1.0 / (sa.n + sb.n - icnt) >= {FUZZY_DECON_THRESHOLD}"""
+
+
 def _decontaminate_sql() -> str:
     joins = " ".join(
         f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
@@ -6201,7 +6476,10 @@ FROM tf GROUP BY term"""
     sql["payload_score"] = _payload_sql()
     sql["span_or"] = _span_or_sql()
     sql["span_first"] = _span_first_sql()
+    sql["spell_wordbreak"] = _spell_wordbreak_sql()
+    sql["covering_query"] = _covering_sql()
     sql["decontaminate"] = _decontaminate_sql()
+    sql["decontaminate_fuzzy"] = _decontaminate_fuzzy_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()
@@ -6227,6 +6505,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()
     sql["facet_taxonomy"] = _facet_taxonomy_sql()
+    sql["facet_assoc"] = _facet_assoc_sql()
 
     sql["partitioned_sink"] = (
         "SELECT source, COUNT(*) AS n_rows FROM documents "

@@ -428,6 +428,41 @@ def run_suite() -> dict:
         )
     stages["bm25_range_sort"] = round(time.time() - t0, 3)
     log(f"range+sort: {stages['bm25_range_sort']}s / 40 queries")
+    # range-filter queries must run the PRUNED block-max path (r4: filter
+    # clauses joined the block-max conjunction) — fail loudly if routing
+    # regressed to exhaustive
+    score_blockmax(reader_pos, parse_query(range_qs[0], an_pos), 10)
+    path = getattr(score_blockmax, "last_path", "?")
+    assert path in ("pruned", "champion", "exhaustive:cost-fallback"), path
+    extra["filter_query_path"] = path
+
+    # 2e'. non-BM25 similarities through the SAME pruned executor (r4:
+    # MaxScoreCache-for-any-SimScorer analogue) — warm latency + the
+    # selected path, per family
+    sim_qs = ["data stream", "+key value dup", "customer merge order"]
+    sim_paths = {}
+    t0 = time.time()
+    for sim in (("lmd", 2000.0), ("dfr_inl2", 1.0), ("classic",)):
+        reader_pos.similarity = sim
+        try:
+            for qs in sim_qs:
+                score_blockmax(reader_pos, parse_query(qs, an_pos), 10)  # warm
+            for _ in range(10):
+                for qs in sim_qs:
+                    score_blockmax(reader_pos, parse_query(qs, an_pos), 10)
+            sim_paths[sim[0]] = getattr(score_blockmax, "last_path", "?")
+        finally:
+            reader_pos.similarity = None
+    stages["similarity_warm"] = round(time.time() - t0, 3)
+    assert all(
+        p in ("pruned", "champion", "exhaustive:cost-fallback")
+        for p in sim_paths.values()
+    ), sim_paths
+    extra["similarity_paths"] = sim_paths
+    log(
+        f"similarities: {stages['similarity_warm']}s / 90 queries "
+        f"(paths {sim_paths})"
+    )
 
     # 2f. span queries on the same positions index (queries/spans module)
     from lucene_ray.functions.spans import SpanNearQuery, score_span
@@ -842,10 +877,81 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     }
 
 
+def run_sf1() -> dict:
+    """One 10x-scale measurement point (the r3 verdict's ask): the suite
+    runs at REPLICATE(=100) copies of the sf0.1 documents table (~500k
+    docs); this runs the SAME build+query job at 10x (sf1 ≈ 5M docs) in a
+    fresh subprocess, then the jaccard-pairs and cluster pipelines at 10x
+    their suite input (50k docs incl. 10-clone groups — a dedup stress:
+    every base doc becomes a 10-member duplicate cluster). Compare
+    docs_per_sec against the suite's build band: 'within 2x of linear'
+    means the 10x build's throughput is >= half the suite's."""
+    rep_suite = REPLICATE
+    rep_sf1 = rep_suite * 10
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS),
+               GRAFT_BENCH_REPLICATE=str(rep_sf1))
+    log(f"sf1: build at replicate {rep_sf1} ({NUM_CPUS} cpus) ...")
+    proc = subprocess.run(
+        [sys.executable, __file__, "--stage", "build"],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    if proc.returncode != 0:
+        log(proc.stderr[-2000:])
+        raise RuntimeError("sf1 build failed")
+    b = json.loads(proc.stdout.strip().splitlines()[-1])
+    log(
+        f"sf1 build: {b['docs']} docs in {b['sec']}s "
+        f"({b['docs_per_sec']}/s); query {b['query_sec']}s "
+        f"/ {b['query_count']}"
+    )
+    _init_ray(NUM_CPUS)
+    import ray
+
+    from lucene_ray.pipelines.dedup import (
+        connected_components_ds,
+        jaccard_neardup_pairs,
+        jaccard_neardup_pairs_ds,
+    )
+
+    docs10, n10 = _bench_input(SF_DIR, 10)
+    t0 = time.time()
+    n_pairs = jaccard_neardup_pairs(docs10).num_rows
+    t_pairs = round(time.time() - t0, 3)
+    log(f"sf1 jaccard: {n_pairs} pairs over {n10} docs in {t_pairs}s")
+    t0 = time.time()
+    n_clusters = connected_components_ds(
+        jaccard_neardup_pairs_ds(docs10)
+    ).count()
+    t_clusters = round(time.time() - t0, 3)
+    log(f"sf1 clusters: {n_clusters} rows in {t_clusters}s")
+    ray.shutdown()
+    return {
+        "metric": "sf1 (10x suite) build+query+dedup",
+        "value": b["docs_per_sec"],
+        "unit": "docs/sec",
+        "queries": {
+            "index_build": b["sec"],
+            "bm25_topk": b["query_sec"],
+            "neardup_jaccard_10x": t_pairs,
+            "dedup_clusters_10x": t_clusters,
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": b["docs"],
+        "build_docs_per_sec": b["docs_per_sec"],
+        "query_count": b["query_count"],
+        "queries_per_sec": b["queries_per_sec"],
+        "dedup_docs": n10,
+        "neardup_pairs": n_pairs,
+        "cluster_rows": n_clusters,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--sf1", action="store_true")
     ap.add_argument("--stage", choices=["build"], default=None)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
@@ -855,6 +961,8 @@ def main() -> None:
         out = run_scaling()
     elif args.sharded:
         out = run_sharded()
+    elif args.sf1:
+        out = run_sf1()
     else:
         out = run_suite()
     print(json.dumps(out))

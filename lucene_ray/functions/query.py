@@ -2394,3 +2394,44 @@ def score_blockmax(reader, query, k: int = 10):
     docs = np.array([-e[1] for e in out], dtype=np.int64)
     scores = np.array([e[0] for e in out], dtype=dtype)
     return docs, scores
+
+
+def score_covering(reader, terms, field: str, k: int = 10):
+    """CoveringQuery (reference: sandbox/src/java/org/apache/lucene/
+    sandbox/search/CoveringQuery.java:51-76 + CoveringScorer.java): SHOULD
+    term clauses with a PER-DOC minimum-should-match read from a numeric
+    doc-values source. A doc matches iff its matching-clause count is
+    >= max(1, minMatch(doc)); the score is the sum of the matching
+    clauses' similarity scores, accumulated in sorted-unique-term order
+    (the engine's reproducible float-sum convention). Extends the
+    constant-msm executor: the threshold becomes a per-candidate vector
+    gathered from the doc-values sidecar."""
+    terms = sorted(set(terms))
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    deleted = getattr(reader, "deleted", None)
+    full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
+    per = []
+    for t in terms:
+        df, ttf = reader.term_stats(t)
+        if df == 0:
+            continue
+        scorer = _term_scorer(reader, df, ttf)
+        cur = TermCursor(t, reader.postings(t), scorer, full_cache,
+                         deleted=deleted)
+        d, s = cur.decode_all()
+        if len(d):
+            per.append((d, s))
+    if not per:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    cand = np.unique(np.concatenate([d for d, _ in per]))
+    acc = np.zeros(len(cand), dtype=dtype)
+    cnt = np.zeros(len(cand), dtype=np.int64)
+    for d, s in per:
+        pos = np.searchsorted(cand, d)
+        acc[pos] += s.astype(dtype, copy=False)
+        cnt[pos] += 1
+    need = np.maximum(
+        np.asarray(reader.doc_values_for(field, cand), dtype=np.int64), 1
+    )
+    keep = cnt >= need
+    return _topk_from(cand[keep], acc[keep], k)

@@ -681,3 +681,99 @@ def taxonomy_facet_counts(
         .aggregate(ray.data.aggregate.Sum("count_part", alias_name="count"))
         .sort(["level", "count", "path"], descending=[False, True, False])
     )
+
+
+def taxonomy_facet_associations(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, *path_cols, value_col)
+    path_cols: List[str],
+    value_col: str,
+    id_col: str = "doc_id",
+    delimiter: str = "/",
+):
+    """Taxonomy facet ASSOCIATIONS: per-path SUM of a per-doc association
+    value instead of a doc count (reference: facet/src/java/org/apache/
+    lucene/facet/taxonomy/TaxonomyFacetIntAssociations.java +
+    TaxonomyFacetFloatAssociations.java with AssociationAggregationFunction
+    .SUM — each hit contributes its association value to every prefix of
+    its category path; facet/taxonomy/IntAssociationFacetField.java binds
+    the value at index time, here it rides as a document column).
+
+    Same distributed shape as :func:`taxonomy_facet_counts`: hit set
+    broadcast once via the object store, per-batch prefix expansion +
+    partial sums, one tiny final groupby. Integer association values sum
+    exactly (order-free); float values follow float64 addition.
+
+    -> Dataset(level:int32, path:string, value:...), sorted by
+    (level asc, value desc, path asc).
+    """
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)
+    empty = pa.table(
+        {
+            "level": pa.array([], pa.int32()),
+            "path": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    if len(hits) == 0:
+        return ray.data.from_arrow(empty)
+    hits_ref = ray.put(hits)
+    ncols = list(path_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(
+            np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+        )
+        mask = pa.array(ids_sorted[pos] == ids)
+        sub = batch.filter(mask)
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "level": pa.array([], pa.int32()),
+                    "path": pa.array([], pa.string()),
+                    "value_part": pa.array([], pa.float64()),
+                }
+            )
+        vals = sub.column(value_col).cast(pa.float64())
+        parts: List[pa.Table] = []
+        path = None
+        for lvl, col in enumerate(ncols, start=1):
+            seg = sub.column(col).cast(pa.string())
+            path = seg if path is None else pc.binary_join_element_wise(
+                path, seg, delimiter
+            )
+            agg = (
+                pa.table({"path": path, "v": vals})
+                .group_by("path")
+                .aggregate([("v", "sum")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "level": pa.array([lvl] * len(agg), pa.int32()),
+                        "path": agg.column("path"),
+                        "value_part": agg.column("v_sum").cast(pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        docs_ds.select_columns([id_col, *ncols, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["level", "path"])
+        .aggregate(ray.data.aggregate.Sum("value_part", alias_name="value"))
+        .sort(["level", "value", "path"], descending=[False, True, False])
+    )

@@ -475,3 +475,116 @@ def freetext_suggest(
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (round 4)
+# ---------------------------------------------------------------------------
+
+
+def suggest_word_breaks(
+    reader,
+    words: Sequence[str],
+    k: int = 5,
+    max_changes: int = 1,
+    min_break_length: int = 1,
+    min_suggestion_frequency: int = 1,
+    sort_method: str = "max",
+):
+    """WordBreakSpellChecker.suggestWordBreaks analogue (reference:
+    suggest/src/java/org/apache/lucene/search/spell/
+    WordBreakSpellChecker.java:241-330): break a run-together word into
+    in-dictionary parts. Each split point needs a left part with
+    df >= min_suggestion_frequency (recursion continues on the right
+    side gated on the LEFT part only, like the reference's phase 2);
+    a complete suggestion needs every part valid. Scoring: number of
+    breaks ascending, then the parts' max (or sum) df descending —
+    BreakSuggestionSortMethod NUM_CHANGES_THEN_{MAX,SUM}_FREQUENCY;
+    ties break on the joined suggestion text ascending (a deterministic
+    refinement: the reference's priority queue leaves ties unordered).
+    Deviation (documented): no maxEvaluations traversal cap — the cap
+    is an evaluation-order-dependent perf guard, not semantics; the
+    exhaustive enumeration is deterministic and SQL-expressible.
+
+    -> list of (input_word, [(suggestion, n_changes, freq), ...]) with
+    suggestion the space-joined parts."""
+    if sort_method not in ("max", "sum"):
+        raise ValueError(f"unknown sort_method {sort_method!r}")
+    min_len = max(1, int(min_break_length))
+    out = []
+    for w in words:
+        found: list = []
+
+        def rec(suffix: str, parts: tuple, freqs: tuple, breaks_left: int):
+            n = len(suffix)
+            if breaks_left <= 0 or n < 2 * min_len:
+                return
+            for i in range(min_len, n - min_len + 1):
+                left, right = suffix[:i], suffix[i:]
+                df_l = reader.term_stats(left)[0]
+                if df_l < min_suggestion_frequency:
+                    continue
+                df_r = reader.term_stats(right)[0]
+                if df_r >= min_suggestion_frequency:
+                    found.append(
+                        (parts + (left, right), freqs + (df_l, df_r))
+                    )
+                rec(right, parts + (left,), freqs + (df_l,),
+                    breaks_left - 1)
+
+        rec(w, (), (), max(1, int(max_changes)))
+        fold = max if sort_method == "max" else sum
+        ranked = sorted(
+            (
+                (" ".join(p), len(p) - 1, int(fold(f)))
+                for p, f in found
+            ),
+            key=lambda r: (r[1], -r[2], r[0]),
+        )[: max(0, k)]
+        out.append((w, ranked))
+    return out
+
+
+def suggest_word_combinations(
+    reader,
+    words: Sequence[str],
+    k: int = 5,
+    max_combine_length: int = 20,
+    max_changes: int = 2,
+    min_suggestion_frequency: int = 1,
+    mode: str = "when_not_in_index",
+):
+    """WordBreakSpellChecker.suggestWordCombinations analogue
+    (WordBreakSpellChecker.java:148-240): concatenate runs of up to
+    ``max_changes`` ADJACENT query words into one dictionary word. Modes
+    (spell/SuggestMode.java): ``always``; ``when_not_in_index`` keeps a
+    combination only when some included word has df 0 (minFreq == 0);
+    ``more_popular`` needs the combined df >= the included words' max
+    df. Ranking: fewer combined words first, then combined df
+    descending, then (start index, text) ascending (deterministic
+    refinement of the reference's unordered queue ties).
+
+    -> list of (combined_word, (orig_index_lo, orig_index_hi), df)."""
+    if mode not in ("always", "when_not_in_index", "more_popular"):
+        raise ValueError(f"unknown mode {mode!r}")
+    dfs = [reader.term_stats(w)[0] for w in words]
+    cands = []
+    for i in range(len(words) - 1):
+        if len(words[i]) > max_combine_length:
+            continue
+        combined = words[i]
+        mx, mn = dfs[i], dfs[i]
+        for j in range(i + 1, min(len(words), i + max_changes + 1)):
+            combined += words[j]
+            if len(combined) > max_combine_length:
+                break
+            mx, mn = max(mx, dfs[j]), min(mn, dfs[j])
+            df_c = reader.term_stats(combined)[0]
+            if mode == "more_popular" and df_c < mx:
+                continue
+            if mode == "when_not_in_index" and mn != 0:
+                continue
+            if df_c >= min_suggestion_frequency:
+                cands.append((combined, (i, j), df_c, j - i))
+    cands.sort(key=lambda c: (c[3], -c[2], c[1][0], c[0]))
+    return [(c[0], c[1], c[2]) for c in cands[: max(0, k)]]

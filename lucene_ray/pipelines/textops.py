@@ -439,6 +439,99 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    ds: "ray.data.Dataset",
+    benchmark_ds: "ray.data.Dataset",
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Doc-level FUZZY eval decontamination: flag training documents whose
+    k-shingle Jaccard similarity to some benchmark/eval document is
+    >= ``threshold`` (near-duplicate contamination the n-gram-hit
+    :func:`decontaminate` undercounts when the wording drifts). ->
+    Dataset(doc_id, bench_id, jaccard), self-pairs excluded, threshold
+    applied to the UNROUNDED similarity, output rounded to 4.
+
+    Scale shape: the eval side is small by definition, so its per-doc
+    shingle sets are gathered once on the driver and broadcast as an
+    inverted shingle -> bench-row map (bounded by eval-suite size); the
+    corpus streams through ONE stateless map_batches computing EXACT
+    per-bench intersections — no shuffle. The dedup stack's MinHash/LSH
+    banding (pipelines/dedup.py) exists to avoid the corpus x corpus
+    all-pairs blowup; against a broadcast-resident eval set the candidate
+    set per doc is already bounded, so banding would only trade the exact
+    answer for an approximate one at the same cost shape — exactness is
+    kept (and makes the DuckDB oracle hash-exact)."""
+    from .dedup import shingle_strings
+
+    import ray
+
+    bench_ids: List[int] = []
+    bench_sizes: List[int] = []
+    inv: dict = {}
+    for batch in benchmark_ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for bid, txt in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            sh = set(shingle_strings(txt or "", k))
+            if not sh:
+                continue
+            idx = len(bench_ids)
+            bench_ids.append(int(bid))
+            bench_sizes.append(len(sh))
+            for s in sh:
+                inv.setdefault(s, []).append(idx)
+    ref = ray.put((inv, np.asarray(bench_ids, dtype=np.int64),
+                   np.asarray(bench_sizes, dtype=np.int64)))
+
+    def check(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        binv, bids, bsizes = _ray.get(ref)
+        out_doc: List[int] = []
+        out_bench: List[int] = []
+        out_j: List[float] = []
+        for did, txt in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            sh = set(shingle_strings(txt or "", k))
+            if not sh:
+                continue
+            counts: dict = {}
+            for s in sh:
+                for idx in binv.get(s, ()):
+                    counts[idx] = counts.get(idx, 0) + 1
+            for idx, icnt in counts.items():
+                bid = int(bids[idx])
+                if bid == did:
+                    continue
+                j = icnt / (len(sh) + int(bsizes[idx]) - icnt)
+                if j >= threshold:
+                    out_doc.append(did)
+                    out_bench.append(bid)
+                    out_j.append(j)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "bench_id": pa.array(out_bench, pa.int64()),
+                "jaccard": pa.array(
+                    round_half_away(np.asarray(out_j, dtype=np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        check, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (regex redaction)
 # ---------------------------------------------------------------------------
