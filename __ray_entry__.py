@@ -712,12 +712,13 @@ def _ensure_mf_index(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/lucene_ray_idx/{tag}-multifield"
     cfg = IndexConfig(
-        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=8,
+        positions=True,  # per-field positions: FieldMaskingSpanQuery entry
     )
     doc_count = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
     fingerprint = (
         f"docs={doc_count};analyzer={cfg.analyzer};norm={cfg.norm_kind};"
-        f"parts={cfg.num_partitions}"
+        f"parts={cfg.num_partitions};pos=1"
     )
     try:
         ok = os.path.exists(os.path.join(out, MF_MANIFEST)) and all(
@@ -2715,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
     q["span_or"] = lambda sf: _span_or(sf)
     q["span_first"] = lambda sf: _span_first(sf)
+    q["span_field_masked"] = lambda sf: _span_field_masked(sf)
     q["html_extract"] = lambda sf: _html_extract(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -3338,6 +3340,118 @@ SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
     2: ("customer", "line"),
     3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
+
+# FieldMaskingSpanQuery composition (reference: queries/spans/
+# FieldMaskingSpanQuery.java:25-64): span-near across parallel fields —
+# clause 0 (title) supplies the masked field's collection stats + norms,
+# each clause keeps its REAL field's term stats and positions. Sets are
+# (((field, term), (field, term)), slop) — ordered chains.
+MASKED_SPAN_QUERY_SETS: Dict[int, Tuple[tuple, int]] = {
+    0: ((("title", "data"), ("body", "stream")), 3),
+    1: ((("title", "key"), ("body", "merge")), 5),
+    2: ((("title", "customer"), ("body", "line")), 2),
+    3: ((("title", "data"), ("body", "data")), 4),  # same term, two fields
+}
+
+
+def _span_field_masked(sf_dir: str):
+    """Cross-field masked span-near top-k over the per-field positions
+    subindexes."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import (
+        MaskedSpanNearQuery,
+        score_span_masked,
+    )
+    from lucene_ray.pipelines.multifield import MultiFieldReader
+
+    mf = MultiFieldReader(_ensure_mf_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (clauses, slop) in sorted(MASKED_SPAN_QUERY_SETS.items()):
+        d, s = score_span_masked(
+            mf, MaskedSpanNearQuery(clauses=clauses, slop=slop), k=TOPK
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _span_field_masked_sql() -> str:
+    """Oracle for span_field_masked: title-field token/df/dl CTEs from the
+    title projection; ordered chain = per-anchor MIN body successor;
+    idf = idf_title(t0) + idf_body(t1) over the shared doc count; BM25
+    tail over the TITLE (masked field) dl and avgdl."""
+    ctes = f"""ttl AS (
+  SELECT doc_id, {_MF_TITLE_SQL} AS ttext FROM documents
+),
+tptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(ttext), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(ttext), '[a-z0-9]+'), 1) AS pos
+    FROM ttl
+  ) WHERE term NOT IN {_STOP_SQL}
+),
+bptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+),
+tdl AS (SELECT doc_id, COUNT(*) AS dl FROM tptok GROUP BY doc_id),
+tdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tptok GROUP BY term),
+tstats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM tdl) AS sum_tf
+)"""
+    arms = []
+    for qid, (clauses, slop) in sorted(MASKED_SPAN_QUERY_SETS.items()):
+        (_f0, t0), (_f1, t1) = clauses
+        idf = (
+            f"((SELECT ln(1 + (ts.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM tdf d CROSS JOIN tstats ts WHERE d.term = '{t0}') + "
+            f"(SELECT ln(1 + (ts.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN tstats ts WHERE d.term = '{t1}'))"
+        )
+        pf = (
+            f"SELECT doc_id, SUM(1.0 / (1.0 + (p1 - pa - 1))) AS pf FROM (\n"
+            f"      SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS p1\n"
+            f"      FROM (SELECT doc_id, pos FROM tptok WHERE term = '{t0}') a\n"
+            f"      JOIN (SELECT doc_id, pos FROM bptok WHERE term = '{t1}') b"
+            f" ON b.doc_id = a.doc_id AND b.pos > a.pos\n"
+            f"      GROUP BY a.doc_id, a.pos\n"
+            f"    ) WHERE p1 - pa - 1 <= {slop} GROUP BY doc_id"
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM ({pf}) p
+    JOIN tdl dl ON dl.doc_id = p.doc_id
+    CROSS JOIN tstats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ctes}\n{body}"
+
 
 # CoveringQuery (reference: sandbox/src/java/org/apache/lucene/sandbox/
 # search/CoveringQuery.java:51-76): SHOULD term clauses with a PER-DOC
@@ -6478,6 +6592,7 @@ FROM tf GROUP BY term"""
     sql["span_first"] = _span_first_sql()
     sql["spell_wordbreak"] = _spell_wordbreak_sql()
     sql["covering_query"] = _covering_sql()
+    sql["span_field_masked"] = _span_field_masked_sql()
     sql["decontaminate"] = _decontaminate_sql()
     sql["decontaminate_fuzzy"] = _decontaminate_fuzzy_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()

@@ -400,3 +400,68 @@ def score_span(reader, query, k: int = 10):
     r = span_scored(reader, query)
     docs, scores, _ = r
     return _topk_from(docs, scores, k)
+
+
+@dataclass(frozen=True)
+class MaskedSpanNearQuery:
+    """SpanNearQuery whose clauses may come from DIFFERENT fields — the
+    FieldMaskingSpanQuery composition (reference: queries/spans/
+    FieldMaskingSpanQuery.java:25-64 — a masked SpanQuery 'lies' about
+    its field so SpanNear/SpanOr can combine clauses across parallel
+    token streams; scoring uses the masked field's collection statistics
+    and norms but each clause's REAL term statistics, per the reference's
+    own note). ``clauses`` are (field, term) pairs; the first clause's
+    field is the composite (masked) field supplying doc_count /
+    sum_total_tf / norms."""
+
+    clauses: Tuple[Tuple[str, str], ...]
+    slop: int = 0
+    in_order: bool = True
+
+
+def score_span_masked(mf_reader, query: MaskedSpanNearQuery, k: int = 10):
+    """Top-k for a cross-field span-near over a MultiFieldReader whose
+    subindexes are positions-enabled (pipelines/multifield.py — per-field
+    indexes share the global doc-ID space, so the doc-tagged position
+    keys from different fields merge directly)."""
+    if len(query.clauses) < 2:
+        raise ValueError("masked span_near needs at least two clauses")
+    if not query.in_order and len(query.clauses) != 2:
+        raise ValueError("unordered masked span_near supports two clauses")
+    primary = mf_reader.reader(query.clauses[0][0])
+    dtype = np.float32 if primary.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    k1, b = getattr(primary, "bm25_params", (1.2, 0.75))
+    idf64 = 0.0
+    key_lists: List[np.ndarray] = []
+    for field, term in query.clauses:
+        r = mf_reader.reader(field)
+        df, _ = r.term_stats(term)
+        if df == 0:
+            return empty
+        # masked-field collection stats x real-field term stats
+        idf64 += math.log(
+            1.0 + (primary.doc_count - df + 0.5) / (df + 0.5)
+        )
+        key_lists.append(_doc_keys(r, term))
+    if query.in_order:
+        docs_u, pf = _ordered_matches(key_lists, query.slop)
+    else:
+        docs_u, pf = _unordered_matches(
+            key_lists[0], key_lists[1], query.slop
+        )
+    if len(docs_u) == 0:
+        return empty
+    keys = _gather_norm_keys(primary, query.clauses[0][1], docs_u)
+    scorer = make_scorer(
+        primary.norm_kind, primary.doc_count, primary.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if primary.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    scores = scorer.score_array(np.asarray(pf), keys)
+    return _topk_from(docs_u.astype(np.int64), scores.astype(dtype), k)

@@ -348,3 +348,88 @@ def test_span_containing_and_within_vs_model(span_index):
         np.testing.assert_allclose(
             s2, [exp_w[d] for d in ranked_w], rtol=1e-12
         )
+
+
+def test_masked_span_near_vs_model(ray_session, tmp_path):
+    """FieldMaskingSpanQuery composition: ordered span-near across
+    title/body parallel fields vs a brute model (masked-field collection
+    stats + norms, per-clause real-field term stats)."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.spans import (
+        MaskedSpanNearQuery,
+        score_span_masked,
+    )
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.multifield import (
+        MultiFieldReader,
+        build_multifield_index,
+    )
+
+    texts = TEXTS
+    titles = [" ".join(t.split()[:2]) for t in texts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "body": pa.array(texts, pa.string()),
+            "title": pa.array(titles, pa.string()),
+        }
+    )
+    root = str(tmp_path / "mf")
+    build_multifield_index(
+        ray.data.from_arrow(tbl), root,
+        {"title": "title", "body": "body"},
+        IndexConfig(analyzer="en_nostem_simple", norm_kind="exact",
+                    num_partitions=2, positions=True),
+        doc_count=len(texts), default_fields=["title", "body"],
+    )
+    mf = MultiFieldReader(root)
+
+    def fpos(d, field, term):
+        src = titles[d] if field == "title" else texts[d]
+        raw = [w for w in src.split()]
+        return [i for i, w in enumerate(raw) if w == term and w not in STOPS]
+
+    def fdl(d, field):
+        src = titles[d] if field == "title" else texts[d]
+        return len([w for w in src.split() if w not in STOPS])
+
+    def fdf(field, term):
+        return sum(1 for d in range(len(texts)) if fpos(d, field, term))
+
+    n = len(texts)
+    for clauses, slop in [
+        ((("title", "data"), ("body", "stream")), 3),
+        ((("title", "batch"), ("body", "scan")), 4),
+        ((("title", "data"), ("body", "data")), 5),
+    ]:
+        q = MaskedSpanNearQuery(clauses=clauses, slop=slop)
+        got_d, got_s = score_span_masked(mf, q, k=10)
+        # brute: ordered chain title pos -> min body pos > it
+        idf = sum(
+            math.log(1 + (n - fdf(f, t) + 0.5) / (fdf(f, t) + 0.5))
+            for f, t in clauses
+        )
+        dls = [fdl(d, "title") for d in range(n)]
+        tot = sum(dls)
+        avgdl = tot / n
+        exp = {}
+        for d in range(n):
+            f = 0.0
+            for a in fpos(d, clauses[0][0], clauses[0][1]):
+                cand = [p for p in fpos(d, clauses[1][0], clauses[1][1])
+                        if p > a]
+                if cand:
+                    gap = min(cand) - a - 1
+                    if gap <= slop:
+                        f += 1.0 / (1.0 + gap)
+            if f > 0:
+                exp[d] = idf * (
+                    f / (f + K1 * ((1 - B) + B * dls[d] / avgdl))
+                )
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+        assert list(got_d) == ranked, (clauses, slop)
+        np.testing.assert_allclose(
+            got_s, [exp[d] for d in ranked], rtol=1e-12
+        )
