@@ -175,3 +175,88 @@ def test_clamped_zero_scores_fill_topk(bx_index):
         assert float(np.asarray(es).min()) == 0.0
     finally:
         reader.similarity = None
+
+
+def test_randomized_similarity_filter_matrix(bx_index):
+    """800-case randomized dumb-vs-smart sweep across the full r4 routing
+    surface: random boolean shape x random similarity (incl. BM25 and
+    byte4-unfriendly params) x optional range filter x random k. Every
+    case demands bit-identical docs AND scores."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(2024)
+    sims = [None, ("lmd", 2000.0), ("lmd", 1.0), ("classic",),
+            ("lmjm", 0.1), ("dfr_inl2", 1.0), ("ib_ll", 1.0), ("dfi",),
+            ("boolean",), ("axiomatic_f2exp",), ("dfr", "g", "b", "h1"),
+            ("ib", "spl", "ttf", "h2")]
+    checked = 0
+    for case in range(800):
+        sim = sims[int(rng.integers(0, len(sims)))]
+        qs = random_queries(rng, n=1)[0]
+        q = analyzed([qs], an)[0]
+        if rng.random() < 0.5:
+            lo, hi = sorted(int(v) for v in rng.integers(0, 1100, size=2))
+            q = BooleanQuery(
+                must=q.must, should=q.should, must_not=q.must_not,
+                minimum_should_match=q.minimum_should_match,
+                filters=(("ts", lo, hi),),
+            )
+        k = int(rng.choice([1, 3, 10, 25, 100]))
+        reader.similarity = sim
+        try:
+            ed, es = score_exhaustive(reader, q, k)
+            bd, bs = score_blockmax(reader, q, k)
+        finally:
+            reader.similarity = None
+        assert np.array_equal(ed, bd), (case, sim, q, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (
+            case, sim, q, k,
+        )
+        checked += 1
+    assert checked == 800
+
+
+@pytest.fixture(scope="module")
+def bx_index_b4(ray_session, tmp_path_factory):
+    """byte4-norm variant (the production chain: SmallFloat norm keys,
+    float32 scores) for the same routing sweep."""
+    import ray.data
+
+    doc_ids, texts = make_corpus(n_docs=400, seed=53)
+    out = str(tmp_path_factory.mktemp("bxb4") / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="byte4", num_partitions=4,
+        sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
+    return out
+
+
+def test_randomized_similarity_matrix_byte4(bx_index_b4):
+    """300-case byte4 sweep: float32 score chain + SmallFloat norm decode
+    under every similarity family, dumb-vs-smart bit-identical."""
+    reader = _reader(bx_index_b4)
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(77)
+    sims = [None, ("lmd", 2000.0), ("classic",), ("lmjm", 0.1),
+            ("dfr_inl2", 1.0), ("ib_ll", 1.0), ("dfi",), ("boolean",),
+            ("axiomatic_f2exp",)]
+    for case in range(300):
+        sim = sims[int(rng.integers(0, len(sims)))]
+        q = analyzed(random_queries(rng, n=1), an)[0]
+        k = int(rng.choice([1, 5, 10, 50]))
+        reader.similarity = sim
+        try:
+            ed, es = score_exhaustive(reader, q, k)
+            bd, bs = score_blockmax(reader, q, k)
+        finally:
+            reader.similarity = None
+        assert np.array_equal(ed, bd), (case, sim, q, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (case, sim, q, k)
