@@ -2709,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
+    q["span_payload_check"] = lambda sf: _span_payload_check(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["decontaminate_fuzzy"] = lambda sf: _decontaminate_fuzzy(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
@@ -2820,7 +2821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # variants follow in their original order.
 _DRIVER_WINDOW = [
     # round-4 additions (new operators this round)
-    "payload_score", "span_or", "span_first", "spell_wordbreak",
+    "payload_score", "span_payload_check", "span_or", "span_first",
+    "span_field_masked", "spell_wordbreak",
     "covering_query", "facet_assoc", "decontaminate_fuzzy",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
@@ -2835,7 +2837,7 @@ _DRIVER_WINDOW = [
     # filter/param entries re-proving the r4 block-max routing change
     "bm25_term", "bm25_bool_and", "bm25_bool_msm", "bm25_bool_groups",
     "bm25_phrase", "bm25_phrase_sloppy3", "bm25_phrase_mixed",
-    "bm25_fuzzy", "bm25_regexp", "bm25_wildcard", "bm25_prefix",
+    "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_dismax", "bm25_combined_field", "bm25_multifield",
     "bm25_span_near", "interval_ordered", "sort_multi", "term_vectors",
@@ -3870,6 +3872,120 @@ def _payload_score(sf_dir: str):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+# SpanPayloadCheckQuery (reference: queries/payloads/
+# SpanPayloadCheckQuery.java:44-247): spans accepted only when each
+# position's payload matches the expected value under a MatchOperation
+# (EQ/GT/GTE/LT/LTE). Over the token|ordinal payload index a payload
+# constraint IS a position constraint, which the SQL oracle recomputes.
+# Sets are (terms, payloads, op, slop).
+SPAN_PAYCHECK_QUERY_SETS: Dict[int, tuple] = {
+    0: (("data",), (3.0,), "eq", 0),       # data as exactly the 3rd token
+    1: (("data",), (6.0,), "lte", 0),      # data within the first 6 tokens
+    2: (("key",), (4.0,), "gte", 0),       # key at or after the 4th token
+    3: (("data", "stream"), (12.0, 15.0), "lte", 3),  # constrained chain
+}
+
+
+def _span_payload_check(sf_dir: str):
+    """SpanPayloadCheckQuery top-k over the payload index."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.payloads import score_span_payload_check
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_payload_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (terms, pays, op, slop) in sorted(
+        SPAN_PAYCHECK_QUERY_SETS.items()
+    ):
+        d, s = score_span_payload_check(
+            reader, terms, pays, op=op, slop=slop, k=TOPK
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+_PAY_OP_SQL = {"eq": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+
+
+def _span_payload_check_sql() -> str:
+    """Oracle for span_payload_check: the payload index's stats (NO stop
+    filtering — the whitespace_payload analyzer keeps every token), token
+    ordinal = payload; single-term = payload-filtered count, chain =
+    MIN-successor join with per-link payload predicates."""
+    ctes = """p2 AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+),
+pdl AS (SELECT doc_id, COUNT(*) AS dl FROM p2 GROUP BY doc_id),
+pdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p2 GROUP BY term),
+pstats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM pdl) AS sum_tf
+)"""
+    arms = []
+    for qid, (terms, pays, op, slop) in sorted(
+        SPAN_PAYCHECK_QUERY_SETS.items()
+    ):
+        o = _PAY_OP_SQL[op]
+        idf_parts = [
+            f"(SELECT ln(1 + (ps.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM pdf d CROSS JOIN pstats ps WHERE d.term = '{t}')"
+            for t in terms
+        ]
+        idf = idf_parts[0]
+        for p in idf_parts[1:]:
+            idf = f"({idf} + {p})"
+        if len(terms) == 1:
+            pf = (
+                f"SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS pf FROM p2 "
+                f"WHERE term = '{terms[0]}' AND ord {o} {pays[0]} "
+                f"GROUP BY doc_id"
+            )
+        else:
+            pf = (
+                f"SELECT doc_id, SUM(1.0 / (1.0 + (p1 - pa - 1))) AS pf "
+                f"FROM (\n"
+                f"      SELECT a.doc_id, a.ord AS pa, MIN(b.ord) AS p1\n"
+                f"      FROM (SELECT doc_id, ord FROM p2 WHERE term = "
+                f"'{terms[0]}' AND ord {o} {pays[0]}) a\n"
+                f"      JOIN (SELECT doc_id, ord FROM p2 WHERE term = "
+                f"'{terms[1]}' AND ord {o} {pays[1]}) b"
+                f" ON b.doc_id = a.doc_id AND b.ord > a.ord\n"
+                f"      GROUP BY a.doc_id, a.ord\n"
+                f"    ) WHERE p1 - pa - 1 <= {slop} GROUP BY doc_id"
+            )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM ({pf}) p
+    JOIN pdl dl ON dl.doc_id = p.doc_id
+    CROSS JOIN pstats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {ctes}\n{body}"
 
 
 def _payload_sql() -> str:
@@ -6588,6 +6704,7 @@ FROM tf GROUP BY term"""
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["payload_score"] = _payload_sql()
+    sql["span_payload_check"] = _span_payload_check_sql()
     sql["span_or"] = _span_or_sql()
     sql["span_first"] = _span_first_sql()
     sql["spell_wordbreak"] = _spell_wordbreak_sql()

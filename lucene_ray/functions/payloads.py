@@ -97,3 +97,113 @@ def score_payload(reader, term: str, k: int = 10, function: str = "max",
             scores.dtype
         )
     return _topk_from(docs, scores, k)
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery (round 4)
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "eq": lambda p, v: p == v,
+    "gt": lambda p, v: p > v,
+    "gte": lambda p, v: p >= v,
+    "lt": lambda p, v: p < v,
+    "lte": lambda p, v: p <= v,
+}
+
+
+def _payload_keys(reader, term: str):
+    """Doc-tagged position keys of ``term`` with the parallel payload
+    array (both streams were written from one lexsort, so occurrence
+    order matches exactly). Cached on the reader."""
+    from .query import _POS_SHIFT
+
+    cache = reader.__dict__.setdefault("_payload_keys", {})
+    hit = cache.get(term)
+    if hit is None:
+        docs, tfs, flat_pos = reader.term_positions(term)
+        _, _, flat_pay = reader.term_payloads(term)
+        keys = (np.repeat(docs, tfs) << np.int64(_POS_SHIFT)) + flat_pos.astype(
+            np.int64
+        )
+        hit = (keys, flat_pay.astype(np.float64))
+        cache[term] = hit
+    return hit
+
+
+def score_span_payload_check(reader, terms, payloads, op: str = "eq",
+                             slop: int = 0, k: int = 10):
+    """SpanPayloadCheckQuery analogue (reference: queries/src/java/org/
+    apache/lucene/queries/payloads/SpanPayloadCheckQuery.java:44-247 —
+    FilterSpans accepting only spans whose per-position payloads match
+    the expected list under a MatchOperation; EQ/GT/GTE/LT/LTE via
+    PayloadMatcherFactory). Implemented shapes: a single term (width-1
+    spans whose payload matches ``payloads[0]``) and a TWO-term ordered
+    near chain within ``slop`` where link i's payload matches
+    ``payloads[i]``. A position with no payload (NaN) never matches
+    (the reference rejects null payloads for numeric types). Scoring =
+    the span convention (idf summed over clause terms, span freq =
+    sum of 1/(1+gap))."""
+    from .bm25 import make_scorer
+    from .query import _gather_norm_keys, _topk_from
+    from .spans import _freqs_by_doc, _ordered_chains
+
+    if op not in _OPS:
+        raise ValueError(f"unknown payload match operation {op!r}")
+    if len(terms) not in (1, 2) or len(payloads) != len(terms):
+        raise ValueError(
+            "span_payload_check supports 1 or 2 terms with one expected "
+            "payload per position"
+        )
+    import math
+
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    cmp = _OPS[op]
+    idf64 = 0.0
+    filtered = []
+    for t, want in zip(terms, payloads):
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            return empty
+        idf64 += math.log(1.0 + (reader.doc_count - df + 0.5) / (df + 0.5))
+        keys, pays = _payload_keys(reader, t)
+        with np.errstate(invalid="ignore"):
+            m = cmp(pays, float(want))
+        m &= ~np.isnan(pays)
+        filtered.append(keys[m])
+    if len(filtered) == 1:
+        if len(filtered[0]) == 0:
+            return empty
+        docs_u, pf = _freqs_by_doc(filtered[0], np.ones(len(filtered[0])))
+    else:
+        anchors, _ends, gaps = _ordered_chains(filtered)
+        keep = gaps <= slop
+        if not keep.any():
+            return empty
+        docs_u, pf = _freqs_by_doc(
+            anchors[keep], 1.0 / (1.0 + gaps[keep])
+        )
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs_u):
+        pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
+        alive = deleted[pos] != docs_u
+        docs_u, pf = docs_u[alive], pf[alive]
+    if len(docs_u) == 0:
+        return empty
+    norm_keys = _gather_norm_keys(reader, terms[0], docs_u)
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    scores = scorer.score_array(np.asarray(pf), norm_keys)
+    return _topk_from(
+        docs_u.astype(np.int64), scores.astype(dtype, copy=False), k
+    )

@@ -159,3 +159,86 @@ def test_payload_config_validation(ray_session, tmp_path):
                         payloads=True, offsets=True),
             doc_count=1,
         )
+
+
+def test_span_payload_check_vs_brute(pay_idx):
+    """SpanPayloadCheckQuery vs a brute model over the known corpus:
+    single-term payload filters under every MatchOperation, and 2-term
+    ordered chains with per-link payload constraints."""
+    from lucene_ray.functions.payloads import score_span_payload_check
+
+    r = _reader(pay_idx)
+    n = len(CORPUS)
+
+    def occs(d, term):
+        out = []
+        for i, raw in enumerate(CORPUS[d].split()):
+            t, _, p = raw.partition("|")
+            if t == term:
+                out.append((i, float(p) if p else float("nan")))
+        return out
+
+    OPS = {"eq": lambda p, v: p == v, "gt": lambda p, v: p > v,
+           "gte": lambda p, v: p >= v, "lt": lambda p, v: p < v,
+           "lte": lambda p, v: p <= v}
+
+    def idf(term):
+        df = sum(1 for d in range(n) if occs(d, term))
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def dl(d):
+        return len(CORPUS[d].split())
+
+    avgdl = sum(dl(d) for d in range(n)) / n
+    K1, B = 1.2, 0.75
+
+    def score(d, f, terms):
+        w = sum(idf(t) for t in terms)
+        return w * (f / (f + K1 * ((1 - B) + B * dl(d) / avgdl)))
+
+    # single term, every op
+    for term, want, op in [("apple", 3.0, "eq"), ("apple", 2.0, "lte"),
+                           ("plum", 2.0, "gte"), ("apple", 1.0, "gt"),
+                           ("pear", 9.0, "lt")]:
+        got_d, got_s = score_span_payload_check(r, (term,), (want,), op=op)
+        exp = {}
+        for d in range(n):
+            f = sum(1 for _, p in occs(d, term)
+                    if not math.isnan(p) and OPS[op](p, want))
+            if f:
+                exp[d] = score(d, float(f), (term,))
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))
+        assert list(got_d) == ranked, (term, want, op)
+        np.testing.assert_allclose(
+            np.asarray(got_s, np.float64), [exp[d] for d in ranked],
+            rtol=1e-12,
+        )
+
+    # 2-term ordered chain with per-link constraints
+    got_d, got_s = score_span_payload_check(
+        r, ("apple", "pear"), (5.0, 9.0), op="lte", slop=5
+    )
+    exp = {}
+    for d in range(n):
+        f = 0.0
+        ap = [i for i, p in occs(d, "apple")
+              if not math.isnan(p) and p <= 5.0]
+        pp = [i for i, p in occs(d, "pear")
+              if not math.isnan(p) and p <= 9.0]
+        for a in ap:
+            cand = [q for q in pp if q > a]
+            if cand:
+                gap = min(cand) - a - 1
+                if gap <= 5:
+                    f += 1.0 / (1.0 + gap)
+        if f:
+            exp[d] = score(d, f, ("apple", "pear"))
+    ranked = sorted(exp, key=lambda d: (-exp[d], d))
+    assert list(got_d) == ranked
+    np.testing.assert_allclose(
+        np.asarray(got_s, np.float64), [exp[d] for d in ranked], rtol=1e-12
+    )
+    with pytest.raises(ValueError):
+        score_span_payload_check(r, ("a", "b", "c"), (1, 2, 3))
+    with pytest.raises(ValueError):
+        score_span_payload_check(r, ("a",), (1,), op="ne")
