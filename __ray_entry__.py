@@ -2710,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
     q["span_payload_check"] = lambda sf: _span_payload_check(sf)
+    q["payload_score_span"] = lambda sf: _payload_score_span(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["decontaminate_fuzzy"] = lambda sf: _decontaminate_fuzzy(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
@@ -2821,8 +2822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # variants follow in their original order.
 _DRIVER_WINDOW = [
     # round-4 additions (new operators this round)
-    "payload_score", "span_payload_check", "span_or", "span_first",
-    "span_field_masked", "spell_wordbreak",
+    "payload_score", "span_payload_check", "payload_score_span",
+    "span_or", "span_first", "span_field_masked", "spell_wordbreak",
     "covering_query", "facet_assoc", "decontaminate_fuzzy",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
@@ -2839,7 +2840,7 @@ _DRIVER_WINDOW = [
     "bm25_phrase", "bm25_phrase_sloppy3", "bm25_phrase_mixed",
     "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
-    "bm25_explain", "bm25_dismax", "bm25_combined_field", "bm25_multifield",
+    "bm25_explain", "bm25_combined_field", "bm25_multifield",
     "bm25_span_near", "interval_ordered", "sort_multi", "term_vectors",
 ]
 
@@ -3872,6 +3873,89 @@ def _payload_score(sf_dir: str):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+# PayloadScoreQuery over an ordered 2-term span (reference:
+# PayloadScoreQuery.java wraps any SpanQuery; the collector visits every
+# matched position, so each chain contributes BOTH link payloads to the
+# fold). Sets are (term0, term1, slop, function).
+PAYLOAD_SPAN_QUERY_SETS: Dict[int, Tuple[str, str, int, str]] = {
+    0: ("data", "stream", 4, "max"),
+    1: ("key", "value", 6, "sum"),
+    2: ("customer", "line", 3, "min"),
+    3: ("data", "data", 8, "avg"),  # repeated clause term
+}
+
+
+def _payload_score_span(sf_dir: str):
+    """Span-wrapped PayloadScoreQuery top-k over the payload index."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.payloads import score_payload_span
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_payload_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (t0, t1, slop, fn) in sorted(PAYLOAD_SPAN_QUERY_SETS.items()):
+        d, s = score_payload_span(reader, (t0, t1), k=TOPK, function=fn,
+                                  slop=slop)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _payload_score_span_sql() -> str:
+    """Oracle for payload_score_span: greedy MIN-successor chains over
+    token ordinals; each chain's two ordinals (= its two payloads) enter
+    the per-doc fold."""
+    arms = []
+    for qid, (t0, t1, slop, fn) in sorted(PAYLOAD_SPAN_QUERY_SETS.items()):
+        chains = (
+            f"SELECT a.doc_id, a.ord AS oa, MIN(b.ord) AS ob\n"
+            f"      FROM (SELECT doc_id, ord FROM p2 WHERE term = '{t0}') a\n"
+            f"      JOIN (SELECT doc_id, ord FROM p2 WHERE term = '{t1}') b"
+            f" ON b.doc_id = a.doc_id AND b.ord > a.ord\n"
+            f"      GROUP BY a.doc_id, a.ord"
+        )
+        if fn == "max":
+            agg = "MAX(GREATEST(oa, ob))"
+        elif fn == "min":
+            agg = "MIN(LEAST(oa, ob))"
+        elif fn == "sum":
+            agg = "SUM(CAST(oa + ob AS DOUBLE))"
+        else:  # avg over ALL collected payloads (2 per chain)
+            agg = "SUM(CAST(oa + ob AS DOUBLE)) / (2 * COUNT(*))"
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, CAST({agg} AS DOUBLE) AS score
+    FROM ({chains}) WHERE ob - oa - 1 <= {slop}
+    GROUP BY doc_id
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    ctes = """p2 AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+)"""
+    return f"WITH {ctes}\n{body}"
 
 
 # SpanPayloadCheckQuery (reference: queries/payloads/
@@ -6705,6 +6789,7 @@ FROM tf GROUP BY term"""
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["payload_score"] = _payload_sql()
     sql["span_payload_check"] = _span_payload_check_sql()
+    sql["payload_score_span"] = _payload_score_span_sql()
     sql["span_or"] = _span_or_sql()
     sql["span_first"] = _span_first_sql()
     sql["spell_wordbreak"] = _spell_wordbreak_sql()

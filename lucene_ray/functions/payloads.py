@@ -207,3 +207,88 @@ def score_span_payload_check(reader, terms, payloads, op: str = "eq",
     return _topk_from(
         docs_u.astype(np.int64), scores.astype(dtype, copy=False), k
     )
+
+
+def score_payload_span(reader, terms, k: int = 10, function: str = "max",
+                       slop: int = 0, include_span_score: bool = False):
+    """PayloadScoreQuery wrapping an ordered two-term SpanNearQuery
+    (reference: PayloadScoreQuery.java — the span collector visits EVERY
+    matched position of every matched span, so a chain contributes BOTH
+    link positions' payloads to the fold; numPayloadsSeen counts the
+    non-missing ones). Fold semantics and the neutral-1.0 fallback match
+    :func:`payload_doc_scores`; ``include_span_score`` multiplies by the
+    span's BM25 score (idf summed over the clause terms, span freq =
+    sum of 1/(1+gap), the engine's span convention)."""
+    from .bm25 import make_scorer
+    from .query import _POS_SHIFT, _gather_norm_keys, _topk_from
+    from .spans import _freqs_by_doc, _ordered_chains
+
+    if function not in PAYLOAD_FUNCTIONS:
+        raise ValueError(
+            f"unknown payload function {function!r}; one of {PAYLOAD_FUNCTIONS}"
+        )
+    if len(terms) != 2:
+        raise ValueError("span payload scoring supports two ordered clauses")
+    import math
+
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    idf64 = 0.0
+    keypay = []
+    for t in terms:
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            return empty
+        idf64 += math.log(1.0 + (reader.doc_count - df + 0.5) / (df + 0.5))
+        keypay.append(_payload_keys(reader, t))
+    anchors, ends, gaps = _ordered_chains([keypay[0][0], keypay[1][0]])
+    keep = gaps <= slop
+    if not keep.any():
+        return empty
+    anchors, ends, gaps = anchors[keep], ends[keep], gaps[keep]
+    # payload at each link position (streams are key-sorted: searchsorted)
+    pay_a = keypay[0][1][np.searchsorted(keypay[0][0], anchors)]
+    pay_b = keypay[1][1][np.searchsorted(keypay[1][0], ends)]
+    docs = anchors >> np.int64(_POS_SHIFT)
+    docs_u, inv = np.unique(docs, return_inverse=True)
+    flat = np.concatenate([pay_a, pay_b])
+    seg = np.concatenate([inv, inv])
+    valid = ~np.isnan(flat)
+    seen = np.bincount(seg[valid], minlength=len(docs_u))
+    if function == "max":
+        agg = np.full(len(docs_u), -np.inf)
+        np.maximum.at(agg, seg[valid], flat[valid])
+    elif function == "min":
+        agg = np.full(len(docs_u), np.inf)
+        np.minimum.at(agg, seg[valid], flat[valid])
+    else:
+        agg = np.bincount(seg[valid], weights=flat[valid],
+                          minlength=len(docs_u))
+        if function == "avg":
+            with np.errstate(invalid="ignore", divide="ignore"):
+                agg = agg / seen
+    scores = np.where(seen > 0, agg, 1.0).astype(dtype)
+    if include_span_score:
+        _, pf = _freqs_by_doc(anchors, 1.0 / (1.0 + gaps))
+        norm_keys = _gather_norm_keys(reader, terms[0], docs_u)
+        k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+        scorer = make_scorer(
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+            k1=k1, b=b,
+        )
+        if reader.norm_kind == "byte4":
+            scorer.idf = np.float32(idf64)
+            scorer.weight = np.float32(idf64)
+        else:
+            scorer.idf = idf64
+            scorer.weight = idf64
+        span_s = scorer.score_array(np.asarray(pf), norm_keys)
+        scores = (
+            scores.astype(np.float64) * span_s.astype(np.float64)
+        ).astype(dtype)
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs_u):
+        pos = np.minimum(np.searchsorted(deleted, docs_u), len(deleted) - 1)
+        alive = deleted[pos] != docs_u
+        docs_u, scores = docs_u[alive], scores[alive]
+    return _topk_from(docs_u.astype(np.int64), scores, k)

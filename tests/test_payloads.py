@@ -242,3 +242,65 @@ def test_span_payload_check_vs_brute(pay_idx):
         score_span_payload_check(r, ("a", "b", "c"), (1, 2, 3))
     with pytest.raises(ValueError):
         score_span_payload_check(r, ("a",), (1,), op="ne")
+
+
+def test_payload_score_span_vs_brute(pay_idx):
+    """PayloadScoreQuery over an ordered 2-term span: every matched chain
+    contributes BOTH link payloads to the fold."""
+    from lucene_ray.functions.payloads import score_payload_span
+
+    r = _reader(pay_idx)
+    n = len(CORPUS)
+
+    def occs(d, term):
+        out = []
+        for i, raw in enumerate(CORPUS[d].split()):
+            t, _, p = raw.partition("|")
+            if t == term:
+                out.append((i, float(p) if p else float("nan")))
+        return out
+
+    def chains(d, t0, t1, slop):
+        res = []
+        o1 = occs(d, t1)
+        for a, pa in occs(d, t0):
+            cand = [(q, pq) for q, pq in o1 if q > a]
+            if cand:
+                q, pq = min(cand)
+                gap = q - a - 1
+                if gap <= slop:
+                    res.append((pa, pq, gap))
+        return res
+
+    for t0, t1, slop, fn in [("apple", "pear", 5, "max"),
+                             ("apple", "apple", 5, "sum"),
+                             ("plum", "plum", 3, "avg"),
+                             ("apple", "plum", 9, "min")]:
+        got_d, got_s = score_payload_span(r, (t0, t1), k=10, function=fn,
+                                          slop=slop)
+        exp = {}
+        for d in range(n):
+            ch = chains(d, t0, t1, slop)
+            if not ch:
+                continue
+            pays = [p for pa, pq, _ in ch for p in (pa, pq)
+                    if not math.isnan(p)]
+            if fn == "max":
+                v = max(pays) if pays else 1.0
+            elif fn == "min":
+                v = min(pays) if pays else 1.0
+            elif fn == "sum":
+                v = sum(pays) if pays else 1.0
+            else:
+                v = sum(pays) / len(pays) if pays else 1.0
+            exp[d] = v
+        ranked = sorted(exp, key=lambda d: (-exp[d], d))
+        assert list(got_d) == ranked, (t0, t1, slop, fn)
+        np.testing.assert_allclose(
+            np.asarray(got_s, np.float64), [exp[d] for d in ranked],
+            rtol=1e-12,
+        )
+    # include_span_score path at least executes and ranks deterministically
+    d2, s2 = score_payload_span(r, ("apple", "pear"), k=10, function="max",
+                                slop=5, include_span_score=True)
+    assert len(d2) == len(s2)
