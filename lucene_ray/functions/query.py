@@ -2223,6 +2223,64 @@ def score_sort_by_fields(
     )
 
 
+def _combine_groups(cursors, is_must, n_must, msm, groups, allc, not_docs,
+                    dtype, lo, hi):
+    """Per-interval candidate+score combine for required-OR groups — the
+    doc-sliced image of :func:`_group_candidates`: candidates = MUST
+    intersection ∩ each group's union [∩ msm-SHOULD], MUST_NOT excluded;
+    scores accumulate over every scoring cursor (base + group members) in
+    the SAME sorted-term order, so per-doc float sums are bit-identical
+    to the exhaustive path."""
+    per_term = [c.docs_in(lo, hi) for c in cursors]
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    cand = None
+    if n_must:
+        for (docs, _), m in zip(per_term, is_must):
+            if not m:
+                continue
+            cand = docs if cand is None else np.intersect1d(
+                cand, docs, assume_unique=True
+            )
+            if len(cand) == 0:
+                return empty
+    if msm > 0:
+        should_docs = [d for (d, _), m in zip(per_term, is_must) if not m]
+        if should_docs:
+            u, c = np.unique(np.concatenate(should_docs), return_counts=True)
+            ok = u[c >= msm]
+        else:
+            ok = np.empty(0, dtype=np.int64)
+        cand = ok if cand is None else cand[
+            np.isin(cand, ok, assume_unique=True)
+        ]
+    for g in groups:
+        gdocs = np.unique(
+            np.concatenate([c.docs_in(lo, hi)[0] for c in g])
+        )
+        if len(gdocs) == 0:
+            return empty
+        cand = gdocs if cand is None else np.intersect1d(
+            cand, gdocs, assume_unique=True
+        )
+        if len(cand) == 0:
+            return empty
+    if not_docs is not None and len(not_docs) and len(cand):
+        pos = np.minimum(np.searchsorted(not_docs, cand), len(not_docs) - 1)
+        cand = cand[not_docs[pos] != cand]
+    cand = np.asarray(cand, dtype=np.int64)
+    acc = np.zeros(len(cand), dtype=dtype)
+    if len(cand):
+        for c in allc:
+            docs, scores = c.docs_in(lo, hi)
+            if len(docs) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+            hit = docs[pos] == cand
+            if hit.any():
+                acc[hit] += scores[pos[hit]].astype(dtype)
+    return cand, acc
+
+
 def _set_path(path: str) -> None:
     """Record which engine the last score_blockmax call selected (test /
     bench observability for 'is pruning actually engaged?'; per-process,
@@ -2246,7 +2304,13 @@ def score_blockmax(reader, query, k: int = 10):
     feasibility keys on cursor activity, not on bound > 0. FILTER
     clauses become a doc-wise conjunction: an interval without any
     filter-passing doc is infeasible, and surviving candidates are
-    intersected with the filter set before entering the heap."""
+    intersected with the filter set before entering the heap.
+    Required-OR groups (MUST multi-term clauses) also prune: a group's
+    bound contribution is the sum of its active members' block maxes
+    (every matching member scores), feasibility requires >= 1 active
+    member per group, and the per-interval combine is the doc-sliced
+    image of :func:`_group_candidates` (same sorted-term accumulation
+    order, so float sums stay bit-identical)."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
@@ -2277,29 +2341,34 @@ def score_blockmax(reader, query, k: int = 10):
         _set_path("champion")
         return _champion_topk(reader, single, k)
     cursors, is_must, not_cursors, dtype, groups = prep
-    if groups:
-        # nested required-OR groups aren't modeled by interval bounds;
-        # the exhaustive group path is exact
-        _set_path("exhaustive:groups")
-        return score_exhaustive(reader, query, k, _prep=prep)
     # a cursor can be block-less locally even with global df > 0 (sharded
     # search under global stats): an empty MUST list empties the result;
-    # empty SHOULD lists just drop out
+    # empty SHOULD lists just drop out; a required-OR group with no local
+    # blocks empties the result (its union is empty)
     if any(c.n_blocks == 0 and m for c, m in zip(cursors, is_must)):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
     keep = [i for i, c in enumerate(cursors) if c.n_blocks > 0]
     cursors = [cursors[i] for i in keep]
     is_must = is_must[keep] if len(keep) else np.zeros(0, dtype=bool)
+    kept_groups: List[List[TermCursor]] = []
+    for g in groups:
+        gk = [c for c in g if c.n_blocks > 0]
+        if not gk:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+        kept_groups.append(gk)
+    groups = kept_groups
     n = len(cursors)
-    if n == 0:
+    if n == 0 and not groups:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     msm = query.minimum_should_match if isinstance(query, BooleanQuery) else 0
     n_must = int(is_must.sum())
 
-    # elementary intervals on block boundaries
+    # elementary intervals on block boundaries (group members included)
+    all_scoring = list(cursors) + [c for g in groups for c in g]
     edges = np.unique(
         np.concatenate(
-            [c.first_docs for c in cursors] + [c.last_docs + 1 for c in cursors]
+            [c.first_docs for c in all_scoring]
+            + [c.last_docs + 1 for c in all_scoring]
         )
     )
     if len(edges) == 0:
@@ -2318,11 +2387,34 @@ def score_blockmax(reader, query, k: int = 10):
             active_all_must &= act
         else:
             active_cnt_should += act.astype(np.int32)
+    # required-OR groups: every member that matches SCORES, so the bound
+    # sums active members' block maxes; an interval is feasible only when
+    # each group has >= 1 active member (groups are conjunctive)
+    group_act: List[np.ndarray] = []
+    for g in groups:
+        act_g = np.zeros(len(starts), dtype=bool)
+        for c in g:
+            idx = np.searchsorted(c.last_docs, starts)
+            idx_c = np.minimum(idx, c.n_blocks - 1)
+            act = c.first_docs[idx_c] <= starts
+            bounds += np.where(act, c.block_max[idx_c], 0.0)
+            act_g |= act
+        group_act.append(act_g)
     # feasibility masks — activity-based, NOT ``bounds > 0``: clamped
     # similarities (LMDirichlet / DFI / AxiomaticF2EXP) legitimately
     # produce bound-0 blocks whose docs still MATCH at score 0 and can
     # enter an under-filled top-k (doc-id tie order)
-    if n_must:
+    if groups:
+        # with a required group present, plain SHOULD terms are purely
+        # optional (the _group_candidates semantics)
+        feasible = np.ones(len(starts), dtype=bool)
+        if n_must:
+            feasible &= active_all_must
+        if msm > 0:
+            feasible &= active_cnt_should >= msm
+        for act_g in group_act:
+            feasible &= act_g
+    elif n_must:
         feasible = active_all_must.copy()
         if msm > 0:
             feasible &= active_cnt_should >= msm
@@ -2337,8 +2429,18 @@ def score_blockmax(reader, query, k: int = 10):
             np.searchsorted(fdocs, edges[1:]) > np.searchsorted(fdocs, starts)
         )
     # conservative pad for float32 accumulation wobble (round-up analogue)
-    pad = 1.0 + (n + 2) * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    n_scoring = len(all_scoring)
+    pad = (
+        1.0 + (n_scoring + 2) * 2.0 ** -23
+        if dtype == np.float32
+        else 1.0 + 2.0 ** -40
+    )
     bounds = bounds * pad
+    # per-doc accumulation order must match _group_candidates exactly:
+    # every scoring cursor (base + group members) in sorted-term order
+    allc_sorted = (
+        sorted(all_scoring, key=lambda c: c.term) if groups else None
+    )
 
     _set_path("pruned")
     order = np.argsort(-bounds, kind="stable")
@@ -2364,13 +2466,21 @@ def score_blockmax(reader, query, k: int = 10):
                 _set_path("exhaustive:cost-fallback")
                 return score_exhaustive(
                     reader, query, k,
-                    _prep=(cursors, is_must, not_cursors, dtype, []),
+                    _prep=(cursors, is_must, not_cursors, dtype, groups),
                 )
         probed += 1
         lo = int(starts[i])
         hi = int(edges[i + 1]) - 1
-        per_term = [c.docs_in(lo, hi) for c in cursors]
-        cand, acc = _combine(per_term, is_must, n_must, msm, not_docs, dtype)
+        if groups:
+            cand, acc = _combine_groups(
+                cursors, is_must, n_must, msm, groups, allc_sorted,
+                not_docs, dtype, lo, hi,
+            )
+        else:
+            per_term = [c.docs_in(lo, hi) for c in cursors]
+            cand, acc = _combine(
+                per_term, is_must, n_must, msm, not_docs, dtype
+            )
         if fdocs is not None and len(cand):
             # FILTER doc-wise intersection inside the pruned loop (filter
             # docs are sorted unique; candidates are sorted)

@@ -260,3 +260,54 @@ def test_randomized_similarity_matrix_byte4(bx_index_b4):
             reader.similarity = None
         assert np.array_equal(ed, bd), (case, sim, q, k)
         assert np.array_equal(np.asarray(es), np.asarray(bs)), (case, sim, q, k)
+
+
+def test_group_queries_take_pruned_path(bx_index):
+    """Required-OR groups (MUST multi-term clauses) now run the pruned
+    interval loop: random group shapes x similarities x filters, all
+    bit-identical dumb-vs-smart, with the pruned path engaged."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    rng = np.random.default_rng(4242)
+    sims = [None, ("lmd", 2000.0), ("classic",), ("dfr_inl2", 1.0)]
+    paths = []
+    for case in range(200):
+        n_groups = int(rng.integers(1, 3))
+        groups = tuple(
+            tuple(str(w) for w in rng.choice(
+                CONTENT, size=int(rng.integers(2, 4)), replace=False))
+            for _ in range(n_groups)
+        )
+        must = tuple(
+            str(w) for w in rng.choice(CONTENT, size=int(rng.integers(0, 2)),
+                                       replace=False)
+        )
+        should = tuple(
+            str(w) for w in rng.choice(CONTENT, size=int(rng.integers(0, 3)),
+                                       replace=False)
+        )
+        must_not = tuple(
+            str(w) for w in rng.choice(CONTENT, size=int(rng.integers(0, 2)),
+                                       replace=False)
+        )
+        filters = ()
+        if rng.random() < 0.3:
+            lo, hi = sorted(int(v) for v in rng.integers(0, 1100, size=2))
+            filters = (("ts", lo, hi),)
+        q = BooleanQuery(must=must, should=should, must_not=must_not,
+                         must_groups=groups, filters=filters)
+        sim = sims[int(rng.integers(0, len(sims)))]
+        k = int(rng.choice([1, 10, 50]))
+        reader.similarity = sim
+        try:
+            ed, es = score_exhaustive(reader, q, k)
+            bd, bs = score_blockmax(reader, q, k)
+            paths.append(score_blockmax.last_path)
+        finally:
+            reader.similarity = None
+        assert np.array_equal(ed, bd), (case, sim, q, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (
+            case, sim, q, k,
+        )
+    assert "pruned" in paths
+    assert not any(p == "exhaustive:groups" for p in paths)
