@@ -465,3 +465,17 @@ def score_span_masked(mf_reader, query: MaskedSpanNearQuery, k: int = 10):
         scorer.weight = idf64
     scores = scorer.score_array(np.asarray(pf), keys)
     return _topk_from(docs_u.astype(np.int64), scores.astype(dtype), k)
+
+
+def span_query_terms(query) -> Tuple[str, ...]:
+    """Every term a span query's scoring/stats need (global-df gathering
+    for sharded serving; SpanNot's exclude side matches positions but
+    carries no stats, yet its df must exist in the stats map so the view
+    can answer term_stats for it)."""
+    if isinstance(query, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return (query.term,)
+    if isinstance(query, SpanNotQuery):
+        return (query.include, query.exclude)
+    if isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
+        return tuple(query.big.terms) + (query.little,)
+    return tuple(query.terms)

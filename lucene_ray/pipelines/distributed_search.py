@@ -151,6 +151,17 @@ class ShardedSearchService:
                     qid: score_blockmax(view, q, k) for qid, q in queries
                 }
 
+            def topk_spans(self, queries, k, doc_count, sum_total_tf,
+                           df_map):
+                from ..functions.spans import score_span
+
+                view = GlobalStatsView(
+                    self._reader(), doc_count, sum_total_tf, df_map
+                )
+                return {
+                    qid: score_span(view, q, k) for qid, q in queries
+                }
+
         self.index_dirs = list(index_dirs)
         manifests = [IndexReader(d).manifest for d in self.index_dirs]
         self.doc_count = sum(m["doc_count"] for m in manifests)
@@ -230,6 +241,53 @@ class ShardedSearchService:
                     zip((-s for s in scores.tolist()), docs.tolist())
                 )
             entries.sort()  # (-score asc, doc asc) == (score desc, doc asc)
+            top = entries[:k]
+            dtype = per_shard[0][qid][1].dtype if per_shard else np.float32
+            out[qid] = (
+                np.asarray([d for _, d in top], dtype=np.int64),
+                np.asarray([-s for s, _ in top], dtype=dtype),
+            )
+        return out
+
+    def search_spans(
+        self, span_queries: Sequence, k: int = 10
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Doc-range-sharded span serving (SpanNear / SpanFirst /
+        SpanPositionRange / SpanOr / SpanNot / SpanContaining /
+        SpanWithin): global (df, ttf) gathered for every clause term so
+        each shard scores under whole-corpus stats, then TopDocs.merge —
+        result-identical to a single index because doc ranges are
+        disjoint and positions are shard-local."""
+        from ..functions.spans import span_query_terms
+
+        queries = list(enumerate(span_queries))
+        all_terms = sorted(
+            {t for _, q in queries for t in span_query_terms(q)}
+        )
+        df_map: Dict[str, Tuple[int, int]] = {}
+        for shard_stats in ray.get(
+            [a.term_stats.remote(all_terms) for a in self._actors]
+        ):
+            for t, (df, ttf) in shard_stats.items():
+                d0, t0 = df_map.get(t, (0, 0))
+                df_map[t] = (d0 + df, t0 + ttf)
+        per_shard = ray.get(
+            [
+                a.topk_spans.remote(
+                    queries, k, self.doc_count, self.sum_total_tf, df_map
+                )
+                for a in self._actors
+            ]
+        )
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        for qid, _ in queries:
+            entries = []
+            for shard_out in per_shard:
+                docs, scores = shard_out[qid]
+                entries.extend(
+                    zip((-s for s in scores.tolist()), docs.tolist())
+                )
+            entries.sort()
             top = entries[:k]
             dtype = per_shard[0][qid][1].dtype if per_shard else np.float32
             out[qid] = (

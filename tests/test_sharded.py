@@ -348,3 +348,76 @@ def test_sharded_set_filter_and_str_values(ray_session, tmp_path):
     want = [d for d in range(12) if langs[d] in ("en", "fr")]
     assert matching_docs(get_reader(mono), q).tolist() == want
     assert matching_docs(sharded, q).tolist() == want
+
+
+def test_sharded_spans_match_single_index(tmp_path, ray_session):
+    """Doc-range-sharded span serving must equal the single-index result
+    exactly for every span query type (global stats + TopDocs.merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.spans import (
+        SpanContainingQuery,
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanPositionRangeQuery,
+        SpanWithinQuery,
+        score_span,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    rng = np.random.default_rng(97)
+    vocab = ["data", "stream", "batch", "scan", "merge", "key", "dup"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 15))))
+        for _ in range(240)
+    ]
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        positions=True, sample_rate=1.0,
+    )
+
+    def build(path, lo, hi):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(texts[lo:hi], pa.string()),
+            }
+        )
+        build_index(ray.data.from_arrow(tbl), str(path), cfg,
+                    doc_count=hi - lo)
+
+    build(tmp_path / "full", 0, 240)
+    build(tmp_path / "a", 0, 80)
+    build(tmp_path / "b", 80, 160)
+    build(tmp_path / "c", 160, 240)
+    reader = get_reader(str(tmp_path / "full"))
+    svc = ShardedSearchService(
+        [str(tmp_path / d) for d in ("a", "b", "c")]
+    )
+    big = SpanNearQuery(terms=("data", "stream"), slop=3, in_order=True)
+    queries = [
+        SpanNearQuery(terms=("data", "stream"), slop=2, in_order=True),
+        SpanNearQuery(terms=("key", "merge"), slop=3, in_order=False),
+        SpanFirstQuery("batch", 3),
+        SpanPositionRangeQuery("scan", 1, 6),
+        SpanOrQuery(terms=("dup", "key", "zzzmissing")),
+        SpanNotQuery(include="data", exclude="batch", pre=1, post=1),
+        SpanContainingQuery(big=big, little="key"),
+        SpanWithinQuery(big=big, little="key"),
+    ]
+    try:
+        res = svc.search_spans(queries, k=12)
+        for i, q in enumerate(queries):
+            d, s = score_span(reader, q, 12)
+            assert np.array_equal(d, res[i][0]), q
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(res[i][1], np.float64)
+            )
+    finally:
+        svc.shutdown()
