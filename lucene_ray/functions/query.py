@@ -2223,6 +2223,184 @@ def score_sort_by_fields(
     )
 
 
+class _RawSynCursor:
+    """Raw (unscored) block cursor over one synonym member's bucket blobs:
+    per-block skip arrays plus the per-block max tf and MIN norm key read
+    straight off the stored impact frontier (tf-ascending frontiers have
+    strictly increasing keys, so max tf = last tf and min key = first
+    key — the block's true extremes, since the minimal-key and maximal-tf
+    pairs are never dominated)."""
+
+    def __init__(self, postings_list):
+        self._parts = postings_list
+        nbs = [tp.n_blocks for tp in postings_list]
+        self._part_id = np.repeat(
+            np.arange(len(postings_list), dtype=np.int32), nbs
+        )
+        self._local_b = (
+            np.concatenate([np.arange(nb, dtype=np.int32) for nb in nbs])
+            if nbs
+            else np.empty(0, dtype=np.int32)
+        )
+        firsts, lasts, btf, bkey = [], [], [], []
+        for tp in postings_list:
+            firsts.append(tp.first_docs)
+            lasts.append(tp.last_docs)
+            for lb in range(tp.n_blocks):
+                btf.append(int(tp.frontier_tfs[lb][-1]))
+                bkey.append(int(tp.frontier_keys[lb][0]))
+        self.first_docs = (
+            np.concatenate(firsts) if firsts else np.empty(0, np.int64)
+        )
+        self.last_docs = (
+            np.concatenate(lasts) if lasts else np.empty(0, np.int64)
+        )
+        self.block_max_tf = np.asarray(btf, dtype=np.int64)
+        self.block_min_key = np.asarray(bkey, dtype=np.int64)
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self._part_id)
+
+    def raw_in(self, lo: int, hi: int):
+        """(docs, tfs, keys) with lo <= doc <= hi via block skip data."""
+        e = np.empty(0, dtype=np.int64)
+        if self.n_blocks == 0:
+            return e, e, e
+        b0 = int(np.searchsorted(self.last_docs, lo))
+        b1 = int(np.searchsorted(self.first_docs, hi, side="right"))
+        out = []
+        for b in range(b0, b1):
+            pi, lb = int(self._part_id[b]), int(self._local_b[b])
+            docs, tfs, keys = self._parts[pi].decode_block(lb)
+            i = int(np.searchsorted(docs, lo))
+            j = int(np.searchsorted(docs, hi, side="right"))
+            if i < j:
+                out.append((docs[i:j], tfs[i:j], keys[i:j]))
+        if not out:
+            return e, e, e
+        return (
+            np.concatenate([o[0] for o in out]),
+            np.concatenate([o[1] for o in out]),
+            np.concatenate([o[2] for o in out]),
+        )
+
+
+def _synonym_blockmax(reader, query, k: int):
+    """Pruned executor for SynonymQuery (reference analogue: the blended
+    pseudo-term participates in WAND like any term — SynonymQuery.java
+    builds one SynonymScorer over the union with impact-merged bounds,
+    SynonymQuery.java:360-420 ImpactsMergingUtils). Interval bound =
+    scorer(sum of active members' block-max tfs, min active block key):
+    valid because the blended score is monotone in the summed tf and
+    antitone in the decoded length. Per-interval evaluation mirrors
+    _synonym_scored (per-doc integer tf sum, ONE score application), so
+    results are bit-identical regardless of interval partitioning."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    df_blend, ttf_blend = 0, 0
+    present: List[str] = []
+    for t in sorted(set(query.terms)):
+        df, ttf = reader.term_stats(t)
+        if df > 0:
+            df_blend = max(df_blend, df)
+            ttf_blend += ttf
+            present.append(t)
+    if df_blend == 0:
+        return empty
+    scorer = _term_scorer(reader, df_blend, ttf_blend)
+    members = [_RawSynCursor(reader.postings(t)) for t in present]
+    members = [m for m in members if m.n_blocks > 0]
+    if not members:
+        return empty
+    edges = np.unique(
+        np.concatenate(
+            [m.first_docs for m in members]
+            + [m.last_docs + 1 for m in members]
+        )
+    )
+    starts = edges[:-1]
+    tf_bound = np.zeros(len(starts), dtype=np.int64)
+    key_min = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    active_any = np.zeros(len(starts), dtype=bool)
+    for m in members:
+        idx = np.searchsorted(m.last_docs, starts)
+        idx_c = np.minimum(idx, m.n_blocks - 1)
+        act = m.first_docs[idx_c] <= starts
+        tf_bound += np.where(act, m.block_max_tf[idx_c], 0)
+        key_min = np.where(
+            act, np.minimum(key_min, m.block_min_key[idx_c]), key_min
+        )
+        active_any |= act
+    feasible = active_any
+    safe_keys = np.where(feasible, key_min, 0)
+    bounds = np.zeros(len(starts), dtype=np.float64)
+    if feasible.any():
+        bounds[feasible] = scorer.score_array(
+            tf_bound[feasible], safe_keys[feasible]
+        ).astype(np.float64)
+    pad = (
+        1.0 + 4 * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    )
+    bounds = bounds * pad
+    deleted = getattr(reader, "deleted", None)
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []
+    n_feasible = int(feasible.sum())
+    probed = 0
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        if probed == 8 and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
+                got = _synonym_scored(reader, query)
+                if got is None:
+                    return empty
+                return _topk_from(got[0], got[1], k)
+        probed += 1
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        parts = [m.raw_in(lo, hi) for m in members]
+        docs = np.concatenate([p[0] for p in parts])
+        if len(docs) == 0:
+            continue
+        tfs = np.concatenate([p[1] for p in parts])
+        keys = np.concatenate([p[2] for p in parts])
+        so = np.argsort(docs, kind="stable")
+        docs, tfs, keys = docs[so], tfs[so], keys[so]
+        uniq, ustarts = np.unique(docs, return_index=True)
+        sum_tf = np.add.reduceat(tfs.astype(np.int64), ustarts)
+        key_u = keys[ustarts]
+        if deleted is not None and len(deleted) and len(uniq):
+            pos = np.minimum(
+                np.searchsorted(deleted, uniq), len(deleted) - 1
+            )
+            keep = deleted[pos] != uniq
+            uniq, sum_tf, key_u = uniq[keep], sum_tf[keep], key_u[keep]
+        if len(uniq) == 0:
+            continue
+        acc = scorer.score_array(sum_tf, key_u).astype(dtype, copy=False)
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            uniq, acc = uniq[mask], acc[mask]
+        for d, s in zip(uniq, acc):
+            entry = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return (
+        np.array([-e[1] for e in out], dtype=np.int64),
+        np.array([e[0] for e in out], dtype=dtype),
+    )
+
+
 def _combine_groups(cursors, is_must, n_must, msm, groups, allc, not_docs,
                     dtype, lo, hi):
     """Per-interval candidate+score combine for required-OR groups — the
@@ -2313,11 +2491,15 @@ def score_blockmax(reader, query, k: int = 10):
     order, so float sums stay bit-identical)."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    if isinstance(query, SynonymQuery):
+        # blended pseudo-term: its own pruned executor (r4) — interval
+        # bound from summed block-max tfs + min norm key
+        _set_path("pruned:synonym")
+        return _synonym_blockmax(reader, query, k)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
-                           NestedQuery, SynonymQuery, MultiPhrase)):
+                           NestedQuery, MultiPhrase)):
         # positional verification / whole-corpus enumeration / phrase
-        # mixes / boolean trees / blended-stats synonyms aren't modeled
-        # by interval bounds
+        # mixes / boolean trees aren't modeled by interval bounds
         _set_path("exhaustive:query-kind")
         return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)

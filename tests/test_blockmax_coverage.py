@@ -311,3 +311,40 @@ def test_group_queries_take_pruned_path(bx_index):
         )
     assert "pruned" in paths
     assert not any(p == "exhaustive:groups" for p in paths)
+
+
+def test_synonym_queries_take_pruned_path(bx_index, bx_index_b4):
+    """SynonymQuery pruned executor: random synonym sets (incl. absent
+    members) x similarities x k, bit-identical dumb-vs-smart on both
+    norm chains; the pruned path engages."""
+    from lucene_ray.functions.query import SynonymQuery
+
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(31337)
+    sims = [None, ("lmd", 2000.0), ("classic",), ("dfr_inl2", 1.0),
+            ("dfi",)]
+    for idx in (bx_index[0], bx_index_b4):
+        reader = _reader(idx)
+        paths = []
+        for case in range(150):
+            size = int(rng.integers(1, 4))
+            terms = [str(w) for w in rng.choice(CONTENT, size=size,
+                                                replace=False)]
+            terms = [t for w in terms for t in an.analyze(w)]
+            if rng.random() < 0.3:
+                terms.append("zzzmissing")
+            q = SynonymQuery(terms=tuple(terms))
+            sim = sims[int(rng.integers(0, len(sims)))]
+            k = int(rng.choice([1, 10, 40]))
+            reader.similarity = sim
+            try:
+                ed, es = score_exhaustive(reader, q, k)
+                bd, bs = score_blockmax(reader, q, k)
+                paths.append(score_blockmax.last_path)
+            finally:
+                reader.similarity = None
+            assert np.array_equal(ed, bd), (case, sim, terms, k)
+            assert np.array_equal(np.asarray(es), np.asarray(bs)), (
+                case, sim, terms, k,
+            )
+        assert any(p.startswith("pruned") for p in paths), set(paths)
