@@ -2761,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- suggest module (DirectSpellChecker / WFSTCompletionLookup) ---
     q["spell_suggest"] = lambda sf: _spell_suggest(sf)
     q["spell_wordbreak"] = lambda sf: _spell_wordbreak(sf)
+    q["spell_wordcombine"] = lambda sf: _spell_wordcombine(sf)
     q["covering_query"] = lambda sf: _covering_query(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
     q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
@@ -2824,7 +2825,8 @@ _DRIVER_WINDOW = [
     # round-4 additions (new operators this round)
     "payload_score", "span_payload_check", "payload_score_span",
     "span_or", "span_first", "span_field_masked", "spell_wordbreak",
-    "covering_query", "facet_assoc", "decontaminate_fuzzy",
+    "spell_wordcombine", "covering_query", "facet_assoc",
+    "decontaminate_fuzzy",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
@@ -2837,7 +2839,7 @@ _DRIVER_WINDOW = [
     # last checked in round 2 — diverse family representatives, with the
     # filter/param entries re-proving the r4 block-max routing change
     "bm25_term", "bm25_bool_and", "bm25_bool_msm", "bm25_bool_groups",
-    "bm25_phrase", "bm25_phrase_sloppy3", "bm25_phrase_mixed",
+    "bm25_phrase_sloppy3", "bm25_phrase_mixed",
     "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
@@ -3572,6 +3574,100 @@ def _spell_wordbreak(sf_dir: str):
             "freq": pa.array(freqs, pa.int64()),
         }
     )
+
+
+# WordBreakSpellChecker combine suggestions (WordBreakSpellChecker.java:
+# 148-240): adjacent query words whose concatenation IS a dictionary
+# term. Query word lists are literals, so the oracle enumerates the
+# adjacent runs at generation time. Mode: when_not_in_index (default
+# spellcheck behavior — only combine when some included word has df 0).
+WORDCOMBINE_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
+    0: ("da", "ta", "stream"),      # da+ta = data
+    1: ("bat", "ch", "scan"),       # bat+ch = batch
+    2: ("cust", "omer", "key"),     # cust+omer = customer
+    3: ("data", "stream"),          # both present -> nothing combines
+    4: ("va", "lue", "or", "der"),  # two combinable runs
+}
+WORDCOMBINE_MAXCH = 2
+
+
+def _spell_wordcombine(sf_dir: str):
+    """suggestWordCombinations over the index term dictionary."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.pipelines.suggest import suggest_word_combinations
+
+    reader = get_reader(_ensure_index(sf_dir))
+    qids, ranks, sugg, los, his, freqs = [], [], [], [], [], []
+    for qid in sorted(WORDCOMBINE_QUERY_SETS):
+        words = list(WORDCOMBINE_QUERY_SETS[qid])
+        got = suggest_word_combinations(
+            reader, words, k=WORDBREAK_TOPK,
+            max_changes=WORDCOMBINE_MAXCH, mode="when_not_in_index",
+        )
+        for r, (text, (lo, hi), freq) in enumerate(got, 1):
+            qids.append(qid)
+            ranks.append(r)
+            sugg.append(text)
+            los.append(lo)
+            his.append(hi)
+            freqs.append(freq)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "suggestion": pa.array(sugg, pa.string()),
+            "idx_lo": pa.array(los, pa.int32()),
+            "idx_hi": pa.array(his, pa.int32()),
+            "freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
+def _spell_wordcombine_sql() -> str:
+    """Oracle for spell_wordcombine: adjacent runs enumerated at
+    generation time into VALUES rows (combined, lo, hi, members...);
+    when_not_in_index keeps a run only when some member is absent from
+    the dictionary; ranked (fewer combined words, combined df desc,
+    start index asc, text asc)."""
+    arms = []
+    for qid in sorted(WORDCOMBINE_QUERY_SETS):
+        words = list(WORDCOMBINE_QUERY_SETS[qid])
+        rows = []
+        for i in range(len(words) - 1):
+            combined = words[i]
+            for j in range(i + 1, min(len(words), i + WORDCOMBINE_MAXCH + 1)):
+                combined = combined + words[j]
+                members = words[i:j + 1]
+                # when_not_in_index: min member df == 0, expressed as
+                # NOT every member having a df row
+                member_in = _in_list(members)
+                rows.append(
+                    f"SELECT '{combined}' AS comb, {i} AS lo, {j} AS hi, "
+                    f"{j - i} AS nch, "
+                    f"(SELECT COUNT(*) FROM df WHERE term IN {member_in}) "
+                    f"< {len(set(members))} AS some_absent"
+                )
+        values = "\nUNION ALL\n".join(rows)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (
+         ORDER BY nch ASC, freq DESC, lo ASC, suggestion ASC
+       ) AS INTEGER) AS rank,
+       suggestion, CAST(lo AS INTEGER) AS idx_lo,
+       CAST(hi AS INTEGER) AS idx_hi, freq
+  FROM (
+    SELECT v.comb AS suggestion, v.lo, v.hi, v.nch,
+           CAST(d.df AS BIGINT) AS freq
+    FROM ({values}) v
+    JOIN df d ON d.term = v.comb
+    WHERE v.some_absent
+  )
+  ORDER BY rank LIMIT {WORDBREAK_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES}\n{body}"
 
 
 def _spell_wordbreak_sql() -> str:
@@ -6793,6 +6889,7 @@ FROM tf GROUP BY term"""
     sql["span_or"] = _span_or_sql()
     sql["span_first"] = _span_first_sql()
     sql["spell_wordbreak"] = _spell_wordbreak_sql()
+    sql["spell_wordcombine"] = _spell_wordcombine_sql()
     sql["covering_query"] = _covering_sql()
     sql["span_field_masked"] = _span_field_masked_sql()
     sql["decontaminate"] = _decontaminate_sql()
