@@ -304,3 +304,40 @@ def test_payload_score_span_vs_brute(pay_idx):
     d2, s2 = score_payload_span(r, ("apple", "pear"), k=10, function="max",
                                 slop=5, include_span_score=True)
     assert len(d2) == len(s2)
+
+
+def test_payloads_survive_heavy_term_splits(ray_session, tmp_path):
+    """Heavy-term bucket splitting must keep the .pay stream aligned with
+    positions (same lexsort writes both; buckets are disjoint doc
+    ranges) — golden aggregates unchanged under an aggressive split
+    threshold."""
+    import ray.data
+
+    texts = [f"apple|{i % 7} banana|{i % 3}" for i in range(200)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="whitespace_payload", norm_kind="exact", num_partitions=3,
+        positions=True, payloads=True, sample_rate=1.0,
+        heavy_df_threshold=10, bucket_shift=5,  # 32-doc buckets: many splits
+    )
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(texts))
+    from lucene_ray.pipelines.search import get_reader
+
+    r = get_reader(out)
+    assert len(r.manifest.get("heavy_terms", [])) >= 1  # split actually on
+    docs, s = payload_doc_scores(r, "apple", "max")
+    assert docs.tolist() == list(range(200))
+    # payload 0.0 is a SEEN value (max = 0.0), not the no-payload fallback
+    assert s.tolist() == [float(i % 7) for i in range(200)]
+    _, s2 = payload_doc_scores(r, "banana", "sum")
+    assert s2.tolist() == [float(i % 3) for i in range(200)]
+    from lucene_ray.functions.payloads import score_span_payload_check
+
+    d3, _ = score_span_payload_check(r, ("apple",), (4.0,), op="eq", k=200)
+    assert d3.tolist() == [i for i in range(200) if i % 7 == 4]
