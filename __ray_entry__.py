@@ -2789,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["neardup_minhash"] = lambda sf: _neardup_minhash(sf)  # rows-only
     q["neardup_simhash"] = lambda sf: _neardup_simhash(sf)  # rows-only
     q["neardup_embedding"] = lambda sf: _neardup_embedding(sf)
+    q["neardup_embedding_ivf"] = lambda sf: _neardup_embedding_ivf(sf)  # rows-only
 
     # --- similarity search ---
     q["knn_cosine"] = lambda sf: _knn(sf)
@@ -3004,6 +3005,18 @@ def _neardup_embedding(sf_dir: str):
     from lucene_ray.pipelines.knn import cosine_pairs
 
     return cosine_pairs(_load_embeddings(sf_dir), threshold=COSINE_PAIR_THRESHOLD)
+
+
+def _neardup_embedding_ivf(sf_dir: str):
+    """IVF-blocked approximate embedding near-dup — the web-scale path
+    (rows-only: the candidate set is approximate; found-pair cosines are
+    bit-exact and pytest recall-gates it against the exact operator)."""
+    from lucene_ray.pipelines.knn import cosine_pairs_ivf
+
+    return cosine_pairs_ivf(
+        _load_embeddings(sf_dir), threshold=COSINE_PAIR_THRESHOLD,
+        num_centroids=8, n_probe=3,
+    )
 
 
 def _knn(sf_dir: str):

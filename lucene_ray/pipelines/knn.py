@@ -38,7 +38,11 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
         la = arr.chunk(0)
     else:
         la = arr.combine_chunks()
-    flat = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # flatten() (NOT .values): a zero-copy SLICE of a list array —
+    # map_groups hands those out — keeps the parent's full child buffer
+    # in .values, silently mis-shaping the matrix; flatten() respects
+    # the slice offsets
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(la)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
@@ -706,4 +710,107 @@ def knn_cosine_sq(
 
     return partial.groupby("query_id").map_groups(
         topk_no_self, batch_format="pyarrow"
+    )
+
+
+def cosine_pairs_ivf(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.45,
+    num_centroids: int = 16,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+) -> "ray.data.Dataset":
+    """APPROXIMATE embedding near-dup pairs via IVF blocking — the
+    web-scale path :func:`cosine_pairs` documents: instead of the exact
+    O(N^2 / rows_per_block) block-pair exchange, each row is assigned to
+    its ``n_probe`` nearest spherical-kmeans centroids, one groupby
+    co-locates each centroid bucket, and an exact matmul scores pairs
+    INSIDE buckets only. A pair is found iff the two rows share a probed
+    centroid (the standard IVF recall model — near-identical vectors
+    land on the same centroid with overwhelming probability; multi-probe
+    covers boundary cases). Compute is O(sum of bucket^2) and per-group
+    memory is the bucket share — at 100 TB, pick num_centroids ∝ N so
+    buckets stay ~constant. Duplicate discovery across shared probes is
+    deduped IN-PLAN: a pair is emitted only by the smallest centroid the
+    two rows' probe sets share (no second shuffle). Cosines match the
+    exact operator bit-for-bit on the pairs it finds."""
+    cents = ivf_centroids(ds, num_centroids, kmeans_iters)
+    kc = cents.shape[0]
+    n_probe = max(1, min(int(n_probe), kc))
+    cents_ref = ray.put(np.ascontiguousarray(cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding")[:0]
+                    if "embedding" in batch.schema.names
+                    else pa.array([], pa.list_(pa.float32())),
+                    "_cent": pa.array([], pa.int32()),
+                    "_probes": pa.array([], pa.binary()),
+                }
+            )
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        sims = mat @ ray.get(cents_ref).T
+        # top-n_probe centroids per row, SORTED ascending (deterministic
+        # min-shared dedupe key); argpartition then order by centroid id
+        part = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+        probes = np.sort(part.astype(np.int32), axis=1)
+        n = len(batch)
+        reps = np.repeat(np.arange(n, dtype=np.int64), n_probe)
+        wide = batch.select(["vec_id", "embedding"]).take(pa.array(reps))
+        pblob = np.ascontiguousarray(probes, dtype="<i4").tobytes()
+        row_sz = 4 * n_probe
+        probe_col = pa.array(
+            [
+                pblob[i * row_sz:(i + 1) * row_sz]
+                for i in range(n)
+                for _ in range(n_probe)
+            ],
+            pa.binary(),
+        )
+        return wide.append_column(
+            "_cent", pa.array(probes.reshape(-1))
+        ).append_column("_probes", probe_col)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return _PAIRS_OUT_SCHEMA.empty_table()
+        cent = int(group.column("_cent")[0].as_py())
+        ids = group.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(_batch_matrix(group, "embedding"))[order]
+        probes = np.frombuffer(
+            b"".join(group.column("_probes").to_pylist()), dtype="<i4"
+        ).reshape(len(group), -1)[order]
+        s = mat @ mat.T
+        ai, bi = np.nonzero(np.triu(s >= threshold, k=1))
+        if len(ai) == 0:
+            return _PAIRS_OUT_SCHEMA.empty_table()
+        # min shared probe per pair == this centroid -> emit exactly once
+        A = probes[ai][:, :, None]
+        B = probes[bi][:, None, :]
+        eq = A == B
+        shared = np.where(eq, A, np.iinfo(np.int32).max)
+        min_shared = shared.min(axis=(1, 2))
+        keep = min_shared == cent
+        if not keep.any():
+            return _PAIRS_OUT_SCHEMA.empty_table()
+        ai, bi = ai[keep], bi[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ai].astype(np.int64)),
+                "vec_b": pa.array(ids[bi].astype(np.int64)),
+                "cosine": pa.array(round_half_away(s[ai, bi], 6)),
+            },
+            schema=_PAIRS_OUT_SCHEMA,
+        )
+
+    return (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("_cent")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )

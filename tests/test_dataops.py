@@ -1067,3 +1067,43 @@ def test_pii_scrub(ray_session):
     assert rows[2]["text"] == texts[2]
     assert rows[3]["n_email"] == 1 and rows[3]["n_ipv4"] == 2
     assert rows[4]["text"] == ""
+
+
+def test_cosine_pairs_ivf_recall_and_dedupe(ray_session):
+    """IVF-blocked near-dup (the cosine_pairs scale path): on clustered
+    embeddings the approximate pair set is a SUBSET of the exact one with
+    recall >= 0.9, each pair emitted exactly once (in-plan min-shared
+    dedupe), and every found cosine bit-equal to the exact operator's."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.knn import cosine_pairs, cosine_pairs_ivf
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 16))
+    rows = []
+    for i in range(360):
+        c = centers[i % 6]
+        rows.append((c + 0.12 * rng.normal(size=16)).astype(np.float32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(360), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in rows],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    exact = cosine_pairs(ds, threshold=0.9).to_pandas()
+    approx = cosine_pairs_ivf(
+        ds, threshold=0.9, num_centroids=6, n_probe=2
+    ).to_pandas()
+    se = set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist()))
+    sa = set(map(tuple, approx[["vec_a", "vec_b"]].values.tolist()))
+    assert len(se) > 50  # clustered data actually has near-dups
+    assert len(approx) == len(sa)  # no duplicate emissions
+    assert sa <= se  # approximate set is a subset (cosines exact)
+    assert len(se & sa) / len(se) >= 0.9
+    em = {tuple(r[:2]): r[2] for r in exact.values.tolist()}
+    for r in approx.values.tolist():
+        assert em[(r[0], r[1])] == r[2]  # bit-equal rounded cosine
