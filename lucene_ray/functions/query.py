@@ -1179,6 +1179,23 @@ def _group_candidates(
 _POS_SHIFT = 22
 
 
+def _packed_pos_keys(reader, term: str):
+    """(keys, max_pos): doc-tagged position keys ``doc << POS_SHIFT + pos``
+    ascending, cached per warm reader (LRU-bounded) and SHARED between
+    the phrase and span matchers — per-query offset shifts are a constant
+    add on the cached base, so repeats skip the np.repeat rebuild."""
+    cache = reader.__dict__.setdefault("_packed_pos", LruDict(256))
+    hit = cache.get(term)
+    if hit is None:
+        docs, tfs, flat = reader.term_positions(term)
+        keys = (np.repeat(docs, tfs) << np.int64(_POS_SHIFT)) + flat.astype(
+            np.int64
+        )
+        hit = (keys, int(flat.max()) if len(flat) else -1)
+        cache[term] = hit
+    return hit
+
+
 def _phrase_scored(reader, phrase: PhraseQuery):
     """-> (docs, scores, dtype) for an exact phrase, or None when any term
     is absent / the index lacks positions. Vectorized ExactPhraseMatcher:
@@ -1201,6 +1218,7 @@ def _phrase_scored(reader, phrase: PhraseQuery):
         return None
     k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
     pad = max(phrase.offsets) + 1
+    sloppy = getattr(phrase, "slop", 0) > 0
     pos_cache: Dict[str, tuple] = {}
     idf64 = 0.0
     for t in phrase.terms:
@@ -1210,22 +1228,20 @@ def _phrase_scored(reader, phrase: PhraseQuery):
         idf64 += math.log(
             1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
         )
-        if t not in pos_cache:
+        if sloppy and t not in pos_cache:
             pos_cache[t] = reader.term_positions(t)
-    if getattr(phrase, "slop", 0) > 0:
+    if sloppy:
         docs_u, pf = _sloppy_freqs(pos_cache, phrase)
         if len(docs_u) == 0:
             return empty
     else:
         key_sets = []
         for t, off in zip(phrase.terms, phrase.offsets):
-            docs, tfs, flat = pos_cache[t]
-            if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
+            base, max_pos = _packed_pos_keys(reader, t)
+            if max_pos + pad >= (1 << _POS_SHIFT):
                 raise ValueError("document too long for phrase key packing")
-            doc_rep = np.repeat(docs, tfs)
-            key = (doc_rep << np.int64(_POS_SHIFT)) + (
-                flat.astype(np.int64) - off + pad
-            )
+            # per-query shift = constant add on the cached base keys
+            key = base + np.int64(pad - off)
             key_sets.append(key)  # ascending (doc asc, pos asc)
         key_sets.sort(key=len)
         inter = key_sets[0]
@@ -1474,14 +1490,10 @@ def _multi_phrase_scored(reader, q: "MultiPhrase"):
     for present, off in zip(present_per_slot, q.offsets):
         parts = []
         for t in present:
-            docs, tfs, flat = pos_cache[t]
-            if len(flat) and int(flat.max()) + pad >= (1 << _POS_SHIFT):
+            base, max_pos = _packed_pos_keys(reader, t)
+            if max_pos + pad >= (1 << _POS_SHIFT):
                 raise ValueError("document too long for phrase key packing")
-            doc_rep = np.repeat(docs, tfs)
-            parts.append(
-                (doc_rep << np.int64(_POS_SHIFT))
-                + (flat.astype(np.int64) - off + pad)
-            )
+            parts.append(base + np.int64(pad - off))
         keys = np.concatenate(parts)
         keys.sort()  # union across the slot's terms (one term per token)
         key_sets.append(keys)
