@@ -2719,6 +2719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["span_or"] = lambda sf: _span_or(sf)
     q["span_first"] = lambda sf: _span_first(sf)
     q["span_field_masked"] = lambda sf: _span_field_masked(sf)
+    q["span_containing"] = lambda sf: _span_contain(sf, within=False)
+    q["span_within"] = lambda sf: _span_contain(sf, within=True)
     q["html_extract"] = lambda sf: _html_extract(sf)
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
@@ -2825,7 +2827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-4 additions (new operators this round)
     "payload_score", "span_payload_check", "payload_score_span",
-    "span_or", "span_first", "span_field_masked", "spell_wordbreak",
+    "span_or", "span_first", "span_field_masked", "span_containing",
+    "span_within", "spell_wordbreak",
     "spell_wordcombine", "covering_query", "facet_assoc",
     "decontaminate_fuzzy",
     # entries that have NEVER appeared in a driver correctness file
@@ -2844,7 +2847,7 @@ _DRIVER_WINDOW = [
     "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
-    "bm25_span_near", "interval_ordered", "sort_multi", "term_vectors",
+    "bm25_span_near", "interval_ordered",
 ]
 
 
@@ -3358,6 +3361,126 @@ SYNONYM_QUERY_SETS: Dict[int, Tuple[str, ...]] = {
     2: ("customer", "line"),
     3: ("merge", "value", "zzzmissing"),  # absent synonym is ignored
 }
+
+# SpanContaining / SpanWithin (reference: queries/spans/
+# SpanContainingQuery.java + SpanWithinQuery.java over ContainSpans):
+# big = ordered 2-term span-near chain [a..e], little = a term at q;
+# containment = a <= q <= e. Containing scores qualifying big chains at
+# 1/(1+gap); within scores each contained little position at weight 1.
+# Sets are (big_terms, slop, little).
+SPAN_CONTAIN_QUERY_SETS: Dict[int, Tuple[Tuple[str, str], int, str]] = {
+    0: (("data", "stream"), 4, "key"),
+    1: (("key", "value"), 6, "dup"),
+    2: (("customer", "line"), 5, "table"),
+    3: (("data", "data"), 8, "batch"),  # repeated big clause term
+}
+
+
+def _span_contain(sf_dir: str, within: bool):
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanWithinQuery,
+        score_span,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (big_terms, slop, little) in sorted(
+        SPAN_CONTAIN_QUERY_SETS.items()
+    ):
+        big = SpanNearQuery(terms=big_terms, slop=slop, in_order=True)
+        q = (
+            SpanWithinQuery(big=big, little=little)
+            if within
+            else SpanContainingQuery(big=big, little=little)
+        )
+        d, s = score_span(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _span_contain_sql(within: bool) -> str:
+    """Oracle for span_containing / span_within: greedy MIN-successor
+    chains with gap <= slop; containing = chains holding some little
+    position (EXISTS), pf = SUM 1/(1+gap); within = little positions
+    inside some chain (EXISTS), pf = COUNT; idf sums big + little."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    arms = []
+    for qid, (big_terms, slop, little) in sorted(
+        SPAN_CONTAIN_QUERY_SETS.items()
+    ):
+        t0, t1 = big_terms
+        idf = _span_idf_expr([t0, t1, little])
+        chains = (
+            f"SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS p1\n"
+            f"        FROM (SELECT doc_id, pos FROM ptok WHERE term = '{t0}') a\n"
+            f"        JOIN (SELECT doc_id, pos FROM ptok WHERE term = '{t1}') b"
+            f" ON b.doc_id = a.doc_id AND b.pos > a.pos\n"
+            f"        GROUP BY a.doc_id, a.pos"
+        )
+        valid = (
+            f"SELECT doc_id, pa, p1 FROM ({chains}) "
+            f"WHERE p1 - pa - 1 <= {slop}"
+        )
+        if within:
+            pf = (
+                f"SELECT l.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf\n"
+                f"    FROM (SELECT doc_id, pos FROM ptok WHERE term = "
+                f"'{little}') l\n"
+                f"    WHERE EXISTS (SELECT 1 FROM ({valid}) c\n"
+                f"      WHERE c.doc_id = l.doc_id AND c.pa <= l.pos "
+                f"AND l.pos <= c.p1)\n"
+                f"    GROUP BY l.doc_id"
+            )
+        else:
+            pf = (
+                f"SELECT c.doc_id, SUM(1.0 / (1.0 + (c.p1 - c.pa - 1))) AS pf\n"
+                f"    FROM ({valid}) c\n"
+                f"    WHERE EXISTS (SELECT 1 FROM ptok l\n"
+                f"      WHERE l.doc_id = c.doc_id AND l.term = '{little}'\n"
+                f"        AND c.pa <= l.pos AND l.pos <= c.p1)\n"
+                f"    GROUP BY c.doc_id"
+            )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM ({pf}) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
 
 # FieldMaskingSpanQuery composition (reference: queries/spans/
 # FieldMaskingSpanQuery.java:25-64): span-near across parallel fields —
@@ -6905,6 +7028,8 @@ FROM tf GROUP BY term"""
     sql["spell_wordcombine"] = _spell_wordcombine_sql()
     sql["covering_query"] = _covering_sql()
     sql["span_field_masked"] = _span_field_masked_sql()
+    sql["span_containing"] = _span_contain_sql(within=False)
+    sql["span_within"] = _span_contain_sql(within=True)
     sql["decontaminate"] = _decontaminate_sql()
     sql["decontaminate_fuzzy"] = _decontaminate_fuzzy_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
