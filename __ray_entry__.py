@@ -2713,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["payload_score_span"] = lambda sf: _payload_score_span(sf)
     q["decontaminate"] = lambda sf: _decontaminate(sf)
     q["decontaminate_fuzzy"] = lambda sf: _decontaminate_fuzzy(sf)
+    q["pack_sequences"] = lambda sf: _pack_sequences(sf)
     q["bpe_token_count"] = lambda sf: _bpe_token_count(sf)
     q["bm25_span_near"] = lambda sf: _bm25_span_near(sf)
     q["bm25_span_not"] = lambda sf: _bm25_span_not(sf)
@@ -2830,7 +2831,7 @@ _DRIVER_WINDOW = [
     "span_or", "span_first", "span_field_masked", "span_containing",
     "span_within", "spell_wordbreak",
     "spell_wordcombine", "covering_query", "facet_assoc",
-    "decontaminate_fuzzy",
+    "decontaminate_fuzzy", "pack_sequences",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
@@ -2842,7 +2843,7 @@ _DRIVER_WINDOW = [
     "neardup_minhash", "neardup_simhash",
     # last checked in round 2 — diverse family representatives, with the
     # filter/param entries re-proving the r4 block-max routing change
-    "bm25_term", "bm25_bool_and", "bm25_bool_msm", "bm25_bool_groups",
+    "bm25_term", "bm25_bool_msm", "bm25_bool_groups",
     "bm25_phrase_sloppy3", "bm25_phrase_mixed",
     "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
@@ -5836,6 +5837,42 @@ def _decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=DECON_N)
 
 
+PACK_SEQ_LEN = 512
+
+
+def _pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (concat-and-chunk in doc_id order):
+    per-doc token span + training-sequence range under a distributed
+    two-phase prefix sum. -> (doc_id, n_tokens, tok_start, seq_first,
+    seq_last)."""
+    from lucene_ray.pipelines.textops import pack_sequences
+
+    return pack_sequences(_load_documents(sf_dir), seq_len=PACK_SEQ_LEN)
+
+
+def _pack_sequences_sql() -> str:
+    """Oracle for pack_sequences: the same prefix sum as one SQL window
+    (exact integer math)."""
+    return f"""WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_start
+  FROM c
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((tok_start + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT)
+         AS seq_last
+FROM p WHERE n_tokens > 0"""
+
+
 FUZZY_DECON_MOD = 17   # benchmark = documents with doc_id % 17 == 0
 FUZZY_DECON_K = 3      # word shingle width (the dedup stack's default)
 FUZZY_DECON_THRESHOLD = 0.5
@@ -7032,6 +7069,7 @@ FROM tf GROUP BY term"""
     sql["span_within"] = _span_contain_sql(within=True)
     sql["decontaminate"] = _decontaminate_sql()
     sql["decontaminate_fuzzy"] = _decontaminate_fuzzy_sql()
+    sql["pack_sequences"] = _pack_sequences_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["interval_ordered"] = _interval_sql()

@@ -616,3 +616,92 @@ def bpe_token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.select_columns(["doc_id", "text"]).map_batches(
         counts, batch_format="pyarrow"
     )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> "ray.data.Dataset":
+    """GPT-style sequence packing (concat-and-chunk): documents are laid
+    end-to-end in ascending ``doc_id`` order into one global token stream
+    cut every ``seq_len`` tokens; each doc reports its token span and the
+    training-sequence range it lands in. -> Dataset(doc_id, n_tokens,
+    tok_start, seq_first, seq_last), zero-token docs omitted.
+
+    Distributed prefix-sum shape (the part a naive implementation gets
+    wrong at scale): pass 1 computes per-BUCKET token totals
+    (bucket = doc_id // bucket_size) with one bounded groupby — the
+    driver sees one row per bucket, never per doc; the bucket-offset
+    prefix table is broadcast via the object store; pass 2 sorts each
+    bucket's docs locally (one map_groups) and assigns intra-bucket
+    prefixes. Nothing corpus-sized touches the driver, both shuffles
+    key on the SAME bounded bucket id."""
+    import ray
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        n = np.fromiter(
+            (
+                len(_TOKEN_RE.findall((t or "").lower()))
+                for t in batch.column(text_col).to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_tokens": pa.array(n),
+                "_bucket": pa.array((ids // bucket_size).astype(np.int64)),
+            }
+        )
+
+    counted = ds.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow"
+    ).materialize()  # consumed twice (bucket totals + assignment)
+
+    totals = (
+        counted.groupby("_bucket")
+        .sum("n_tokens")
+        .to_pandas()
+        .sort_values("_bucket")
+    )  # one row per bucket — bounded by id-range/bucket_size
+    buckets = totals["_bucket"].to_numpy()
+    bucket_offsets = np.concatenate(
+        ([0], np.cumsum(totals["sum(n_tokens)"].to_numpy())[:-1])
+    ).astype(np.int64)
+    off_ref = ray.put(dict(zip(buckets.tolist(), bucket_offsets.tolist())))
+
+    def assign(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        offsets = _ray.get(off_ref)
+        b = int(group.column("_bucket")[0].as_py())
+        ids = group.column("doc_id").to_numpy()
+        n = group.column("n_tokens").to_numpy()
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        start = offsets[b] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        keep = n > 0
+        ids, n, start = ids[keep], n[keep], start[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "tok_start": pa.array(start.astype(np.int64)),
+                "seq_first": pa.array((start // seq_len).astype(np.int64)),
+                "seq_last": pa.array(
+                    ((start + n - 1) // seq_len).astype(np.int64)
+                ),
+            }
+        )
+
+    return counted.groupby("_bucket").map_groups(
+        assign, batch_format="pyarrow"
+    )

@@ -1107,3 +1107,44 @@ def test_cosine_pairs_ivf_recall_and_dedupe(ray_session):
     em = {tuple(r[:2]): r[2] for r in exact.values.tolist()}
     for r in approx.values.tolist():
         assert em[(r[0], r[1])] == r[2]  # bit-equal rounded cosine
+
+
+def test_pack_sequences_prefix_and_buckets(ray_session):
+    """Concat-and-chunk packing: exact prefix sums across bucket
+    boundaries, empty docs dropped, chunk ranges consistent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.textops import pack_sequences
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{j}" for j in range(int(rng.integers(0, 40))))
+        for _ in range(300)
+    ]
+    texts[7] = ""          # zero-token doc drops
+    texts[100] = "   "     # whitespace-only drops
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        pack_sequences(ray.data.from_arrow(tbl), seq_len=64, bucket_size=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    off = 0
+    exp = []
+    for d, t in enumerate(texts):
+        n = len(tok.findall(t.lower()))
+        if n:
+            exp.append((d, n, off, off // 64, (off + n - 1) // 64))
+        off += n
+    assert got.values.tolist() == [list(e) for e in exp]
