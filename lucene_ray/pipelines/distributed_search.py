@@ -162,6 +162,17 @@ class ShardedSearchService:
                     qid: score_span(view, q, k) for qid, q in queries
                 }
 
+            def topk_payloads(self, queries, k):
+                # pure payload folds need no cross-shard statistics: the
+                # fold is per doc and docs live on exactly one shard
+                from ..functions.payloads import score_payload
+
+                reader = self._reader()
+                return {
+                    qid: score_payload(reader, term, k=k, function=fn)
+                    for qid, (term, fn) in queries
+                }
+
         self.index_dirs = list(index_dirs)
         manifests = [IndexReader(d).manifest for d in self.index_dirs]
         self.doc_count = sum(m["doc_count"] for m in manifests)
@@ -278,6 +289,34 @@ class ShardedSearchService:
                 )
                 for a in self._actors
             ]
+        )
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        for qid, _ in queries:
+            entries = []
+            for shard_out in per_shard:
+                docs, scores = shard_out[qid]
+                entries.extend(
+                    zip((-s for s in scores.tolist()), docs.tolist())
+                )
+            entries.sort()
+            top = entries[:k]
+            dtype = per_shard[0][qid][1].dtype if per_shard else np.float32
+            out[qid] = (
+                np.asarray([d for _, d in top], dtype=np.int64),
+                np.asarray([-s for s, _ in top], dtype=dtype),
+            )
+        return out
+
+    def search_payloads(
+        self, payload_queries: Sequence[Tuple[str, str]], k: int = 10
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Sharded PayloadScoreQuery serving (pure payload fold): each
+        (term, function) query runs per shard — the fold is per-doc and
+        doc ranges are disjoint, so no statistics round-trip is needed —
+        then TopDocs.merge. Result-identical to a single index."""
+        queries = list(enumerate(payload_queries))
+        per_shard = ray.get(
+            [a.topk_payloads.remote(queries, k) for a in self._actors]
         )
         out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         for qid, _ in queries:

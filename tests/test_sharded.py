@@ -421,3 +421,58 @@ def test_sharded_spans_match_single_index(tmp_path, ray_session):
             )
     finally:
         svc.shutdown()
+
+
+def test_sharded_payloads_match_single_index(tmp_path, ray_session):
+    """Sharded PayloadScoreQuery == single-index results exactly (the
+    fold is per-doc; doc-range shards partition the fold's domain)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.payloads import score_payload
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    rng = np.random.default_rng(181)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(
+            f"{w}|{int(rng.integers(1, 9))}"
+            for w in rng.choice(vocab, size=int(rng.integers(2, 8)))
+        )
+        for _ in range(150)
+    ]
+    cfg = IndexConfig(
+        analyzer="whitespace_payload", norm_kind="exact", num_partitions=2,
+        positions=True, payloads=True, sample_rate=1.0,
+    )
+
+    def build(path, lo, hi):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(texts[lo:hi], pa.string()),
+            }
+        )
+        build_index(ray.data.from_arrow(tbl), str(path), cfg,
+                    doc_count=hi - lo)
+
+    build(tmp_path / "full", 0, 150)
+    build(tmp_path / "a", 0, 75)
+    build(tmp_path / "b", 75, 150)
+    reader = get_reader(str(tmp_path / "full"))
+    svc = ShardedSearchService([str(tmp_path / "a"), str(tmp_path / "b")])
+    queries = [("alpha", "max"), ("beta", "sum"), ("gamma", "avg"),
+               ("delta", "min")]
+    try:
+        res = svc.search_payloads(queries, k=15)
+        for i, (term, fn) in enumerate(queries):
+            d, s = score_payload(reader, term, k=15, function=fn)
+            assert np.array_equal(d, res[i][0]), (term, fn)
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(res[i][1], np.float64)
+            )
+    finally:
+        svc.shutdown()
