@@ -483,6 +483,135 @@ def run_suite() -> dict:
     stages["bm25_span_near"] = round(time.time() - t0, 3)
     log(f"span_near: {stages['bm25_span_near']}s / 40 queries")
 
+    # 2f'. round-4 span family on the same positions index
+    from lucene_ray.functions.spans import (
+        SpanContainingQuery,
+        SpanOrQuery,
+        SpanPositionRangeQuery,
+        SpanWithinQuery,
+    )
+
+    r4_span_qs = [
+        SpanOrQuery(terms=("data", "stream", "key")),
+        SpanPositionRangeQuery("customer", 0, 8),
+        SpanContainingQuery(
+            big=SpanNearQuery(terms=("data", "stream"), slop=4), little="key"
+        ),
+        SpanWithinQuery(
+            big=SpanNearQuery(terms=("data", "stream"), slop=4), little="key"
+        ),
+    ]
+    for q in r4_span_qs:
+        score_span(reader_pos, q, 10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for q in r4_span_qs:
+            score_span(reader_pos, q, 10)
+    stages["span_family"] = round(time.time() - t0, 3)
+    log(f"span family: {stages['span_family']}s / 40 queries")
+
+    # 2f''. payloads: annotated index build + PayloadScoreQuery /
+    # SpanPayloadCheck / span-wrapped folds (token|ordinal annotation)
+    import re as _re
+
+    from lucene_ray.functions.payloads import (
+        score_payload,
+        score_payload_span,
+        score_span_payload_check,
+    )
+
+    pay_dir = f"/tmp/lucene_ray_bench/payidx-{NUM_CPUS}"
+    shutil.rmtree(pay_dir, ignore_errors=True)
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def annotate(b):
+        import pyarrow as pa
+
+        texts = b.column("text").to_pylist()
+        ann = [
+            " ".join(
+                f"{m.group()}|{i + 1}"
+                for i, m in enumerate(tok_re.finditer((t or "").lower()))
+            )
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "text": pa.array(ann, pa.string())}
+        )
+
+    t0 = time.time()
+    build_index(
+        base_docs.select_columns(["doc_id", "text"]).map_batches(
+            annotate, batch_format="pyarrow"
+        ),
+        pay_dir,
+        IndexConfig(
+            analyzer="whitespace_payload", norm_kind="exact",
+            num_partitions=8, positions=True, payloads=True,
+        ),
+        doc_count=n_base,
+    )
+    stages["payload_index_build"] = round(time.time() - t0, 3)
+    reader_pay = get_reader(pay_dir)
+    pay_calls = [
+        lambda: score_payload(reader_pay, "data", k=10, function="max"),
+        lambda: score_payload(reader_pay, "stream", k=10, function="sum",
+                              include_span_score=True),
+        lambda: score_span_payload_check(
+            reader_pay, ("data",), (5.0,), op="lte", k=10
+        ),
+        lambda: score_payload_span(
+            reader_pay, ("data", "stream"), k=10, function="max", slop=4
+        ),
+    ]
+    for c in pay_calls:
+        c()  # warm
+    t0 = time.time()
+    for _ in range(10):
+        for c in pay_calls:
+            c()
+    stages["payload_queries"] = round(time.time() - t0, 3)
+    log(
+        f"payloads: build {stages['payload_index_build']}s, "
+        f"queries {stages['payload_queries']}s / 40"
+    )
+
+    # 2f'''. wordbreak suggestions + covering query on the base pos index
+    from lucene_ray.functions.query import score_covering
+    from lucene_ray.pipelines.suggest import suggest_word_breaks
+    from lucene_ray.state.docvalues import has_doc_values, write_doc_values
+
+    cover_terms = [("data", "stream", "key"), ("batch", "scan"),
+                   ("dup", "key", "hash", "fast")]
+    if not has_doc_values(pos_idx, "min_match"):
+        def mm(b):
+            import numpy as _np
+            import pyarrow as pa
+
+            ids = b.column("doc_id").to_numpy()
+            return pa.table(
+                {"doc_id": b.column("doc_id"),
+                 "min_match": pa.array((ids % 3 + 1).astype(_np.int64))}
+            )
+
+        write_doc_values(
+            base_docs.select_columns(["doc_id"]).map_batches(
+                mm, batch_format="pyarrow"
+            ),
+            pos_idx, "min_match",
+        )
+    wb_words = ["datastream", "batchscan", "hashjoin", "fastscan"]
+    suggest_word_breaks(reader_pos, wb_words, k=5)  # warm
+    for terms in cover_terms:
+        score_covering(reader_pos, terms, "min_match", k=10)  # warm
+    t0 = time.time()
+    for _ in range(10):
+        suggest_word_breaks(reader_pos, wb_words, k=5)
+        for terms in cover_terms:
+            score_covering(reader_pos, terms, "min_match", k=10)
+    stages["wordbreak_covering"] = round(time.time() - t0, 3)
+    log(f"wordbreak+covering: {stages['wordbreak_covering']}s / 70 ops")
+
     # 2f-bis. interval queries (minimal ordered intervals + saturation)
     from lucene_ray.functions.intervals import IntervalQuery, score_intervals
 
