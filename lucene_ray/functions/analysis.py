@@ -777,6 +777,12 @@ class DelimitedPayloadAnalyzer:
             return raw.lower(), float("nan")
         body = raw[i + 1:]
         val = float(body) if self.encoder == "float" else float(int(body))
+        if val != val or val in (float("inf"), float("-inf")):
+            # "nan" would collide with the absent-payload sentinel and
+            # infinities corrupt the fold arithmetic; reject like a
+            # malformed number (the reference's byte payloads have no
+            # such sentinel, so this is our encoder's contract)
+            raise ValueError(f"non-finite payload value {body!r}")
         return raw[:i].lower(), val
 
     def analyze_payloads(self, text: str):

@@ -341,3 +341,13 @@ def test_payloads_survive_heavy_term_splits(ray_session, tmp_path):
 
     d3, _ = score_span_payload_check(r, ("apple",), (4.0,), op="eq", k=200)
     assert d3.tolist() == [i for i in range(200) if i % 7 == 4]
+
+
+def test_payload_encoder_rejects_nonfinite():
+    an = make_analyzer("whitespace_payload")
+    for bad in ["x|nan", "x|inf", "x|-inf", "x|1e309"]:
+        with pytest.raises(ValueError):
+            an.analyze_payloads(bad)
+    # large-but-finite still fine
+    _, _, p = an.analyze_payloads("x|1e30")
+    assert p == [1e30]
