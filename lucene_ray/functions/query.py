@@ -2298,6 +2298,147 @@ class _RawSynCursor:
         )
 
 
+def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
+    """Pruned executor for EXACT phrases (slop=0) — the impacts-driven
+    phrase pruning the reference gets from ExactPhraseMatcher's
+    ImpactsSource (core/.../search/PhraseWeight.java + the impacts
+    merging in ExactPhraseMatcher.java): per-doc phrase freq is at most
+    the MIN of the member tfs, so an interval's upper bound is
+    scorer(min over terms of the active block-max tf, min active block
+    norm key); feasibility needs every term active. Per-interval
+    evaluation slices each term's cached packed-key array to the doc
+    range and runs the SAME iterated sorted intersection, so per-doc
+    freqs — and the single score application — are bit-identical to
+    :func:`_phrase_scored`."""
+    import math
+
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    pad = max(phrase.offsets) + 1
+    idf64 = 0.0
+    raws = []
+    shifted = []
+    for t, off in zip(phrase.terms, phrase.offsets):
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            return empty
+        idf64 += math.log(
+            1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+        )
+        base, max_pos = _packed_pos_keys(reader, t)
+        if max_pos + pad >= (1 << _POS_SHIFT):
+            raise ValueError("document too long for phrase key packing")
+        shifted.append((base + np.int64(pad - off), np.int64(pad - off)))
+        raws.append(_RawSynCursor(reader.postings(t)))
+    if any(r.n_blocks == 0 for r in raws):
+        return empty
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    edges = np.unique(
+        np.concatenate(
+            [r.first_docs for r in raws] + [r.last_docs + 1 for r in raws]
+        )
+    )
+    starts = edges[:-1]
+    tf_bound = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    key_min = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    feasible = np.ones(len(starts), dtype=bool)
+    for r in raws:
+        idx = np.searchsorted(r.last_docs, starts)
+        idx_c = np.minimum(idx, r.n_blocks - 1)
+        act = r.first_docs[idx_c] <= starts
+        feasible &= act
+        tf_bound = np.where(
+            act, np.minimum(tf_bound, r.block_max_tf[idx_c]), tf_bound
+        )
+        key_min = np.where(
+            act, np.minimum(key_min, r.block_min_key[idx_c]), key_min
+        )
+    bounds = np.zeros(len(starts), dtype=np.float64)
+    if feasible.any():
+        bounds[feasible] = scorer.score_array(
+            tf_bound[feasible], np.where(feasible, key_min, 0)[feasible]
+        ).astype(np.float64)
+    pad_f = (
+        1.0 + 4 * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    )
+    bounds = bounds * pad_f
+    deleted = getattr(reader, "deleted", None)
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []
+    n_feasible = int(feasible.sum())
+    probed = 0
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        if probed == 8 and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
+                got = _phrase_scored(reader, phrase)
+                if got is None:
+                    return empty
+                return _topk_from(got[0], got[1], k)
+        probed += 1
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        inter = None
+        for keys, c in shifted:
+            s0 = int(np.searchsorted(keys, (lo << _POS_SHIFT) + int(c)))
+            s1 = int(
+                np.searchsorted(keys, ((hi + 1) << _POS_SHIFT) + int(c))
+            )
+            sl = keys[s0:s1]
+            if inter is None:
+                inter = sl
+            else:
+                if len(inter) == 0 or len(sl) == 0:
+                    inter = inter[:0]
+                    break
+                pos = np.minimum(np.searchsorted(sl, inter), len(sl) - 1)
+                inter = inter[sl[pos] == inter]
+        if inter is None or len(inter) == 0:
+            continue
+        occ_docs = inter >> np.int64(_POS_SHIFT)
+        docs_u, pf = np.unique(occ_docs, return_counts=True)
+        if deleted is not None and len(deleted) and len(docs_u):
+            dpos = np.minimum(
+                np.searchsorted(deleted, docs_u), len(deleted) - 1
+            )
+            keep = deleted[dpos] != docs_u
+            docs_u, pf = docs_u[keep], pf[keep]
+        if len(docs_u) == 0:
+            continue
+        norm_keys = _gather_norm_keys(reader, phrase.terms[0], docs_u)
+        acc = scorer.score_array(pf, norm_keys).astype(dtype, copy=False)
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            docs_u, acc = docs_u[mask], acc[mask]
+        for d, s in zip(docs_u, acc):
+            entry = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return (
+        np.array([-e[1] for e in out], dtype=np.int64),
+        np.array([e[0] for e in out], dtype=dtype),
+    )
+
+
 def _synonym_blockmax(reader, query, k: int):
     """Pruned executor for SynonymQuery (reference analogue: the blended
     pseudo-term participates in WAND like any term — SynonymQuery.java
@@ -2508,6 +2649,15 @@ def score_blockmax(reader, query, k: int = 10):
         # bound from summed block-max tfs + min norm key
         _set_path("pruned:synonym")
         return _synonym_blockmax(reader, query, k)
+    if (
+        isinstance(query, PhraseQuery)
+        and getattr(query, "slop", 0) == 0
+        and getattr(reader, "has_positions", False)
+    ):
+        # exact phrases prune via the min-member-tf impact bound (r4);
+        # sloppy phrases keep the exhaustive anchor sweep
+        _set_path("pruned:phrase")
+        return _phrase_blockmax(reader, query, k)
     if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
                            NestedQuery, MultiPhrase)):
         # positional verification / whole-corpus enumeration / phrase

@@ -348,3 +348,50 @@ def test_synonym_queries_take_pruned_path(bx_index, bx_index_b4):
                 case, sim, terms, k,
             )
         assert any(p.startswith("pruned") for p in paths), set(paths)
+
+
+def test_exact_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
+    """Exact phrases (slop=0) run the pruned interval executor:
+    randomized phrases (incl. stopword gaps and repeated terms) are
+    bit-identical dumb-vs-smart; sloppy phrases keep exhaustive."""
+    import ray.data
+
+    from lucene_ray.functions.query import PhraseQuery
+
+    doc_ids, texts = make_corpus(n_docs=500, seed=61)
+    out = str(tmp_path_factory.mktemp("phx") / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
+        positions=True, sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
+    reader = _reader(out)
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(611)
+    paths = []
+    for case in range(120):
+        size = int(rng.integers(1, 4))
+        words = [str(w) for w in rng.choice(WORDS, size=size)]
+        qs = '"' + " ".join(words) + '"'
+        q = parse_query(qs, an)
+        if not getattr(q, "terms", ()):
+            continue  # stopword-only phrase
+        k = int(rng.choice([1, 10, 30]))
+        ed, es = score_exhaustive(reader, q, k)
+        bd, bs = score_blockmax(reader, q, k)
+        paths.append(score_blockmax.last_path)
+        assert np.array_equal(ed, bd), (case, qs, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (case, qs, k)
+    assert any(p.startswith("pruned") for p in paths), set(paths)
+    # sloppy stays exhaustive (documented)
+    q = PhraseQuery(terms=("alpha", "beta"), offsets=(0, 1), slop=2)
+    e = score_exhaustive(reader, q, 10)
+    b = score_blockmax(reader, q, 10)
+    assert score_blockmax.last_path == "exhaustive:query-kind"
+    assert np.array_equal(e[0], b[0])
