@@ -127,19 +127,15 @@ class SpanNotQuery:
 def _doc_keys(reader, term: str) -> np.ndarray:
     """Doc-tagged position keys ``doc << POS_SHIFT | pos``, ascending —
     one flat sorted array over the whole index, so span chaining is a
-    single global searchsorted per link instead of a per-doc loop (the
-    same packing as the exact phrase matcher). Cached on the reader."""
-    cache = reader.__dict__.setdefault("_span_keys", {})
-    k = cache.get(term)
-    if k is None:
-        docs, tfs, flat = reader.term_positions(term)
-        if len(flat) and int(flat.max()) + 1 >= (1 << _POS_SHIFT):
-            raise ValueError("document too long for span key packing")
-        k = (np.repeat(docs, tfs) << np.int64(_POS_SHIFT)) + flat.astype(
-            np.int64
-        )
-        cache[term] = k
-    return k
+    single global searchsorted per link instead of a per-doc loop. The
+    LRU-bounded base-key cache is SHARED with the phrase matchers
+    (functions/query.py::_packed_pos_keys — same packing)."""
+    from .query import _packed_pos_keys
+
+    keys, max_pos = _packed_pos_keys(reader, term)
+    if max_pos + 1 >= (1 << _POS_SHIFT):
+        raise ValueError("document too long for span key packing")
+    return keys
 
 
 def _freqs_by_doc(match_keys: np.ndarray, weights: np.ndarray):
