@@ -364,3 +364,55 @@ def test_diversified_search(ray_session, tmp_path):
     c = collapse_search(out, "alpha", ds, "src", k=4).to_pandas()
     d1 = diversified_search(out, "alpha", ds, "src", k=4, max_per_key=1).to_pandas()
     assert c["doc_id"].tolist() == d1["doc_id"].tolist()
+
+
+def test_taxonomy_facet_associations_int_and_float(ray_session, tmp_path):
+    """Association SUMs at every taxonomy level == brute re-sum, for an
+    integer association and a float one whose values are exact binary
+    fractions (order-free sums)."""
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.facets import taxonomy_facet_associations
+
+    texts = [
+        "alpha beta", "alpha", "beta gamma", "alpha beta beta",
+        "gamma", "alpha gamma",
+    ]
+    langs = ["en", "en", "de", "fr", "de", "en"]
+    srcs = ["s1", "s2", "s1", "s1", "s2", "s1"]
+    weights = [1.5, 0.25, 3.0, 0.5, 2.0, 4.75]  # exact binary fractions
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "weight": pa.array(weights, pa.float64()),
+        }
+    )
+    out = str(tmp_path / "associdx")
+    build_index(
+        ray.data.from_arrow(docs), out,
+        IndexConfig(analyzer="en_nostem_simple", norm_kind="exact",
+                    num_partitions=2),
+        doc_count=len(texts),
+    )
+    hits = [d for d, t in enumerate(texts) if "alpha" in t.split()]
+    for col, vals in (("n_chars", [len(t) for t in texts]),
+                      ("weight", weights)):
+        got = taxonomy_facet_associations(
+            out, "alpha", ray.data.from_arrow(docs), ["lang", "source"], col
+        ).to_pandas()
+        want = {}
+        for d in hits:
+            want[(1, langs[d])] = want.get((1, langs[d]), 0.0) + vals[d]
+            p2 = f"{langs[d]}/{srcs[d]}"
+            want[(2, p2)] = want.get((2, p2), 0.0) + vals[d]
+        got_map = {
+            (int(r.level), r.path): float(r.value) for r in got.itertuples()
+        }
+        assert got_map == want, col
+        lv1 = got[got.level == 1]
+        assert list(lv1["value"]) == sorted(lv1["value"], reverse=True)
