@@ -2439,6 +2439,193 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
     )
 
 
+def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
+    """Pruned executor for MultiPhraseQuery: slot s's per-doc union
+    occurrence count is at most the SUM of its present terms' tfs, and
+    phrase freq is at most the MIN over slots of that sum — so intervals
+    carry scorer(min over slots of Σ active block-max tfs, min active
+    norm key) bounds with every-slot-active feasibility. Per-interval
+    evaluation slices each slot's cached union key set and runs the
+    same iterated intersection as :func:`_multi_phrase_scored`, keeping
+    per-doc freqs — and the single score application with the
+    declaration-order idf sum — bit-identical."""
+    import math
+
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "multi-phrase queries need a positions-enabled index "
+            "(IndexConfig.positions=True)"
+        )
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if not q.term_arrays:
+        return empty
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    pad = max(q.offsets) + 1
+    idf64 = 0.0
+    slot_keys: List[np.ndarray] = []
+    slot_raws: List[List["_RawSynCursor"]] = []
+    slot0_terms: List[str] = []
+    for slot_terms, off in zip(q.term_arrays, q.offsets):
+        present: List[str] = []
+        parts = []
+        raws = []
+        for t in slot_terms:
+            df, _ = reader.term_stats(t)
+            if df == 0:
+                continue  # absent terms contribute no stats
+            idf64 += math.log(
+                1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+            )
+            present.append(t)
+            base, max_pos = _packed_pos_keys(reader, t)
+            if max_pos + pad >= (1 << _POS_SHIFT):
+                raise ValueError(
+                    "document too long for phrase key packing"
+                )
+            parts.append(base + np.int64(pad - off))
+            raws.append(_RawSynCursor(reader.postings(t)))
+        if not present:
+            return empty  # a slot with zero indexed terms cannot match
+        keys = np.concatenate(parts)
+        keys.sort()
+        slot_keys.append(keys)
+        slot_raws.append([r for r in raws if r.n_blocks > 0])
+        if not slot_raws[-1]:
+            return empty
+        if not slot0_terms:
+            slot0_terms = present
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    all_raws = [r for rs in slot_raws for r in rs]
+    edges = np.unique(
+        np.concatenate(
+            [r.first_docs for r in all_raws]
+            + [r.last_docs + 1 for r in all_raws]
+        )
+    )
+    starts = edges[:-1]
+    tf_bound = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    key_min = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    feasible = np.ones(len(starts), dtype=bool)
+    for rs in slot_raws:
+        slot_sum = np.zeros(len(starts), dtype=np.int64)
+        slot_act = np.zeros(len(starts), dtype=bool)
+        for r in rs:
+            idx = np.searchsorted(r.last_docs, starts)
+            idx_c = np.minimum(idx, r.n_blocks - 1)
+            act = r.first_docs[idx_c] <= starts
+            slot_sum += np.where(act, r.block_max_tf[idx_c], 0)
+            key_min = np.where(
+                act, np.minimum(key_min, r.block_min_key[idx_c]), key_min
+            )
+            slot_act |= act
+        feasible &= slot_act
+        tf_bound = np.minimum(tf_bound, slot_sum)
+    bounds = np.zeros(len(starts), dtype=np.float64)
+    if feasible.any():
+        bounds[feasible] = scorer.score_array(
+            tf_bound[feasible], np.where(feasible, key_min, 0)[feasible]
+        ).astype(np.float64)
+    pad_f = (
+        1.0 + 4 * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    )
+    bounds = bounds * pad_f
+    deleted = getattr(reader, "deleted", None)
+    # per-term doc sets of slot 0 for the norm-key gather (whichever
+    # slot-0 term the doc carries, declaration order — mirrors the
+    # exhaustive tail)
+    slot0_docs = {t: reader.term_positions(t)[0] for t in slot0_terms}
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []
+    n_feasible = int(feasible.sum())
+    probed = 0
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        if probed == 8 and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
+                got = _multi_phrase_scored(reader, q)
+                if got is None:
+                    return empty
+                return _topk_from(got[0], got[1], k)
+        probed += 1
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        inter = None
+        for keys in slot_keys:
+            s0 = int(np.searchsorted(keys, lo << _POS_SHIFT))
+            s1 = int(np.searchsorted(keys, (hi + 2) << _POS_SHIFT))
+            sl = keys[s0:s1]
+            # tighten to the exact doc range (shifts keep keys within
+            # (doc << S, (doc+2) << S); re-slice on doc tags)
+            if len(sl):
+                tags = sl >> np.int64(_POS_SHIFT)
+                m = (tags >= lo) & (tags <= hi)
+                sl = sl[m]
+            if inter is None:
+                inter = sl
+            else:
+                if len(inter) == 0 or len(sl) == 0:
+                    inter = inter[:0]
+                    break
+                pos = np.minimum(np.searchsorted(sl, inter), len(sl) - 1)
+                inter = inter[sl[pos] == inter]
+        if inter is None or len(inter) == 0:
+            continue
+        occ_docs = inter >> np.int64(_POS_SHIFT)
+        docs_u, pf = np.unique(occ_docs, return_counts=True)
+        if deleted is not None and len(deleted) and len(docs_u):
+            dpos = np.minimum(
+                np.searchsorted(deleted, docs_u), len(deleted) - 1
+            )
+            keep = deleted[dpos] != docs_u
+            docs_u, pf = docs_u[keep], pf[keep]
+        if len(docs_u) == 0:
+            continue
+        keys_u = np.zeros(len(docs_u), dtype=np.int64)
+        have = np.zeros(len(docs_u), dtype=bool)
+        for t in slot0_terms:
+            docs_t = slot0_docs[t]
+            if len(docs_t) == 0:
+                continue
+            pos = np.minimum(
+                np.searchsorted(docs_t, docs_u), len(docs_t) - 1
+            )
+            hit = (docs_t[pos] == docs_u) & ~have
+            if hit.any():
+                keys_u[hit] = _gather_norm_keys(reader, t, docs_u[hit])
+                have[hit] = True
+        acc = scorer.score_array(pf, keys_u).astype(dtype, copy=False)
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            docs_u, acc = docs_u[mask], acc[mask]
+        for d, s in zip(docs_u, acc):
+            entry = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return (
+        np.array([-e[1] for e in out], dtype=np.int64),
+        np.array([e[0] for e in out], dtype=dtype),
+    )
+
+
 def _synonym_blockmax(reader, query, k: int):
     """Pruned executor for SynonymQuery (reference analogue: the blended
     pseudo-term participates in WAND like any term — SynonymQuery.java
@@ -2658,10 +2845,45 @@ def score_blockmax(reader, query, k: int = 10):
         # sloppy phrases keep the exhaustive anchor sweep
         _set_path("pruned:phrase")
         return _phrase_blockmax(reader, query, k)
-    if isinstance(query, (PhraseQuery, MatchAllQuery, MixedQuery,
+    if isinstance(query, MultiPhrase) and getattr(
+        reader, "has_positions", False
+    ):
+        # slot unions prune via the min-over-slots sum-tf impact bound
+        _set_path("pruned:multiphrase")
+        return _multi_phrase_blockmax(reader, query, k)
+    if isinstance(query, MatchAllQuery):
+        # constant-score universe: top-k under (score desc, doc asc) is
+        # simply the first k LIVE doc ids — no whole-corpus scoring
+        # (reference: MatchAllDocsQuery's constant bulk scorer)
+        _set_path("pruned:matchall")
+        dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+        docs = np.asarray(reader.all_doc_ids(), dtype=np.int64)
+        deleted = getattr(reader, "deleted", None)
+        if deleted is not None and len(deleted) and len(docs):
+            # walk forward in slices until k live docs are found
+            out = []
+            need = k
+            lo = 0
+            step = max(k * 4, 1024)
+            while need > 0 and lo < len(docs):
+                sl = docs[lo:lo + step]
+                pos = np.minimum(
+                    np.searchsorted(deleted, sl), len(deleted) - 1
+                )
+                live = sl[deleted[pos] != sl]
+                out.append(live[:need])
+                need -= len(live[:need])
+                lo += step
+            docs = (
+                np.concatenate(out) if out else np.empty(0, np.int64)
+            )
+        else:
+            docs = docs[:k]
+        return docs, np.ones(len(docs), dtype=dtype)
+    if isinstance(query, (PhraseQuery, MixedQuery,
                            NestedQuery, MultiPhrase)):
-        # positional verification / whole-corpus enumeration / phrase
-        # mixes / boolean trees aren't modeled by interval bounds
+        # positional sloppy verification / phrase mixes / boolean trees
+        # aren't modeled by interval bounds
         _set_path("exhaustive:query-kind")
         return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)

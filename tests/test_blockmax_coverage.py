@@ -395,3 +395,78 @@ def test_exact_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
     b = score_blockmax(reader, q, 10)
     assert score_blockmax.last_path == "exhaustive:query-kind"
     assert np.array_equal(e[0], b[0])
+
+
+def test_matchall_shortcut(bx_index):
+    """MatchAll top-k = first k live docs with constant score; identical
+    to the exhaustive enumeration incl. under deletes."""
+    from lucene_ray.functions.query import MatchAllQuery
+
+    reader = _reader(bx_index[0])
+    for k in (1, 10, 700):
+        ed, es = score_exhaustive(reader, MatchAllQuery(), k)
+        bd, bs = score_blockmax(reader, MatchAllQuery(), k)
+        assert score_blockmax.last_path == "pruned:matchall"
+        assert np.array_equal(ed, bd), k
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), k
+    # with tombstones (fake a deleted set on a shallow reader copy)
+    import copy
+
+    r2 = copy.copy(reader)
+    r2.__dict__ = dict(reader.__dict__)
+    r2.deleted = np.array([0, 1, 2, 5, 599], dtype=np.int64)
+    for k in (3, 50):
+        ed, es = score_exhaustive(r2, MatchAllQuery(), k)
+        bd, bs = score_blockmax(r2, MatchAllQuery(), k)
+        assert np.array_equal(ed, bd), k
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), k
+        assert not set(bd.tolist()) & {0, 1, 2, 5, 599}
+
+
+def test_multi_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
+    """MultiPhraseQuery runs the pruned slot-union executor: randomized
+    slot alternatives (incl. absent terms and repeated alternatives),
+    bit-identical dumb-vs-smart."""
+    import ray.data
+
+    from lucene_ray.functions.query import MultiPhrase
+
+    doc_ids, texts = make_corpus(n_docs=450, seed=71)
+    out = str(tmp_path_factory.mktemp("mpx") / "idx")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
+        positions=True, sample_rate=1.0,
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
+    reader = _reader(out)
+    rng = np.random.default_rng(717)
+    paths = []
+    for case in range(100):
+        n_slots = int(rng.integers(2, 4))
+        arrays = []
+        for _ in range(n_slots):
+            alts = [str(w) for w in rng.choice(
+                CONTENT, size=int(rng.integers(1, 3)), replace=False)]
+            if rng.random() < 0.2:
+                alts.append("zzzmissing")
+            arrays.append(tuple(alts))
+        offs = tuple(range(n_slots)) if rng.random() < 0.7 else tuple(
+            sorted(rng.choice(range(n_slots + 2), size=n_slots,
+                              replace=False))
+        )
+        q = MultiPhrase(term_arrays=tuple(arrays), offsets=offs)
+        k = int(rng.choice([1, 10, 30]))
+        ed, es = score_exhaustive(reader, q, k)
+        bd, bs = score_blockmax(reader, q, k)
+        paths.append(score_blockmax.last_path)
+        assert np.array_equal(ed, bd), (case, arrays, offs, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (
+            case, arrays, offs, k,
+        )
+    assert any(p == "pruned:multiphrase" for p in paths), set(paths)
