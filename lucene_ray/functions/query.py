@@ -2330,9 +2330,17 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
         if max_pos + pad >= (1 << _POS_SHIFT):
             raise ValueError("document too long for phrase key packing")
         shifted.append((base + np.int64(pad - off), np.int64(pad - off)))
-        raws.append(_RawSynCursor(reader.postings(t)))
+        raws.append(_raw_cursor(reader, t))
     if any(r.n_blocks == 0 for r in raws):
         return empty
+    if sum(r.n_blocks for r in raws) <= 32:
+        # tiny posting lists: one vectorized global pass wins outright,
+        # skip even the bound computation
+        _set_path("exhaustive:small")
+        got = _phrase_scored(reader, phrase)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     scorer = make_scorer(
         reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
         k1=k1, b=b,
@@ -2363,6 +2371,16 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
         key_min = np.where(
             act, np.minimum(key_min, r.block_min_key[idx_c]), key_min
         )
+    n_feasible = int(feasible.sum())
+    if n_feasible <= 32:
+        # few intervals -> per-interval overhead exceeds one vectorized
+        # global pass (the small-corpus / low-df regime); at scale the
+        # interval count grows with df and pruning wins
+        _set_path("exhaustive:small")
+        got = _phrase_scored(reader, phrase)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
         bounds[feasible] = scorer.score_array(
@@ -2375,7 +2393,6 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
     deleted = getattr(reader, "deleted", None)
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []
-    n_feasible = int(feasible.sum())
     probed = 0
     for i in order:
         if not feasible[i]:
@@ -2484,7 +2501,7 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
                     "document too long for phrase key packing"
                 )
             parts.append(base + np.int64(pad - off))
-            raws.append(_RawSynCursor(reader.postings(t)))
+            raws.append(_raw_cursor(reader, t))
         if not present:
             return empty  # a slot with zero indexed terms cannot match
         keys = np.concatenate(parts)
@@ -2506,6 +2523,12 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
         scorer.idf = idf64
         scorer.weight = idf64
     all_raws = [r for rs in slot_raws for r in rs]
+    if sum(r.n_blocks for r in all_raws) <= 32:
+        _set_path("exhaustive:small")
+        got = _multi_phrase_scored(reader, q)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     edges = np.unique(
         np.concatenate(
             [r.first_docs for r in all_raws]
@@ -2530,6 +2553,14 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
             slot_act |= act
         feasible &= slot_act
         tf_bound = np.minimum(tf_bound, slot_sum)
+    n_feasible = int(feasible.sum())
+    if n_feasible <= 32:
+        # few intervals -> one vectorized global pass is cheaper
+        _set_path("exhaustive:small")
+        got = _multi_phrase_scored(reader, q)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
         bounds[feasible] = scorer.score_array(
@@ -2546,7 +2577,6 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
     slot0_docs = {t: reader.term_positions(t)[0] for t in slot0_terms}
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []
-    n_feasible = int(feasible.sum())
     probed = 0
     for i in order:
         if not feasible[i]:
@@ -2626,6 +2656,18 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
     )
 
 
+def _raw_cursor(reader, term: str) -> "_RawSynCursor":
+    """Per-reader LRU cache of raw block cursors: the per-block max-tf /
+    min-key extraction walks every block in Python, which must not be
+    paid per query on a warm searcher."""
+    cache = reader.__dict__.setdefault("_raw_cursors", LruDict(256))
+    c = cache.get(term)
+    if c is None:
+        c = _RawSynCursor(reader.postings(term))
+        cache[term] = c
+    return c
+
+
 def _synonym_blockmax(reader, query, k: int):
     """Pruned executor for SynonymQuery (reference analogue: the blended
     pseudo-term participates in WAND like any term — SynonymQuery.java
@@ -2649,10 +2691,16 @@ def _synonym_blockmax(reader, query, k: int):
     if df_blend == 0:
         return empty
     scorer = _term_scorer(reader, df_blend, ttf_blend)
-    members = [_RawSynCursor(reader.postings(t)) for t in present]
+    members = [_raw_cursor(reader, t) for t in present]
     members = [m for m in members if m.n_blocks > 0]
     if not members:
         return empty
+    if sum(m.n_blocks for m in members) <= 32:
+        _set_path("exhaustive:small")
+        got = _synonym_scored(reader, query)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     edges = np.unique(
         np.concatenate(
             [m.first_docs for m in members]
@@ -2673,6 +2721,14 @@ def _synonym_blockmax(reader, query, k: int):
         )
         active_any |= act
     feasible = active_any
+    n_feasible = int(feasible.sum())
+    if n_feasible <= 32:
+        # few intervals -> one vectorized global union is cheaper
+        _set_path("exhaustive:small")
+        got = _synonym_scored(reader, query)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
     safe_keys = np.where(feasible, key_min, 0)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
@@ -2686,7 +2742,6 @@ def _synonym_blockmax(reader, query, k: int):
     deleted = getattr(reader, "deleted", None)
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []
-    n_feasible = int(feasible.sum())
     probed = 0
     for i in order:
         if not feasible[i]:

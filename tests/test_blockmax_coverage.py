@@ -53,8 +53,8 @@ def bx_index(ray_session, tmp_path_factory):
         }
     )
     cfg = IndexConfig(
-        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=5,
-        sample_rate=1.0,
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=12,
+        sample_rate=1.0, heavy_df_threshold=40, bucket_shift=3,
     )
     build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
     write_doc_values(
@@ -232,8 +232,8 @@ def bx_index_b4(ray_session, tmp_path_factory):
         }
     )
     cfg = IndexConfig(
-        analyzer="en_nostem_simple", norm_kind="byte4", num_partitions=4,
-        sample_rate=1.0,
+        analyzer="en_nostem_simple", norm_kind="byte4", num_partitions=10,
+        sample_rate=1.0, heavy_df_threshold=40, bucket_shift=3,
     )
     build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
     return out
@@ -367,8 +367,9 @@ def test_exact_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
         }
     )
     cfg = IndexConfig(
-        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
-        positions=True, sample_rate=1.0,
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=12,
+        positions=True, sample_rate=1.0, heavy_df_threshold=40,
+        bucket_shift=3,
     )
     build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
     reader = _reader(out)
@@ -440,8 +441,9 @@ def test_multi_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
         }
     )
     cfg = IndexConfig(
-        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=4,
-        positions=True, sample_rate=1.0,
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=12,
+        positions=True, sample_rate=1.0, heavy_df_threshold=40,
+        bucket_shift=3,
     )
     build_index(ray.data.from_arrow(tbl), out, cfg, doc_count=len(doc_ids))
     reader = _reader(out)
