@@ -2831,7 +2831,7 @@ _DRIVER_WINDOW = [
     "span_or", "span_first", "span_field_masked", "span_containing",
     "span_within", "spell_wordbreak",
     "spell_wordcombine", "covering_query", "facet_assoc",
-    "decontaminate_fuzzy", "pack_sequences",
+    "decontaminate_fuzzy", "pack_sequences", "neardup_embedding_ivf",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
@@ -2848,7 +2848,7 @@ _DRIVER_WINDOW = [
     "bm25_fuzzy", "bm25_regexp",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
-    "bm25_span_near", "interval_ordered",
+    "interval_ordered",
 ]
 
 
