@@ -476,3 +476,101 @@ def test_sharded_payloads_match_single_index(tmp_path, ray_session):
             )
     finally:
         svc.shutdown()
+
+
+def test_sharded_phrase_synonym_multiphrase_parity(tmp_path, ray_session):
+    """The r4 pruned executors under GlobalStatsView: sharded phrase /
+    synonym / multi-phrase results == single index exactly (global df,
+    local positions)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        MultiPhrase,
+        SynonymQuery,
+        parse_query,
+        score_blockmax,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    rng = np.random.default_rng(271)
+    vocab = ["data", "stream", "batch", "scan", "merge", "key"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 14))))
+        for _ in range(210)
+    ]
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        positions=True, sample_rate=1.0,
+    )
+
+    def build(path, lo, hi):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(texts[lo:hi], pa.string()),
+            }
+        )
+        build_index(ray.data.from_arrow(tbl), str(path), cfg,
+                    doc_count=hi - lo)
+
+    build(tmp_path / "full", 0, 210)
+    build(tmp_path / "a", 0, 70)
+    build(tmp_path / "b", 70, 140)
+    build(tmp_path / "c", 140, 210)
+    reader = get_reader(str(tmp_path / "full"))
+    an = make_analyzer("en_nostem_simple")
+    svc = ShardedSearchService([str(tmp_path / d) for d in ("a", "b", "c")])
+    try:
+        # string phrases through the normal sharded search()
+        phrase_qs = ['"data stream"', '"batch scan"', '"merge key" batch']
+        res = svc.search(phrase_qs, k=12)
+        for i, qt in enumerate(phrase_qs):
+            d, s = score_blockmax(reader, parse_query(qt, an), 12)
+            assert np.array_equal(d, res[i][0]), qt
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(res[i][1], np.float64)
+            )
+        # synonym + multi-phrase objects per shard via topk (actor path)
+        import ray as _ray
+
+        queries = [
+            (0, SynonymQuery(terms=("data", "stream", "zzzmissing"))),
+            (1, MultiPhrase(term_arrays=(("data", "batch"), ("stream",)),
+                            offsets=(0, 1))),
+        ]
+        all_terms = ["batch", "data", "stream", "zzzmissing"]
+        df_map = {}
+        for shard_stats in _ray.get(
+            [a.term_stats.remote(all_terms) for a in svc._actors]
+        ):
+            for t, (df, ttf) in shard_stats.items():
+                d0, t0 = df_map.get(t, (0, 0))
+                df_map[t] = (d0 + df, t0 + ttf)
+        per_shard = _ray.get([
+            a.topk.remote(queries, 12, svc.doc_count, svc.sum_total_tf,
+                          df_map)
+            for a in svc._actors
+        ])
+        for qid, q in queries:
+            entries = []
+            for shard_out in per_shard:
+                docs, scores = shard_out[qid]
+                entries.extend(
+                    zip((-x for x in scores.tolist()), docs.tolist())
+                )
+            entries.sort()
+            top = entries[:12]
+            got_d = np.asarray([d for _, d in top], dtype=np.int64)
+            got_s = np.asarray([-s for s, _ in top])
+            d, s = score_blockmax(reader, q, 12)
+            assert np.array_equal(d, got_d), q
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), np.asarray(got_s, np.float64)
+            )
+    finally:
+        svc.shutdown()
