@@ -455,6 +455,32 @@ CONTAINING_INTERVAL_QUERY_SETS: Dict[
     3: (("key", "merge"), None, 10, "zzzmissing", True),  # absent small
 }
 
+# Intervals.contained_by / not_contained_by (reference: queries/intervals/
+# ContainedByIntervalsSource.java): SMALL term positions inside (outside)
+# some minimal unordered big interval; weight 1 each, saturation score.
+# Sets are (small, big_terms, max_gaps, max_width, negate).
+CONTAINEDBY_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[str, Tuple[str, ...], Optional[int], Optional[int], bool]
+] = {
+    0: ("key", ("stream", "data"), 6, None, False),
+    1: ("key", ("stream", "data"), 6, None, True),
+    2: ("value", ("customer", "table"), None, 12, False),
+    3: ("zzzmissing", ("key", "merge"), 8, None, False),  # absent small
+}
+
+# Intervals.overlapping / non_overlapping (reference: queries/intervals/
+# OverlappingIntervalsSource.java): minimal big intervals overlapping
+# (or not) some minimal interval of the other source. Sets are
+# (big_terms, big_mg, other_terms, other_mg, negate).
+OVERLAP_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], Optional[int], Tuple[str, ...],
+               Optional[int], bool]
+] = {
+    0: (("stream", "data"), 5, ("key", "value"), 5, False),
+    1: (("stream", "data"), 5, ("key", "value"), 5, True),
+    2: (("customer", "table"), 8, ("merge", "order"), 8, False),
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -2289,6 +2315,189 @@ def _interval_containing(sf_dir: str):
     )
 
 
+def _interval_contained_by(sf_dir: str):
+    """Intervals.contained_by / not_contained_by. -> (query_id, rank,
+    doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import (
+        IntervalContainedBy,
+        IntervalQuery,
+        score_intervals,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (small, terms, mg, mw, neg) in sorted(
+        CONTAINEDBY_INTERVAL_QUERY_SETS.items()
+    ):
+        q = IntervalContainedBy(
+            small=small,
+            big=IntervalQuery(terms, max_gaps=mg, max_width=mw,
+                              ordered=False),
+            negate=neg,
+        )
+        d, s = score_intervals(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
+def _interval_overlapping(sf_dir: str):
+    """Intervals.overlapping / non_overlapping. -> (query_id, rank,
+    doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import (
+        IntervalOverlapping,
+        IntervalQuery,
+        score_intervals,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (bt, bmg, ot, omg, neg) in sorted(
+        OVERLAP_INTERVAL_QUERY_SETS.items()
+    ):
+        q = IntervalOverlapping(
+            big=IntervalQuery(bt, max_gaps=bmg, ordered=False),
+            other=IntervalQuery(ot, max_gaps=omg, ordered=False),
+            negate=neg,
+        )
+        d, s = score_intervals(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
+def _mi_subquery(terms, mg, mw) -> str:
+    """The minimal unordered-interval subquery (doc_id, spos, epos) with
+    max_gaps / max_width applied — shared by every interval oracle."""
+    n = len(terms)
+    prev_cols = ", ".join(
+        f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
+        f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    not_null = " AND ".join(f"p{i} IS NOT NULL" for i in range(n))
+    least = "LEAST(" + ", ".join(f"p{i}" for i in range(n)) + ")"
+    filters = []
+    if mg is not None:
+        filters.append(f"(epos - spos + 1 - {n}) <= {mg}")
+    if mw is not None:
+        filters.append(f"(epos - spos + 1) <= {mw}")
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    return (
+        f"SELECT doc_id, spos, epos FROM (\n"
+        f"          SELECT doc_id, spos, MIN(epos) AS epos FROM (\n"
+        f"            SELECT doc_id, epos, {least} AS spos FROM (\n"
+        f"              SELECT e.doc_id, e.pos AS epos, {prev_cols}\n"
+        f"              FROM ptok e WHERE e.term IN {_in_list(sorted(terms))}\n"
+        f"            ) WHERE {not_null}\n"
+        f"          ) GROUP BY doc_id, spos\n"
+        f"        ){where}"
+    )
+
+
+_PTOK_CTE_TMPL = """ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {stops}
+)"""
+
+
+def _interval_contained_by_sql() -> str:
+    """Oracle for interval_contained_by: small positions with EXISTS /
+    NOT EXISTS a minimal big interval containing them; freq = count,
+    saturation score with pivot 1."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (small, terms, mg, mw, neg) in sorted(
+        CONTAINEDBY_INTERVAL_QUERY_SETS.items()
+    ):
+        mi = _mi_subquery(terms, mg, mw)
+        exists = (
+            f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM ({mi}) mi "
+            f"WHERE mi.doc_id = q.doc_id "
+            f"AND q.pos BETWEEN mi.spos AND mi.epos)"
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             CAST(COUNT(*) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) + 1.0)
+               AS score
+      FROM ptok q WHERE q.term = '{small}' AND {exists}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {ptok}\n{body}"
+
+
+def _interval_overlapping_sql() -> str:
+    """Oracle for interval_overlapping: minimal big intervals with
+    EXISTS / NOT EXISTS an overlapping minimal other interval; the big
+    source's weights and saturation score."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (bt, bmg, ot, omg, neg) in sorted(
+        OVERLAP_INTERVAL_QUERY_SETS.items()
+    ):
+        n = len(bt)
+        big = _mi_subquery(bt, bmg, None)
+        other = _mi_subquery(ot, omg, None)
+        exists = (
+            f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM ({other}) o "
+            f"WHERE o.doc_id = mi.doc_id "
+            f"AND o.spos <= mi.epos AND o.epos >= mi.spos)"
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1))
+               / (SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1)) + 1.0)
+               AS score
+      FROM ({big}) mi WHERE {exists}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {ptok}\n{body}"
+
+
 def _interval_containing_sql() -> str:
     """Oracle for interval_containing: the unordered minimal-interval CTE
     filtered by EXISTS / NOT EXISTS of a small-term position inside
@@ -2726,6 +2935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_ordered"] = lambda sf: _interval_ordered(sf)
     q["interval_unordered"] = lambda sf: _interval_unordered(sf)
     q["interval_containing"] = lambda sf: _interval_containing(sf)
+    q["interval_contained_by"] = lambda sf: _interval_contained_by(sf)
+    q["interval_overlapping"] = lambda sf: _interval_overlapping(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
@@ -2832,6 +3043,7 @@ _DRIVER_WINDOW = [
     "span_within", "spell_wordbreak",
     "spell_wordcombine", "covering_query", "facet_assoc",
     "decontaminate_fuzzy", "pack_sequences", "neardup_embedding_ivf",
+    "interval_contained_by", "interval_overlapping",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
@@ -2845,10 +3057,9 @@ _DRIVER_WINDOW = [
     # filter/param entries re-proving the r4 block-max routing change
     "bm25_term", "bm25_bool_msm", "bm25_bool_groups",
     "bm25_phrase_sloppy3", "bm25_phrase_mixed",
-    "bm25_fuzzy", "bm25_regexp",
+    "bm25_fuzzy",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
-    "interval_ordered",
 ]
 
 
@@ -7075,6 +7286,8 @@ FROM tf GROUP BY term"""
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()
     sql["interval_containing"] = _interval_containing_sql()
+    sql["interval_contained_by"] = _interval_contained_by_sql()
+    sql["interval_overlapping"] = _interval_overlapping_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()

@@ -167,6 +167,98 @@ def interval_containing_freqs(reader, query: IntervalContaining):
     )
 
 
+@dataclass(frozen=True)
+class IntervalOverlapping:
+    """Intervals.overlapping / non_overlapping (reference:
+    queries/intervals/OverlappingIntervalsSource.java /
+    NonOverlappingIntervalsSource.java): the minimal intervals of
+    ``big`` (its own filters applied first) that overlap at least one —
+    or, with ``negate``, none — of the minimal intervals of ``other``.
+    Weights and saturation scoring are the big source's."""
+
+    big: IntervalQuery
+    other: IntervalQuery
+    negate: bool = False
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalContainedBy:
+    """Intervals.contained_by / not_contained_by (reference:
+    queries/intervals/ContainedByIntervalsSource.java /
+    NotContainedByIntervalsSource.java): the SMALL term's width-1
+    intervals that lie inside at least one — or, with ``negate``, none —
+    of the ``big`` source's minimal intervals. Each surviving position
+    weighs 1 (the single-term source's own weight)."""
+
+    small: str
+    big: IntervalQuery
+    negate: bool = False
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+def _sorted_runmax(s: np.ndarray, e: np.ndarray):
+    """Intervals sorted by start with the running max of ends — the
+    'does any interval starting at or before X reach Y' monotone probe
+    (doc tags keep comparisons doc-local: an earlier doc's running max
+    key is below the next doc's floor)."""
+    order = np.argsort(s, kind="stable")
+    s2 = s[order]
+    e2 = np.maximum.accumulate(e[order])
+    return s2, e2
+
+
+def interval_overlapping_freqs(reader, query: IntervalOverlapping):
+    """-> (docs, freqs) over the filtered big intervals."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    s, e = minimal_intervals(reader, query.big)
+    if len(s) == 0:
+        return empty
+    so, eo = minimal_intervals(reader, query.other)
+    if len(so) == 0:
+        has = np.zeros(len(s), dtype=bool)
+    else:
+        so_s, eo_max = _sorted_runmax(so, eo)
+        # overlap([s,e], [s2,e2]) <=> s2 <= e AND e2 >= s; among others
+        # with s2 <= e the reachable max end is the running max
+        idx = np.searchsorted(so_s, e, side="right")
+        has = idx > 0
+        safe = np.maximum(idx - 1, 0)
+        has &= eo_max[safe] >= s
+    keep = ~has if query.negate else has
+    if not keep.any():
+        return empty
+    s, e = s[keep], e[keep]
+    return _freqs_by_doc(
+        s, _interval_weights(s, e, len(query.big.terms))
+    )
+
+
+def interval_contained_by_freqs(reader, query: IntervalContainedBy):
+    """-> (docs, freqs): count of small positions inside (or outside)
+    every big minimal interval, weight 1 each."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    small_keys = _doc_keys(reader, query.small)
+    if len(small_keys) == 0:
+        return empty
+    s, e = minimal_intervals(reader, query.big)
+    if len(s) == 0:
+        inside = np.zeros(len(small_keys), dtype=bool)
+    else:
+        s_s, e_max = _sorted_runmax(s, e)
+        idx = np.searchsorted(s_s, small_keys, side="right")
+        inside = idx > 0
+        safe = np.maximum(idx - 1, 0)
+        inside &= e_max[safe] >= small_keys
+    keep = ~inside if query.negate else inside
+    if not keep.any():
+        return empty
+    kept = small_keys[keep]
+    return _freqs_by_doc(kept, np.ones(len(kept)))
+
+
 def _unordered_minimal(reader, query: IntervalQuery):
     """Exact minimal UNORDERED intervals, vectorized.
 
@@ -219,6 +311,10 @@ def score_intervals(reader, query, k: int = 10):
     Returns ``(docs, float64 scores)``."""
     if isinstance(query, IntervalContaining):
         docs, freqs = interval_containing_freqs(reader, query)
+    elif isinstance(query, IntervalOverlapping):
+        docs, freqs = interval_overlapping_freqs(reader, query)
+    elif isinstance(query, IntervalContainedBy):
+        docs, freqs = interval_contained_by_freqs(reader, query)
     else:
         docs, freqs = interval_freqs(reader, query)
     if len(docs) == 0 or k <= 0:

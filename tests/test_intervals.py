@@ -359,3 +359,73 @@ def test_interval_containing(pos_index):
 
     docs_b, f_b = interval_freqs(reader, big)
     assert total == pytest.approx(dict(zip(docs_b.tolist(), f_b.tolist())))
+
+
+def test_interval_overlapping_and_contained_by(pos_index):
+    """Intervals.overlapping / non_overlapping and contained_by /
+    not_contained_by vs brute per-doc evaluation over the known TEXTS."""
+    import re as _re
+
+    from lucene_ray.functions.intervals import (
+        IntervalContainedBy,
+        IntervalOverlapping,
+        interval_contained_by_freqs,
+        interval_overlapping_freqs,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(pos_index)
+    TOK = _re.compile(r"[a-z0-9]+")
+
+    def doc_minimal(d, terms):
+        raw = TOK.findall(TEXTS[d].lower())
+        lists = [[i for i, x in enumerate(raw) if x == w] for w in terms]
+        if any(not l for l in lists):
+            return []
+        return _model_minimal_unordered(lists)
+
+    big = IntervalQuery(("alpha", "beta"), ordered=False)
+    other = IntervalQuery(("filler", "gamma"), ordered=False)
+
+    # overlapping
+    for negate in (False, True):
+        q = IntervalOverlapping(big=big, other=other, negate=negate)
+        got_d, got_f = interval_overlapping_freqs(reader, q)
+        got = dict(zip(got_d.tolist(), got_f.tolist()))
+        want = {}
+        for d in range(len(TEXTS)):
+            bigs = doc_minimal(d, ("alpha", "beta"))
+            others = doc_minimal(d, ("filler", "gamma"))
+            f = 0.0
+            for s, e in bigs:
+                has = any(s2 <= e and e2 >= s for s2, e2 in others)
+                if has != negate:
+                    f += 1.0 / max(e - s + 1 - 2 + 1, 1)
+            if f:
+                want[d] = f
+        assert set(got) == set(want), negate
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-12, (negate, d)
+
+    # contained_by
+    for small, negate in [("filler", False), ("filler", True),
+                          ("gamma", False), ("zzz", True)]:
+        q = IntervalContainedBy(small=small, big=big, negate=negate)
+        got_d, got_f = interval_contained_by_freqs(reader, q)
+        got = dict(zip(got_d.tolist(), got_f.tolist()))
+        want = {}
+        for d in range(len(TEXTS)):
+            raw = TOK.findall(TEXTS[d].lower())
+            pos = [i for i, x in enumerate(raw) if x == small]
+            if not pos:
+                continue
+            bigs = doc_minimal(d, ("alpha", "beta"))
+            f = sum(
+                1.0 for qp in pos
+                if any(s <= qp <= e for s, e in bigs) != negate
+            )
+            if f:
+                want[d] = f
+        assert set(got) == set(want), (small, negate)
+        for d in want:
+            assert got[d] == want[d], (small, negate, d)
