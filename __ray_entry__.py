@@ -468,6 +468,18 @@ CONTAINEDBY_INTERVAL_QUERY_SETS: Dict[
     3: ("zzzmissing", ("key", "merge"), 8, None, False),  # absent small
 }
 
+# Intervals.before / after: big minimal intervals with some other
+# minimal interval entirely after (before) / before (after) in the doc.
+# Sets are (big_terms, big_mg, other_terms, other_mg, mode).
+BEFOREAFTER_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], Optional[int], Tuple[str, ...],
+               Optional[int], str]
+] = {
+    0: (("stream", "data"), 5, ("key", "value"), 5, "before"),
+    1: (("stream", "data"), 5, ("key", "value"), 5, "after"),
+    2: (("customer", "table"), 8, ("merge", "order"), 8, "before"),
+}
+
 # Intervals.overlapping / non_overlapping (reference: queries/intervals/
 # OverlappingIntervalsSource.java): minimal big intervals overlapping
 # (or not) some minimal interval of the other source. Sets are
@@ -2392,6 +2404,77 @@ def _interval_overlapping(sf_dir: str):
     )
 
 
+def _interval_before_after(sf_dir: str):
+    """Intervals.before / after. -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import (
+        IntervalBeforeAfter,
+        IntervalQuery,
+        score_intervals,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, (bt, bmg, ot, omg, mode) in sorted(
+        BEFOREAFTER_INTERVAL_QUERY_SETS.items()
+    ):
+        q = IntervalBeforeAfter(
+            big=IntervalQuery(bt, max_gaps=bmg, ordered=False),
+            other=IntervalQuery(ot, max_gaps=omg, ordered=False),
+            mode=mode,
+        )
+        d, s = score_intervals(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(round_half_away(s, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
+def _interval_before_after_sql() -> str:
+    """Oracle for interval_before_after: big minimal intervals with
+    EXISTS another minimal interval strictly after / before."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (bt, bmg, ot, omg, mode) in sorted(
+        BEFOREAFTER_INTERVAL_QUERY_SETS.items()
+    ):
+        n = len(bt)
+        big = _mi_subquery(bt, bmg, None)
+        other = _mi_subquery(ot, omg, None)
+        cond = "o.spos > mi.epos" if mode == "before" else "o.epos < mi.spos"
+        exists = (
+            f"EXISTS (SELECT 1 FROM ({other}) o "
+            f"WHERE o.doc_id = mi.doc_id AND {cond})"
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1))
+               / (SUM(1.0 / GREATEST(epos - spos + 2 - {n}, 1)) + 1.0)
+               AS score
+      FROM ({big}) mi WHERE {exists}
+      GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {ptok}\n{body}"
+
+
 def _mi_subquery(terms, mg, mw) -> str:
     """The minimal unordered-interval subquery (doc_id, spos, epos) with
     max_gaps / max_width applied — shared by every interval oracle."""
@@ -2937,6 +3020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_containing"] = lambda sf: _interval_containing(sf)
     q["interval_contained_by"] = lambda sf: _interval_contained_by(sf)
     q["interval_overlapping"] = lambda sf: _interval_overlapping(sf)
+    q["interval_before_after"] = lambda sf: _interval_before_after(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
@@ -3044,6 +3128,7 @@ _DRIVER_WINDOW = [
     "spell_wordcombine", "covering_query", "facet_assoc",
     "decontaminate_fuzzy", "pack_sequences", "neardup_embedding_ivf",
     "interval_contained_by", "interval_overlapping",
+    "interval_before_after",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
@@ -3057,7 +3142,6 @@ _DRIVER_WINDOW = [
     # filter/param entries re-proving the r4 block-max routing change
     "bm25_term", "bm25_bool_msm", "bm25_bool_groups",
     "bm25_phrase_sloppy3", "bm25_phrase_mixed",
-    "bm25_fuzzy",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
 ]
@@ -7288,6 +7372,7 @@ FROM tf GROUP BY term"""
     sql["interval_containing"] = _interval_containing_sql()
     sql["interval_contained_by"] = _interval_contained_by_sql()
     sql["interval_overlapping"] = _interval_overlapping_sql()
+    sql["interval_before_after"] = _interval_before_after_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()

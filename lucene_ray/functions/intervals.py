@@ -199,6 +199,63 @@ class IntervalContainedBy:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class IntervalBeforeAfter:
+    """Intervals.before / after (reference: queries/intervals/
+    Intervals.java before()/after() via NonOverlappingIntervalsSource
+    compositions): minimal intervals of ``big`` that end before the
+    start of some ``other`` minimal interval (``mode="before"``) or
+    start after the end of one (``mode="after"``), same doc. Weights
+    and saturation scoring are the big source's."""
+
+    big: IntervalQuery
+    other: IntervalQuery
+    mode: str = "before"
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+def interval_before_after_freqs(reader, query: IntervalBeforeAfter):
+    """-> (docs, freqs) over the filtered big intervals."""
+    if query.mode not in ("before", "after"):
+        raise ValueError(f"unknown mode {query.mode!r}")
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    s, e = minimal_intervals(reader, query.big)
+    if len(s) == 0:
+        return empty
+    so, eo = minimal_intervals(reader, query.other)
+    if len(so) == 0:
+        return empty
+    doc = s >> np.int64(_POS_SHIFT)
+    if query.mode == "before":
+        # exists other with start > big.end, same doc: the doc's MAX
+        # other-start must exceed e — probe the last other interval at
+        # or below the doc ceiling
+        so_sorted = np.sort(so)
+        ceil = (doc + 1) << np.int64(_POS_SHIFT)
+        idx = np.searchsorted(so_sorted, ceil, side="left") - 1
+        ok = idx >= 0
+        cand = so_sorted[np.maximum(idx, 0)]
+        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
+        ok &= cand > e
+    else:
+        # exists other with end < big.start, same doc: the doc's MIN
+        # other-end must undercut s
+        eo_sorted = np.sort(eo)
+        floor = doc << np.int64(_POS_SHIFT)
+        idx = np.searchsorted(eo_sorted, floor, side="left")
+        ok = idx < len(eo_sorted)
+        cand = eo_sorted[np.minimum(idx, len(eo_sorted) - 1)]
+        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
+        ok &= cand < s
+    if not ok.any():
+        return empty
+    s, e = s[ok], e[ok]
+    return _freqs_by_doc(
+        s, _interval_weights(s, e, len(query.big.terms))
+    )
+
+
 def _sorted_runmax(s: np.ndarray, e: np.ndarray):
     """Intervals sorted by start with the running max of ends — the
     'does any interval starting at or before X reach Y' monotone probe
@@ -315,6 +372,8 @@ def score_intervals(reader, query, k: int = 10):
         docs, freqs = interval_overlapping_freqs(reader, query)
     elif isinstance(query, IntervalContainedBy):
         docs, freqs = interval_contained_by_freqs(reader, query)
+    elif isinstance(query, IntervalBeforeAfter):
+        docs, freqs = interval_before_after_freqs(reader, query)
     else:
         docs, freqs = interval_freqs(reader, query)
     if len(docs) == 0 or k <= 0:

@@ -429,3 +429,56 @@ def test_interval_overlapping_and_contained_by(pos_index):
         assert set(got) == set(want), (small, negate)
         for d in want:
             assert got[d] == want[d], (small, negate, d)
+
+
+def test_interval_before_after(pos_index):
+    """Intervals.before / after vs brute: big minimal intervals with some
+    other interval entirely after (before mode) or entirely before
+    (after mode) in the same doc."""
+    import re as _re
+
+    from lucene_ray.functions.intervals import (
+        IntervalBeforeAfter,
+        interval_before_after_freqs,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(pos_index)
+    TOK = _re.compile(r"[a-z0-9]+")
+
+    def doc_minimal(d, terms):
+        raw = TOK.findall(TEXTS[d].lower())
+        lists = [[i for i, x in enumerate(raw) if x == w] for w in terms]
+        if any(not l for l in lists):
+            return []
+        return _model_minimal_unordered(lists)
+
+    big = IntervalQuery(("alpha", "beta"), ordered=False)
+    other = IntervalQuery(("gamma", "filler"), ordered=False)
+    for mode in ("before", "after"):
+        q = IntervalBeforeAfter(big=big, other=other, mode=mode)
+        got_d, got_f = interval_before_after_freqs(reader, q)
+        got = dict(zip(got_d.tolist(), got_f.tolist()))
+        want = {}
+        for d in range(len(TEXTS)):
+            bigs = doc_minimal(d, ("alpha", "beta"))
+            others = doc_minimal(d, ("gamma", "filler"))
+            f = 0.0
+            for s, e in bigs:
+                if mode == "before":
+                    hit = any(s2 > e for s2, _e2 in others)
+                else:
+                    hit = any(e2 < s for _s2, e2 in others)
+                if hit:
+                    f += 1.0 / max(e - s + 1 - 2 + 1, 1)
+            if f:
+                want[d] = f
+        assert set(got) == set(want), mode
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-12, (mode, d)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_before_after_freqs(
+            reader, IntervalBeforeAfter(big=big, other=other, mode="x")
+        )
