@@ -42,6 +42,11 @@ from .query import _POS_SHIFT, _topk_from
 from .spans import _doc_keys, _freqs_by_doc
 
 _POS_MASK = (1 << _POS_SHIFT) - 1
+_EMPTY3 = (
+    np.empty(0, np.int64),
+    np.empty(0, np.int64),
+    np.empty(0, np.int64),
+)
 
 
 @dataclass(frozen=True)
@@ -135,8 +140,8 @@ class IntervalContaining:
     ``negate``, none — of the ``small`` term's positions. Weights and
     saturation scoring are the big source's."""
 
-    big: IntervalQuery
-    small: str
+    big: object  # any intervals source (str = bare term)
+    small: object
     negate: bool = False
     pivot: float = 1.0
     boost: float = 1.0
@@ -144,26 +149,11 @@ class IntervalContaining:
 
 def interval_containing_freqs(reader, query: IntervalContaining):
     """-> (docs, freqs) over the filtered big intervals."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    s, e = minimal_intervals(reader, query.big)
+    s, e, _g = _containing_intervals(reader, query)
     if len(s) == 0:
-        return empty
-    small_keys = _doc_keys(reader, query.small)
-    if len(small_keys) == 0:
-        has = np.zeros(len(s), dtype=bool)
-    else:
-        # a small position is inside [s, e] iff its key lies in the key
-        # range (s and e share the doc tag, so any key between them is
-        # the same doc); two searchsorteds per big interval
-        lo = np.searchsorted(small_keys, s, side="left")
-        hi = np.searchsorted(small_keys, e, side="right")
-        has = hi > lo
-    keep = ~has if query.negate else has
-    if not keep.any():
-        return empty
-    s, e = s[keep], e[keep]
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     return _freqs_by_doc(
-        s, _interval_weights(s, e, len(query.big.terms))
+        s, _interval_weights(s, e, source_min_extent(query.big))
     )
 
 
@@ -176,8 +166,8 @@ class IntervalOverlapping:
     or, with ``negate``, none — of the minimal intervals of ``other``.
     Weights and saturation scoring are the big source's."""
 
-    big: IntervalQuery
-    other: IntervalQuery
+    big: object  # any intervals source (str = bare term)
+    other: object
     negate: bool = False
     pivot: float = 1.0
     boost: float = 1.0
@@ -192,8 +182,8 @@ class IntervalContainedBy:
     of the ``big`` source's minimal intervals. Each surviving position
     weighs 1 (the single-term source's own weight)."""
 
-    small: str
-    big: IntervalQuery
+    small: object  # any intervals source (str = bare term)
+    big: object
     negate: bool = False
     pivot: float = 1.0
     boost: float = 1.0
@@ -208,8 +198,8 @@ class IntervalBeforeAfter:
     start after the end of one (``mode="after"``), same doc. Weights
     and saturation scoring are the big source's."""
 
-    big: IntervalQuery
-    other: IntervalQuery
+    big: object  # any intervals source (str = bare term)
+    other: object
     mode: str = "before"
     pivot: float = 1.0
     boost: float = 1.0
@@ -217,42 +207,11 @@ class IntervalBeforeAfter:
 
 def interval_before_after_freqs(reader, query: IntervalBeforeAfter):
     """-> (docs, freqs) over the filtered big intervals."""
-    if query.mode not in ("before", "after"):
-        raise ValueError(f"unknown mode {query.mode!r}")
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    s, e = minimal_intervals(reader, query.big)
+    s, e, _g = _before_after_intervals(reader, query)
     if len(s) == 0:
-        return empty
-    so, eo = minimal_intervals(reader, query.other)
-    if len(so) == 0:
-        return empty
-    doc = s >> np.int64(_POS_SHIFT)
-    if query.mode == "before":
-        # exists other with start > big.end, same doc: the doc's MAX
-        # other-start must exceed e — probe the last other interval at
-        # or below the doc ceiling
-        so_sorted = np.sort(so)
-        ceil = (doc + 1) << np.int64(_POS_SHIFT)
-        idx = np.searchsorted(so_sorted, ceil, side="left") - 1
-        ok = idx >= 0
-        cand = so_sorted[np.maximum(idx, 0)]
-        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
-        ok &= cand > e
-    else:
-        # exists other with end < big.start, same doc: the doc's MIN
-        # other-end must undercut s
-        eo_sorted = np.sort(eo)
-        floor = doc << np.int64(_POS_SHIFT)
-        idx = np.searchsorted(eo_sorted, floor, side="left")
-        ok = idx < len(eo_sorted)
-        cand = eo_sorted[np.minimum(idx, len(eo_sorted) - 1)]
-        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
-        ok &= cand < s
-    if not ok.any():
-        return empty
-    s, e = s[ok], e[ok]
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     return _freqs_by_doc(
-        s, _interval_weights(s, e, len(query.big.terms))
+        s, _interval_weights(s, e, source_min_extent(query.big))
     )
 
 
@@ -269,51 +228,23 @@ def _sorted_runmax(s: np.ndarray, e: np.ndarray):
 
 def interval_overlapping_freqs(reader, query: IntervalOverlapping):
     """-> (docs, freqs) over the filtered big intervals."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    s, e = minimal_intervals(reader, query.big)
+    s, e, _g = _overlapping_intervals(reader, query)
     if len(s) == 0:
-        return empty
-    so, eo = minimal_intervals(reader, query.other)
-    if len(so) == 0:
-        has = np.zeros(len(s), dtype=bool)
-    else:
-        so_s, eo_max = _sorted_runmax(so, eo)
-        # overlap([s,e], [s2,e2]) <=> s2 <= e AND e2 >= s; among others
-        # with s2 <= e the reachable max end is the running max
-        idx = np.searchsorted(so_s, e, side="right")
-        has = idx > 0
-        safe = np.maximum(idx - 1, 0)
-        has &= eo_max[safe] >= s
-    keep = ~has if query.negate else has
-    if not keep.any():
-        return empty
-    s, e = s[keep], e[keep]
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     return _freqs_by_doc(
-        s, _interval_weights(s, e, len(query.big.terms))
+        s, _interval_weights(s, e, source_min_extent(query.big))
     )
 
 
 def interval_contained_by_freqs(reader, query: IntervalContainedBy):
-    """-> (docs, freqs): count of small positions inside (or outside)
-    every big minimal interval, weight 1 each."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    small_keys = _doc_keys(reader, query.small)
-    if len(small_keys) == 0:
-        return empty
-    s, e = minimal_intervals(reader, query.big)
-    if len(s) == 0:
-        inside = np.zeros(len(small_keys), dtype=bool)
-    else:
-        s_s, e_max = _sorted_runmax(s, e)
-        idx = np.searchsorted(s_s, small_keys, side="right")
-        inside = idx > 0
-        safe = np.maximum(idx - 1, 0)
-        inside &= e_max[safe] >= small_keys
-    keep = ~inside if query.negate else inside
-    if not keep.any():
-        return empty
-    kept = small_keys[keep]
-    return _freqs_by_doc(kept, np.ones(len(kept)))
+    """-> (docs, freqs): the small source's intervals inside (or outside)
+    some big minimal interval, weighted by the small source's extent."""
+    ss, se, _sg = _contained_by_intervals(reader, query)
+    if len(ss) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return _freqs_by_doc(
+        ss, _interval_weights(ss, se, source_min_extent(query.small))
+    )
 
 
 def _unordered_minimal(reader, query: IntervalQuery):
@@ -362,21 +293,457 @@ def _unordered_minimal(reader, query: IntervalQuery):
     return s[m], e[m]
 
 
-def score_intervals(reader, query, k: int = 10):
-    """Top-k by the saturation score ``boost * freq / (freq + pivot)``,
-    tie-broken by doc asc. Accepts IntervalQuery or IntervalContaining.
-    Returns ``(docs, float64 scores)``."""
-    if isinstance(query, IntervalContaining):
-        docs, freqs = interval_containing_freqs(reader, query)
-    elif isinstance(query, IntervalOverlapping):
-        docs, freqs = interval_overlapping_freqs(reader, query)
-    elif isinstance(query, IntervalContainedBy):
-        docs, freqs = interval_contained_by_freqs(reader, query)
-    elif isinstance(query, IntervalBeforeAfter):
-        docs, freqs = interval_before_after_freqs(reader, query)
+# ---------------------------------------------------------------------------
+# Recursive source algebra (round 4): Intervals.or / phrase(block) / ordered
+# over sub-sources / extend / atLeast / maxgaps-maxwidth wrappers / multiterm
+# expansion, plus the reference's derived compositions (within, notWithin,
+# unorderedNoOverlaps).  Reference: queries/intervals/Intervals.java:97-597.
+#
+# Every node evaluates through ``source_intervals(reader, src)`` which
+# returns doc-tagged ``(starts, ends, gaps)`` key arrays sorted ascending by
+# start (minimal-interval lists are ascending in BOTH start and end within a
+# doc).  ``gaps`` carries the reference's per-interval ``gaps()`` value
+# (window width minus the sum of the chosen sub-interval widths —
+# OrderedIntervalsSource.java:163-170, MinimumShouldMatchIntervalsSource
+# .java:230-238; BlockIntervalsSource.java:111-113 pins it to 0;
+# DisjunctionIntervalsSource and ExtendedIntervalsSource delegate to the
+# matched sub-iterator) so a ``maxgaps`` wrapper composes over any source.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IntervalOr:
+    """Intervals.or — DisjunctionIntervalsSource.java: the minimized union
+    of the sub-sources' intervals (an emitted interval never contains
+    another emitted one); minExtent is the min over subs.  Exact duplicates
+    (same start and end from two subs) are emitted once, keeping the
+    smallest gaps value (deterministic; the reference's pick is iterator-
+    order-dependent)."""
+
+    sources: Tuple[object, ...]
+
+
+@dataclass(frozen=True)
+class IntervalOrdered:
+    """Intervals.ordered over arbitrary sub-sources (OrderedIntervalsSource
+    .java:123-180): greedy chains linking each clause to its first interval
+    starting strictly after the previous clause's end, minimized by the
+    equal-ends rule.  The flat term-tuple fast path stays on IntervalQuery."""
+
+    sources: Tuple[object, ...]
+
+
+@dataclass(frozen=True)
+class IntervalBlock:
+    """Intervals.phrase — BlockIntervalsSource.java: like ordered but each
+    clause must start EXACTLY at the previous clause's end + 1 (strict
+    adjacency); gaps() is always 0; minExtent = sum of sub extents."""
+
+    sources: Tuple[object, ...]
+
+
+@dataclass(frozen=True)
+class IntervalExtend:
+    """Intervals.extend — ExtendedIntervalsSource.java: each sub interval
+    [s, e] becomes [max(s - before, 0), e + after]; gaps() delegates to the
+    wrapped interval (the extension adds no gaps); minExtent = before +
+    sub.minExtent + after.  Output may be non-minimal (the reference does
+    not re-minimize either) but stays sorted."""
+
+    source: object
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IntervalAtLeast:
+    """Intervals.atLeast — MinimumShouldMatchIntervalsSource.java: minimal
+    windows covering complete intervals from at least ``min_match`` distinct
+    sub-sources (overlaps between subs allowed, as in unordered).
+    ``min_match == len(sources)`` reproduces Intervals.unordered;
+    ``min_match > len(sources)`` matches nothing (NoMatchIntervalsSource).
+    minExtent = sum of the ``min_match`` smallest sub extents."""
+
+    min_match: int
+    sources: Tuple[object, ...]
+
+
+@dataclass(frozen=True)
+class IntervalFiltered:
+    """Intervals.maxgaps / maxwidth over ANY source —
+    FilteredIntervalsSource.java: drops intervals whose gaps() exceed
+    ``max_gaps`` or whose width exceeds ``max_width``; applied AFTER the
+    sub-source's minimization, like the reference."""
+
+    source: object
+    max_gaps: Optional[int] = None
+    max_width: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class IntervalMultiTerm:
+    """Intervals.prefix / wildcard / regexp / range / fuzzyTerm —
+    MultiTermIntervalsSource.java: the expansion of a term-dictionary
+    pattern, evaluated as a width-1 disjunction over every matching term's
+    positions.  ``kind`` ∈ {prefix, wildcard, regexp, trange, fuzzy} with
+    the engine's multiterm codes (functions/multiterm.py); raises when the
+    dictionary expansion exceeds ``max_expansions`` (the reference throws
+    IllegalStateException past 128, Intervals.java:160-175)."""
+
+    kind: str
+    pattern: str
+    arg: int = 0
+    max_expansions: int = 128
+
+
+def interval_within(source, positions: int, reference, negate: bool = False):
+    """Intervals.within / notWithin (Intervals.java:494-521): intervals of
+    ``source`` within (or, negated, NOT within) ``positions`` positions of a
+    ``reference`` interval — the reference's literal composition:
+    containedBy(source, extend(reference, positions, positions)) and
+    nonOverlapping(source, extend(reference, positions, positions))."""
+    ext = IntervalExtend(reference, positions, positions)
+    if negate:
+        return IntervalOverlapping(big=source, other=ext, negate=True)
+    return IntervalContainedBy(small=source, big=ext)
+
+
+def unordered_no_overlaps(a, b):
+    """Intervals.unorderedNoOverlaps (Intervals.java:446-448): the literal
+    composition or(ordered(a, b), ordered(b, a))."""
+    return IntervalOr((IntervalOrdered((a, b)), IntervalOrdered((b, a))))
+
+
+def source_min_extent(src) -> int:
+    """The source's minExtent (the minimum possible interval width), used
+    by IntervalScorer's weight 1/max(width - minExtent + 1, 1)."""
+    if isinstance(src, str):
+        return 1
+    if isinstance(src, IntervalQuery):
+        return len(src.terms)
+    if isinstance(src, IntervalMultiTerm):
+        return 1
+    if isinstance(src, (IntervalOrdered, IntervalBlock)):
+        return sum(source_min_extent(x) for x in src.sources)
+    if isinstance(src, IntervalOr):
+        return min(source_min_extent(x) for x in src.sources)
+    if isinstance(src, IntervalExtend):
+        return max(src.before + source_min_extent(src.source) + src.after, 1)
+    if isinstance(src, IntervalAtLeast):
+        subs = sorted(source_min_extent(x) for x in src.sources)
+        return sum(subs[: src.min_match])
+    if isinstance(src, IntervalFiltered):
+        return source_min_extent(src.source)
+    if isinstance(src, (IntervalContaining, IntervalOverlapping,
+                        IntervalBeforeAfter)):
+        return source_min_extent(src.big)
+    if isinstance(src, IntervalContainedBy):
+        return source_min_extent(src.small)
+    raise TypeError(f"not an intervals source: {type(src).__name__}")
+
+
+def _minimize_union(s, e, g):
+    """Minimal set of an interval union: drop every interval that contains
+    a different one (equal pairs collapse to one, smallest gaps kept).
+    Inputs need not be sorted; output is sorted by start with strictly
+    ascending starts AND ends within a doc."""
+    if len(s) == 0:
+        return s, e, g
+    order = np.lexsort((g, e, s))
+    s, e, g = s[order], e[order], g[order]
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]  # same start: smallest end survives
+    s, e, g = s[keep], e[keep], g[keep]
+    if len(s) > 1:
+        # starts strictly ascending now; i is contained-in-free iff no
+        # later-starting interval ends at or before e[i]
+        sufmin = np.minimum.accumulate(e[::-1])[::-1]
+        keep = np.ones(len(s), dtype=bool)
+        keep[:-1] = e[:-1] < sufmin[1:]
+        s, e, g = s[keep], e[keep], g[keep]
+    return s, e, g
+
+
+def _width(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    return (e & _POS_MASK) - (s & _POS_MASK) + 1
+
+
+def _chain_intervals(parts, block: bool):
+    """Greedy ordered (or strictly adjacent, ``block``) chains over the
+    sub-sources' interval lists, minimized by the equal-ends rule; gaps =
+    chain width - sum of chosen sub widths (0 for block by construction)."""
+    s0, e0, _g0 = parts[0]
+    if len(s0) == 0:
+        return _EMPTY3
+    start, end = s0, e0
+    wsum = _width(s0, e0)
+    valid = np.ones(len(s0), dtype=bool)
+    for sn, en, _gn in parts[1:]:
+        if len(sn) == 0:
+            return _EMPTY3
+        if block:
+            tgt = end + 1
+            idx = np.searchsorted(sn, tgt, side="left")
+            ok = idx < len(sn)
+            idxc = np.minimum(idx, len(sn) - 1)
+            ok &= sn[idxc] == tgt
+            valid &= ok
+        else:
+            idx = np.searchsorted(sn, end, side="right")
+            valid &= idx < len(sn)
+            idxc = np.minimum(idx, len(sn) - 1)
+        wsum = wsum + _width(sn[idxc], en[idxc])
+        end = en[idxc]
+    valid &= (end >> np.int64(_POS_SHIFT)) == (start >> np.int64(_POS_SHIFT))
+    s, e, w = start[valid], end[valid], wsum[valid]
+    if len(s) == 0:
+        return _EMPTY3
+    # chain ends are non-decreasing in the leading start, so containment
+    # can only be equal-ends; keep the LAST (largest-start) chain per end
+    keep = np.ones(len(e), dtype=bool)
+    keep[:-1] = e[1:] != e[:-1]
+    s, e, w = s[keep], e[keep], w[keep]
+    # leading starts can repeat when a sub-source is non-minimal (extend
+    # clamped at position 0): equal starts keep the FIRST (smallest end)
+    keep = np.ones(len(s), dtype=bool)
+    keep[1:] = s[1:] != s[:-1]
+    s, e, w = s[keep], e[keep], w[keep]
+    return s, e, _width(s, e) - w
+
+
+def _atleast_intervals(reader, sources, m: int):
+    """Minimal m-of-n covering windows.  For every candidate end e (a sub
+    end), each source j contributes its latest complete interval ending at
+    or before e (largest start, same doc); the tightest window ending
+    exactly at e starts at min(q_m, owner) where q_m is the m-th largest
+    contributed start and owner is the largest start among intervals ending
+    EXACTLY at e (the window's rightmost member must end at e or the window
+    has slack and a contained candidate exists).  A final union-minimize
+    removes cross-candidate containment."""
+    if m <= 0:
+        raise ValueError("min_match must be >= 1")
+    parts = [source_intervals(reader, x) for x in sources]
+    n = len(parts)
+    if m > n or sum(1 for p in parts if len(p[0])) < m:
+        return _EMPTY3
+    ends = np.unique(np.concatenate([p[1] for p in parts]))
+    if len(ends) == 0:
+        return _EMPTY3
+    shift = np.int64(_POS_SHIFT)
+    edoc = ends >> shift
+    starts_mat = np.full((n, len(ends)), -1, np.int64)
+    widths_mat = np.zeros((n, len(ends)), np.int64)
+    owner_start = np.full(len(ends), -1, np.int64)
+    owner_width = np.zeros(len(ends), np.int64)
+    for row, (sj, ej, _gj) in enumerate(parts):
+        if len(ej) == 0:
+            continue
+        idx = np.searchsorted(ej, ends, side="right") - 1
+        ok = idx >= 0
+        idxc = np.maximum(idx, 0)
+        cs, ce = sj[idxc], ej[idxc]
+        ok &= (cs >> shift) == edoc
+        wid = _width(cs, ce)
+        starts_mat[row] = np.where(ok, cs, -1)
+        widths_mat[row] = np.where(ok, wid, 0)
+        own = ok & (ce == ends) & (cs >= owner_start)
+        owner_width = np.where(own, wid, owner_width)
+        owner_start = np.where(own, cs, owner_start)
+    order = np.argsort(starts_mat, axis=0, kind="stable")
+    top_m = order[n - m:]
+    qm = np.take_along_axis(starts_mat, top_m[:1], axis=0)[0]
+    top_widths = np.take_along_axis(widths_mat, top_m, axis=0).sum(axis=0)
+    valid = (qm >= 0) & (owner_start >= 0)
+    w = np.minimum(qm, owner_start)
+    valid &= (w >> shift) == edoc
+    # chosen sub widths: the top-m starts, swapping the m-th for the owner
+    # when the owner's start falls below the cut (gaps bookkeeping only)
+    qm_width = np.take_along_axis(widths_mat, top_m[:1], axis=0)[0]
+    wsum = np.where(
+        owner_start >= qm, top_widths, top_widths - qm_width + owner_width
+    )
+    s, e, wsum = w[valid], ends[valid], wsum[valid]
+    if len(s) == 0:
+        return _EMPTY3
+    return _minimize_union(s, e, _width(s, e) - wsum)
+
+
+def _multiterm_intervals(reader, node: IntervalMultiTerm):
+    terms = reader.expand_multi(node.kind, node.pattern, node.arg)
+    if len(terms) > node.max_expansions:
+        raise ValueError(
+            f"interval {node.kind} pattern {node.pattern!r} expands to more "
+            f"than {node.max_expansions} terms "
+            "(MultiTermIntervalsSource's IllegalStateException analogue)"
+        )
+    keys = [_doc_keys(reader, t) for t in terms]
+    keys = [k for k in keys if len(k)]
+    if not keys:
+        return _EMPTY3
+    merged = np.sort(np.concatenate(keys)) if len(keys) > 1 else keys[0]
+    return merged, merged, np.zeros(len(merged), np.int64)
+
+
+def source_intervals(reader, src):
+    """Doc-tagged minimal ``(starts, ends, gaps)`` of any intervals source,
+    sorted ascending by start.  ``str`` = a bare term (width-1 positions);
+    the combinator dataclasses (containing / overlapping / contained_by /
+    before-after) are sources too, so they nest."""
+    if isinstance(src, str):
+        k = _doc_keys(reader, src)
+        return k, k, np.zeros(len(k), np.int64)
+    if isinstance(src, IntervalQuery):
+        s, e = minimal_intervals(reader, src)
+        return s, e, _width(s, e) - len(src.terms)
+    if isinstance(src, IntervalMultiTerm):
+        return _multiterm_intervals(reader, src)
+    if isinstance(src, IntervalOr):
+        if not src.sources:
+            raise ValueError("IntervalOr needs at least one source")
+        parts = [source_intervals(reader, x) for x in src.sources]
+        s = np.concatenate([p[0] for p in parts])
+        e = np.concatenate([p[1] for p in parts])
+        g = np.concatenate([p[2] for p in parts])
+        return _minimize_union(s, e, g)
+    if isinstance(src, (IntervalOrdered, IntervalBlock)):
+        if not src.sources:
+            raise ValueError("ordered/block intervals need sources")
+        parts = [source_intervals(reader, x) for x in src.sources]
+        if len(parts) == 1:
+            return parts[0]
+        return _chain_intervals(parts, block=isinstance(src, IntervalBlock))
+    if isinstance(src, IntervalExtend):
+        if src.before < 0 or src.after < 0:
+            raise ValueError("extend offsets must be >= 0")
+        s, e, g = source_intervals(reader, src.source)
+        if len(s) == 0:
+            return _EMPTY3
+        shift = np.int64(_POS_SHIFT)
+        doc = s >> shift
+        s2 = (doc << shift) | np.maximum(
+            (s & _POS_MASK) - np.int64(src.before), 0
+        )
+        e2 = (doc << shift) | np.minimum(
+            (e & _POS_MASK) + np.int64(src.after), _POS_MASK
+        )
+        return s2, e2, g
+    if isinstance(src, IntervalAtLeast):
+        return _atleast_intervals(reader, src.sources, src.min_match)
+    if isinstance(src, IntervalFiltered):
+        s, e, g = source_intervals(reader, src.source)
+        m = np.ones(len(s), dtype=bool)
+        if src.max_gaps is not None:
+            m &= g <= src.max_gaps
+        if src.max_width is not None:
+            m &= _width(s, e) <= src.max_width
+        return s[m], e[m], g[m]
+    if isinstance(src, IntervalContaining):
+        return _containing_intervals(reader, src)
+    if isinstance(src, IntervalOverlapping):
+        return _overlapping_intervals(reader, src)
+    if isinstance(src, IntervalContainedBy):
+        return _contained_by_intervals(reader, src)
+    if isinstance(src, IntervalBeforeAfter):
+        return _before_after_intervals(reader, src)
+    raise TypeError(f"not an intervals source: {type(src).__name__}")
+
+
+def _containing_intervals(reader, query: IntervalContaining):
+    s, e, g = source_intervals(reader, query.big)
+    if len(s) == 0:
+        return _EMPTY3
+    ss, se, _sg = source_intervals(reader, query.small)
+    if len(ss) == 0:
+        has = np.zeros(len(s), dtype=bool)
     else:
-        docs, freqs = interval_freqs(reader, query)
-    if len(docs) == 0 or k <= 0:
+        # exists a small interval fully inside [s, e]: among smalls with
+        # start >= s the minimum end must be <= e (suffix-min probe; doc
+        # tags keep it doc-local — other docs' ends sort outside [s, e])
+        sufmin = np.minimum.accumulate(se[::-1])[::-1]
+        idx = np.searchsorted(ss, s, side="left")
+        has = idx < len(ss)
+        has &= sufmin[np.minimum(idx, len(ss) - 1)] <= e
+    keep = ~has if query.negate else has
+    return s[keep], e[keep], g[keep]
+
+
+def _overlapping_intervals(reader, query: IntervalOverlapping):
+    s, e, g = source_intervals(reader, query.big)
+    if len(s) == 0:
+        return _EMPTY3
+    so, eo, _go = source_intervals(reader, query.other)
+    if len(so) == 0:
+        has = np.zeros(len(s), dtype=bool)
+    else:
+        so_s, eo_max = _sorted_runmax(so, eo)
+        idx = np.searchsorted(so_s, e, side="right")
+        has = idx > 0
+        has &= eo_max[np.maximum(idx - 1, 0)] >= s
+    keep = ~has if query.negate else has
+    return s[keep], e[keep], g[keep]
+
+
+def _contained_by_intervals(reader, query: IntervalContainedBy):
+    ss, se, sg = source_intervals(reader, query.small)
+    if len(ss) == 0:
+        return _EMPTY3
+    bs, be, _bg = source_intervals(reader, query.big)
+    if len(bs) == 0:
+        inside = np.zeros(len(ss), dtype=bool)
+    else:
+        b1, bemax = _sorted_runmax(bs, be)
+        idx = np.searchsorted(b1, ss, side="right")
+        inside = idx > 0
+        inside &= bemax[np.maximum(idx - 1, 0)] >= se
+    keep = ~inside if query.negate else inside
+    return ss[keep], se[keep], sg[keep]
+
+
+def _before_after_intervals(reader, query: IntervalBeforeAfter):
+    if query.mode not in ("before", "after"):
+        raise ValueError(f"unknown mode {query.mode!r}")
+    s, e, g = source_intervals(reader, query.big)
+    if len(s) == 0:
+        return _EMPTY3
+    so, eo, _go = source_intervals(reader, query.other)
+    if len(so) == 0:
+        return _EMPTY3
+    doc = s >> np.int64(_POS_SHIFT)
+    if query.mode == "before":
+        so_sorted = np.sort(so)
+        ceil = (doc + 1) << np.int64(_POS_SHIFT)
+        idx = np.searchsorted(so_sorted, ceil, side="left") - 1
+        ok = idx >= 0
+        cand = so_sorted[np.maximum(idx, 0)]
+        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
+        ok &= cand > e
+    else:
+        eo_sorted = np.sort(eo)
+        floor = doc << np.int64(_POS_SHIFT)
+        idx = np.searchsorted(eo_sorted, floor, side="left")
+        ok = idx < len(eo_sorted)
+        cand = eo_sorted[np.minimum(idx, len(eo_sorted) - 1)]
+        ok &= (cand >> np.int64(_POS_SHIFT)) == doc
+        ok &= cand < s
+    return s[ok], e[ok], g[ok]
+
+
+def score_intervals(reader, query, k: int = 10, pivot: float = None,
+                    boost: float = None):
+    """Top-k by the saturation score ``boost * freq / (freq + pivot)``,
+    tie-broken by doc asc.  Accepts ANY intervals source (IntervalQuery,
+    the combinator dataclasses, or the recursive algebra nodes); per-doc
+    freq sums ``1/max(width - minExtent + 1, 1)`` over the source's
+    intervals (IntervalScorer.java:63-67).  ``pivot`` / ``boost`` default
+    to the node's own fields when it has them (IntervalQuery and the
+    binary combinators), else 1.0.  Returns ``(docs, float64 scores)``."""
+    s, e, _g = source_intervals(reader, query)
+    if len(s) == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    scores = query.boost * (freqs / (freqs + query.pivot))
+    docs, freqs = _freqs_by_doc(
+        s, _interval_weights(s, e, source_min_extent(query))
+    )
+    p = pivot if pivot is not None else getattr(query, "pivot", 1.0)
+    b = boost if boost is not None else getattr(query, "boost", 1.0)
+    scores = b * (freqs / (freqs + p))
     return _topk_from(docs, scores, k)
