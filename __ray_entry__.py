@@ -493,6 +493,68 @@ OVERLAP_INTERVAL_QUERY_SETS: Dict[
     2: (("customer", "table"), 8, ("merge", "order"), 8, False),
 }
 
+# Intervals.or (DisjunctionIntervalsSource): minimized union of two
+# unordered minimal-interval sources. Sets are (a_terms, a_mg, b_terms,
+# b_mg); minExtent = min of the sides (2 here).
+OR_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], Optional[int], Tuple[str, ...],
+               Optional[int]]
+] = {
+    0: (("stream", "data"), None, ("key", "value"), None),
+    1: (("customer", "table"), 4, ("merge", "order"), 4),
+    2: (("hash", "join"), None, ("zzzmissing", "key"), None),  # one side out
+}
+
+# Intervals.atLeast(m, single terms) — MinimumShouldMatchIntervalsSource:
+# minimal windows covering >= m of the n term sources. Sets are (m, terms);
+# the SQL oracle's m-th-largest start uses the 2-of-3 pairwise
+# GREATEST/LEAST identity, so m is pinned to 2 with n = 3.
+ATLEAST_INTERVAL_QUERY_SETS: Dict[int, Tuple[int, Tuple[str, ...]]] = {
+    0: (2, ("stream", "data", "key")),
+    1: (2, ("customer", "merge", "order")),
+    2: (2, ("hash", "join", "zzzmissing")),  # absent source: pairs of two
+}
+
+# Intervals.phrase with an extended middle (the Intervals.java:400-404 doc
+# example): block(a, extend(b, 0, k), c) == 'a b [k arbitrary tokens] c'.
+# Sets are (a, b, k, c); every match has width k + 3 == minExtent, so each
+# weighs 1.0 and freq is the match count.
+PHRASE_EXTEND_QUERY_SETS: Dict[int, Tuple[str, str, int, str]] = {
+    0: ("key", "value", 1, "join"),
+    1: ("hash", "join", 1, "scan"),
+    2: ("key", "column", 1, "data"),
+    3: ("batch", "row", 0, "small"),
+}
+
+# Intervals.within / notWithin: positions of a term within (not within) N
+# positions of an unordered minimal reference interval — the reference's
+# containedBy/nonOverlapping-over-extend composition (Intervals.java:
+# 494-521). Sets are (term, N, ref_terms, ref_mg, negate).
+WITHIN_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[str, int, Tuple[str, ...], Optional[int], bool]
+] = {
+    0: ("key", 3, ("stream", "data"), 6, False),
+    1: ("key", 3, ("stream", "data"), 6, True),
+    2: ("value", 2, ("customer", "table"), None, False),
+}
+
+# Intervals.unorderedNoOverlaps(a, b) = or(ordered(a, b), ordered(b, a))
+# (Intervals.java:446-448). Sets are (a, b) single terms.
+NOOVERLAP_INTERVAL_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("stream", "data"),
+    1: ("customer", "table"),
+    2: ("key", "zzzmissing"),
+}
+
+# ordered(Intervals.prefix(p), term) — MultiTermIntervalsSource as the
+# leading slot of an ordered source. Sets are (prefix, term); the tiny
+# synthetic vocabulary keeps expansions far below the 128-term throw.
+MULTITERM_INTERVAL_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("s", "data"),
+    1: ("c", "merge"),
+    2: ("v", "key"),
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -2441,6 +2503,119 @@ def _interval_before_after(sf_dir: str):
     )
 
 
+def _interval_algebra(sf_dir: str, query_sets, build):
+    """Shared runner for the recursive intervals-algebra entries: score
+    each set's source over the positions index. -> (query_id, rank,
+    doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.intervals import score_intervals
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    import numpy as np
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, spec in sorted(query_sets.items()):
+        # rank on the ROUNDED score (unlike the older interval entries):
+        # per-doc freq is a float sum whose association order differs
+        # between numpy and SQL SUM, so unrounded ulp differences flip
+        # doc-asc tie orders (bit us on interval_multiterm at sf0.001)
+        d, s = score_intervals(reader, build(spec), k=int(reader.doc_count))
+        r = round_half_away(s, 6)
+        order = np.lexsort((d, -r))[:TOPK]
+        d, r = d[order], r[order]
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(d.tolist())
+        sc_out.extend(r.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "score": pa.array(sc_out, pa.float64()),
+        }
+    )
+
+
+def _interval_or(sf_dir: str):
+    """Intervals.or of two unordered sources (DisjunctionIntervalsSource:
+    minimized union, minExtent = min of subs)."""
+    from lucene_ray.functions.intervals import IntervalOr, IntervalQuery
+
+    return _interval_algebra(
+        sf_dir, OR_INTERVAL_QUERY_SETS,
+        lambda s: IntervalOr((
+            IntervalQuery(s[0], max_gaps=s[1], ordered=False),
+            IntervalQuery(s[2], max_gaps=s[3], ordered=False),
+        )),
+    )
+
+
+def _interval_at_least(sf_dir: str):
+    """Intervals.atLeast(m, terms) — minimal m-of-n covering windows."""
+    from lucene_ray.functions.intervals import IntervalAtLeast
+
+    return _interval_algebra(
+        sf_dir, ATLEAST_INTERVAL_QUERY_SETS,
+        lambda s: IntervalAtLeast(s[0], s[1]),
+    )
+
+
+def _interval_phrase_extend(sf_dir: str):
+    """Intervals.phrase(a, extend(b, 0, k), c) — the reference's
+    'defined gaps in a block query' doc example."""
+    from lucene_ray.functions.intervals import IntervalBlock, IntervalExtend
+
+    return _interval_algebra(
+        sf_dir, PHRASE_EXTEND_QUERY_SETS,
+        lambda s: IntervalBlock((s[0], IntervalExtend(s[1], 0, s[2]), s[3])),
+    )
+
+
+def _interval_within(sf_dir: str):
+    """Intervals.within / notWithin via the reference's containedBy /
+    nonOverlapping over extend composition."""
+    from lucene_ray.functions.intervals import IntervalQuery, interval_within
+
+    return _interval_algebra(
+        sf_dir, WITHIN_INTERVAL_QUERY_SETS,
+        lambda s: interval_within(
+            s[0], s[1], IntervalQuery(s[2], max_gaps=s[3], ordered=False),
+            negate=s[4],
+        ),
+    )
+
+
+def _interval_no_overlaps(sf_dir: str):
+    """Intervals.unorderedNoOverlaps(a, b) = or(ordered(a, b),
+    ordered(b, a))."""
+    from lucene_ray.functions.intervals import unordered_no_overlaps
+
+    return _interval_algebra(
+        sf_dir, NOOVERLAP_INTERVAL_QUERY_SETS,
+        lambda s: unordered_no_overlaps(s[0], s[1]),
+    )
+
+
+def _interval_multiterm(sf_dir: str):
+    """ordered(Intervals.prefix(p), term) — a multiterm interval source
+    as the leading slot of an ordered source."""
+    from lucene_ray.functions.intervals import (
+        IntervalMultiTerm,
+        IntervalOrdered,
+    )
+
+    return _interval_algebra(
+        sf_dir, MULTITERM_INTERVAL_QUERY_SETS,
+        lambda s: IntervalOrdered(
+            (IntervalMultiTerm("prefix", s[0]), s[1])
+        ),
+    )
+
+
 def _interval_before_after_sql() -> str:
     """Oracle for interval_before_after: big minimal intervals with
     EXISTS another minimal interval strictly after / before."""
@@ -2502,6 +2677,172 @@ def _mi_subquery(terms, mg, mw) -> str:
         f"          ) GROUP BY doc_id, spos\n"
         f"        ){where}"
     )
+
+
+def _ordered2_subquery(pred_a: str, pred_b: str) -> str:
+    """Minimal ordered two-slot intervals (doc_id, spos, epos) with
+    arbitrary slot predicates over ptok — the last-a-before-b pairs
+    deduped to the first b per a (the equal-ends keep-largest-start rule
+    plus same-start keep-smallest-end, = containment-minimal)."""
+    return (
+        f"SELECT doc_id, spos, MIN(epos) AS epos FROM (\n"
+        f"          SELECT b.doc_id, b.pos AS epos, MAX(a.pos) AS spos\n"
+        f"          FROM (SELECT doc_id, pos FROM ptok WHERE {pred_b}) b\n"
+        f"          JOIN (SELECT doc_id, pos FROM ptok WHERE {pred_a}) a\n"
+        f"            ON a.doc_id = b.doc_id AND a.pos < b.pos\n"
+        f"          GROUP BY b.doc_id, b.pos\n"
+        f"        ) GROUP BY doc_id, spos"
+    )
+
+
+def _union_minimize_sql(parts) -> str:
+    """Containment-minimized union of (doc_id, spos, epos) subqueries —
+    DisjunctionIntervalsSource's minimal semantics: an emitted interval
+    never contains a different emitted one."""
+    u = "\n        UNION ALL\n        ".join(f"({p})" for p in parts)
+    distinct = f"SELECT DISTINCT doc_id, spos, epos FROM (\n        {u})"
+    return (
+        f"SELECT doc_id, spos, epos FROM ({distinct}) m\n"
+        f"      WHERE NOT EXISTS (\n"
+        f"        SELECT 1 FROM ({distinct}) m2\n"
+        f"        WHERE m2.doc_id = m.doc_id AND m2.spos >= m.spos\n"
+        f"          AND m2.epos <= m.epos\n"
+        f"          AND (m2.spos <> m.spos OR m2.epos <> m.epos))"
+    )
+
+
+def _iv_sat_select(qid: int, mi: str, minext: int) -> str:
+    """Per-query top-k SELECT over a minimal-intervals subquery: freq =
+    SUM(1/max(width - minExtent + 1, 1)), saturation score, ranked on the
+    ROUNDED score (matching _interval_algebra — float sums associate
+    differently in numpy vs SQL, so unrounded ties flip by an ulp)."""
+    w = f"1.0 / GREATEST(epos - spos + 2 - {minext}, 1)"
+    return f"""(SELECT query_id, rank, doc_id, score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id,
+             round(SUM({w}) / (SUM({w}) + 1.0), 6) AS score
+      FROM ({mi}) mi GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+
+
+def _interval_or_sql() -> str:
+    """Oracle for interval_or: the containment-minimized union of the two
+    unordered minimal-interval sides; minExtent = min side extent (2)."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (at, amg, bt, bmg) in sorted(OR_INTERVAL_QUERY_SETS.items()):
+        mi = _union_minimize_sql(
+            [_mi_subquery(at, amg, None), _mi_subquery(bt, bmg, None)]
+        )
+        selects.append(_iv_sat_select(qid, mi, min(len(at), len(bt))))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_at_least_sql() -> str:
+    """Oracle for interval_at_least (2 of 3 single terms): per candidate
+    end e, the tightest window starts at the 2nd-largest per-term previous
+    position (pairwise GREATEST/LEAST identity; DuckDB GREATEST ignores
+    NULLs), needing >= 2 present terms; starts are monotone in ends so
+    GROUP BY start + MIN(end) is containment-minimal; minExtent = 2."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (m, terms) in sorted(ATLEAST_INTERVAL_QUERY_SETS.items()):
+        assert m == 2 and len(terms) == 3, "SQL identity pinned to 2-of-3"
+        prev_cols = ", ".join(
+            f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
+            f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
+            for i, t in enumerate(terms)
+        )
+        second = ("LEAST(GREATEST(p0, p1), GREATEST(p0, p2), "
+                  "GREATEST(p1, p2))")
+        present = ("(CAST(p0 IS NOT NULL AS INT) + "
+                   "CAST(p1 IS NOT NULL AS INT) + "
+                   "CAST(p2 IS NOT NULL AS INT))")
+        mi = (
+            f"SELECT doc_id, spos, MIN(epos) AS epos FROM (\n"
+            f"          SELECT doc_id, epos, {second} AS spos FROM (\n"
+            f"            SELECT e.doc_id, e.pos AS epos, {prev_cols}\n"
+            f"            FROM ptok e WHERE e.term IN "
+            f"{_in_list(sorted(terms))}\n"
+            f"          ) WHERE {present} >= 2\n"
+            f"        ) GROUP BY doc_id, spos"
+        )
+        selects.append(_iv_sat_select(qid, mi, 2))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_phrase_extend_sql() -> str:
+    """Oracle for interval_phrase_extend: block(a, extend(b, 0, k), c)
+    matches are a@p, b@p+1, c@p+k+2 — width always k+3 == minExtent, so
+    each match weighs 1 and freq is the join count."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (a, b, k, c) in sorted(PHRASE_EXTEND_QUERY_SETS.items()):
+        mi = (
+            f"SELECT a.doc_id, a.pos AS spos, a.pos + {k + 2} AS epos\n"
+            f"        FROM ptok a\n"
+            f"        JOIN ptok b ON b.doc_id = a.doc_id "
+            f"AND b.pos = a.pos + 1 AND b.term = '{b}'\n"
+            f"        JOIN ptok c ON c.doc_id = a.doc_id "
+            f"AND c.pos = a.pos + {k + 2} AND c.term = '{c}'\n"
+            f"        WHERE a.term = '{a}'"
+        )
+        selects.append(_iv_sat_select(qid, mi, k + 3))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_within_sql() -> str:
+    """Oracle for interval_within: term positions with (NOT) EXISTS an
+    unordered minimal reference interval within N positions — width-1
+    weight 1, freq = qualifying position count."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (t, n, rt, rmg, neg) in sorted(
+        WITHIN_INTERVAL_QUERY_SETS.items()
+    ):
+        ref = _mi_subquery(rt, rmg, None)
+        exists = (
+            f"EXISTS (SELECT 1 FROM ({ref}) r WHERE r.doc_id = tp.doc_id "
+            f"AND tp.pos >= r.spos - {n} AND tp.pos <= r.epos + {n})"
+        )
+        if neg:
+            exists = "NOT " + exists
+        mi = (
+            f"SELECT doc_id, pos AS spos, pos AS epos FROM ptok tp\n"
+            f"        WHERE tp.term = '{t}' AND {exists}"
+        )
+        selects.append(_iv_sat_select(qid, mi, 1))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_no_overlaps_sql() -> str:
+    """Oracle for interval_no_overlaps: minimized union of the two
+    ordered directions (the reference's or(ordered(a,b), ordered(b,a))
+    composition); minExtent = 2."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (a, b) in sorted(NOOVERLAP_INTERVAL_QUERY_SETS.items()):
+        mi = _union_minimize_sql([
+            _ordered2_subquery(f"term = '{a}'", f"term = '{b}'"),
+            _ordered2_subquery(f"term = '{b}'", f"term = '{a}'"),
+        ])
+        selects.append(_iv_sat_select(qid, mi, 2))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_multiterm_sql() -> str:
+    """Oracle for interval_multiterm: minimal ordered pairs whose leading
+    slot is any term matching the prefix (LIKE over the same stop-filtered
+    token stream the engine's dictionary expansion sees)."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (pre, t) in sorted(MULTITERM_INTERVAL_QUERY_SETS.items()):
+        mi = _ordered2_subquery(f"term LIKE '{pre}%'", f"term = '{t}'")
+        selects.append(_iv_sat_select(qid, mi, 2))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
 _PTOK_CTE_TMPL = """ptok AS (
@@ -3021,6 +3362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_contained_by"] = lambda sf: _interval_contained_by(sf)
     q["interval_overlapping"] = lambda sf: _interval_overlapping(sf)
     q["interval_before_after"] = lambda sf: _interval_before_after(sf)
+    q["interval_or"] = lambda sf: _interval_or(sf)
+    q["interval_at_least"] = lambda sf: _interval_at_least(sf)
+    q["interval_phrase_extend"] = lambda sf: _interval_phrase_extend(sf)
+    q["interval_within"] = lambda sf: _interval_within(sf)
+    q["interval_no_overlaps"] = lambda sf: _interval_no_overlaps(sf)
+    q["interval_multiterm"] = lambda sf: _interval_multiterm(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
@@ -3129,18 +3476,22 @@ _DRIVER_WINDOW = [
     "decontaminate_fuzzy", "pack_sequences", "neardup_embedding_ivf",
     "interval_contained_by", "interval_overlapping",
     "interval_before_after",
+    # late round-4: the recursive intervals source algebra
+    "interval_or", "interval_at_least", "interval_phrase_extend",
+    "interval_within", "interval_no_overlaps", "interval_multiterm",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
     "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
     "dfr_gb1_term", "ib_spl_term", "bpe_token_count", "bm25_span_not",
     "interval_containing", "highlight_passages", "suggest_freetext",
     "media_frames", "knn_cosine_hnsw", "knn_hnsw_filtered", "knn_cosine_sq",
-    # stalest evidence next: checked only in round 1
-    "analysis_postings", "highlight_top", "knn_cosine_ivf",
-    "neardup_minhash", "neardup_simhash",
+    # stalest evidence next: checked only in round 1 (analysis_postings,
+    # highlight_top, knn_cosine_ivf, neardup_minhash, neardup_simhash and
+    # bm25_term rotated OUT for the six intervals-algebra entries — all
+    # six already hold a passing driver correctness record)
     # last checked in round 2 — diverse family representatives, with the
     # filter/param entries re-proving the r4 block-max routing change
-    "bm25_term", "bm25_bool_msm", "bm25_bool_groups",
+    "bm25_bool_msm", "bm25_bool_groups",
     "bm25_phrase_sloppy3", "bm25_phrase_mixed",
     "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
     "bm25_explain", "bm25_combined_field", "bm25_multifield",
@@ -7373,6 +7724,12 @@ FROM tf GROUP BY term"""
     sql["interval_contained_by"] = _interval_contained_by_sql()
     sql["interval_overlapping"] = _interval_overlapping_sql()
     sql["interval_before_after"] = _interval_before_after_sql()
+    sql["interval_or"] = _interval_or_sql()
+    sql["interval_at_least"] = _interval_at_least_sql()
+    sql["interval_phrase_extend"] = _interval_phrase_extend_sql()
+    sql["interval_within"] = _interval_within_sql()
+    sql["interval_no_overlaps"] = _interval_no_overlaps_sql()
+    sql["interval_multiterm"] = _interval_multiterm_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()
