@@ -555,6 +555,28 @@ MULTITERM_INTERVAL_QUERY_SETS: Dict[int, Tuple[str, str]] = {
     2: ("v", "key"),
 }
 
+# IntervalScoreFunction.sigmoidFunction (IntervalQuery.java:98): sigmoid
+# score 1 - pivot^a / (freq^a + pivot^a) over unordered minimal pairs.
+# Sets are (terms, pivot, exp).
+SIGMOID_INTERVAL_QUERY_SETS: Dict[
+    int, Tuple[Tuple[str, ...], float, float]
+] = {
+    0: (("stream", "data"), 1.0, 1.2),
+    1: (("customer", "table"), 2.0, 2.0),
+    2: (("key", "merge"), 1.5, 0.5),
+}
+
+# Intervals.analyzedText with a stopword hole: 'a THE b' analyzes to
+# ordered(a, extend(b, 1, 0)) so maxgaps=0 still matches across the
+# dropped stopword (IntervalBuilder.java:155-169) — matches are exactly
+# the positions pairs b@p+2, each weighing 1. Sets are (text,) with one
+# stopword between two vocab terms.
+ANALYZED_INTERVAL_QUERY_SETS: Dict[int, str] = {
+    0: "data the stream",
+    1: "key and value",
+    2: "hash the join",
+}
+
 # Sloppy phrases ('"a b"~N', SloppyPhraseMatcher analogue): kept at two
 # terms, where the engine's greedy nearest-displacement pick IS the exact
 # minimal window — the SQL oracle expresses it as a per-anchor MIN.
@@ -2503,10 +2525,11 @@ def _interval_before_after(sf_dir: str):
     )
 
 
-def _interval_algebra(sf_dir: str, query_sets, build):
+def _interval_algebra(sf_dir: str, query_sets, build, kw=None):
     """Shared runner for the recursive intervals-algebra entries: score
-    each set's source over the positions index. -> (query_id, rank,
-    doc_id, score)."""
+    each set's source over the positions index; ``kw(spec)`` supplies
+    extra score_intervals kwargs (pivot/exp for the sigmoid entry).
+    -> (query_id, rank, doc_id, score)."""
     import pyarrow as pa
 
     from lucene_ray.functions.intervals import score_intervals
@@ -2522,7 +2545,10 @@ def _interval_algebra(sf_dir: str, query_sets, build):
         # per-doc freq is a float sum whose association order differs
         # between numpy and SQL SUM, so unrounded ulp differences flip
         # doc-asc tie orders (bit us on interval_multiterm at sf0.001)
-        d, s = score_intervals(reader, build(spec), k=int(reader.doc_count))
+        d, s = score_intervals(
+            reader, build(spec), k=int(reader.doc_count),
+            **(kw(spec) if kw else {}),
+        )
         r = round_half_away(s, 6)
         order = np.lexsort((d, -r))[:TOPK]
         d, r = d[order], r[order]
@@ -2613,6 +2639,29 @@ def _interval_multiterm(sf_dir: str):
         lambda s: IntervalOrdered(
             (IntervalMultiTerm("prefix", s[0]), s[1])
         ),
+    )
+
+
+def _interval_sigmoid(sf_dir: str):
+    """Sigmoid interval scoring over unordered minimal pairs."""
+    from lucene_ray.functions.intervals import IntervalQuery
+
+    return _interval_algebra(
+        sf_dir, SIGMOID_INTERVAL_QUERY_SETS,
+        lambda s: IntervalQuery(s[0], ordered=False),
+        kw=lambda s: {"pivot": s[1], "exp": s[2]},
+    )
+
+
+def _interval_analyzed(sf_dir: str):
+    """Intervals.analyzedText with a stopword hole, maxgaps=0."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.intervals import analyzed_text
+
+    an = make_analyzer("en_nostem_simple")
+    return _interval_algebra(
+        sf_dir, ANALYZED_INTERVAL_QUERY_SETS,
+        lambda text: analyzed_text(text, an, max_gaps=0),
     )
 
 
@@ -2830,6 +2879,55 @@ def _interval_no_overlaps_sql() -> str:
             _ordered2_subquery(f"term = '{b}'", f"term = '{a}'"),
         ])
         selects.append(_iv_sat_select(qid, mi, 2))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_sigmoid_sql() -> str:
+    """Oracle for interval_sigmoid: unordered minimal pairs, score =
+    1 - pivot^a / (freq^a + pivot^a), ranked on the rounded score."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, (terms, p, a) in sorted(SIGMOID_INTERVAL_QUERY_SETS.items()):
+        n = len(terms)
+        mi = _mi_subquery(terms, None, None)
+        w = f"1.0 / GREATEST(epos - spos + 2 - {n}, 1)"
+        score = (
+            f"round(1.0 - POWER({p}, {a}) / "
+            f"(POWER(SUM({w}), {a}) + POWER({p}, {a})), 6)"
+        )
+        selects.append(
+            f"""(SELECT query_id, rank, doc_id, score FROM (
+    SELECT {qid} AS query_id, doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+           score FROM (
+      SELECT doc_id, {score} AS score
+      FROM ({mi}) mi GROUP BY doc_id
+    )
+  ) WHERE rank <= {TOPK})"""
+        )
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_analyzed_sql() -> str:
+    """Oracle for interval_analyzed: 'a STOP b' with maxgaps=0 matches
+    exactly the b@p+2 pairs (the hole is covered by the extend), each
+    weighing 1 — freq is the pair count."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = []
+    for qid, text in sorted(ANALYZED_INTERVAL_QUERY_SETS.items()):
+        toks, pos = an.analyze_positions(text)
+        assert len(toks) == 2 and pos == [0, 2], (text, toks, pos)
+        a, b = toks
+        mi = (
+            f"SELECT a.doc_id, a.pos AS spos, a.pos + 2 AS epos\n"
+            f"        FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id\n"
+            f"          AND b.pos = a.pos + 2 AND b.term = '{b}'\n"
+            f"        WHERE a.term = '{a}'"
+        )
+        selects.append(_iv_sat_select(qid, mi, 3))
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -3368,6 +3466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_within"] = lambda sf: _interval_within(sf)
     q["interval_no_overlaps"] = lambda sf: _interval_no_overlaps(sf)
     q["interval_multiterm"] = lambda sf: _interval_multiterm(sf)
+    q["interval_sigmoid"] = lambda sf: _interval_sigmoid(sf)
+    q["interval_analyzed"] = lambda sf: _interval_analyzed(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
@@ -7730,6 +7830,8 @@ FROM tf GROUP BY term"""
     sql["interval_within"] = _interval_within_sql()
     sql["interval_no_overlaps"] = _interval_no_overlaps_sql()
     sql["interval_multiterm"] = _interval_multiterm_sql()
+    sql["interval_sigmoid"] = _interval_sigmoid_sql()
+    sql["interval_analyzed"] = _interval_analyzed_sql()
     sql["geo_distance"] = _geo_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()

@@ -729,14 +729,18 @@ def _before_after_intervals(reader, query: IntervalBeforeAfter):
 
 
 def score_intervals(reader, query, k: int = 10, pivot: float = None,
-                    boost: float = None):
-    """Top-k by the saturation score ``boost * freq / (freq + pivot)``,
-    tie-broken by doc asc.  Accepts ANY intervals source (IntervalQuery,
-    the combinator dataclasses, or the recursive algebra nodes); per-doc
-    freq sums ``1/max(width - minExtent + 1, 1)`` over the source's
-    intervals (IntervalScorer.java:63-67).  ``pivot`` / ``boost`` default
-    to the node's own fields when it has them (IntervalQuery and the
-    binary combinators), else 1.0.  Returns ``(docs, float64 scores)``."""
+                    boost: float = None, exp: float = None):
+    """Top-k by the interval score function, tie-broken by doc asc.
+    Accepts ANY intervals source (IntervalQuery, the combinator
+    dataclasses, or the recursive algebra nodes); per-doc freq sums
+    ``1/max(width - minExtent + 1, 1)`` over the source's intervals
+    (IntervalScorer.java:63-67).  ``pivot`` / ``boost`` default to the
+    node's own fields when it has them (IntervalQuery and the binary
+    combinators), else 1.0.  Score function (IntervalScoreFunction.java):
+    saturation ``boost * (1 - pivot/(pivot + freq))`` by default; passing
+    ``exp`` selects the sigmoid ``boost * (1 - pivot^a/(freq^a +
+    pivot^a))`` (IntervalQuery.java:98).  Both reject pivot/exp <= 0 like
+    the reference.  Returns ``(docs, float64 scores)``."""
     s, e, _g = source_intervals(reader, query)
     if len(s) == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -745,5 +749,49 @@ def score_intervals(reader, query, k: int = 10, pivot: float = None,
     )
     p = pivot if pivot is not None else getattr(query, "pivot", 1.0)
     b = boost if boost is not None else getattr(query, "boost", 1.0)
-    scores = b * (freqs / (freqs + p))
+    if not (p > 0 and np.isfinite(p)):
+        raise ValueError(f"pivot must be > 0, got: {p}")
+    if exp is None:
+        scores = b * (1.0 - p / (p + freqs))
+    else:
+        if not (exp > 0 and np.isfinite(exp)):
+            raise ValueError(f"exp must be > 0, got: {exp}")
+        ppa = p ** exp
+        scores = b * (1.0 - ppa / (freqs ** exp + ppa))
     return _topk_from(docs, scores, k)
+
+
+def analyzed_text(text: str, analyzer, max_gaps: Optional[int] = None,
+                  ordered: bool = True):
+    """Intervals.analyzedText (Intervals.java:618-648 + IntervalBuilder
+    .java:155-200): the ordered/unordered source over the analyzer's
+    tokens for ``text``, where a position hole of g (stopwords dropped by
+    the chain) turns the following token into ``extend(term, g, 0)`` so
+    the hole never counts against a maxgaps filter — the reference's
+    exact construction.  A single unextended token reduces to a term
+    source; empty analysis to a no-match source (``IntervalQuery(())``).
+    Our analyzers emit one token per position, so the reference's
+    synonym-graph branch (per-position disjunctions) has no inputs to
+    differ on.  ``max_gaps`` wraps the result in a filtered source."""
+    toks, pos = analyzer.analyze_positions(text)
+    if not ordered and len(set(toks)) != len(toks):
+        # an atLeast window would satisfy two same-term slots with ONE
+        # occurrence; the flat unordered kernel raises for the same reason
+        raise ValueError("unordered analyzed text needs distinct terms")
+    parts = []
+    prev = -1
+    for t, p in zip(toks, pos):
+        spaces = p - prev - 1
+        parts.append(IntervalExtend(t, spaces, 0) if spaces > 0 else t)
+        prev = p
+    if not parts:
+        src = IntervalQuery(())
+    elif len(parts) == 1:
+        src = parts[0]
+    elif ordered:
+        src = IntervalOrdered(tuple(parts))
+    else:
+        src = IntervalAtLeast(len(parts), tuple(parts))
+    if max_gaps is not None:
+        return IntervalFiltered(src, max_gaps=max_gaps)
+    return src

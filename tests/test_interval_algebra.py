@@ -391,6 +391,74 @@ def test_score_over_algebra_nodes(alg_index):
     assert got == pytest.approx(want)
 
 
+def test_sigmoid_score_function(alg_index):
+    """IntervalScoreFunction.sigmoidFunction (IntervalQuery.java:98):
+    score = boost * (1 - pivot^a / (freq^a + pivot^a)); pivot/exp <= 0
+    reject like the reference."""
+    reader = IndexReader(alg_index)
+    node = IntervalOrdered(("alpha", "beta"))
+    d_sat, s_sat = score_intervals(reader, node, k=20)
+    d_sig, s_sig = score_intervals(reader, node, k=20, pivot=1.5, exp=2.0)
+    assert d_sat.tolist() and d_sig.tolist()
+    # recompute freq from the saturation score and check the sigmoid
+    freqs = s_sat / (1.0 - s_sat)  # freq/(freq+1) inverted
+    by_sat = dict(zip(d_sat.tolist(), freqs.tolist()))
+    ppa = 1.5 ** 2.0
+    want = {
+        d: 1.0 - ppa / (f ** 2.0 + ppa) for d, f in by_sat.items()
+    }
+    got = dict(zip(d_sig.tolist(), s_sig.tolist()))
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    with pytest.raises(ValueError, match="pivot"):
+        score_intervals(reader, node, k=5, pivot=0.0)
+    with pytest.raises(ValueError, match="exp"):
+        score_intervals(reader, node, k=5, exp=-1.0)
+
+
+def test_analyzed_text(alg_index):
+    """Intervals.analyzedText: stopword holes become extend(term, g, 0)
+    sub-sources, so a maxgaps=0 phrase still matches across the hole
+    (IntervalBuilder.java:155-169)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.intervals import analyzed_text
+
+    reader = IndexReader(alg_index)
+    an = make_analyzer("en_nostem_simple")
+    # plain adjacent phrase == the block/ordered equivalent
+    src = analyzed_text("alpha beta", an, max_gaps=0)
+    s1, e1, _ = source_intervals(reader, src)
+    s2, e2 = minimal_intervals(
+        reader, IntervalQuery(("alpha", "beta"), max_gaps=0)
+    )
+    assert s1.tolist() == s2.tolist() and e1.tolist() == e2.tolist()
+    # "alpha the beta": 'the' is a stopword -> hole -> extend(beta, 1, 0);
+    # maxgaps=0 must still match docs where alpha and beta sit 2 apart
+    src_hole = analyzed_text("alpha the beta", an, max_gaps=0)
+    sh, eh, gh = source_intervals(reader, src_hole)
+    docs = sorted({int(x) >> _POS_SHIFT for x in sh})
+    # doc 1 is "alpha x x beta gamma" (alpha..beta distance 3 -> no);
+    # hole-tolerant match needs distance exactly 2: none in TEXTS has
+    # alpha _ beta except doc 1's "alpha x x beta" (distance 3) — check
+    # against the brute equivalent instead of a golden
+    want = []
+    for d, t in enumerate(TEXTS):
+        toks = _TOK.findall(t.lower())
+        if any(
+            a == "alpha" and i + 2 < len(toks) and toks[i + 2] == "beta"
+            for i, a in enumerate(toks)
+        ):
+            want.append(d)
+    assert docs == want
+    assert not gh.any()  # the hole is covered by the extension, gaps 0
+    # unordered + duplicate tokens raise like the flat kernel
+    with pytest.raises(ValueError, match="distinct"):
+        analyzed_text("alpha alpha", an, ordered=False)
+    # empty analysis -> no-match source
+    s0, e0, _ = source_intervals(reader, analyzed_text("the", an))
+    assert len(s0) == 0
+
+
 def test_algebra_random_fuzz(ray_session, tmp_path):
     """Random nested trees (depth <= 3) over random texts vs the brute
     model — engine kernels and brute share no code."""
