@@ -1681,6 +1681,28 @@ def _clauses_candidates(reader, raw, scored):
             )
         elif base_required:
             return empty
+    cand, acc = _combine_clauses(
+        base_scored, base_required, must_p, should_p, not_p, dtype
+    )
+    return cand, acc, dtype
+
+
+def _combine_clauses(base_scored, base_required, must_p, should_p, not_p,
+                     dtype):
+    """The BooleanQuery-level clause combination, shared by the global
+    exhaustive path (:func:`_clauses_candidates`) and the pruned tree
+    executor's doc-range slices (per-doc semantics and float accumulation
+    are range-local, so slicing every input to [lo, hi) yields exactly
+    the global result restricted to the range).  ``base_scored`` is
+    (docs, scores) or None (absent base or no matches), ``must_p`` /
+    ``should_p`` are scored clause lists in canonical order, ``not_p``
+    sorted doc arrays to exclude.  -> (cand, acc)."""
+    empty = (np.empty(0, np.int64), np.empty(0, dtype=dtype))
+    for d, _ in must_p:
+        if len(d) == 0:
+            return empty
+    if base_required and base_scored is None:
+        return empty
     req = [d for d, _ in must_p]
     if base_required and base_scored is not None:
         req.append(base_scored[0])
@@ -1719,7 +1741,7 @@ def _clauses_candidates(reader, raw, scored):
         add(d, s)
     for d, s in should_p:
         add(d, s)
-    return cand, acc, dtype
+    return cand, acc
 
 
 def _exhaustive_candidates(reader, query, _prep=None):
@@ -2861,6 +2883,535 @@ def _set_path(path: str) -> None:
     score_blockmax.last_path = path
 
 
+# ---------------------------------------------------------------------------
+# Pruned executor for the RECURSIVE combiners (MixedQuery / NestedQuery) —
+# the reference analogue is the Impacts API propagating max-score-per-block
+# bounds through the scorer tree (search/WANDScorer.java consuming any
+# child's getMaxScore/advanceShallow; PhraseWeight exposes ImpactsSource),
+# so nested booleans prune exactly like flat ones.  Each clause kind wraps
+# in an adapter exposing (a) its block edge arrays, (b) per-interval
+# (feasible, upper-bound) vectors, (c) exact doc-range evaluation that is
+# bit-identical to the global exhaustive result restricted to the range.
+# The tree clause composes child adapters under _combine_clauses — the
+# SAME combination helper the exhaustive path uses, so per-doc float
+# accumulation (base -> must children -> should children) is preserved.
+# ---------------------------------------------------------------------------
+
+
+class _FlatClause:
+    """A flat BooleanQuery as a pruned-tree clause (the same cursors,
+    bounds, feasibility and combine the flat score_blockmax body uses)."""
+
+    def __init__(self, reader, query):
+        self.reader = reader
+        self.dtype = (
+            np.float32 if reader.norm_kind == "byte4" else np.float64
+        )
+        self.impossible = False
+        self.unsupported = False
+        self.msm = (
+            query.minimum_should_match
+            if isinstance(query, BooleanQuery) else 0
+        )
+        prep = _prepare(reader, query)
+        if prep is None:
+            self.impossible = True
+            self.all_scoring = []
+            return
+        cursors, is_must, not_cursors, _dtype, groups = prep
+        filters = getattr(query, "filters", ())
+        self.fdocs = None
+        if filters:
+            if len(cursors) == 0 and not groups:
+                # pure-filter clause: match-all-passing-docs at score 0 —
+                # the exhaustive path owns those semantics
+                self.unsupported = True
+                self.all_scoring = []
+                return
+            self.fdocs = reader.filter_docs(filters)
+            if self.fdocs is None or len(self.fdocs) == 0:
+                self.impossible = True
+                self.all_scoring = []
+                return
+        if any(c.n_blocks == 0 and m for c, m in zip(cursors, is_must)):
+            self.impossible = True
+            self.all_scoring = []
+            return
+        keep = [i for i, c in enumerate(cursors) if c.n_blocks > 0]
+        cursors = [cursors[i] for i in keep]
+        is_must = is_must[keep] if len(keep) else np.zeros(0, dtype=bool)
+        kept_groups: List[List[TermCursor]] = []
+        for g in groups:
+            gk = [c for c in g if c.n_blocks > 0]
+            if not gk:
+                self.impossible = True
+                self.all_scoring = []
+                return
+            kept_groups.append(gk)
+        groups = kept_groups
+        if len(cursors) == 0 and not groups:
+            self.impossible = True
+            self.all_scoring = []
+            return
+        self.cursors = cursors
+        self.is_must = is_must
+        self.n_must = int(is_must.sum())
+        self.groups = groups
+        self.not_docs = (
+            _NotCursorView.all_docs(not_cursors) if not_cursors else None
+        )
+        self.all_scoring = list(cursors) + [c for g in groups for c in g]
+        self.allc_sorted = (
+            sorted(self.all_scoring, key=lambda c: c.term)
+            if groups else None
+        )
+
+    def edge_arrays(self):
+        return [c.first_docs for c in self.all_scoring] + [
+            c.last_docs + 1 for c in self.all_scoring
+        ]
+
+    def active_and_bounds(self, starts):
+        bounds = np.zeros(len(starts), dtype=np.float64)
+        active_cnt_should = np.zeros(len(starts), dtype=np.int32)
+        active_all_must = np.ones(len(starts), dtype=bool)
+        for c, m in zip(self.cursors, self.is_must):
+            idx = np.searchsorted(c.last_docs, starts)
+            idx_c = np.minimum(idx, c.n_blocks - 1)
+            act = c.first_docs[idx_c] <= starts
+            bounds += np.where(act, c.block_max[idx_c], 0.0)
+            if m:
+                active_all_must &= act
+            else:
+                active_cnt_should += act.astype(np.int32)
+        group_act: List[np.ndarray] = []
+        for g in self.groups:
+            act_g = np.zeros(len(starts), dtype=bool)
+            for c in g:
+                idx = np.searchsorted(c.last_docs, starts)
+                idx_c = np.minimum(idx, c.n_blocks - 1)
+                act = c.first_docs[idx_c] <= starts
+                bounds += np.where(act, c.block_max[idx_c], 0.0)
+                act_g |= act
+            group_act.append(act_g)
+        if self.groups:
+            feasible = np.ones(len(starts), dtype=bool)
+            if self.n_must:
+                feasible &= active_all_must
+            if self.msm > 0:
+                feasible &= active_cnt_should >= self.msm
+            for act_g in group_act:
+                feasible &= act_g
+        elif self.n_must:
+            feasible = active_all_must
+            if self.msm > 0:
+                feasible = feasible & (active_cnt_should >= self.msm)
+        else:
+            feasible = active_cnt_should >= max(1, self.msm)
+        if self.fdocs is not None:
+            # crude doc-range presence: any filter doc inside the span
+            # covered from each start to the next edge is unknown here
+            # (starts only); activity stays conservative without it —
+            # the eval-range intersection enforces exactness
+            pass
+        return feasible, bounds
+
+    def n_scoring(self):
+        return len(self.all_scoring)
+
+    def eval_range(self, lo, hi):
+        if self.groups:
+            cand, acc = _combine_groups(
+                self.cursors, self.is_must, self.n_must, self.msm,
+                self.groups, self.allc_sorted, self.not_docs, self.dtype,
+                lo, hi,
+            )
+        else:
+            per_term = [c.docs_in(lo, hi) for c in self.cursors]
+            cand, acc = _combine(
+                per_term, self.is_must, self.n_must, self.msm,
+                self.not_docs, self.dtype,
+            )
+        if self.fdocs is not None and len(cand):
+            pos = np.minimum(
+                np.searchsorted(self.fdocs, cand), len(self.fdocs) - 1
+            )
+            fkeep = self.fdocs[pos] == cand
+            cand, acc = cand[fkeep], acc[fkeep]
+        return cand, acc
+
+
+class _PhraseClause:
+    """An EXACT phrase (slop=0) as a pruned-tree clause — the
+    _phrase_blockmax bound (min member block-max tf + min norm key) and
+    its doc-range-sliced key-intersection evaluation."""
+
+    def __init__(self, reader, phrase):
+        import math
+
+        self.reader = reader
+        self.phrase = phrase
+        self.dtype = (
+            np.float32 if reader.norm_kind == "byte4" else np.float64
+        )
+        self.impossible = False
+        self.unsupported = False
+        k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+        pad = max(phrase.offsets) + 1
+        idf64 = 0.0
+        self.raws = []
+        self.shifted = []
+        for t, off in zip(phrase.terms, phrase.offsets):
+            df, _ = reader.term_stats(t)
+            if df == 0:
+                self.impossible = True
+                return
+            idf64 += math.log(
+                1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+            )
+            base, max_pos = _packed_pos_keys(reader, t)
+            if max_pos + pad >= (1 << _POS_SHIFT):
+                self.unsupported = True
+                return
+            self.shifted.append(
+                (base + np.int64(pad - off), np.int64(pad - off))
+            )
+            self.raws.append(_raw_cursor(reader, t))
+        if any(r.n_blocks == 0 for r in self.raws):
+            self.impossible = True
+            return
+        scorer = make_scorer(
+            reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+            k1=k1, b=b,
+        )
+        if reader.norm_kind == "byte4":
+            scorer.idf = np.float32(idf64)
+            scorer.weight = np.float32(idf64)
+        else:
+            scorer.idf = idf64
+            scorer.weight = idf64
+        self.scorer = scorer
+
+    def edge_arrays(self):
+        return [r.first_docs for r in self.raws] + [
+            r.last_docs + 1 for r in self.raws
+        ]
+
+    def active_and_bounds(self, starts):
+        tf_bound = np.full(
+            len(starts), np.iinfo(np.int64).max, dtype=np.int64
+        )
+        key_min = np.full(
+            len(starts), np.iinfo(np.int64).max, dtype=np.int64
+        )
+        feasible = np.ones(len(starts), dtype=bool)
+        for r in self.raws:
+            idx = np.searchsorted(r.last_docs, starts)
+            idx_c = np.minimum(idx, r.n_blocks - 1)
+            act = r.first_docs[idx_c] <= starts
+            feasible &= act
+            tf_bound = np.where(
+                act, np.minimum(tf_bound, r.block_max_tf[idx_c]), tf_bound
+            )
+            key_min = np.where(
+                act, np.minimum(key_min, r.block_min_key[idx_c]), key_min
+            )
+        bounds = np.zeros(len(starts), dtype=np.float64)
+        if feasible.any():
+            bounds[feasible] = self.scorer.score_array(
+                tf_bound[feasible],
+                np.where(feasible, key_min, 0)[feasible],
+            ).astype(np.float64)
+        return feasible, bounds
+
+    def n_scoring(self):
+        return len(self.raws)
+
+    def eval_range(self, lo, hi):
+        empty = (np.empty(0, np.int64), np.empty(0, dtype=self.dtype))
+        inter = None
+        for keys, c in self.shifted:
+            s0 = int(np.searchsorted(keys, (lo << _POS_SHIFT) + int(c)))
+            s1 = int(
+                np.searchsorted(keys, ((hi + 1) << _POS_SHIFT) + int(c))
+            )
+            sl = keys[s0:s1]
+            if inter is None:
+                inter = sl
+            else:
+                if len(inter) == 0 or len(sl) == 0:
+                    return empty
+                pos = np.minimum(np.searchsorted(sl, inter), len(sl) - 1)
+                inter = inter[sl[pos] == inter]
+        if inter is None or len(inter) == 0:
+            return empty
+        occ_docs = inter >> np.int64(_POS_SHIFT)
+        docs_u, pf = np.unique(occ_docs, return_counts=True)
+        deleted = getattr(self.reader, "deleted", None)
+        if deleted is not None and len(deleted) and len(docs_u):
+            dpos = np.minimum(
+                np.searchsorted(deleted, docs_u), len(deleted) - 1
+            )
+            keep = deleted[dpos] != docs_u
+            docs_u, pf = docs_u[keep], pf[keep]
+        if len(docs_u) == 0:
+            return empty
+        norm_keys = _gather_norm_keys(
+            self.reader, self.phrase.terms[0], docs_u
+        )
+        acc = self.scorer.score_array(pf, norm_keys).astype(
+            self.dtype, copy=False
+        )
+        return docs_u, acc
+
+
+class _TreeClause:
+    """A MixedQuery / NestedQuery node as a pruned-tree clause: child
+    adapters combined under the exhaustive path's own _combine_clauses,
+    with bounds = feasibility-gated sum of constituent bounds."""
+
+    def __init__(self, reader, base_raw, children):
+        self.reader = reader
+        self.dtype = (
+            np.float32 if reader.norm_kind == "byte4" else np.float64
+        )
+        self.impossible = False
+        self.unsupported = False
+        self.scoring_children = []  # [(role, adapter)] in clause order
+        self.not_sets = []
+        roles = [r for r, _c in children]
+        for role, child in children:
+            if role == "must_not":
+                got = _exhaustive_candidates(reader, child)
+                if got is not None and len(got[0]):
+                    self.not_sets.append(np.asarray(got[0], np.int64))
+                continue
+            ad = _tree_clause_adapter(reader, child)
+            if ad is None or ad.unsupported:
+                self.unsupported = True
+                return
+            if ad.impossible and role == "must":
+                self.impossible = True
+                return
+            self.scoring_children.append((role, ad))
+        # base decomposition mirrors _clauses_candidates exactly
+        not_terms = tuple(sorted(set(base_raw.must_not)))
+        not_multi = tuple(
+            (kk, p, a, "should") for (kk, p, a, ro) in base_raw.multi
+            if ro == "must_not"
+        )
+        base = BooleanQuery(
+            must=base_raw.must, should=base_raw.should, must_not=(),
+            minimum_should_match=0,
+            multi=tuple(m for m in base_raw.multi if m[3] != "must_not"),
+            boosts=base_raw.boosts, filters=base_raw.filters,
+            must_groups=base_raw.must_groups,
+        )
+        if not_terms or not_multi:
+            ex = _exhaustive_candidates(
+                reader, BooleanQuery(should=not_terms, multi=not_multi)
+            )
+            if ex is not None and len(ex[0]):
+                self.not_sets.append(np.asarray(ex[0], np.int64))
+        has_base = bool(
+            base.must or base.should or base.multi or base.filters
+            or base.must_groups
+        )
+        any_must_clause = "must" in roles
+        any_should_clause = "should" in roles
+        self.base_required = bool(
+            base.must or base.filters or base.multi or base.must_groups
+        ) or (
+            bool(base.should)
+            and not any_must_clause and not any_should_clause
+        )
+        self.base = None
+        if has_base:
+            ad = _FlatClause(reader, base)
+            if ad.unsupported:
+                self.unsupported = True
+                return
+            if ad.impossible:
+                if self.base_required:
+                    self.impossible = True
+                    return
+            else:
+                self.base = ad
+        if self.base is None and not self.scoring_children:
+            self.impossible = True
+            return
+        self.has_required = (
+            any(r == "must" for r, _a in self.scoring_children)
+            or (self.base_required and self.base is not None)
+        )
+
+    def edge_arrays(self):
+        out = []
+        for _r, ad in self.scoring_children:
+            if not ad.impossible:
+                out.extend(ad.edge_arrays())
+        if self.base is not None:
+            out.extend(self.base.edge_arrays())
+        return out
+
+    def active_and_bounds(self, starts):
+        feas = np.ones(len(starts), dtype=bool)
+        bounds = np.zeros(len(starts), dtype=np.float64)
+        any_should = np.zeros(len(starts), dtype=bool)
+        for role, ad in self.scoring_children:
+            if ad.impossible:
+                continue  # role is should here (must handled at init)
+            a, b = ad.active_and_bounds(starts)
+            bounds += np.where(a, b, 0.0)
+            if role == "must":
+                feas &= a
+            else:
+                any_should |= a
+        if self.base is not None:
+            a, b = self.base.active_and_bounds(starts)
+            bounds += np.where(a, b, 0.0)
+            if self.base_required:
+                feas &= a
+            else:
+                any_should |= a
+        if not self.has_required:
+            feas &= any_should
+        return feas, bounds
+
+    def n_scoring(self):
+        n = sum(
+            ad.n_scoring() for _r, ad in self.scoring_children
+            if not ad.impossible
+        )
+        if self.base is not None:
+            n += self.base.n_scoring()
+        return n
+
+    def eval_range(self, lo, hi):
+        empty = (np.empty(0, np.int64), np.empty(0, dtype=self.dtype))
+        if self.impossible:
+            return empty
+        must_p, should_p = [], []
+        for role, ad in self.scoring_children:
+            got = (
+                ad.eval_range(lo, hi) if not ad.impossible
+                else empty
+            )
+            (must_p if role == "must" else should_p).append(got)
+        base_scored = None
+        if self.base is not None:
+            bs = self.base.eval_range(lo, hi)
+            if len(bs[0]):
+                base_scored = bs
+        return _combine_clauses(
+            base_scored, self.base_required, must_p, should_p,
+            self.not_sets, self.dtype,
+        )
+
+
+def _tree_clause_adapter(reader, q):
+    """Adapter for one clause of the pruned tree executor, or None when
+    the clause kind has no interval bound (sloppy phrases, MultiPhrase
+    children, pure-filter booleans) — the whole tree then routes to the
+    exhaustive combiner."""
+    if isinstance(q, PhraseQuery):
+        if getattr(q, "slop", 0) > 0 or not getattr(
+            reader, "has_positions", False
+        ):
+            return None
+        return _PhraseClause(reader, q)
+    if isinstance(q, MixedQuery):
+        return _TreeClause(
+            reader, q.base, [(role, ph) for ph, role in q.phrases]
+        )
+    if isinstance(q, NestedQuery):
+        return _TreeClause(reader, q.base, list(q.children))
+    if isinstance(q, (TermQuery, BooleanQuery)):
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(should=(q.term,))
+        return _FlatClause(reader, q)
+    return None
+
+
+def _tree_blockmax(reader, query, k: int):
+    """Pruned executor for MixedQuery / NestedQuery: the standard
+    interval frame (edges from every constituent's blocks, descending
+    bound order, two-level small-scale guards, probe-based cost
+    fallback) over the recursive clause adapters.  Bit-identical to
+    score_exhaustive because every range evaluation runs the SAME
+    per-doc combination (_combine_clauses) on range-sliced inputs."""
+    ad = _tree_clause_adapter(reader, query)
+    if ad is None or ad.unsupported:
+        _set_path("exhaustive:query-kind")
+        return score_exhaustive(reader, query, k)
+    dtype = ad.dtype
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if ad.impossible:
+        _set_path("empty")
+        return empty
+    edge_arrays = ad.edge_arrays()
+    if not edge_arrays:
+        _set_path("empty")
+        return empty
+    total_blocks = sum(len(a) for a in edge_arrays) // 2
+    if total_blocks <= 32:
+        _set_path("exhaustive:small")
+        return score_exhaustive(reader, query, k)
+    edges = np.unique(np.concatenate(edge_arrays))
+    if len(edges) < 2:
+        _set_path("empty")
+        return empty
+    starts = edges[:-1]
+    feasible, bounds = ad.active_and_bounds(starts)
+    n_feasible = int(feasible.sum())
+    if n_feasible <= 32:
+        _set_path("exhaustive:small")
+        return score_exhaustive(reader, query, k)
+    n_scoring = ad.n_scoring()
+    pad = (
+        1.0 + (n_scoring + 2) * 2.0 ** -23
+        if dtype == np.float32
+        else 1.0 + 2.0 ** -40
+    )
+    bounds = bounds * pad
+    _set_path("pruned:tree")
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []
+    probe_budget = 8
+    probed = 0
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        if probed == probe_budget and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
+                return score_exhaustive(reader, query, k)
+        probed += 1
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        cand, acc = ad.eval_range(lo, hi)
+        if len(cand) == 0:
+            continue
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            cand, acc = cand[mask], acc[mask]
+        for d, s in zip(cand, acc):
+            entry = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return (
+        np.array([-e[1] for e in out], dtype=np.int64),
+        np.array([e[0] for e in out], dtype=dtype),
+    )
+
+
 def score_blockmax(reader, query, k: int = 10):
     """Block-max pruned executor; result-identical to score_exhaustive.
 
@@ -2935,10 +3486,13 @@ def score_blockmax(reader, query, k: int = 10):
         else:
             docs = docs[:k]
         return docs, np.ones(len(docs), dtype=dtype)
-    if isinstance(query, (PhraseQuery, MixedQuery,
-                           NestedQuery, MultiPhrase)):
-        # positional sloppy verification / phrase mixes / boolean trees
-        # aren't modeled by interval bounds
+    if isinstance(query, (MixedQuery, NestedQuery)):
+        # recursive combiners prune through the clause-adapter tree
+        # (r4 late addition); sloppy-phrase children route it back to
+        # the exhaustive combiner inside _tree_blockmax
+        return _tree_blockmax(reader, query, k)
+    if isinstance(query, (PhraseQuery, MultiPhrase)):
+        # positional sloppy verification isn't modeled by interval bounds
         _set_path("exhaustive:query-kind")
         return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)
