@@ -3437,6 +3437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ib_spl_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("ib", "spl", "ttf", "h2"),
     )
+    q["sweetspot_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("sweetspot",) + SWEETSPOT_PARAMS,
+    )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
@@ -4071,6 +4074,10 @@ K1B_QUERY_SETS: Dict[int, str] = {
 # at <= 2 scoring terms so the sorted-order float64 sum is one addition.
 LMD_MU = 2000.0
 LMJM_LAMBDA = 0.1
+# SweetSpotSimilarity (misc/SweetSpotSimilarity.java): plateau length
+# norm [ln_min, ln_max] with steepness, baselineTf (tf_base, tf_min).
+# Non-default everywhere so both the plateau and the tf floor engage.
+SWEETSPOT_PARAMS = (3, 8, 0.5, 1.5, 2.0)
 SIM_QUERY_SETS: Dict[int, str] = {
     0: "data",
     1: "stream batch",
@@ -6870,7 +6877,8 @@ def _similarity_sql(model: str) -> str:
     avgdl = "(CAST(s.sum_tf AS DOUBLE) / s.n_docs)"
     tfn = f"(tf.tf * (ln(1.0 + 1.0 * {avgdl} / dl.dl) / ln(2.0)))"
     needs_ttf = model in ("lmd", "lmjm", "dfi", "dfr_gb1", "ib_spl")
-    needs_df = model in ("classic", "dfr", "ib", "axiomatic", "dfr_gb1")
+    needs_df = model in ("classic", "dfr", "ib", "axiomatic", "dfr_gb1",
+                         "sweetspot")
     tfn_h1 = f"(tf.tf * 1.0 * ({avgdl} / dl.dl))"
 
     def tsub(term: str) -> str:
@@ -6927,6 +6935,26 @@ def _similarity_sql(model: str) -> str:
             )
         elif model == "boolean":
             expr = "1.0"
+        elif model == "sweetspot":
+            # SweetSpotSimilarity.java:110-147 — Classic idf, baselineTf,
+            # plateau length norm; literal float64 op order of
+            # functions/similarities.py::SweetSpot.score_array
+            lmin, lmax, steep, tf_base, tf_min = SWEETSPOT_PARAMS
+            add = float(tf_base) * float(tf_base) - float(tf_min)
+            tf_e = (
+                f"CASE WHEN tf.tf <= {float(tf_min)!r} THEN {float(tf_base)!r} "
+                f"ELSE sqrt(CAST(tf.tf AS DOUBLE) + {add!r}) END"
+            )
+            norm = (
+                f"(1.0 / sqrt({float(steep)!r} * "
+                f"(abs(CAST(dl.dl AS DOUBLE) - {float(lmin)!r}) "
+                f"+ abs(CAST(dl.dl AS DOUBLE) - {float(lmax)!r}) "
+                f"- {float(lmax) - float(lmin)!r}) + 1.0))"
+            )
+            expr = (
+                f"(({tf_e}) * "
+                f"(ln((s.n_docs + 1.0) / (d2.df + 1.0)) + 1.0)) * {norm}"
+            )
         else:  # classic
             expr = (
                 f"(sqrt(CAST(tf.tf AS DOUBLE)) * "
@@ -7797,6 +7825,7 @@ FROM tf GROUP BY term"""
     sql["axiomatic_term"] = _similarity_sql("axiomatic")
     sql["dfr_gb1_term"] = _similarity_sql("dfr_gb1")
     sql["ib_spl_term"] = _similarity_sql("ib_spl")
+    sql["sweetspot_term"] = _similarity_sql("sweetspot")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_not"] = _span_not_sql()
     sql["suggest_freetext"] = _suggest_freetext_sql()

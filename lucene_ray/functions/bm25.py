@@ -88,6 +88,15 @@ class BM25Float32:
             return 0.0
         return float(self.score_array(frontier_tfs, frontier_keys).max())
 
+    def bound_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Upper-bound scores for (block max tf, block min key) pairs.
+
+        For BM25 (antitone in decoded doc length) the bound IS the score
+        at those extremes; scorers whose length norm is not monotone
+        (SweetSpotSimilarity's plateau) override this with a relaxation
+        that stays a valid upper bound."""
+        return self.score_array(tfs, keys)
+
     # -- query-independent block-max split: score = g(w, m) with m the
     # per-block max of freq*cache[norm]; g monotone non-decreasing in m, so
     # m can be cached on the postings across queries (weight w varies, the
@@ -146,6 +155,9 @@ class BM25Float64:
         if len(frontier_tfs) == 0:
             return 0.0
         return float(self.score_array(frontier_tfs, frontier_keys).max())
+
+    def bound_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        return self.score_array(tfs, keys)
 
     def frontier_m(self, frontier_tfs: np.ndarray, frontier_keys: np.ndarray) -> float:
         if len(frontier_tfs) == 0:

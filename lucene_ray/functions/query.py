@@ -2405,7 +2405,7 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
         return _topk_from(got[0], got[1], k)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
-        bounds[feasible] = scorer.score_array(
+        bounds[feasible] = scorer.bound_array(
             tf_bound[feasible], np.where(feasible, key_min, 0)[feasible]
         ).astype(np.float64)
     pad_f = (
@@ -2585,7 +2585,7 @@ def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
         return _topk_from(got[0], got[1], k)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
-        bounds[feasible] = scorer.score_array(
+        bounds[feasible] = scorer.bound_array(
             tf_bound[feasible], np.where(feasible, key_min, 0)[feasible]
         ).astype(np.float64)
     pad_f = (
@@ -2754,7 +2754,7 @@ def _synonym_blockmax(reader, query, k: int):
     safe_keys = np.where(feasible, key_min, 0)
     bounds = np.zeros(len(starts), dtype=np.float64)
     if feasible.any():
-        bounds[feasible] = scorer.score_array(
+        bounds[feasible] = scorer.bound_array(
             tf_bound[feasible], safe_keys[feasible]
         ).astype(np.float64)
     pad = (
@@ -3118,7 +3118,7 @@ class _PhraseClause:
             )
         bounds = np.zeros(len(starts), dtype=np.float64)
         if feasible.any():
-            bounds[feasible] = self.scorer.score_array(
+            bounds[feasible] = self.scorer.bound_array(
                 tf_bound[feasible],
                 np.where(feasible, key_min, 0)[feasible],
             ).astype(np.float64)

@@ -76,6 +76,12 @@ class _LenDecode:
     def scores_from_m(self, m: np.ndarray) -> np.ndarray:
         return m.astype(self.dtype, copy=False)
 
+    def bound_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Upper bound for (block max tf, block min key) pairs — exact for
+        the tf-monotone / dl-antitone families; non-monotone length norms
+        (SweetSpot) override with a valid relaxation."""
+        return self.score_array(tfs, keys)
+
 
 class LMDirichlet(_LenDecode):
     """LMDirichletSimilarity analogue (per-term scorer instance)."""
@@ -121,6 +127,75 @@ class ClassicTFIDF(_LenDecode):
             norm = 1.0 / np.sqrt(dl)
         s = (tf * self.weight) * norm
         return s.astype(self.dtype, copy=False)
+
+
+class SweetSpot(_LenDecode):
+    """SweetSpotSimilarity analogue (misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java:110-147): Classic TF-IDF with
+
+    * a plateau length norm —
+      ``1/sqrt(steep*(|dl-lmin| + |dl-lmax| - (lmax-lmin)) + 1)``
+      (= 1.0 for lmin <= dl <= lmax, sqrt falloff outside), and
+    * ``baselineTf`` — ``freq <= tf_min ? tf_base :
+      sqrt(freq + tf_base^2 - tf_min)`` (0 stays 0; :142-147).
+
+    The plateau norm is NOT antitone in doc length (docs shorter than
+    ``lmin`` are *penalized*), so the stored (max tf, min key) block
+    extremes no longer locate the max score; :meth:`bound_array` /
+    :meth:`ratio_array` therefore bound with the norm<=1 relaxation
+    ``weight * baselineTf(tf)`` — always >= any in-block score, exact on
+    blocks whose minimizing doc sits on the plateau.  Defaults
+    (lmin=lmax=1, steep=0.5, tf_base=tf_min=0) degrade to Classic
+    (SweetSpotSimilarity.java:102-104)."""
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int = 0, boost: float = 1.0,
+                 ln_min: int = 1, ln_max: int = 1, steep: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0):
+        super().__init__(norm_kind)
+        self.boost = float(boost)
+        self.idf = np.log((doc_count + 1.0) / (doc_freq + 1.0)) + 1.0
+        self.weight = self.boost * self.idf
+        self.ln_min = float(ln_min)
+        self.ln_max = float(ln_max)
+        self.steep = float(steep)
+        self.tf_min = float(tf_min)
+        self.tf_base = float(tf_base)
+        self.tf_add = float(tf_base) * float(tf_base) - float(tf_min)
+        self._key = ("sweetspot", norm_kind, doc_count, doc_freq, boost,
+                     ln_min, ln_max, steep, tf_base, tf_min)
+
+    def _tf(self, tfs: np.ndarray) -> np.ndarray:
+        t = tfs.astype(np.float64)
+        out = np.where(t <= self.tf_min, self.tf_base,
+                       np.sqrt(np.maximum(t + self.tf_add, 0.0)))
+        return np.where(t == 0.0, 0.0, out)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        dl = self.doc_len(keys)
+        ln = 1.0 / np.sqrt(
+            self.steep * (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
+                          - (self.ln_max - self.ln_min)) + 1.0
+        )
+        s = (self._tf(tfs) * self.weight) * ln
+        return s.astype(self.dtype, copy=False)
+
+    # -- bounds: plateau norm <= 1 always, so weight * baselineTf(tf) is a
+    # valid per-block upper bound regardless of which (tf, key) pairs the
+    # Pareto frontier kept
+    def bound_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        return (self._tf(tfs) * self.weight).astype(np.float64, copy=False)
+
+    def ratio_array(self, tfs, keys) -> np.ndarray:
+        return self.bound_array(tfs, keys)
+
+    def max_score(self, frontier_tfs, frontier_keys) -> float:
+        if len(frontier_tfs) == 0:
+            return 0.0
+        return float(self.bound_array(frontier_tfs, frontier_keys).max())
+
+    def frontier_m(self, frontier_tfs, frontier_keys) -> float:
+        return self.max_score(frontier_tfs, frontier_keys)
 
 
 class LMJelinekMercer(_LenDecode):
@@ -375,6 +450,13 @@ def make_similarity(sim, norm_kind: str, doc_count: int, sum_total_tf: int,
     ("dfr", basic, after, normalization[, c]) and
     ("ib", distribution, lambda, normalization[, c])."""
     name = sim[0]
+    if name == "sweetspot":
+        # ("sweetspot"[, ln_min, ln_max, steep, tf_base, tf_min])
+        defaults = (1, 1, 0.5, 0.0, 0.0)
+        p = tuple(sim[1:]) + defaults[len(sim) - 1:]
+        return SweetSpot(norm_kind, doc_count, sum_total_tf, doc_freq,
+                         total_tf, boost=boost, ln_min=p[0], ln_max=p[1],
+                         steep=p[2], tf_base=p[3], tf_min=p[4])
     if name == "dfr" and len(sim) >= 4:
         return DFR(norm_kind, doc_count, sum_total_tf, doc_freq, total_tf,
                    basic=sim[1], after=sim[2], normalization=sim[3],

@@ -28,7 +28,7 @@ from lucene_ray.functions.query import (
 from lucene_ray.pipelines.build import IndexConfig, build_index
 
 from test_engine_oracle import WORDS, make_corpus, random_queries, analyzed
-from test_similarities import ALL_SIMS
+from test_similarities import ALL_SIMS, ALL_SIMS_PLUS
 
 CONTENT = [w for w in WORDS if w not in ("the", "and", "of")]
 
@@ -77,7 +77,7 @@ def _identical(reader, q, k=10):
     return score_blockmax.last_path
 
 
-@pytest.mark.parametrize("sim", ALL_SIMS)
+@pytest.mark.parametrize("sim", ALL_SIMS_PLUS)
 def test_similarity_queries_take_pruned_path(bx_index, sim):
     """Every similarity family: random boolean queries are result-identical
     dumb-vs-smart AND at least one multi-term query runs the pruned

@@ -61,6 +61,12 @@ ALL_SIMS = [
     ("ib", "ll", "ttf", "h1"),
 ]
 
+# SweetSpotSimilarity (misc/SweetSpotSimilarity.java) — plateau length
+# norm, so it is deliberately EXCLUDED from the dl-antitone monotonicity
+# matrix; it still must match brute scoring and prune bit-identically
+SWEET = ("sweetspot", 3, 8, 0.5, 1.5, 2.0)
+ALL_SIMS_PLUS = ALL_SIMS + [SWEET]
+
 # the full composable grid (DFRSimilarity / IBSimilarity component
 # matrices) — every combination must satisfy the monotonicity matrix
 DFR_GRID = [
@@ -127,7 +133,7 @@ def _brute_stats(texts):
     return kept, df, ttf, sum(len(k) for k in kept)
 
 
-@pytest.mark.parametrize("sim", ALL_SIMS)
+@pytest.mark.parametrize("sim", ALL_SIMS_PLUS)
 def test_engine_matches_brute(sim_idx, sim):
     from lucene_ray.pipelines.search import get_reader
 
@@ -178,6 +184,47 @@ def test_engine_matches_brute(sim_idx, sim):
         reader.similarity = None
 
 
+def test_sweetspot_shape():
+    """SweetSpotSimilarity.java:110-147 invariants: norm == 1 exactly on
+    the plateau, symmetric sqrt falloff outside it, baselineTf floors
+    low frequencies at tf_base, and the parameter-free defaults degrade
+    to ClassicSimilarity (the reference's documented identity)."""
+    N, SUM = 1000, 50_000
+    sc = make_similarity(SWEET, "exact", N, SUM, 10, 300)
+    w = sc.weight
+    tf1 = np.array([3])
+    # plateau: dl in [3, 8] -> lengthNorm exactly 1
+    for dl in (3, 5, 8):
+        s = sc.score_array(tf1, np.array([dl]))[0]
+        assert s == pytest.approx(float(sc._tf(tf1)[0]) * w, rel=0, abs=0)
+    # symmetric falloff: |dl-edge| equal on both sides -> equal norms
+    lo = sc.score_array(tf1, np.array([1]))[0]   # 2 below ln_min
+    hi = sc.score_array(tf1, np.array([10]))[0]  # 2 above ln_max
+    assert lo == pytest.approx(hi, rel=1e-12)
+    assert lo < sc.score_array(tf1, np.array([3]))[0]
+    # baselineTf: tf <= tf_min floors at tf_base, then sqrt growth
+    t = sc._tf(np.array([1, 2, 3, 4]))
+    assert t[0] == t[1] == 1.5
+    assert t[2] == pytest.approx(np.sqrt(3 + 1.5 * 1.5 - 2.0))
+    assert np.all(np.diff(t) >= 0)
+    # defaults degrade to Classic: identical scores on a grid
+    ss0 = make_similarity(("sweetspot",), "exact", N, SUM, 10, 300)
+    cl = make_similarity(("classic",), "exact", N, SUM, 10, 300)
+    tfs = np.arange(1, 30)
+    for dl in (1, 4, 64, 700):
+        np.testing.assert_allclose(
+            ss0.score_array(tfs, np.full(len(tfs), dl)),
+            cl.score_array(tfs, np.full(len(tfs), dl)), rtol=1e-12,
+        )
+    # bound relaxation is a true upper bound over any (tf, dl) pair
+    dls = np.array([1, 2, 3, 5, 8, 13, 100])
+    for tf in (1, 2, 5, 17):
+        bound = sc.bound_array(np.array([tf]), np.array([1]))[0]
+        assert np.all(
+            sc.score_array(np.full(len(dls), tf), dls) <= bound + 1e-12
+        )
+
+
 @pytest.mark.parametrize("sim", DFR_GRID + IB_GRID)
 def test_composable_grid_monotonicity(sim):
     """Every DFR/IB component combination (40 models) keeps the
@@ -196,7 +243,7 @@ def test_composable_grid_monotonicity(sim):
         assert np.all(np.diff(s) <= 1e-12), (sim, df)
 
 
-@pytest.mark.parametrize("sim", [("lmd", 2000.0), ("dfr_inl2", 1.0)])
+@pytest.mark.parametrize("sim", [("lmd", 2000.0), ("dfr_inl2", 1.0), SWEET])
 def test_sharded_similarity_matches_single_index(tmp_path, ray_session, sim):
     """Doc-range-sharded serving under a non-BM25 similarity must equal
     the single-index result exactly — global (df, ttf) are summed before
