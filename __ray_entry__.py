@@ -800,6 +800,35 @@ def _ensure_doc_values(sf_dir: str, index_dir: str) -> None:
             index_dir,
             "min_match",
         )
+    if not has_doc_values(index_dir, "len_sparse"):
+        # SPARSE numeric field for DocValuesStats: n_chars, present only
+        # where doc_id % 5 != 0 (so ``missing`` is genuinely exercised);
+        # the SQL oracle recomputes the same projection
+        import pyarrow as pa
+
+        import ray.data
+
+        def sparse(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy()
+            keep = pa.array(ids % 5 != 0)
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id").filter(keep),
+                    "len_sparse": b.column("n_chars").filter(keep).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+
+        write_doc_values(
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id", "n_chars"]
+            ).map_batches(sparse, batch_format="pyarrow"),
+            index_dir,
+            "len_sparse",
+        )
 
 
 def _mf_title_py(text: str) -> str:
@@ -1089,6 +1118,65 @@ def _search_facets(sf_dir: str):
         t.insert(0, "query_id", qid)
         outs.append(t)
     return pd.concat(outs, ignore_index=True)
+
+
+DVSTATS_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",
+    1: "+data -batch",
+}
+
+
+def _dv_stats(sf_dir: str):
+    """DocValuesStats (misc/search/DocValuesStats.java +
+    DocValuesStatsCollector.java) over the sparse ``len_sparse`` numeric
+    field: per query, one row of (count, missing, min, max, sum, mean,
+    population variance, stdev) across the matching docs."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import doc_values_stats
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid, qs in sorted(DVSTATS_QUERY_SETS.items()):
+        t = doc_values_stats(index_dir, qs, "len_sparse").to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _dv_stats_sql() -> str:
+    """Oracle for dv_stats: LEFT JOIN of each query's matching docs onto
+    the recomputed sparse projection (n_chars where doc_id % 5 != 0);
+    mean/variance mirror the engine's float64 (sum, sumsq) arithmetic —
+    exact-integer partials make the order irrelevant — rounded 6 dp."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    sums = "SUM(CAST(v.v AS DOUBLE))"
+    sumsq = "SUM(CAST(v.v AS DOUBLE) * CAST(v.v AS DOUBLE))"
+    var = (
+        f"GREATEST(COALESCE({sumsq} / COUNT(v.v) "
+        f"- ({sums} / COUNT(v.v)) * ({sums} / COUNT(v.v)), 0.0), 0.0)"
+    )
+    arms = []
+    for qid, qs in sorted(DVSTATS_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        arms.append(
+            f"""(SELECT {qid} AS query_id, 'len_sparse' AS field,
+   CAST(COUNT(v.v) AS BIGINT) AS n_with_value,
+   CAST(COUNT(*) - COUNT(v.v) AS BIGINT) AS n_missing,
+   MIN(v.v) AS vmin, MAX(v.v) AS vmax,
+   CAST(COALESCE(SUM(v.v), 0) AS BIGINT) AS vsum,
+   round(COALESCE({sums} / COUNT(v.v), 0.0), 6) AS mean,
+   round({var}, 6) AS variance,
+   round(sqrt({var}), 6) AS stdev
+  FROM (SELECT doc_id FROM documents WHERE doc_id IN ({match})) h
+  LEFT JOIN (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+             FROM documents WHERE doc_id % 5 <> 0) v USING (doc_id))"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
 def _quality_lm(sf_dir: str):
@@ -3480,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_diversified"] = lambda sf: _search_diversified(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
+    q["dv_stats"] = lambda sf: _dv_stats(sf)
     q["facet_range"] = lambda sf: _facet_range(sf)
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
@@ -7877,6 +7966,7 @@ SELECT d.doc_id,
        CAST(COALESCE(dl.dl, 0) AS BIGINT) AS norm
 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
+    sql["dv_stats"] = _dv_stats_sql()
     sql["facet_range"] = _facet_range_sql()
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()

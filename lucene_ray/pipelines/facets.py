@@ -777,3 +777,186 @@ def taxonomy_facet_associations(
         .aggregate(ray.data.aggregate.Sum("value_part", alias_name="value"))
         .sort(["level", "value", "path"], descending=[False, True, False])
     )
+
+
+# ---------------------------------------------------------------------------
+# DocValuesStats — field statistics over the matching-doc set
+# ---------------------------------------------------------------------------
+
+
+def doc_values_stats(index_dir: str, query_text: str, field: str):
+    """DocValuesStatsCollector analogue for a NUMERIC doc-values field
+    (reference: misc/src/java/org/apache/lucene/misc/search/
+    DocValuesStats.java:29-176, DocValuesStatsCollector.java:31-60): for
+    every doc matching the query, a present value accumulates into
+    (count, min, max, sum, mean, variance); a matching doc without a
+    value for the field increments ``missing``.
+
+    The reference accumulates Welford-style in doc order
+    (DocValuesStats.java:163-170) and reports the POPULATION variance
+    ``variance/count`` (:130-138). Distributed partials have no stable
+    doc order, so the engine computes the same population variance via
+    the mergeable (count, sum, sumsq) form — bit-order-independent
+    because integer doc values below 2^26 keep every float64 partial sum
+    exact — and rounds the float outputs (mean, variance, stdev) to 6 dp
+    at the boundary.
+
+    Plan (scale-safe): the hit set is broadcast ONCE via ``ray.put``;
+    the doc-values sidecar parquet streams through one ``map_batches``
+    partial pass; the final combine is a bounded ``ds.aggregate`` (one
+    tiny row per block). -> one-row pyarrow Table
+    (field, n_with_value, n_missing, vmin, vmax, vsum, mean, variance,
+    stdev).
+    """
+    import math
+    import os
+
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from ..state.docvalues import DOCVALUES_DIR
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)  # sorted int64
+    n_hits = int(len(hits))
+    hits_ref = ray.put(hits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        ids = batch.column("doc_id").to_numpy()
+        vals = batch.column("value").to_numpy()
+        if len(ids_sorted) and len(ids):
+            pos = np.minimum(
+                np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+            )
+            m = vals[ids_sorted[pos] == ids]
+        else:
+            m = vals[:0]
+        if len(m) == 0:
+            return pa.table(
+                {"cnt": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()),
+                 "ss": pa.array([], pa.float64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        f = m.astype(np.float64)
+        return pa.table(
+            {"cnt": pa.array([len(m)], pa.int64()),
+             "s": pa.array([float(f.sum())], pa.float64()),
+             "ss": pa.array([float((f * f).sum())], pa.float64()),
+             "mn": pa.array([int(m.min())], pa.int64()),
+             "mx": pa.array([int(m.max())], pa.int64())}
+        )
+
+    dv_path = os.path.join(index_dir, DOCVALUES_DIR, field)
+    agg = (
+        ray.data.read_parquet(dv_path, columns=["doc_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            ray.data.aggregate.Sum("cnt", alias_name="cnt"),
+            ray.data.aggregate.Sum("s", alias_name="s"),
+            ray.data.aggregate.Sum("ss", alias_name="ss"),
+            ray.data.aggregate.Min("mn", alias_name="mn"),
+            ray.data.aggregate.Max("mx", alias_name="mx"),
+        )
+    )
+    agg = agg or {}
+    cnt = int(agg.get("cnt") or 0)
+    if cnt:
+        s, ss = float(agg["s"]), float(agg["ss"])
+        mean = s / cnt
+        variance = max(ss / cnt - mean * mean, 0.0)
+        row = {
+            "vmin": int(agg["mn"]), "vmax": int(agg["mx"]),
+            "vsum": int(s), "mean": round(mean, 6),
+            "variance": round(variance, 6),
+            "stdev": round(math.sqrt(variance), 6),
+        }
+    else:  # count()==0: reference reports mean/variance 0, min/max unset
+        row = {"vmin": None, "vmax": None, "vsum": 0, "mean": 0.0,
+               "variance": 0.0, "stdev": 0.0}
+    return pa.table(
+        {
+            "field": pa.array([field], pa.string()),
+            "n_with_value": pa.array([cnt], pa.int64()),
+            "n_missing": pa.array([n_hits - cnt], pa.int64()),
+            "vmin": pa.array([row["vmin"]], pa.int64()),
+            "vmax": pa.array([row["vmax"]], pa.int64()),
+            "vsum": pa.array([row["vsum"]], pa.int64()),
+            "mean": pa.array([row["mean"]], pa.float64()),
+            "variance": pa.array([row["variance"]], pa.float64()),
+            "stdev": pa.array([row["stdev"]], pa.float64()),
+        }
+    )
+
+
+def str_doc_values_stats(index_dir: str, query_text: str, field: str):
+    """SortedDocValuesStats analogue (DocValuesStats.java:178-207): over
+    the matching docs, count/missing plus the lexicographic min and max
+    of the SORTED string doc-values field — same broadcast-hits +
+    streaming-partials plan as :func:`doc_values_stats`; the combine
+    materializes one tiny row per block (bounded).
+    -> one-row pyarrow Table (field, n_with_value, n_missing, vmin, vmax).
+    """
+    import os
+
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from ..state.docvalues import DOCVALUES_STR_DIR
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)
+    n_hits = int(len(hits))
+    hits_ref = ray.put(hits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        ids = batch.column("doc_id").to_numpy()
+        if len(ids_sorted) and len(ids):
+            pos = np.minimum(
+                np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+            )
+            mask = ids_sorted[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        vals = batch.column("value").filter(pa.array(mask))
+        if len(vals) == 0:
+            return pa.table(
+                {"cnt": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.string()),
+                 "mx": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {"cnt": pa.array([len(vals)], pa.int64()),
+             "mn": pa.array([pc.min(vals).as_py()], pa.string()),
+             "mx": pa.array([pc.max(vals).as_py()], pa.string())}
+        )
+
+    dv_path = os.path.join(index_dir, DOCVALUES_STR_DIR, field)
+    parts = (
+        ray.data.read_parquet(dv_path, columns=["doc_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()  # bounded: <= one row per block
+    )
+    cnt = sum(p["cnt"] for p in parts)
+    mn = min((p["mn"] for p in parts), default=None)
+    mx = max((p["mx"] for p in parts), default=None)
+    return pa.table(
+        {
+            "field": pa.array([field], pa.string()),
+            "n_with_value": pa.array([cnt], pa.int64()),
+            "n_missing": pa.array([n_hits - cnt], pa.int64()),
+            "vmin": pa.array([mn], pa.string()),
+            "vmax": pa.array([mx], pa.string()),
+        }
+    )
