@@ -3459,6 +3459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- inverted index + BM25 (SQL-parity chain) ---
     q["term_vectors"] = lambda sf: _term_vectors(sf)
     q["term_stats"] = lambda sf: _term_stats(sf)
+    q["high_freq_terms"] = lambda sf: _high_freq_terms(sf)
     for name in BM25_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _bm25_result(sf, n))(name)
     for name in MULTI_QUERY_SETS:
@@ -3705,6 +3706,30 @@ def _term_stats(sf_dir: str):
 
     cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
     return term_stats(_load_documents(sf_dir), cfg)
+
+
+HIGH_FREQ_N = 25
+
+
+def _high_freq_terms(sf_dir: str):
+    """HighFreqTerms (misc/HighFreqTerms.java): top-N terms by docFreq
+    and by totalTermFreq, reference tie order (freq desc, term desc)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.stats import high_freq_terms
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    outs = []
+    for key, order in (("df", "doc_freq"), ("ttf", "total_tf")):
+        t = high_freq_terms(
+            _load_documents(sf_dir), n=HIGH_FREQ_N, order_by=order, cfg=cfg
+        ).to_pandas()
+        t.insert(0, "rank", np.arange(1, len(t) + 1, dtype=np.int32))
+        t.insert(0, "order_key", key)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
 
 
 def _spell_suggest(sf_dir: str):
@@ -7877,6 +7902,20 @@ def oracle_sql() -> dict[str, str]:
 SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
        CAST(SUM(tf) AS BIGINT) AS total_tf
 FROM tf GROUP BY term"""
+
+    sql["high_freq_terms"] = f"""WITH {_BASE_CTES},
+ts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+              CAST(SUM(tf) AS BIGINT) AS total_tf
+       FROM tf GROUP BY term)
+(SELECT 'df' AS order_key,
+        CAST(row_number() OVER (ORDER BY doc_freq DESC, term DESC)
+             AS INTEGER) AS rank, term, doc_freq, total_tf
+  FROM ts ORDER BY doc_freq DESC, term DESC LIMIT {HIGH_FREQ_N})
+UNION ALL
+(SELECT 'ttf' AS order_key,
+        CAST(row_number() OVER (ORDER BY total_tf DESC, term DESC)
+             AS INTEGER) AS rank, term, doc_freq, total_tf
+  FROM ts ORDER BY total_tf DESC, term DESC LIMIT {HIGH_FREQ_N})"""
 
     for name in BM25_QUERY_SETS:
         sql[name] = _bm25_sql(name)

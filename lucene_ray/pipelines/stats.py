@@ -59,3 +59,23 @@ def term_stats(
     partial = postings.map_batches(_partial_stats, batch_format="pyarrow")
     final = partial.groupby("term").aggregate(Sum("df_part"), Sum("ttf_part"))
     return final.map_batches(_rename_final, batch_format="pyarrow")
+
+
+def high_freq_terms(
+    ds: "ray.data.Dataset",
+    n: int = 100,
+    order_by: str = "doc_freq",
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """HighFreqTerms (misc/src/java/org/apache/lucene/misc/
+    HighFreqTerms.java:94-152): the N most-frequent terms, ordered by
+    docFreq (default) or totalTermFreq. The reference's bounded
+    PriorityQueue keeps the comparator-greatest entries and breaks freq
+    ties on the GREATER term text (DocFreqComparator :129-143), so the
+    equivalent distributed form is a sort (freq desc, term desc) + limit
+    — the vocab-sized sort is the same aggregation term_stats already
+    shuffles once; nothing materializes on the driver."""
+    if order_by not in ("doc_freq", "total_tf"):
+        raise ValueError("order_by must be 'doc_freq' or 'total_tf'")
+    st = term_stats(ds, cfg)
+    return st.sort([order_by, "term"], descending=[True, True]).limit(n)

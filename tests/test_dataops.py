@@ -450,6 +450,40 @@ def test_term_stats_matches_counter(ray_session):
     assert got == {t: (df[t], ttf[t]) for t in df}
 
 
+def test_high_freq_terms_reference_order(ray_session):
+    """HighFreqTerms top-N: (freq desc, term DESC) tie order — the
+    reference PQ keeps the comparator-greatest TermStats and its
+    comparators break freq ties on the greater term text
+    (misc/HighFreqTerms.java:129-152)."""
+    from collections import Counter
+
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.stats import high_freq_terms
+
+    texts = ["the batch is small", "batch batch scan", "", "scan the scan",
+             "small zebra small", "apple zebra"]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("en_nostem_simple")
+    df, ttf = Counter(), Counter()
+    for t in texts:
+        toks = an.analyze(t)
+        for term, c in Counter(toks).items():
+            df[term] += 1
+            ttf[term] += c
+    for order, c in (("doc_freq", df), ("total_tf", ttf)):
+        want = sorted(c, key=lambda t: (-c[t], tuple(-b for b in t.encode())))
+        got = [r["term"] for r in
+               high_freq_terms(ds, n=4, order_by=order, cfg=cfg).take_all()]
+        assert got == want[:4], (order, got, want[:4])
+    with pytest.raises(ValueError):
+        high_freq_terms(ds, n=4, order_by="nope", cfg=cfg)
+
+
 def test_joins_match_pandas(ray_session):
     import pandas as pd
     import ray.data
