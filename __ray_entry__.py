@@ -3531,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
+    q["phrase_wildcard"] = lambda sf: _phrase_wildcard(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
     q["span_payload_check"] = lambda sf: _span_payload_check(sf)
     q["payload_score_span"] = lambda sf: _payload_score_span(sf)
@@ -6928,6 +6929,126 @@ def _multi_phrase_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+# PhraseWildcardQuery (sandbox/.../search/PhraseWildcardQuery.java):
+# slots are (kind, pattern[, arg]) multi-terms or ("term", t) literals.
+# The MULTI-TERM slot is always declared FIRST so the engine's flat
+# running idf accumulation (0.0 + e1 + e2 ... + literal idfs) is exactly
+# the oracle's ordered list_reduce fold + left-associated literal adds.
+# qid 3 has a zero-expansion slot -> MatchNoDocsQuery (no rows).
+PHRASE_WILDCARD_QUERY_SETS: Dict[int, tuple] = {
+    0: (("prefix", "ha"), ("term", "join")),
+    1: (("wildcard", "d?ta"), ("term", "stream")),
+    2: (("prefix", "cust"), ("term", "table")),
+    3: (("prefix", "zzzz"), ("term", "data")),
+    4: (("fuzzy", "tabel", 1), ("term", "merge")),
+}
+
+
+def _phrase_wildcard(sf_dir: str):
+    """PhraseWildcardQuery: expand each multi-term slot against the term
+    dictionary, execute as MultiPhraseQuery (the reference's own match/
+    score model) through the PRUNED executor.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.multiterm import phrase_wildcard_query
+    from lucene_ray.functions.query import score_blockmax
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, slots in sorted(PHRASE_WILDCARD_QUERY_SETS.items()):
+        q = phrase_wildcard_query(slots, reader.expand_multi)
+        if q is None:  # a slot with no matching term: MatchNoDocsQuery
+            continue
+        d, s = score_blockmax(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _phrase_wildcard_sql() -> str:
+    """Oracle for phrase_wildcard: the multi-term slot's expansion set is
+    recomputed in SQL (same predicate family as the multiterm oracles);
+    its idf sum is an ORDER BY term ``list_reduce`` fold — DuckDB's SUM
+    ignores ORDER BY for floats, the list fold does not — matching the
+    engine's lexicographic expansion order; literal-slot idfs then chain
+    left-associated. Match/freq/BM25 arithmetic identical to the
+    multi_phrase oracle."""
+    ptok = """ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {stop}
+)""".format(stop=_STOP_SQL)
+
+    def idf_lit(term: str) -> str:
+        return (
+            f"COALESCE((SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{term}'), 0.0)"
+        )
+
+    arms = []
+    for qid, slots in sorted(PHRASE_WILDCARD_QUERY_SETS.items()):
+        kind, pattern = slots[0][0], slots[0][1]
+        arg = int(slots[0][2]) if len(slots[0]) > 2 else 0
+        pred = _clause_pred(kind, pattern, arg)
+        idf = (
+            f"(SELECT list_reduce("
+            f"list(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"ORDER BY d.term), (a, b) -> a + b) "
+            f"FROM df d CROSS JOIN stats s2 WHERE {pred})"
+        )
+        conds = []
+        for i in range(1, len(slots)):
+            assert slots[i][0] == "term"
+            t = slots[i][1]
+            idf = f"({idf} + {idf_lit(t)})"
+            conds.append(
+                f"EXISTS (SELECT 1 FROM ptok b WHERE b.doc_id = a.doc_id "
+                f"AND b.pos = a.pos + {i} AND b.term = '{t}')"
+            )
+        where = " AND ".join(
+            [f"a.term IN (SELECT d2.term FROM df d2 WHERE "
+             f"{_clause_pred(kind, pattern, arg).replace('term', 'd2.term')})"]
+            + conds
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf
+      FROM ptok a WHERE {where}
+      GROUP BY a.doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _synonym_sql() -> str:
     """Oracle for bm25_synonym_query: per doc tfsum = SUM(tf) over the
     synonym terms, idf from the blended MAX df, one BM25 application —
@@ -7959,6 +8080,7 @@ UNION ALL
     sql["suggest_freetext"] = _suggest_freetext_sql()
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
+    sql["phrase_wildcard"] = _phrase_wildcard_sql()
     sql["payload_score"] = _payload_sql()
     sql["span_payload_check"] = _span_payload_check_sql()
     sql["payload_score_span"] = _payload_score_span_sql()

@@ -281,3 +281,44 @@ def resolve_multi(query, expander, cache: dict = None):
         filters=getattr(query, "filters", ()),
         must_groups=tuple(groups),
     )
+
+
+def phrase_wildcard_query(slots, expander, max_expansions: int = None):
+    """PhraseWildcardQuery builder (reference: sandbox/src/java/org/
+    apache/lucene/sandbox/search/PhraseWildcardQuery.java:67-124 — a
+    generalized PhraseQuery where any slot may be a MultiTermQuery; the
+    reference controls the total expansion budget then matches and
+    scores exactly like MultiPhraseQuery over the expanded term sets,
+    and rewrites to MatchNoDocsQuery when a slot has no matching term).
+
+    ``slots``: sequence of ``("term", text)`` or ``(kind, pattern[, arg])``
+    with ``kind`` from :func:`expand` (prefix/wildcard/regexp/fuzzy/
+    trange). ``expander``: callable ``(kind, pattern, arg) -> [terms]``
+    (``IndexReader.expand_multi``) or a sorted vocabulary list.
+    ``max_expansions`` caps each slot AFTER the lexicographic expansion
+    (the reference's maxMultiTermExpansions budget, applied per slot).
+
+    -> a :class:`..query.MultiPhrase` (consecutive offsets), or ``None``
+    when any slot expands to zero terms (MatchNoDocsQuery analogue).
+    """
+    arrays = []
+    for slot in slots:
+        kind = slot[0]
+        if kind == "term":
+            terms = [slot[1]]
+        else:
+            arg = int(slot[2]) if len(slot) > 2 else 0
+            if callable(expander):
+                terms = expander(kind, slot[1], arg)
+            else:
+                terms = expand(kind, slot[1], arg, expander)
+            if max_expansions is not None:
+                terms = list(terms)[:max_expansions]
+        if not terms:
+            return None
+        arrays.append(tuple(terms))
+    from .query import MultiPhrase
+
+    return MultiPhrase(
+        term_arrays=tuple(arrays), offsets=tuple(range(len(arrays)))
+    )

@@ -341,3 +341,75 @@ def test_group_rejects_multiterm_syntax():
     # set filters with a colon are untouched by the group guard
     q = parse_query("lang:(en de) key", an)
     assert q.filters and q.should == ("key",)
+
+
+def test_phrase_wildcard_query(ray_session, tmp_path):
+    """PhraseWildcardQuery (sandbox/.../PhraseWildcardQuery.java): slot
+    expansion against the dictionary, MultiPhraseQuery execution,
+    MatchNoDocs on a zero-expansion slot, and the maxMultiTermExpansions
+    cap."""
+    from lucene_ray.functions.multiterm import phrase_wildcard_query
+    from lucene_ray.functions.query import MultiPhrase
+    from lucene_ray.pipelines.search import get_reader
+
+    texts = [
+        "hash join wins",
+        "hatch join now",
+        "hash joint effort",
+        "data stream flows",
+        "hash join hash join",
+        "plain filler text",
+    ]
+    out = tmp_path / "pw"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(out, list(range(len(texts))), texts, cfg)
+    reader = get_reader(str(out))
+
+    q = phrase_wildcard_query(
+        [("prefix", "ha"), ("term", "join")], reader.expand_multi
+    )
+    assert q.term_arrays == (("hash", "hatch"), ("join",))
+    assert q.offsets == (0, 1)
+    d, s = score_exhaustive(reader, q, 10)
+    assert set(d.tolist()) == {0, 1, 4}
+    # identical to the hand-built MultiPhrase and to the pruned executor
+    qm = MultiPhrase(term_arrays=(("hash", "hatch"), ("join",)),
+                     offsets=(0, 1))
+    dm, sm = score_exhaustive(reader, qm, 10)
+    assert np.array_equal(d, dm) and np.array_equal(
+        np.asarray(s), np.asarray(sm)
+    )
+    db, sb = score_blockmax(reader, q, 10)
+    assert np.array_equal(d, db) and np.array_equal(
+        np.asarray(s), np.asarray(sb)
+    )
+    # doc 4 has pf=2 -> must outrank the single-occurrence docs
+    assert d[0] == 4
+
+    # zero-expansion slot -> MatchNoDocsQuery analogue
+    assert phrase_wildcard_query(
+        [("prefix", "zzzz"), ("term", "join")], reader.expand_multi
+    ) is None
+
+    # maxMultiTermExpansions cap slices the lexicographic expansion
+    qc = phrase_wildcard_query(
+        [("prefix", "ha"), ("term", "join")], reader.expand_multi,
+        max_expansions=1,
+    )
+    assert qc.term_arrays[0] == ("hash",)
+
+    # sorted-vocabulary expander (the brute/test path) agrees
+    vocab = sorted(
+        {w for t in texts for w in t.split() if w not in ("now",)}
+    )
+    qv = phrase_wildcard_query([("prefix", "ha"), ("term", "join")], vocab)
+    assert qv.term_arrays[0] == ("hash", "hatch")
+
+    # fuzzy slot expands through the same path
+    qf = phrase_wildcard_query(
+        [("fuzzy", "hask", 1), ("term", "join")], reader.expand_multi
+    )
+    assert "hash" in qf.term_arrays[0]
