@@ -255,6 +255,18 @@ RANGE_QUERY_SETS: Dict[int, str] = {
     4: f"customer warc_ts:[{_ts(600_000)} TO {_ts(700_000)}]",  # empty range
 }
 
+# MultiRangeQuery (sandbox/.../search/MultiRangeQuery.java +
+# SortedNumericDocValuesMultiRangeQuery.java): ONE filter clause whose
+# ranges union — a doc passes when its value is in ANY range; overlapping
+# and single-range degenerate cases included. (query_text, ranges-in-sec).
+MULTI_RANGE_QUERY_SETS: Dict[int, tuple] = {
+    0: ("dup", ((100, 299), (400, 480))),          # disjoint union
+    1: ("data stream", ((0, 100), (80, 200))),     # overlapping ranges
+    2: ("", ((480, 520), (900, 999))),             # pure filter, score 0
+    3: ("+batch -small", ((0, 10), (999_999, 10 ** 6))),  # far-empty arm
+    4: ("customer", ((600_000, 700_000),)),        # single (empty) range
+}
+
 # Set-membership filters (search/TermInSetQuery.java used as a filter
 # over SORTED doc values — lang/source allowlists): `field:(v1 v2)`
 # clauses AND into the BM25 query; a pure set filter matches with score 0.
@@ -1800,6 +1812,83 @@ def _bm25_range_filter(sf_dir: str):
     """BM25 top-k with a warc_ts range FILTER clause (PointRangeQuery as a
     non-scoring BooleanClause); set 2 is a pure-filter query scoring 0."""
     return _run_query_strings(sf_dir, RANGE_QUERY_SETS)
+
+
+def _multi_range(sf_dir: str):
+    """MultiRangeQuery: BM25 with a union-of-ranges FILTER clause
+    (sandbox MultiRangeQuery / SortedNumericDocValuesMultiRangeQuery —
+    one clause, many ranges, doc passes on ANY); runs the pruned
+    executor's filter conjunction. -> (query_id, rank, doc_id, score)."""
+    import dataclasses
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        BooleanQuery,
+        parse_query,
+        score_blockmax,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    an = make_analyzer("en_nostem_simple")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (text, ranges) in sorted(MULTI_RANGE_QUERY_SETS.items()):
+        clause = (
+            "warc_ts",
+            "multirange",
+            tuple((_ts(a), _ts(b)) for a, b in ranges),
+        )
+        base = parse_query(text, an) if text else BooleanQuery()
+        q = dataclasses.replace(base, filters=base.filters + (clause,))
+        d, s = score_blockmax(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _multi_range_sql() -> str:
+    """Oracle for multi_range: BM25 arithmetic with the union-of-ranges
+    clause as an OR of BETWEENs over the derived tsv; the pure-filter
+    query emits doc-asc score 0 (FILTER-occur semantics)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (text, ranges) in sorted(MULTI_RANGE_QUERY_SETS.items()):
+        ors = " OR ".join(
+            f"ts BETWEEN {_ts(a)} AND {_ts(b)}" for a, b in ranges
+        )
+        in_range = f"doc_id IN (SELECT doc_id FROM tsv WHERE {ors})"
+        if not text:
+            selects.append(
+                f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank,
+       doc_id, 0.0 AS score
+  FROM tsv WHERE {ors}
+  ORDER BY doc_id ASC LIMIT {TOPK})"""
+            )
+        else:
+            selects.append(
+                _parsed_bm25_select(
+                    qid, parse_query(text, an), f" AND {in_range}"
+                )
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
 
 
 def _ensure_sorted_index(sf_dir: str) -> str:
@@ -3470,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["constant_score"] = lambda sf: _constant_score(sf)
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
+    q["multi_range"] = lambda sf: _multi_range(sf)
     q["bm25_set_filter"] = lambda sf: _bm25_set_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["sort_multi"] = lambda sf: _sort_multi(sf)
@@ -8048,6 +8138,7 @@ UNION ALL
     sql["constant_score"] = _constant_score_sql()
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
+    sql["multi_range"] = _multi_range_sql()
     sql["bm25_set_filter"] = _set_filter_sql()
     sql["sort_multi"] = _sort_multi_sql()
     sql["bm25_bool_groups"] = _bool_groups_sql()

@@ -227,15 +227,26 @@ class IndexReader:
 
     def filter_docs(self, filters) -> Optional["np.ndarray"]:
         """Sorted doc IDs satisfying EVERY filter triple — (field, lo, hi)
-        numeric range (PointRangeQuery) or (field, "in", values) string
-        set (TermInSetQuery over SORTED doc values) — ANDed, or None when
-        there are no filters."""
+        numeric range (PointRangeQuery), (field, "in", values) string set
+        (TermInSetQuery over SORTED doc values), or (field, "multirange",
+        ((lo, hi), ...)) union-of-ranges (sandbox MultiRangeQuery /
+        SortedNumericDocValuesMultiRangeQuery: a doc matches when its
+        value falls in ANY of the clause's ranges; ranges may overlap) —
+        ANDed across clauses, or None when there are no filters."""
         import numpy as np
 
         out = None
         for field, lo, hi in filters:
             if lo == "in":
                 docs = self.str_doc_values(field).in_set_docs(hi)
+            elif lo == "multirange":
+                dv = self.doc_values(field)
+                parts = [dv.range_docs(int(a), int(b)) for a, b in hi]
+                docs = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
             else:
                 docs = self.doc_values(field).range_docs(int(lo), int(hi))
             out = docs if out is None else np.intersect1d(out, docs, assume_unique=True)

@@ -155,6 +155,54 @@ def test_filter_edge_cases(bx_index):
         assert not path.startswith("exhaustive:query-kind"), (sim, path)
 
 
+def test_multirange_filter(bx_index):
+    """MultiRangeQuery (sandbox/.../MultiRangeQuery.java +
+    SortedNumericDocValuesMultiRangeQuery): one FILTER clause whose
+    ranges union — membership equals the manual union of single-range
+    results, overlaps dedupe, and scored queries stay bit-identical
+    dumb-vs-smart through the filter conjunction."""
+    import dataclasses
+
+    from lucene_ray.functions.query import matching_docs
+
+    idx, ts = bx_index
+    reader = _reader(idx)
+    an = make_analyzer("en_nostem_simple")
+    ts = np.asarray(ts)
+
+    def mr_query(text, ranges):
+        base = parse_query(text, an) if text else BooleanQuery()
+        return dataclasses.replace(
+            base, filters=base.filters + (("ts", "multirange", ranges),)
+        )
+
+    # pure filter: doc set == the brute union over the ts array
+    for ranges in [((100, 200), (700, 800)), ((0, 500), (400, 900)),
+                   ((990, 999), (2000, 3000)), ()]:
+        got = matching_docs(reader, mr_query("", ranges))
+        want = np.zeros(len(ts), dtype=bool)
+        for a, b in ranges:
+            want |= (ts >= a) & (ts <= b)
+        assert got.tolist() == np.flatnonzero(want).tolist(), ranges
+    # overlap == its dedup: same docs as the merged single range
+    q_over = mr_query("alpha beta", ((100, 500), (400, 800)))
+    q_one = parse_query("alpha beta ts:[100 TO 800]", an)
+    od, osc = score_blockmax(reader, q_over, 10)
+    sd, ssc = score_blockmax(reader, q_one, 10)
+    assert np.array_equal(od, sd)
+    assert np.array_equal(np.asarray(osc), np.asarray(ssc))
+    # scored + multirange: dumb-vs-smart bit-identity, several shapes
+    rng = np.random.default_rng(53)
+    for _ in range(12):
+        cuts = np.sort(rng.integers(0, 1000, size=4))
+        ranges = ((int(cuts[0]), int(cuts[1])), (int(cuts[2]), int(cuts[3])))
+        terms = [str(w) for w in
+                 rng.choice(CONTENT, size=int(rng.integers(1, 4)),
+                            replace=False)]
+        _identical(reader, mr_query(" ".join(terms), ranges), k=10)
+        _identical(reader, mr_query(f"+{terms[0]}", ranges), k=10)
+
+
 def test_clamped_zero_scores_fill_topk(bx_index):
     """LMDirichlet with tiny mu clamps common-term scores in long docs to
     0; those docs still MATCH and must fill an under-filled top-k in
