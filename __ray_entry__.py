@@ -1891,6 +1891,96 @@ def _multi_range_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_TSV_CTE}\n{body}"
 
 
+# Search-quality evaluation (benchmark/quality: QualityBenchmark +
+# QualityStats + TrecJudge). (query_text, judge_term): the judged-
+# relevant set is every doc containing judge_term — an index-backed
+# TrecJudge. qid 3's judge term is absent -> maxGoodPoints == 0 edge.
+QUALITY_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream", "hash"),
+    1: ("+batch", "table"),
+    2: ("customer table", "join"),
+    3: ("dup key", "zzzzmissing"),
+}
+QUALITY_P_POINTS = (1, 5, 10, 20)
+
+
+def _quality_eval(sf_dir: str):
+    """QualityBenchmark over the judged query set: per query one
+    QualityStats row (precision@{1,5,10,20} incl. the short-result
+    extrapolation, recall, AvP, top-5-windowed MRR) at k=TOPK."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.pipelines.quality import quality_benchmark
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer("en_nostem_simple")
+    judged = {
+        qid: (text, matching_docs(reader, parse_query(judge, an)))
+        for qid, (text, judge) in QUALITY_QUERY_SETS.items()
+    }
+    return quality_benchmark(
+        index_dir, judged, k=TOPK, p_points=QUALITY_P_POINTS
+    )
+
+
+def _quality_eval_sql() -> str:
+    """Oracle for quality_eval: ranked = the engine-identical BM25 arm
+    (rank over score desc, doc asc, LIMIT TOPK); relevant = docs
+    containing the judge term; per-row running precision is a window
+    division and AvP folds those precisions rank-ascending via
+    list_reduce (same sequential order as the engine's np.add.reduce);
+    p@n = relevant-in-top-n / n (the reference's extrapolation for
+    n > numPoints reduces to the same formula); MRR only inside the
+    top-5 window (QualityStats.java:87-90)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    arms = []
+    for qid, (text, judge) in sorted(QUALITY_QUERY_SETS.items()):
+        arm = _parsed_bm25_select(qid, parse_query(text, an))
+        relq = f"SELECT DISTINCT doc_id FROM tf WHERE term = '{judge}'"
+        j = (
+            f"SELECT t.rank, CASE WHEN t.doc_id IN ({relq}) "
+            f"THEN 1 ELSE 0 END AS rel "
+            f"FROM (SELECT doc_id, rank FROM ({arm}) x) t"
+        )
+        jr = (
+            f"SELECT rank, rel, "
+            f"CAST(SUM(rel) OVER (ORDER BY rank) AS DOUBLE) / rank AS prec "
+            f"FROM ({j}) jj"
+        )
+        mg = f"(SELECT COUNT(*) FROM ({relq}) r)"
+        ng = f"(SELECT COALESCE(SUM(rel), 0) FROM ({j}) jj)"
+        pats = ", ".join(
+            f"round(CAST((SELECT COALESCE(SUM(rel), 0) FROM ({j}) jj "
+            f"WHERE rank <= {n}) AS DOUBLE) / {n}, 6) AS p_at_{n}"
+            for n in QUALITY_P_POINTS
+        )
+        avp_fold = (
+            f"(SELECT list_reduce(list(prec ORDER BY rank), "
+            f"(a, b) -> a + b) FROM ({jr}) pr WHERE rel = 1)"
+        )
+        first = f"(SELECT MIN(rank) FROM ({j}) jj WHERE rel = 1)"
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+   CAST((SELECT COUNT(*) FROM ({j}) jj) AS BIGINT) AS num_points,
+   CAST({ng} AS BIGINT) AS num_good,
+   CAST({mg} AS BIGINT) AS max_good,
+   {pats},
+   round(CASE WHEN {mg} > 0
+         THEN CAST({ng} AS DOUBLE) / {mg} ELSE 0.0 END, 6) AS recall,
+   round(CASE WHEN {mg} > 0
+         THEN COALESCE({avp_fold}, 0.0) / {mg} ELSE 0.0 END, 6) AS avp,
+   round(CASE WHEN {first} IS NOT NULL AND {first} <= 5
+         THEN 1.0 / {first} ELSE 0.0 END, 6) AS mrr)"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
 def _ensure_sorted_index(sf_dir: str) -> str:
     """Index-time-sorted index (setIndexSort analogue): doc-ID order ==
     (n_chars asc, doc_id asc); n_chars + orig_id doc-values sidecars."""
@@ -3560,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_update_latest"] = lambda sf: _bm25_update_latest(sf)
     q["bm25_range_filter"] = lambda sf: _bm25_range_filter(sf)
     q["multi_range"] = lambda sf: _multi_range(sf)
+    q["quality_eval"] = lambda sf: _quality_eval(sf)
     q["bm25_set_filter"] = lambda sf: _bm25_set_filter(sf)
     q["sort_by_ts"] = lambda sf: _sort_by_ts(sf)
     q["sort_multi"] = lambda sf: _sort_multi(sf)
@@ -8139,6 +8230,7 @@ UNION ALL
     sql["bm25_update_latest"] = _update_sql()
     sql["bm25_range_filter"] = _range_sql()
     sql["multi_range"] = _multi_range_sql()
+    sql["quality_eval"] = _quality_eval_sql()
     sql["bm25_set_filter"] = _set_filter_sql()
     sql["sort_multi"] = _sort_multi_sql()
     sql["bm25_bool_groups"] = _bool_groups_sql()
