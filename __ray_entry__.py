@@ -3864,12 +3864,17 @@ _DRIVER_WINDOW = [
     # highlight_top, knn_cosine_ivf, neardup_minhash, neardup_simhash and
     # bm25_term rotated OUT for the six intervals-algebra entries — all
     # six already hold a passing driver correctness record)
-    # last checked in round 2 — diverse family representatives, with the
-    # filter/param entries re-proving the r4 block-max routing change
+    # extension-session additions (no driver evidence yet): the new
+    # operators — SweetSpot similarity, DocValuesStats, HighFreqTerms,
+    # PhraseWildcardQuery, MultiRangeQuery, quality benchmark
+    "sweetspot_term", "dv_stats", "high_freq_terms",
+    "phrase_wildcard", "multi_range", "quality_eval",
+    # last checked in round 2 — diverse family representatives (the six
+    # r2-proven filter/param entries rotated OUT for the six new
+    # operators above; each already holds a passing driver record, and
+    # multi_range re-proves the filter conjunction in their place)
     "bm25_bool_msm", "bm25_bool_groups",
-    "bm25_phrase_sloppy3", "bm25_phrase_mixed",
-    "bm25_term_range", "bm25_range_filter", "bm25_set_filter", "bm25_k1b",
-    "bm25_explain", "bm25_combined_field", "bm25_multifield",
+    "bm25_phrase_sloppy3", "bm25_phrase_mixed", "bm25_multifield",
 ]
 
 
