@@ -1191,6 +1191,98 @@ def _dv_stats_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+# Sampled facets (facet/RandomSamplingFacetsCollector.java):
+# (query, sample_size, seed) — qid 0 engages sampling at both test SFs,
+# qid 1's huge sample_size exercises the no-sampling passthrough.
+SAMPLED_FACET_SETS: Dict[int, Tuple[str, int, int]] = {
+    0: ("data", 50, 7),
+    1: ("customer table", 1_000_000, 7),
+}
+
+
+def _facet_sampled(sf_dir: str):
+    """Sampled facet counts over lang with amortized corrections
+    (RandomSamplingFacetsCollector + amortizeFacetCounts; deterministic
+    hash-per-bin pick — deviation documented in pipelines/facets.py)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import sampled_facet_counts
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid, (qs, ss, seed) in sorted(SAMPLED_FACET_SETS.items()):
+        t = sampled_facet_counts(
+            index_dir, qs, _load_documents(sf_dir), "lang", ss, seed=seed
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _facet_sampled_sql() -> str:
+    """Oracle for facet_sampled: the hit sequence is rebuilt with
+    row_number in doc order, cut into TRUNC(1/rate) bins, and the
+    engine's deterministic pick — smallest Knuth multiplicative hash,
+    tie to lower doc — is one row_number window per bin; complete bins
+    only. Amortized = LEAST(corpus count, TRUNC(count/rate)); the
+    passthrough branch (n <= sample_size) unions in unsampled hits with
+    rate 1.0 (same LEAST formula degenerates to the raw count)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    KN, MD = 2654435761, 1 << 32
+    ctes = [
+        "cc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM documents GROUP BY lang)"
+    ]
+    arms = []
+    for qid, (qs, ss, seed) in sorted(SAMPLED_FACET_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        ctes.append(
+            f"""h{qid} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i
+  FROM (SELECT doc_id FROM documents WHERE doc_id IN ({match})) x)"""
+        )
+        ctes.append(
+            f"p{qid} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CASE WHEN COUNT(*) <= {ss} THEN 1.0 "
+            f"ELSE CAST({ss} AS DOUBLE) / COUNT(*) END AS rate "
+            f"FROM h{qid})"
+        )
+        bsz = "CAST(TRUNC(1.0 / p.rate) AS BIGINT)"
+        ctes.append(
+            f"""s{qid} AS (
+  SELECT doc_id FROM h{qid} CROSS JOIN p{qid} p WHERE p.n <= {ss}
+  UNION ALL
+  SELECT doc_id FROM (
+    SELECT h.doc_id, h.i, p.n, {bsz} AS b,
+           row_number() OVER (
+             PARTITION BY h.i // {bsz}
+             ORDER BY ((h.doc_id + {seed}) * {KN}) % {MD}, h.doc_id
+           ) AS rn
+    FROM h{qid} h CROSS JOIN p{qid} p WHERE p.n > {ss}
+  ) WHERE rn = 1 AND i // b < n // b)"""
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id, d.lang AS facet_value,
+   CAST(COUNT(*) AS BIGINT) AS sampled_count,
+   CAST(LEAST(ANY_VALUE(cc.c), TRUNC(CAST(COUNT(*) AS DOUBLE)
+        / ANY_VALUE(p.rate))) AS BIGINT) AS amortized_count,
+   ANY_VALUE(p.n) AS total_hits,
+   round(ANY_VALUE(p.rate), 9) AS sampling_rate
+  FROM s{qid} s
+  JOIN documents d USING (doc_id)
+  JOIN cc ON cc.lang = d.lang
+  CROSS JOIN p{qid} p
+  GROUP BY d.lang)"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH {_BASE_CTES},\n{_SC_CTE},\n" + ",\n".join(ctes) + f"\n{body}"
+    )
+
+
 def _quality_lm(sf_dir: str):
     """Corpus-trained character-trigram LM quality signal (CCNet-style
     perplexity proxy): per-doc mean log-prob of its trigrams under the
@@ -3752,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["dv_stats"] = lambda sf: _dv_stats(sf)
+    q["facet_sampled"] = lambda sf: _facet_sampled(sf)
     q["facet_range"] = lambda sf: _facet_range(sf)
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
@@ -8316,6 +8409,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
     sql["dv_stats"] = _dv_stats_sql()
+    sql["facet_sampled"] = _facet_sampled_sql()
     sql["facet_range"] = _facet_range_sql()
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()

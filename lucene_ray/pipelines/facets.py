@@ -960,3 +960,125 @@ def str_doc_values_stats(index_dir: str, query_text: str, field: str):
             "vmax": pa.array([mx], pa.string()),
         }
     )
+
+
+def sampled_facet_counts(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <facet_col>)
+    facet_col: str,
+    sample_size: int,
+    seed: int = 7,
+    id_col: str = "doc_id",
+):
+    """RandomSamplingFacetsCollector + amortizeFacetCounts analogue
+    (reference: facet/src/java/org/apache/lucene/facet/
+    RandomSamplingFacetsCollector.java:117-141,158-213,236-242): when the
+    query has more than ``sample_size`` hits, the hit sequence (doc-ID
+    order) is cut into bins of ``int(1/samplingRate)`` docs and ONE doc
+    per complete bin enters the sample; facet counts over the sample are
+    then amortized as ``min(corpus docFreq(value), int(count/rate))``.
+
+    DOCUMENTED DEVIATION: the reference picks the bin member with a
+    sequential XORShift64 walk (:45-72 — inherently serial and
+    order-dependent); this engine picks the bin member with the smallest
+    Knuth multiplicative hash ``((doc+seed)*2654435761) mod 2^32`` (ties
+    to the lower doc ID) — deterministic, order-free and parallelizable,
+    with the same bin structure and the same one-sample-per-complete-bin
+    cardinality, so the statistical guarantees are unchanged and the SQL
+    oracle can reproduce the exact sample.
+
+    Scale shape: the sampled ID set (<= sample_size) is broadcast once;
+    one streaming partial-counts pass + a facet-cardinality-bounded
+    combine; corpus per-value caps come from a tiny groupby.
+    -> pyarrow Table (facet_value, sampled_count, amortized_count,
+    total_hits, sampling_rate) sorted by value.
+    """
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    from ..functions.rounding import round_half_away
+
+    KNUTH = np.uint64(2654435761)
+    MOD = np.uint64(1 << 32)
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)  # sorted int64
+    n = int(len(hits))
+    if n <= int(sample_size):
+        sampled, rate = hits, 1.0
+    else:
+        rate = float(sample_size) / n
+        bin_size = int(1.0 / rate)
+        n_complete = n // bin_size
+        idx = hits[: n_complete * bin_size]
+        h = ((idx.astype(np.uint64) + np.uint64(seed)) * KNUTH) % MOD
+        hm = h.reshape(n_complete, bin_size)
+        sel = hm.argmin(axis=1)  # first occurrence == lower doc on ties
+        sampled = idx.reshape(n_complete, bin_size)[
+            np.arange(n_complete), sel
+        ]
+        sampled = np.sort(sampled)
+    sampled_ref = ray.put(sampled)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(sampled_ref)
+        ids = batch.column(id_col).to_numpy()
+        if len(ids_sorted) and len(ids):
+            pos = np.minimum(
+                np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+            )
+            mask = ids_sorted[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        vals = batch.column(facet_col).filter(pa.array(mask))
+        agg = pa.table({facet_col: vals}).group_by(facet_col).aggregate(
+            [(facet_col, "count")]
+        )
+        return pa.table(
+            {
+                "v": agg.column(facet_col),
+                "c": agg.column(f"{facet_col}_count").cast(pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    counts = {
+        r["v"]: int(r["count"])
+        for r in (
+            docs_ds.select_columns([id_col, facet_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(rd.aggregate.Sum("c", alias_name="count"))
+            .take_all()  # bounded: one row per facet value
+        )
+    }
+    corpus = {
+        r[facet_col]: int(r["count()"])
+        for r in docs_ds.groupby(facet_col).count().take_all()
+    }
+    values = sorted(counts)
+    amortized = [
+        min(corpus.get(v, 0), int(counts[v] / rate)) for v in values
+    ]
+    return pa.table(
+        {
+            "facet_value": pa.array(values, pa.string()),
+            "sampled_count": pa.array(
+                [counts[v] for v in values], pa.int64()
+            ),
+            "amortized_count": pa.array(amortized, pa.int64()),
+            "total_hits": pa.array([n] * len(values), pa.int64()),
+            "sampling_rate": pa.array(
+                [float(round_half_away(np.asarray([rate]), 9)[0])]
+                * len(values),
+                pa.float64(),
+            ),
+        }
+    )

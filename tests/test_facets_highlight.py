@@ -416,3 +416,63 @@ def test_taxonomy_facet_associations_int_and_float(ray_session, tmp_path):
         assert got_map == want, col
         lv1 = got[got.level == 1]
         assert list(lv1["value"]) == sorted(lv1["value"], reverse=True)
+
+
+def test_sampled_facet_counts(small_index, ray_session):
+    """RandomSamplingFacetsCollector analogue: one sample per complete
+    bin (deterministic hash pick), amortized counts capped by the corpus
+    per-value count, passthrough when hits <= sample_size, and
+    determinism across runs."""
+    import ray.data
+
+    from lucene_ray.pipelines.facets import sampled_facet_counts
+
+    out, doc_ids, texts, oracle = small_index
+    cat = [f"cat{d % 5}" for d in doc_ids]
+    docs_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                  "lang": pa.array(cat, pa.string())})
+    )
+    reader = IndexReader(out)
+    an = make_analyzer("standard_en")
+    hits = matching_docs(reader, parse_query("alpha", an))
+    n = len(hits)
+    assert n > 20
+    ss = 20
+    t = sampled_facet_counts(out, "alpha", docs_ds, "lang", ss, seed=3)
+    t = t.to_pandas()
+    rate = ss / n
+    bin_size = int(1.0 / rate)
+    n_complete = n // bin_size
+    # cardinality: exactly one pick per complete bin
+    assert t["sampled_count"].sum() == n_complete
+    assert (t["total_hits"] == n).all()
+    # the deterministic pick: recompute brute
+    idx = hits[: n_complete * bin_size]
+    h = ((idx.astype(np.uint64) + np.uint64(3)) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+    picks = idx.reshape(n_complete, bin_size)[
+        np.arange(n_complete), h.reshape(n_complete, bin_size).argmin(axis=1)
+    ]
+    from collections import Counter
+
+    want = Counter(f"cat{int(d) % 5}" for d in picks)
+    got = dict(zip(t["facet_value"], t["sampled_count"]))
+    assert got == dict(want)
+    # amortization: min(corpus count, trunc(count / rate))
+    corpus = Counter(cat)
+    for _, r in t.iterrows():
+        assert r["amortized_count"] == min(
+            corpus[r["facet_value"]],
+            int(r["sampled_count"] / rate),
+        )
+    # determinism
+    t2 = sampled_facet_counts(out, "alpha", docs_ds, "lang", ss, seed=3)
+    assert t2.to_pandas().equals(t)
+    # passthrough: sample_size >= hits -> exact counts, rate 1.0
+    tp = sampled_facet_counts(
+        out, "alpha", docs_ds, "lang", 10 ** 9, seed=3
+    ).to_pandas()
+    assert tp["sampled_count"].sum() == n
+    assert (tp["sampling_rate"] == 1.0).all()
+    assert (tp["amortized_count"] == tp["sampled_count"]).all()
