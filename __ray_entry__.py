@@ -1283,6 +1283,109 @@ def _facet_sampled_sql() -> str:
     )
 
 
+# Dynamic (equal-weight) range facets (facet/range/DynamicRangeUtil):
+# (query, top_n). value = len_bucket (tie-rich), weight = 1 + doc_id % 7
+# (deterministic, SQL-recomputable).
+DYNRANGE_SETS: Dict[int, Tuple[str, int]] = {
+    0: ("data", 6),
+    1: ("+batch", 4),
+}
+
+
+def _facet_dynamic_range(sf_dir: str):
+    """DynamicRangeUtil.computeDynamicNumericRanges over the hits'
+    (len_bucket, weight) pairs -> equal-weight ranges with count /
+    weight / min / max / centroid per range."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import dynamic_range_facets
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid, (qs, topn) in sorted(DYNRANGE_SETS.items()):
+        t = dynamic_range_facets(
+            index_dir, qs, "len_bucket", topn,
+            weights_for=lambda hits: 1 + hits % 7,
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
+def _facet_dynamic_range_sql() -> str:
+    """Oracle for facet_dynamic_range: the reference's reset-on-close
+    sweep (DynamicRangeUtil.java:204-270) as a RECURSIVE boundary CTE —
+    each step finds the first prefix-weight >= previous boundary's
+    prefix + target (exactly the engine's per-boundary searchsorted);
+    a NULL find closes the leftover tail at the last element. Ranges
+    aggregate between consecutive boundaries."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    ctes, arms = [], []
+    for qid, (qs, topn) in sorted(DYNRANGE_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        ctes.append(
+            f"""dr{qid} AS (
+  SELECT CAST(d.n_chars // 100 AS BIGINT) AS v,
+         CAST(1 + d.doc_id % 7 AS BIGINT) AS w
+  FROM documents d WHERE d.doc_id IN ({match}))"""
+        )
+        ctes.append(
+            f"o{qid} AS (SELECT v, w, row_number() OVER (ORDER BY v, w) "
+            f"AS rn FROM dr{qid})"
+        )
+        ctes.append(
+            f"pre{qid} AS (SELECT rn, v, w, "
+            f"SUM(w) OVER (ORDER BY rn) AS pw, "
+            f"SUM(v) OVER (ORDER BY rn) AS pv FROM o{qid})"
+        )
+        ctes.append(
+            f"pp{qid} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(w) AS DOUBLE) / LEAST({topn}, COUNT(*)) AS target "
+            f"FROM o{qid})"
+        )
+        ctes.append(
+            f"""b{qid}(k, rn) AS (
+  SELECT 0, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT b.k + 1,
+         (SELECT COALESCE(
+            MIN(p.rn),
+            (SELECT n FROM pp{qid})
+          )
+          FROM pre{qid} p CROSS JOIN pp{qid} t
+          WHERE p.pw >= COALESCE(
+            (SELECT pw FROM pre{qid} WHERE rn = b.rn), 0) + t.target)
+  FROM b{qid} b WHERE b.rn < (SELECT n FROM pp{qid}))"""
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+   CAST(a.k AS INTEGER) AS range_idx,
+   CAST(c.rn - a.rn AS BIGINT) AS count,
+   CAST(COALESCE((SELECT pw FROM pre{qid} WHERE rn = c.rn), 0)
+        - COALESCE((SELECT pw FROM pre{qid} WHERE rn = a.rn), 0)
+        AS BIGINT) AS weight,
+   (SELECT v FROM o{qid} WHERE rn = a.rn + 1) AS vmin,
+   (SELECT v FROM o{qid} WHERE rn = c.rn) AS vmax,
+   round(CAST(COALESCE((SELECT pv FROM pre{qid} WHERE rn = c.rn), 0)
+        - COALESCE((SELECT pv FROM pre{qid} WHERE rn = a.rn), 0)
+        AS DOUBLE) / (c.rn - a.rn), 6) AS centroid
+  FROM b{qid} a JOIN b{qid} c ON c.k = a.k + 1)"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        "WITH RECURSIVE "
+        + _BASE_CTES
+        + ",\n"
+        + _SC_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\n{body}"
+    )
+
+
 def _quality_lm(sf_dir: str):
     """Corpus-trained character-trigram LM quality signal (CCNet-style
     perplexity proxy): per-doc mean log-prob of its trigrams under the
@@ -3845,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_facets"] = lambda sf: _search_facets(sf)
     q["dv_stats"] = lambda sf: _dv_stats(sf)
     q["facet_sampled"] = lambda sf: _facet_sampled(sf)
+    q["facet_dynamic_range"] = lambda sf: _facet_dynamic_range(sf)
     q["facet_range"] = lambda sf: _facet_range(sf)
     q["facet_drill_sideways"] = lambda sf: _facet_drill_sideways(sf)
     q["facet_drill_down"] = lambda sf: _facet_drill_down(sf)
@@ -8410,6 +8514,7 @@ FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id"""
     sql["search_facets"] = _facet_sql()
     sql["dv_stats"] = _dv_stats_sql()
     sql["facet_sampled"] = _facet_sampled_sql()
+    sql["facet_dynamic_range"] = _facet_dynamic_range_sql()
     sql["facet_range"] = _facet_range_sql()
     sql["facet_drill_sideways"] = _drill_sideways_sql()
     sql["facet_drill_down"] = _drill_down_sql()

@@ -1082,3 +1082,106 @@ def sampled_facet_counts(
             ),
         }
     )
+
+
+def compute_dynamic_numeric_ranges(
+    values: np.ndarray, weights: np.ndarray, top_n: int
+) -> List[dict]:
+    """DynamicRangeUtil.computeDynamicNumericRanges (reference:
+    facet/src/java/org/apache/lucene/facet/range/DynamicRangeUtil.java:
+    204-270): sort (value, weight) pairs by (value, weight); sweep,
+    closing a range whenever the weight accumulated SINCE THE LAST CLOSE
+    reaches ``totalWeight / min(topN, len)``; leftovers become the final
+    range. Rows report (count, weight, min, max, centroid=valueSum/count).
+
+    The reset-on-close recurrence is sequential in the reference; here
+    each boundary is one ``searchsorted`` on the weight prefix sum —
+    O(topN log n) instead of O(n) — producing identical boundaries
+    (first index where prefix >= base + target). Ties in (value, weight)
+    are interchangeable elements, so any stable order yields identical
+    range aggregates."""
+    v = np.asarray(values, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.int64)
+    n = len(v)
+    if n == 0 or top_n <= 0:
+        return []
+    order = np.lexsort((w, v))
+    v, w = v[order], w[order]
+    pw = np.cumsum(w, dtype=np.int64)
+    pv = np.cumsum(v, dtype=np.int64)
+    total = int(pw[-1])
+    target = float(total) / min(int(top_n), n)
+    out: List[dict] = []
+    start = 0  # index of the first element of the open range
+    while start < n:
+        base_w = int(pw[start - 1]) if start else 0
+        j = int(np.searchsorted(pw, base_w + target, side="left"))
+        if j >= n:  # tail range: remaining elements, below target
+            j = n - 1
+        base_v = int(pv[start - 1]) if start else 0
+        cnt = j - start + 1
+        vsum = int(pv[j]) - base_v
+        out.append(
+            {
+                "count": cnt,
+                "weight": int(pw[j]) - base_w,
+                "min": int(v[start]),
+                "max": int(v[j]),
+                "centroid": float(vsum) / cnt,
+            }
+        )
+        start = j + 1
+    return out
+
+
+def dynamic_range_facets(
+    index_dir: str,
+    query_text: str,
+    field: str,
+    top_n: int,
+    weights_for=None,
+) -> pa.Table:
+    """Dynamic (equal-weight) range facets over the matching docs'
+    numeric doc values (DynamicRangeUtil.computeDynamicRanges:55-122 —
+    the collector gathers each hit's (value, weight) then runs
+    computeDynamicNumericRanges).
+
+    ``weights_for(hit_doc_ids) -> int64 weights`` (default: weight 1 per
+    hit). The per-hit gather is reader-local vectorized doc-values
+    access — bounded by the query's hit count, exactly the reference
+    collector's footprint; the sweep itself is the reference's
+    sequential semantics and cannot be composed from unordered partials
+    (at corpus scale, use a quantile sketch instead — different, looser
+    contract). -> Table(range_idx, count, weight, vmin, vmax, centroid)
+    with centroid rounded 6 dp."""
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from ..functions.rounding import round_half_away
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)
+    vals = reader.doc_values(field).values_for(hits)
+    w = (
+        np.asarray(weights_for(hits), dtype=np.int64)
+        if weights_for is not None
+        else np.ones(len(hits), dtype=np.int64)
+    )
+    ranges = compute_dynamic_numeric_ranges(vals, w, top_n)
+    return pa.table(
+        {
+            "range_idx": pa.array(range(len(ranges)), pa.int32()),
+            "count": pa.array([r["count"] for r in ranges], pa.int64()),
+            "weight": pa.array([r["weight"] for r in ranges], pa.int64()),
+            "vmin": pa.array([r["min"] for r in ranges], pa.int64()),
+            "vmax": pa.array([r["max"] for r in ranges], pa.int64()),
+            "centroid": pa.array(
+                round_half_away(
+                    np.asarray([r["centroid"] for r in ranges], np.float64),
+                    6,
+                ),
+                pa.float64(),
+            ),
+        }
+    )

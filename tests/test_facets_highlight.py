@@ -476,3 +476,49 @@ def test_sampled_facet_counts(small_index, ray_session):
     assert tp["sampled_count"].sum() == n
     assert (tp["sampling_rate"] == 1.0).all()
     assert (tp["amortized_count"] == tp["sampled_count"]).all()
+
+
+def test_dynamic_numeric_ranges_vs_reference_loop():
+    """compute_dynamic_numeric_ranges (searchsorted boundaries) must be
+    identical to a literal port of the reference's sequential sweep
+    (DynamicRangeUtil.java:204-270) across fuzzed inputs."""
+    from lucene_ray.pipelines.facets import compute_dynamic_numeric_ranges
+
+    def reference_sweep(values, weights, top_n):
+        pairs = sorted(zip(values, weights), key=lambda p: (p[0], p[1]))
+        n = len(pairs)
+        if n == 0 or top_n <= 0:
+            return []
+        total = sum(w for _, w in pairs)
+        target = total / min(top_n, n)
+        out, accu, vsum, cnt, min_idx = [], 0, 0, 0, 0
+        for i, (v, w) in enumerate(pairs):
+            accu += w
+            vsum += v
+            cnt += 1
+            if accu >= target:
+                out.append((cnt, accu, pairs[min_idx][0], v, vsum / cnt))
+                accu = vsum = cnt = 0
+                min_idx = i + 1
+        if min_idx < n:
+            out.append(
+                (cnt, accu, pairs[min_idx][0], pairs[n - 1][0], vsum / cnt)
+            )
+        return out
+
+    rng = np.random.default_rng(17)
+    for trial in range(200):
+        n = int(rng.integers(1, 60))
+        vals = rng.integers(0, int(rng.integers(2, 30)), size=n)
+        wts = rng.integers(1, 9, size=n)
+        topn = int(rng.integers(1, 10))
+        got = compute_dynamic_numeric_ranges(vals, wts, topn)
+        want = reference_sweep(vals.tolist(), wts.tolist(), topn)
+        assert len(got) == len(want), (trial, got, want)
+        for g, (cnt, wsum, vmin, vmax, cen) in zip(got, want):
+            assert (g["count"], g["weight"], g["min"], g["max"]) == (
+                cnt, wsum, vmin, vmax,
+            ), trial
+            assert g["centroid"] == pytest.approx(cen, rel=1e-12)
+    assert compute_dynamic_numeric_ranges(np.array([]), np.array([]), 3) == []
+    assert compute_dynamic_numeric_ranges(np.array([1]), np.array([1]), 0) == []
