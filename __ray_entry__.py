@@ -2768,6 +2768,16 @@ GEO_QUERY_SETS: Dict[int, Tuple[float, float, Optional[str], Optional[float]]] =
     2: (-30.0, 150.0, None, 2_000_000.0),
 }
 
+# Polygon queries (LatLonPoint.newPolygonQuery / LatLonShape): integer
+# centi-degree vertices (implicitly closed), optional term filter.
+# qid 0 = big triangle; qid 1 = non-convex quad (tests parity flips);
+# qid 2 = filtered convex quad.
+GEO_POLYGON_SETS: Dict[int, Tuple[tuple, Optional[str]]] = {
+    0: ((( -8000, -15000), (8500, 0), (-8000, 15000)), None),
+    1: (((0, -12000), (8000, 0), (0, 12000), (6000, 0)), None),
+    2: (((-9000, -18000), (-9000, 0), (2000, 0), (2000, -18000)), "data"),
+}
+
 TV_DOC_IDS = (1, 5, 11)
 _TV_BUILT: set = set()
 
@@ -3577,6 +3587,77 @@ def _geo_distance(sf_dir: str):
     )
 
 
+def _geo_polygon(sf_dir: str):
+    """Polygon containment (LatLonPoint.newPolygonQuery analogue):
+    matching docs per polygon, exact int64 even-odd crossings.
+    -> (query_id, doc_id) doc-asc."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.geo import polygon_docs
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    _ensure_geo_doc_values(sf_dir, index_dir)
+    reader = get_reader(index_dir)
+    an = make_analyzer(reader.analyzer_name)
+    qids, docs_out = [], []
+    for qid, (verts, qtext) in sorted(GEO_POLYGON_SETS.items()):
+        q = parse_query(qtext, an) if qtext else None
+        d = polygon_docs(reader, verts, query=q)
+        qids.extend([qid] * len(d))
+        docs_out.extend(d.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+        }
+    )
+
+
+def _geo_polygon_sql() -> str:
+    """Oracle for geo_polygon: the SAME exact int64 even-odd crossing
+    test per (literal) edge over the integer centi-degree coords derived
+    from doc_id — parity of the summed crossing indicators."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    geoi = """geoi AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS y,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS x
+  FROM documents
+)"""
+    selects = []
+    for qid, (verts, qtext) in sorted(GEO_POLYGON_SETS.items()):
+        edges = []
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            if y1 == y2:
+                continue
+            sgn = 1 if y2 > y1 else -1
+            edges.append(
+                f"CASE WHEN (({y1} > y) != ({y2} > y)) AND "
+                f"((x - {x1}) * ({y2 - y1}) - (y - {y1}) * ({x2 - x1}))"
+                f" * {sgn} < 0 THEN 1 ELSE 0 END"
+            )
+        parity = " + ".join(edges)
+        conds = [f"(({parity}) % 2) = 1"]
+        if qtext:
+            match = _match_docs_sql(parse_query(qtext, an))
+            conds.append(f"doc_id IN ({match})")
+        selects.append(
+            f"""(SELECT {qid} AS query_id, doc_id
+  FROM geoi WHERE {' AND '.join(conds)})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{geoi}\n{body}"
+
+
 def _term_vectors(sf_dir: str):
     """Stored per-doc term vectors (TermVectorsWriter/Reader analogue):
     (doc_id, term, tf) for TV_DOC_IDS, read back from the sidecar after a
@@ -3938,6 +4019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_sigmoid"] = lambda sf: _interval_sigmoid(sf)
     q["interval_analyzed"] = lambda sf: _interval_analyzed(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
+    q["geo_polygon"] = lambda sf: _geo_polygon(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -8497,6 +8579,7 @@ UNION ALL
     sql["interval_sigmoid"] = _interval_sigmoid_sql()
     sql["interval_analyzed"] = _interval_analyzed_sql()
     sql["geo_distance"] = _geo_sql()
+    sql["geo_polygon"] = _geo_polygon_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()
     sql["expr_score"] = _expr_score_sql()

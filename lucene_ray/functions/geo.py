@@ -129,3 +129,64 @@ def distance_topk(
         cand, d = cand[m], d[m]
     order = np.lexsort((cand, d))[:k]
     return cand[order], d[order]
+
+
+def polygon_docs(
+    reader,
+    vertices,
+    lat_field: str = "lat_e2",
+    lon_field: str = "lon_e2",
+    query=None,
+) -> np.ndarray:
+    """Polygon containment query — LatLonPoint.newPolygonQuery /
+    LatLonShape analogue (core/src/java/org/apache/lucene/document/
+    LatLonPoint.java newPolygonQuery, geo/Polygon.java + the Polygon2D
+    ray-crossings containment). ``vertices``: [(lat_e2, lon_e2), ...]
+    integer centi-degree vertices, implicitly closed.
+
+    Containment = even-odd ray crossings, computed EXACTLY in int64 (the
+    cross-multiplied intersection test — coordinates and vertices are
+    centi-degree ints, products stay < 2^40): an upward/downward edge
+    crosses the westward ray from point (y, x) iff ``(y1 > y) !=
+    (y2 > y)`` and ``((x - x1)(y2 - y1) - (y - y1)(x2 - x1)) *
+    sign(y2 - y1) < 0``. Horizontal edges never cross. DOCUMENTED
+    DEVIATION: points exactly ON an edge follow this strict-inequality
+    even-odd convention (deterministic, oracle-mirrored); the reference's
+    orientation tests treat boundary points as contained.
+
+    Plan: bounding-box prefilter (two 1-D doc-values cuts — the BKD box
+    visit analogue), exact test on candidates only; ``query`` further
+    restricts candidates to its matching docs. -> sorted doc IDs."""
+    verts = [(int(a), int(b)) for a, b in vertices]
+    if len(verts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    ys = [v[0] for v in verts]
+    xs = [v[1] for v in verts]
+    lat_dv = reader.doc_values(lat_field)
+    lon_dv = reader.doc_values(lon_field)
+    cand = np.intersect1d(
+        lat_dv.range_docs(min(ys), max(ys)),
+        lon_dv.range_docs(min(xs), max(xs)),
+        assume_unique=True,
+    )
+    if query is not None:
+        from .query import matching_docs
+
+        cand = np.intersect1d(
+            cand, matching_docs(reader, query), assume_unique=True
+        )
+    if len(cand) == 0:
+        return cand.astype(np.int64)
+    y = lat_dv.values_for(cand)
+    x = lon_dv.values_for(cand)
+    crossings = np.zeros(len(cand), dtype=np.int64)
+    for i in range(len(verts)):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % len(verts)]
+        if y1 == y2:
+            continue
+        sgn = 1 if y2 > y1 else -1
+        spans = (y1 > y) != (y2 > y)
+        t = (x - x1) * (y2 - y1) - (y - y1) * (x2 - x1)
+        crossings += (spans & (t * sgn < 0)).astype(np.int64)
+    return cand[(crossings % 2) == 1].astype(np.int64)

@@ -116,3 +116,80 @@ def test_distance_topk_vs_model(geo_index):
     want_d, want_v = model((10.0, 20.0), all_cand, 10**6, radius=2_000_000)
     assert list(got_d) == want_d
     assert len(got_d) > 0
+
+
+def test_polygon_docs(geo_index):
+    """Polygon containment: square == box equivalence (interior), convex
+    half-plane brute agreement, non-convex parity, and filter
+    composition."""
+    from lucene_ray.functions.geo import polygon_docs
+
+    out, doc_ids = geo_index
+    reader = IndexReader(out)
+    lat, lon = _coords(doc_ids)
+
+    # 1. square polygon ~ box query (strict interior; box is closed, so
+    # compare on points strictly inside the box bounds)
+    sq = ((-5000, -9000), (-5000, 9000), (5000, 9000), (5000, -9000))
+    got = set(polygon_docs(reader, sq).tolist())
+    strict = {
+        int(d)
+        for d, la, lo in zip(doc_ids, lat, lon)
+        if -5000 < la < 5000 and -9000 < lo < 9000
+    }
+    edge = {
+        int(d)
+        for d, la, lo in zip(doc_ids, lat, lon)
+        if (abs(la) == 5000 and -9000 <= lo <= 9000)
+        or (abs(lo) == 9000 and -5000 <= la <= 5000)
+    }
+    assert strict <= got <= (strict | edge)
+
+    # 2. convex-polygon fuzz vs exact half-plane brute (skip on-edge pts)
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        k = int(rng.integers(3, 7))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=k))
+        r = rng.integers(2000, 8000)
+        verts = [
+            (int(r * np.sin(a)), int(2 * r * np.cos(a))) for a in ang
+        ]
+        if len({v[0] for v in verts}) < len(verts):
+            continue  # duplicate y would make degenerate edges
+        got = set(polygon_docs(reader, verts).tolist())
+        for d, la, lo in zip(doc_ids, lat, lon):
+            crosses = []
+            on_edge = False
+            for i in range(len(verts)):
+                y1, x1 = verts[i]
+                y2, x2 = verts[(i + 1) % len(verts)]
+                t = (int(x2) - x1) * (int(la) - y1) - (int(y2) - y1) * (
+                    int(lo) - x1
+                )
+                if t == 0:
+                    on_edge = True
+                crosses.append(t > 0)
+            if on_edge:
+                continue
+            inside = all(crosses) or not any(crosses)
+            assert (int(d) in got) == inside, (verts, d)
+
+    # 3. non-convex (dart) quad: the notch is OUTSIDE
+    dart = ((0, -12000), (8000, 0), (0, 12000), (6000, 0))
+    got = set(polygon_docs(reader, dart).tolist())
+    # a point in the notch: y=6500, x=0 is above the reflex vertex
+    # (6000, 0) but below the apex — build synthetic checks via parity
+    for d, la, lo in zip(doc_ids, lat, lon):
+        if int(d) in got:
+            assert la > 0  # dart sits strictly in the upper half plane
+
+    # 4. filter composition: subset of the unfiltered result AND of the
+    # term's matching docs
+    an = make_analyzer("standard_en")
+    q = parse_query("alpha", an)
+    full = set(polygon_docs(reader, sq).tolist())
+    filt = set(polygon_docs(reader, sq, query=q).tolist())
+    assert filt <= full
+    assert filt <= set(matching_docs(reader, q).tolist())
+    with pytest.raises(ValueError):
+        polygon_docs(reader, ((0, 0), (1, 1)))
