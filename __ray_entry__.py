@@ -4148,12 +4148,12 @@ _DRIVER_WINDOW = [
     # PhraseWildcardQuery, MultiRangeQuery, quality benchmark
     "sweetspot_term", "dv_stats", "high_freq_terms",
     "phrase_wildcard", "multi_range", "quality_eval",
-    # last checked in round 2 — diverse family representatives (the six
-    # r2-proven filter/param entries rotated OUT for the six new
-    # operators above; each already holds a passing driver record, and
+    "facet_sampled", "facet_dynamic_range", "geo_polygon",
+    # last checked in round 2 — diverse family representatives (the
+    # other r2-proven entries rotated OUT for the nine new operators
+    # above; each already holds a passing driver record, and
     # multi_range re-proves the filter conjunction in their place)
-    "bm25_bool_msm", "bm25_bool_groups",
-    "bm25_phrase_sloppy3", "bm25_phrase_mixed", "bm25_multifield",
+    "bm25_phrase_sloppy3", "bm25_phrase_mixed",
 ]
 
 
