@@ -3587,6 +3587,94 @@ def _geo_distance(sf_dir: str):
     )
 
 
+def _dv_update(sf_dir: str):
+    """IndexWriter.updateNumericDocValue analogue: seed ``upd_val`` =
+    doc_id % 100, then update every doc matching term 'batch' to 777
+    (the update-by-term shape) as a new overlay generation; range
+    gathers prove the NEW values match and the old ones no longer do.
+    -> (query_id, doc_id, value)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.docvalues import (
+        doc_values_generation,
+        has_doc_values,
+        update_numeric_doc_values,
+        write_doc_values,
+    )
+
+    index_dir = _ensure_index(sf_dir)
+    if not has_doc_values(index_dir, "upd_val"):
+        import ray.data
+
+        def seed(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy()
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "upd_val": pa.array(
+                        (ids % 100).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        write_doc_values(
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id"]
+            ).map_batches(seed, batch_format="pyarrow"),
+            index_dir,
+            "upd_val",
+        )
+    reader = get_reader(index_dir)
+    an = make_analyzer("en_nostem_simple")
+    if doc_values_generation(index_dir, "upd_val") == 0:
+        hits = matching_docs(reader, parse_query("batch", an))
+        update_numeric_doc_values(index_dir, "upd_val", hits, 777)
+    reader.reopen_doc_values("upd_val")
+    dv = reader.doc_values("upd_val")
+    qids, docs_out, vals_out = [], [], []
+    for qid, (lo, hi) in ((0, (700, 800)), (1, (0, 40))):
+        d = dv.range_docs(lo, hi)
+        v = dv.values_for(d)
+        qids.extend([qid] * len(d))
+        docs_out.extend(d.tolist())
+        vals_out.extend(int(x) for x in v)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "value": pa.array(vals_out, pa.int64()),
+        }
+    )
+
+
+def _dv_update_sql() -> str:
+    """Oracle for dv_update: the post-update projection is CASE WHEN doc
+    matches 'batch' THEN 777 ELSE doc_id % 100 END; two range arms."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    match = _match_docs_sql(parse_query("batch", an))
+    upd = (
+        f"upd AS (SELECT doc_id, CAST(CASE WHEN doc_id IN ({match}) "
+        f"THEN 777 ELSE doc_id % 100 END AS BIGINT) AS value "
+        f"FROM documents)"
+    )
+    arms = []
+    for qid, (lo, hi) in ((0, (700, 800)), (1, (0, 40))):
+        arms.append(
+            f"(SELECT {qid} AS query_id, doc_id, value FROM upd "
+            f"WHERE value BETWEEN {lo} AND {hi})"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{upd}\n{body}"
+
+
 def _geo_polygon(sf_dir: str):
     """Polygon containment (LatLonPoint.newPolygonQuery analogue):
     matching docs per polygon, exact int64 even-odd crossings.
@@ -4020,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_analyzed"] = lambda sf: _interval_analyzed(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["geo_polygon"] = lambda sf: _geo_polygon(sf)
+    q["dv_update"] = lambda sf: _dv_update(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -8580,6 +8669,7 @@ UNION ALL
     sql["interval_analyzed"] = _interval_analyzed_sql()
     sql["geo_distance"] = _geo_sql()
     sql["geo_polygon"] = _geo_polygon_sql()
+    sql["dv_update"] = _dv_update_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()
     sql["expr_score"] = _expr_score_sql()

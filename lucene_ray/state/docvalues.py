@@ -81,6 +81,57 @@ def has_doc_values(index_dir: str, field: str) -> bool:
     )
 
 
+def doc_values_generation(index_dir: str, field: str) -> int:
+    """Newest update generation for the field (0 = base only)."""
+    upds = glob.glob(
+        os.path.join(index_dir, DOCVALUES_DIR, field, "upd-*.parquet")
+    )
+    gens = [int(os.path.basename(f).split("-")[1]) for f in upds]
+    return max(gens, default=0)
+
+
+def update_numeric_doc_values(
+    index_dir: str, field: str, doc_ids, values
+) -> int:
+    """In-place numeric doc-values update — the
+    ``IndexWriter.updateNumericDocValue`` analogue (reference:
+    core/src/java/org/apache/lucene/index/IndexWriter.java
+    updateNumericDocValue + DocValuesFieldUpdates / the per-generation
+    ``.dvd`` gen files resolved in ReadersAndUpdates): the field's
+    existing files stay immutable; a new ``upd-<gen>`` overlay file
+    holds the changed (doc_id, value) rows and the loader resolves the
+    newest generation per doc. ``values`` may be a scalar (applied to
+    every doc — the update-by-term shape) or per-doc. Docs without a
+    prior value are UPSERTED (documented relaxation: the reference
+    requires the doc to have had the field).
+
+    Returns the new generation number. Warm readers cache loaded
+    columns — call ``IndexReader.reopen_doc_values`` (or re-open the
+    reader) to observe the update, the DV-generation reopen analogue.
+    """
+    import zlib
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.ndim != 1 or len(ids) == 0:
+        raise ValueError("update needs at least one doc id")
+    vals = np.broadcast_to(
+        np.asarray(values, dtype=np.int64), ids.shape
+    ).copy()
+    out_dir = os.path.join(index_dir, DOCVALUES_DIR, field)
+    if not has_doc_values(index_dir, field):
+        raise FileNotFoundError(
+            f"no doc values for field {field!r} under {index_dir}"
+        )
+    gen = doc_values_generation(index_dir, field) + 1
+    tbl = pa.table({"doc_id": pa.array(ids), "value": pa.array(vals)})
+    crc = zlib.crc32(ids.tobytes()) ^ zlib.crc32(vals.tobytes())
+    path = os.path.join(out_dir, f"upd-{gen:06d}-{crc:08x}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return gen
+
+
 class DocValues:
     """One field's column, loaded once per reader (warm searcher state)."""
 
@@ -99,12 +150,23 @@ class DocValues:
             val_parts.append(t.column("value").to_numpy())
         ids = np.concatenate(ids_parts).astype(np.int64)
         vals = np.concatenate(val_parts).astype(np.int64)
+        # doc-values update generations: ``upd-*`` overlay files sort
+        # AFTER the ``dv-*`` base files ('d' < 'u'), so a stable argsort
+        # keeps file order within a doc and the LAST occurrence per doc
+        # is the newest generation's value (the reference resolves
+        # DocValuesFieldUpdates by generation the same way,
+        # index/ReadersAndUpdates.java) — dedupe keeping the last.
         by_doc = np.argsort(ids, kind="stable")
-        self.doc_sorted_ids = ids[by_doc]
-        self.doc_sorted_vals = vals[by_doc]
-        by_val = np.lexsort((ids, vals))
-        self.val_sorted_vals = vals[by_val]
-        self.val_sorted_ids = ids[by_val]
+        sid, sval = ids[by_doc], vals[by_doc]
+        if len(sid):
+            keep = np.ones(len(sid), dtype=bool)
+            keep[:-1] = sid[1:] != sid[:-1]
+            sid, sval = sid[keep], sval[keep]
+        self.doc_sorted_ids = sid
+        self.doc_sorted_vals = sval
+        by_val = np.lexsort((sid, sval))
+        self.val_sorted_vals = sval[by_val]
+        self.val_sorted_ids = sid[by_val]
 
     def range_docs(self, lo: int, hi: int) -> np.ndarray:
         """Sorted doc IDs with lo <= value <= hi (PointRangeQuery)."""

@@ -214,6 +214,18 @@ class IndexReader:
     def doc_values_for(self, field: str, docs):
         return self.doc_values(field).values_for(docs)
 
+    def reopen_doc_values(self, field: str = None) -> None:
+        """Drop the cached doc-values column(s) so the next access
+        reloads update generations (state/docvalues.py
+        update_numeric_doc_values) — the DV-generation reopen analogue
+        of the reference's SegmentReader doc-values gen files."""
+        cache = self.__dict__.get("_doc_values")
+        if cache is not None:
+            if field is None:
+                cache.clear()
+            else:
+                cache.pop(field, None)
+
     def str_doc_values(self, field: str):
         """Lazily-loaded SORTED (string) doc-values column."""
         cache = self.__dict__.setdefault("_str_doc_values", {})

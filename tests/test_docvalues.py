@@ -327,3 +327,55 @@ def test_score_feature_functions(dv_index):
         assert got == pytest.approx(want)
     with pytest.raises(ValueError, match="function"):
         score_feature(r, q, "ts", function="cubic")
+
+
+def test_update_numeric_doc_values(dv_index):
+    """updateNumericDocValue overlay generations: newest generation wins
+    per doc, range cuts see new values and drop old ones, upsert for a
+    doc without a base value, reopen semantics, and filter queries pick
+    up the update."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.state.docvalues import (
+        DocValues,
+        doc_values_generation,
+        update_numeric_doc_values,
+    )
+
+    out = dv_index
+    assert doc_values_generation(out, "ts") == 0
+    # gen 1: docs 1 and 3 -> 700
+    g = update_numeric_doc_values(out, "ts", [1, 3], 700)
+    assert g == 1 and doc_values_generation(out, "ts") == 1
+    dv = DocValues(out, "ts")
+    assert dv.values_for(np.array([1, 3])).tolist() == [700, 700]
+    assert dv.values_for(np.array([0, 2])).tolist() == [50, 70]
+    # old value 10 (doc 1) gone from the value-sorted view
+    assert dv.range_docs(10, 10).tolist() == []
+    assert dv.range_docs(700, 700).tolist() == [1, 3]
+    # duplicate value survives for untouched docs
+    assert dv.range_docs(70, 70).tolist() == [2, 4]
+    # gen 2 overrides gen 1 per doc; per-doc values array form
+    update_numeric_doc_values(out, "ts", [3, 900], [800, 55])
+    dv2 = DocValues(out, "ts")
+    assert dv2.values_for(np.array([1, 3])).tolist() == [700, 800]
+    # upsert: doc 900 had no base value
+    assert dv2.range_docs(55, 55).tolist() == [900]
+    # reader cache: stale until reopen_doc_values
+    r = _reader(out)
+    r.reopen_doc_values()  # fresh load at current generation
+    assert r.doc_values("ts").values_for(np.array([3])).tolist() == [800]
+    update_numeric_doc_values(out, "ts", [3], 801)
+    assert r.doc_values("ts").values_for(np.array([3])).tolist() == [800]
+    r.reopen_doc_values("ts")
+    assert r.doc_values("ts").values_for(np.array([3])).tolist() == [801]
+    # a range FILTER query sees the updated column
+    an = make_analyzer("en_nostem_simple")
+    q = parse_query("beta ts:[700 TO 900]", an)
+    got = matching_docs(r, q).tolist()
+    assert got == [d for d in (1, 3) if "beta" in TEXTS[d].split()]
+    # errors: empty update, unknown field
+    with pytest.raises(ValueError):
+        update_numeric_doc_values(out, "ts", [], 1)
+    with pytest.raises(FileNotFoundError):
+        update_numeric_doc_values(out, "nope", [1], 1)
