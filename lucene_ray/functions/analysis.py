@@ -710,6 +710,21 @@ class ElisionAnalyzer(_WrapAnalyzer):
         return out, pos
 
 
+class ReverseAnalyzer(_WrapAnalyzer):
+    """ReverseStringFilter (analysis/common/src/java/org/apache/lucene/
+    analysis/reverse/ReverseStringFilter.java:35-60): every token's
+    characters reversed in place — the index-side half of the
+    reversed-wildcard trick (index reversed tokens, rewrite ``*ing`` to
+    the prefix query ``gni*`` over them); the query engine's reversed
+    term dictionary (state/segment.py reversed_terms) provides the same
+    acceleration without a second field, so this filter mainly serves
+    analyzer-chain parity."""
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        return [t[::-1] for t in terms], pos
+
+
 def _parse_wrapped_name(name: str):
     kind, rest = name.split(":", 1)
     if kind == "length":
@@ -726,6 +741,8 @@ def _parse_wrapped_name(name: str):
         return TruncateAnalyzer(make_analyzer(base), int(n), name)
     if kind == "elision":
         return ElisionAnalyzer(make_analyzer(rest), name)
+    if kind == "reverse":
+        return ReverseAnalyzer(make_analyzer(rest), name)
     raise KeyError(f"unknown wrapped analyzer spec {name!r}")
 
 
@@ -839,7 +856,8 @@ def register_analyzer(name: str, factory: Callable[[], object]) -> None:
 def make_analyzer(name: str):
     if name.startswith("synonym:"):
         return _parse_synonym_name(name)
-    if name.startswith(("length:", "limit:", "keep:", "truncate:", "elision:")):
+    if name.startswith(("length:", "limit:", "keep:", "truncate:",
+                        "elision:", "reverse:")):
         return _parse_wrapped_name(name)
     try:
         return _REGISTRY[name]()

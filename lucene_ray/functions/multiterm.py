@@ -82,6 +82,14 @@ def literal_prefix(pattern: str) -> str:
     return pattern
 
 
+def literal_suffix(pattern: str) -> str:
+    """Longest literal suffix after the last wildcard char."""
+    for i in range(len(pattern) - 1, -1, -1):
+        if pattern[i] in "*?":
+            return pattern[i + 1:]
+    return pattern
+
+
 def prefix_successor(prefix: str) -> Optional[str]:
     """Smallest string strictly greater than every string starting with
     ``prefix`` — the exact upper bound for a sorted-vocab prefix scan.
@@ -191,9 +199,18 @@ def prefix_edit_distance(
     return out
 
 
-def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]:
+def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str],
+           rvocab: Optional[Sequence[str]] = None) -> List[str]:
     """Matching terms from a SORTED vocabulary, lexicographic order,
-    capped at MAX_EXPANSIONS."""
+    capped at MAX_EXPANSIONS.
+
+    ``rvocab`` (optional): the character-REVERSED terms, sorted — the
+    ReverseStringFilter / ReversedWildcardFilter acceleration
+    (analysis/common/.../reverse/ReverseStringFilter.java): a
+    leading-wildcard pattern with a literal suffix (``*ing``, ``?at``)
+    becomes a prefix scan over the reversed dictionary instead of a
+    full-vocabulary regex walk; results are re-sorted so the output is
+    identical to the unaccelerated path."""
     if kind == "prefix":
         lo = bisect.bisect_left(vocab, pattern)
         succ = prefix_successor(pattern)
@@ -201,10 +218,22 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str]) -> List[str]
         return list(vocab[lo:hi])[:MAX_EXPANSIONS]
     if kind == "wildcard":
         pre = literal_prefix(pattern)
+        rx = re.compile(wildcard_regex(pattern))
+        if not pre and rvocab is not None:
+            rsuf = literal_suffix(pattern)[::-1]
+            if rsuf:
+                lo = bisect.bisect_left(rvocab, rsuf)
+                succ = prefix_successor(rsuf)
+                hi = (bisect.bisect_left(rvocab, succ)
+                      if succ is not None else len(rvocab))
+                got = sorted(
+                    rt[::-1] for rt in rvocab[lo:hi]
+                    if rx.fullmatch(rt[::-1])
+                )
+                return got[:MAX_EXPANSIONS]
         lo = bisect.bisect_left(vocab, pre)
         succ = prefix_successor(pre) if pre else None
         hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
-        rx = re.compile(wildcard_regex(pattern))
         return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
     if kind == "fuzzy":
         return sorted(levenshtein_within(vocab, pattern, arg))[:MAX_EXPANSIONS]

@@ -269,11 +269,28 @@ class IndexReader:
         already sorted, so prefix ranges bisect locally) — avoids ever
         materializing a merged global vocabulary (at 10^8+ terms the
         merged sorted set would cost GBs per searcher)."""
-        from ..functions.multiterm import MAX_EXPANSIONS, expand
+        from ..functions.multiterm import (
+            MAX_EXPANSIONS,
+            expand,
+            literal_prefix,
+            literal_suffix,
+        )
 
+        # leading-wildcard acceleration: only then is the (lazily built,
+        # per-segment-cached) reversed dictionary worth touching
+        use_rev = (
+            kind == "wildcard"
+            and not literal_prefix(pattern)
+            and bool(literal_suffix(pattern))
+        )
         out = set()
         for g in range(self.num_partitions):
             seg = self._segment(g)
             if seg is not None:
-                out.update(expand(kind, pattern, arg, seg.sorted_terms()))
+                out.update(
+                    expand(
+                        kind, pattern, arg, seg.sorted_terms(),
+                        rvocab=seg.reversed_terms() if use_rev else None,
+                    )
+                )
         return sorted(out)[:MAX_EXPANSIONS]

@@ -415,6 +415,18 @@ class SegmentReader:
             self._sorted_terms = st
         return st
 
+    def reversed_terms(self) -> List[str]:
+        """Character-reversed terms, sorted — the ReverseStringFilter
+        trick (analysis/common/.../reverse/ReverseStringFilter.java,
+        Solr's ReversedWildcardFilter): a leading-wildcard pattern with a
+        literal SUFFIX becomes a prefix scan over this list instead of a
+        full-dictionary regex walk. Built lazily once per segment."""
+        rt = getattr(self, "_reversed_terms", None)
+        if rt is None:
+            rt = sorted(t[::-1] for t in self._row_range)
+            self._reversed_terms = rt
+        return rt
+
     def term_stats(self, term: str) -> Optional[Tuple[int, int]]:
         rng = self._row_range.get(term)
         if rng is None:

@@ -413,3 +413,47 @@ def test_phrase_wildcard_query(ray_session, tmp_path):
         [("fuzzy", "hask", 1), ("term", "join")], reader.expand_multi
     )
     assert "hash" in qf.term_arrays[0]
+
+
+def test_leading_wildcard_reversed_dictionary(corpus_index, ray_session):
+    """Leading-wildcard patterns with a literal suffix scan the reversed
+    dictionary (ReverseStringFilter trick) — results must be IDENTICAL
+    to the unaccelerated full-vocabulary walk, including caps and
+    ordering."""
+    from lucene_ray.functions.multiterm import expand, literal_suffix
+
+    reader, oracle = corpus_index
+    # per-segment parity: accelerated vs plain on real segment vocabs
+    for g in range(reader.num_partitions):
+        seg = reader._segment(g)
+        if seg is None:
+            continue
+        vocab = seg.sorted_terms()
+        rvocab = seg.reversed_terms()
+        assert rvocab == sorted(t[::-1] for t in vocab)
+        for pat in ("*a", "*ta", "?lpha", "*lph?", "*z", "*", "*?a"):
+            fast = expand("wildcard", pat, 0, vocab, rvocab=rvocab)
+            slow = expand("wildcard", pat, 0, vocab)
+            assert fast == slow, (g, pat)
+    # reader-level: full queries agree with the oracle (expansion path
+    # engaged through expand_multi)
+    an = make_analyzer("standard_en")
+    for qt in ("*ta", "*a kappa", "-*ta alpha"):
+        q = parse_query(qt, an)
+        od, osc = oracle.topk(q, 10)
+        bd, bsc = score_blockmax(reader, q, 10)
+        assert np.array_equal(od, bd), qt
+        assert np.array_equal(np.asarray(osc), np.asarray(bsc)), qt
+    assert literal_suffix("*ing") == "ing"
+    assert literal_suffix("ab*") == ""
+    assert literal_suffix("a*b?c") == "c"
+
+
+def test_reverse_analyzer():
+    """reverse: wrapped analyzer = ReverseStringFilter semantics."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("reverse:en_nostem_simple")
+    terms, pos = an.analyze_positions("Hello stream the")
+    assert terms == ["olleh", "maerts"]  # stopword dropped, then reversed
+    assert an.analyze("abc") == ["cba"]
