@@ -4077,6 +4077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_synonym_query"] = lambda sf: _bm25_synonym(sf)
     q["multi_phrase"] = lambda sf: _multi_phrase(sf)
     q["phrase_wildcard"] = lambda sf: _phrase_wildcard(sf)
+    q["term_automaton"] = lambda sf: _term_automaton(sf)
     q["payload_score"] = lambda sf: _payload_score(sf)
     q["span_payload_check"] = lambda sf: _span_payload_check(sf)
     q["payload_score_span"] = lambda sf: _payload_score_span(sf)
@@ -7603,6 +7604,155 @@ def _phrase_wildcard_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+def _term_automaton_queries():
+    """The four entry automata (sandbox TermAutomatonQuery builder API).
+    Term-id order (== idf accumulation order) is the first-seen order of
+    add_transition calls — mirrored literally by the oracle's idf chain."""
+    from lucene_ray.functions.term_automaton import TermAutomatonQuery
+
+    out = {}
+    # 0: synonym span ("data stream" | "stream") — the classic use case;
+    # overlapping parses count separately (multiset semantics)
+    q = TermAutomatonQuery()
+    s1, s2 = q.create_state(), q.create_state()
+    q.add_transition(0, s1, "data")
+    q.add_transition(s1, s2, "stream")
+    q.add_transition(0, s2, "stream")
+    q.set_accept(s2)
+    out[0] = q.finish()
+    # 1: data ANY join — ANY consumes any token (or a stopword gap)
+    q = TermAutomatonQuery()
+    u1, u2, u3 = q.create_state(), q.create_state(), q.create_state()
+    q.add_transition(0, u1, "data")
+    q.add_any_transition(u1, u2)
+    q.add_transition(u2, u3, "join")
+    q.set_accept(u3)
+    out[1] = q.finish()
+    # 2: customer (table | merge)
+    q = TermAutomatonQuery()
+    v1, v2 = q.create_state(), q.create_state()
+    q.add_transition(0, v1, "customer")
+    q.add_transition(v1, v2, "table")
+    q.add_transition(v1, v2, "merge")
+    q.set_accept(v2)
+    out[2] = q.finish()
+    # 3: key ANY* value — kleene self-loop: every ordered (key, value)
+    # position pair
+    q = TermAutomatonQuery()
+    w1, w2 = q.create_state(), q.create_state()
+    q.add_transition(0, w1, "key")
+    q.add_any_transition(w1, w1)
+    q.add_transition(w1, w2, "value")
+    q.set_accept(w2)
+    out[3] = q.finish()
+    return out
+
+
+def _term_automaton(sf_dir: str):
+    """TermAutomatonQuery through the positions index.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.term_automaton import score_term_automaton
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in sorted(_term_automaton_queries().items()):
+        d, s = score_term_automaton(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _term_automaton_sql() -> str:
+    """Oracle for term_automaton: per query, pf = the summed occurrence
+    counts of the automaton language's symbol strings (each distinct
+    accepted string counts separately — the scorer's multiset
+    semantics), expressed as positional self-joins: ANY slots impose NO
+    positional constraint (they also consume stopword gaps, mirroring
+    the lastPos->pos advance walk) and the kleene arm counts every
+    ordered pair. idf chains the automaton terms' idfs left-associated
+    in term-id order; one BM25 application (TermAutomatonQuery.java
+    :376-399 builds one SimScorer over all term stats)."""
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+    def idf_sub(term: str) -> str:
+        return (
+            f"COALESCE((SELECT ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM df d CROSS JOIN stats s2 WHERE d.term = '{term}'), 0.0)"
+        )
+
+    def pair_cnt(t1: str, t2: str, delta) -> str:
+        cond = f"b.pos > a.pos" if delta is None else f"b.pos = a.pos + {delta}"
+        return (
+            f"SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id AND {cond} "
+            f"WHERE a.term = '{t1}' AND b.term = '{t2}' GROUP BY a.doc_id"
+        )
+
+    def single_cnt(t: str) -> str:
+        return (
+            f"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM ptok "
+            f"WHERE term = '{t}' GROUP BY doc_id"
+        )
+
+    # per-qid: (idf term order, list of pattern-count subqueries)
+    specs = {
+        0: (["data", "stream"],
+            [pair_cnt("data", "stream", 1), single_cnt("stream")]),
+        1: (["data", "join"], [pair_cnt("data", "join", 2)]),
+        2: (["customer", "table", "merge"],
+            [pair_cnt("customer", "table", 1),
+             pair_cnt("customer", "merge", 1)]),
+        3: (["key", "value"], [pair_cnt("key", "value", None)]),
+    }
+    arms = []
+    for qid, (terms, pats) in sorted(specs.items()):
+        idf = idf_sub(terms[0])
+        for t in terms[1:]:
+            idf = f"({idf} + {idf_sub(t)})"
+        union = "\nUNION ALL\n".join(pats)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS pf
+      FROM ({union}) u GROUP BY doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 def _synonym_sql() -> str:
     """Oracle for bm25_synonym_query: per doc tfsum = SUM(tf) over the
     synonym terms, idf from the blended MAX df, one BM25 application —
@@ -8637,6 +8787,7 @@ UNION ALL
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["phrase_wildcard"] = _phrase_wildcard_sql()
+    sql["term_automaton"] = _term_automaton_sql()
     sql["payload_score"] = _payload_sql()
     sql["span_payload_check"] = _span_payload_check_sql()
     sql["payload_score_span"] = _payload_score_span_sql()

@@ -1,0 +1,288 @@
+"""TermAutomatonQuery: a proximity query whose transitions are terms.
+
+Reference: ``sandbox/src/java/org/apache/lucene/sandbox/search/
+TermAutomatonQuery.java`` (builder: createState / setAccept /
+addTransition / addAnyTransition / finish-determinize; the similarity
+scorer is built from the stats of EVERY automaton term with df > 0,
+:376-399) and ``TermAutomatonScorer.java`` (the position-ordered
+intersection, :216-335). The query generalizes PhraseQuery /
+MultiPhraseQuery / SpanNearQuery: it matches any document where some
+run of consecutive token positions spells a string of the automaton's
+language, with ANY transitions consuming arbitrary tokens (including
+positions holding no indexed token — stopword gaps — exactly like the
+reference's lastPos->pos advance walk, :261-287).
+
+Faithfully-kept reference semantics (each is visible in the scorer):
+
+* The runtime state set is a MULTISET (``PosState.add`` never dedups,
+  :373-385): ``freq`` counts every accepting TERM-step event over every
+  active run, i.e. one count per (start position, accepted symbol
+  string) pair — overlapping parses through term arcs vs ANY arcs count
+  separately.
+* Accepts reached by an ANY step do NOT bump ``freq`` (only the
+  term-match and new-start blocks increment, :302-321) — matches whose
+  last transition is ANY are never counted.
+* New matches start only via a term step from the start state
+  (``step(0, termID)``, :315) — matches beginning with an ANY-consumed
+  token are never found.
+* A document matches iff ``freq > 0``; scoring is ONE similarity
+  application ``scorer.score(freq, norm)`` whose idf sums every
+  automaton term with df > 0 in term-id (first-seen) order.
+
+Engine shape: the determinized automaton has at most one arc per
+(state, symbol), so runs are followed with next-state ARRAYS; counts
+are an int64 vector over det states; ANY-only gaps between query-term
+positions apply the ANY next-state map ``gap-1`` times via function-power
+doubling (O(log gap)). Candidates are the union of the terms' postings
+(the reference's disjunction shape); per-doc work is O(events x states).
+At cluster scale the per-doc DP runs inside the doc-range-sharded
+searchers like every other positional executor.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+ANY = object()  # the addAnyTransition label sentinel
+
+
+class TermAutomatonQuery:
+    """Builder + determinized runtime form. State 0 is initial (the
+    reference's convention); call :meth:`finish` before executing."""
+
+    def __init__(self):
+        self._n = 1
+        self._accept = {0: False}
+        self._trans: List[Tuple[int, int, object]] = []
+        self.terms: List[str] = []  # first-seen order == term-id order
+        self._finished = False
+
+    def create_state(self) -> int:
+        s = self._n
+        self._n += 1
+        self._accept[s] = False
+        return s
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        self._accept[state] = bool(accept)
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if term not in self.terms:
+            self.terms.append(term)
+        self._trans.append((src, dst, term))
+
+    def add_any_transition(self, src: int, dst: int) -> None:
+        self._trans.append((src, dst, ANY))
+
+    def finish(self) -> "TermAutomatonQuery":
+        """Determinize (subset construction over terms + ANY — the
+        reference's Operations.determinize over its term-id alphabet)."""
+        nfa: Dict[Tuple[int, object], set] = {}
+        for src, dst, sym in self._trans:
+            nfa.setdefault((src, sym), set()).add(dst)
+        symbols = list(self.terms) + [ANY]
+        start = frozenset({0})
+        subsets = {start: 0}
+        order = [start]
+        arcs: List[Dict[object, int]] = [{}]
+        i = 0
+        while i < len(order):
+            cur = order[i]
+            for sym in symbols:
+                nxt = frozenset(
+                    d for s in cur for d in nfa.get((s, sym), ())
+                )
+                if not nxt:
+                    continue
+                j = subsets.get(nxt)
+                if j is None:
+                    j = len(order)
+                    subsets[nxt] = j
+                    order.append(nxt)
+                    arcs.append({})
+                arcs[i][sym] = j
+            i += 1
+        n = len(order)
+        self.n_det = n
+        self.det_accept = np.array(
+            [any(self._accept.get(s, False) for s in sub) for sub in order],
+            dtype=bool,
+        )
+        self.step = {}
+        for sym in symbols:
+            a = np.full(n, -1, dtype=np.int64)
+            for i in range(n):
+                a[i] = arcs[i].get(sym, -1)
+            self.step[sym] = a
+        self._any_pows: List[np.ndarray] = [self.step[ANY]]
+        self._finished = True
+        return self
+
+    def _any_power(self, k: int) -> Optional[np.ndarray]:
+        """Composition of the ANY next-state map with itself k times
+        (k >= 1), built by doubling; None when it is everywhere -1."""
+        # decompose k in binary over cached doubling maps
+        out = None
+        bit = 0
+        while k:
+            while bit >= len(self._any_pows):
+                prev = self._any_pows[-1]
+                comp = np.where(prev >= 0, prev, 0)
+                nxt = np.where(prev >= 0, prev[comp], -1)
+                self._any_pows.append(nxt)
+            if k & 1:
+                m = self._any_pows[bit]
+                if out is None:
+                    out = m
+                else:
+                    safe = np.where(out >= 0, out, 0)
+                    out = np.where(out >= 0, m[safe], -1)
+            k >>= 1
+            bit += 1
+        return out
+
+
+def _doc_freq_automaton(q: TermAutomatonQuery, events: List[Tuple[int, List[int]]]) -> int:
+    """The scorer's countMatches over one doc's (position, term-ids)
+    events (ascending positions). Returns the automaton freq."""
+    n = q.n_det
+    accept = q.det_accept
+    any_step = q.step[ANY]
+    S = np.zeros(n, dtype=np.int64)
+    freq = 0
+    prev = None
+    for pos, tids in events:
+        if prev is not None and pos - prev > 1 and S.any():
+            p = q._any_power(pos - prev - 1)
+            if p is None:
+                S = np.zeros(n, dtype=np.int64)
+            else:
+                ns = np.zeros(n, dtype=np.int64)
+                valid = p >= 0
+                np.add.at(ns, p[valid], S[valid])
+                S = ns
+        elif prev is not None and pos - prev > 1:
+            S = np.zeros(n, dtype=np.int64)
+        # one combined step into pos+1: ANY from S, term arcs from S,
+        # plus a fresh start per term at this position
+        ns = np.zeros(n, dtype=np.int64)
+        valid = any_step >= 0
+        if S.any():
+            np.add.at(ns, any_step[valid], S[valid])
+        for tid in tids:
+            st = q.step[q.terms[tid]]
+            tv = st >= 0
+            if S.any():
+                np.add.at(ns, st[tv], S[tv])
+                freq += int(S[tv][accept[st[tv]]].sum())
+            s0 = int(st[0])
+            if s0 >= 0:
+                ns[s0] += 1
+                if accept[s0]:
+                    freq += 1
+        S = ns
+        prev = pos
+    return freq
+
+
+def term_automaton_scored(reader, q: TermAutomatonQuery):
+    """-> (docs, scores, dtype) or None: every doc with freq > 0, scored
+    with one similarity application (idf summed over the automaton's
+    df>0 terms in term-id order — TermAutomatonQuery.java:376-399)."""
+    import math
+
+    from .bm25 import make_scorer
+    from .query import _gather_norm_keys
+
+    if not q._finished:
+        raise ValueError("call finish() before executing")
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "term-automaton queries need a positions-enabled index "
+            "(IndexConfig.positions=True)"
+        )
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype), dtype)
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    idf64 = 0.0
+    present: List[str] = []
+    ev_docs, ev_pos, ev_tid = [], [], []
+    for tid, t in enumerate(q.terms):
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            continue
+        idf64 += math.log(1.0 + (reader.doc_count - df + 0.5) / (df + 0.5))
+        present.append(t)
+        docs, tfs, flat = reader.term_positions(t)
+        ev_docs.append(np.repeat(docs, tfs))
+        ev_pos.append(flat.astype(np.int64))
+        ev_tid.append(np.full(int(tfs.sum()), tid, dtype=np.int64))
+    if not present:
+        return empty
+    d = np.concatenate(ev_docs)
+    p = np.concatenate(ev_pos)
+    t = np.concatenate(ev_tid)
+    order = np.lexsort((t, p, d))
+    d, p, t = d[order], p[order], t[order]
+    deleted = getattr(reader, "deleted", None)
+    out_docs, out_freq = [], []
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    bounds = np.r_[starts, len(d)]
+    for i in range(len(starts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        doc = int(d[lo])
+        if deleted is not None and len(deleted):
+            j = int(np.searchsorted(deleted, doc))
+            if j < len(deleted) and deleted[j] == doc:
+                continue
+        events: List[Tuple[int, List[int]]] = []
+        for j in range(lo, hi):
+            pos = int(p[j])
+            if events and events[-1][0] == pos:
+                events[-1][1].append(int(t[j]))
+            else:
+                events.append((pos, [int(t[j])]))
+        freq = _doc_freq_automaton(q, events)
+        if freq > 0:
+            out_docs.append(doc)
+            out_freq.append(freq)
+    if not out_docs:
+        return empty
+    docs_u = np.asarray(out_docs, dtype=np.int64)
+    pf = np.asarray(out_freq, dtype=np.int64)
+    keys_u = np.zeros(len(docs_u), dtype=np.int64)
+    have = np.zeros(len(docs_u), dtype=bool)
+    for term in present:
+        tdocs, _, _ = reader.term_positions(term)
+        if len(tdocs) == 0:
+            continue
+        pos = np.minimum(np.searchsorted(tdocs, docs_u), len(tdocs) - 1)
+        hit = (tdocs[pos] == docs_u) & ~have
+        if hit.any():
+            keys_u[hit] = _gather_norm_keys(reader, term, docs_u[hit])
+            have[hit] = True
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    scores = scorer.score_array(pf, keys_u)
+    return docs_u, scores.astype(dtype, copy=False), dtype
+
+
+def score_term_automaton(reader, q: TermAutomatonQuery, k: int = 10):
+    """Top-k (score desc, doc asc) over the automaton matches."""
+    got = term_automaton_scored(reader, q)
+    dtype = got[2] if got is not None else np.float64
+    if got is None or len(got[0]) == 0:
+        return np.empty(0, np.int64), np.empty(0, dtype)
+    docs, scores, _ = got
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
