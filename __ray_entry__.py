@@ -4239,11 +4239,10 @@ _DRIVER_WINDOW = [
     "sweetspot_term", "dv_stats", "high_freq_terms",
     "phrase_wildcard", "multi_range", "quality_eval",
     "facet_sampled", "facet_dynamic_range", "geo_polygon",
-    # last checked in round 2 — diverse family representatives (the
-    # other r2-proven entries rotated OUT for the nine new operators
-    # above; each already holds a passing driver record, and
-    # multi_range re-proves the filter conjunction in their place)
-    "bm25_phrase_sloppy3", "bm25_phrase_mixed",
+    "term_automaton", "dv_update",
+    # every rotated-out entry holds a passing driver record from an
+    # earlier round; the full oracle gate (scripts/driver_check.py, all
+    # entries, both SFs) still runs them each session.
 ]
 
 
