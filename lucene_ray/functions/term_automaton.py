@@ -286,3 +286,47 @@ def score_term_automaton(reader, q: TermAutomatonQuery, k: int = 10):
     docs, scores, _ = got
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return docs[order], scores[order]
+
+
+def token_stream_to_automaton(
+    text: str, analyzer, preserve_position_increments: bool = True
+) -> Optional[TermAutomatonQuery]:
+    """TokenStreamToTermAutomatonQuery.toQuery analogue (reference:
+    sandbox/src/java/org/apache/lucene/sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:55-112): pull the analyzed
+    token graph and build the sausage automaton — one state per token
+    position, an arc per token (synonyms at posInc=0 become parallel
+    arcs between the same states), the literal term ``*`` becomes an
+    ANY transition, and the LAST position's state is the sole accept.
+    Position holes (stopword drops, posInc > 1) raise exactly like the
+    reference ("cannot handle holes; to accept any term, use '*'")
+    unless ``preserve_position_increments=False``, which collapses them
+    to increment 1 (:72-75). Returns None for an empty stream."""
+    if hasattr(analyzer, "analyze_positions"):
+        terms, positions = analyzer.analyze_positions(text)
+    else:  # tokenizers without explicit increments: sequential positions
+        terms = analyzer.analyze(text)
+        positions = list(range(len(terms)))
+    if not terms:
+        return None
+    if not preserve_position_increments:
+        dense = {p: i for i, p in enumerate(sorted(set(positions)))}
+        positions = [dense[p] for p in positions]
+    else:
+        prev = -1
+        for p in sorted(set(positions)):
+            if p - prev > 1:
+                raise ValueError(
+                    "cannot handle holes; to accept any term, use '*' term"
+                )
+            prev = p
+    q = TermAutomatonQuery()
+    max_pos = max(positions)
+    states = [0] + [q.create_state() for _ in range(max_pos + 1)]
+    for t, p in zip(terms, positions):
+        if t == "*":
+            q.add_any_transition(states[p], states[p + 1])
+        else:
+            q.add_transition(states[p], states[p + 1], t)
+    q.set_accept(states[max_pos + 1])
+    return q.finish()

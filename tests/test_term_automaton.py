@@ -205,3 +205,47 @@ def test_scored_executor(ray_session, tmp_path):
         kpart = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
         f = freqs[doc]
         assert sc == pytest.approx(idf_ab * (f / (f + kpart)), rel=1e-12)
+
+
+def test_token_stream_to_automaton(ray_session, tmp_path):
+    """TokenStreamToTermAutomatonQuery: synonym graphs become parallel
+    arcs, '*' becomes ANY, holes raise unless collapsed."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.term_automaton import token_stream_to_automaton
+
+    syn = make_analyzer("synonym:en_nostem_simple:fast=quick")
+    q = token_stream_to_automaton("fast car", syn)
+    toks_hits = [
+        ("fast car goes", 1),
+        ("the quick car", 1),
+        ("slow car", 0),
+        ("fast quick car", 1),  # only from position 1 (quick car)
+    ]
+    for text, want in toks_hits:
+        toks = [w for w in text.split() if w != "the"]
+        # positions with the stopword hole preserved
+        an = make_analyzer("en_nostem_simple")
+        terms, pos = an.analyze_positions(text)
+        ev = []
+        for t, p in zip(terms, pos):
+            if t in q.terms:
+                if ev and ev[-1][0] == p:
+                    ev[-1][1].append(q.terms.index(t))
+                else:
+                    ev.append((p, [q.terms.index(t)]))
+        assert _doc_freq_automaton(q, ev) == want, text
+    # '*' term -> ANY arc (whitespace tokenizer keeps the literal star;
+    # the standard chain would strip it)
+    an = make_analyzer("en_nostem_simple")
+    q2 = token_stream_to_automaton(
+        "alpha * gamma", make_analyzer("whitespace")
+    )
+    assert _freq(q2, "alpha x gamma".split()) == 1
+    assert _freq(q2, "alpha gamma".split()) == 0
+    # holes raise; collapsed mode matches across the hole
+    with pytest.raises(ValueError, match="holes"):
+        token_stream_to_automaton("the car", an)  # leading stopword hole
+    q3 = token_stream_to_automaton("alpha the beta", an,
+                                   preserve_position_increments=False)
+    assert _freq(q3, "alpha beta".split()) == 1
+    assert token_stream_to_automaton("", an) is None
