@@ -4071,6 +4071,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ib_spl_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("ib", "spl", "ttf", "h2"),
     )
+    q["indri_term"] = lambda sf: _run_query_strings(
+        sf, SIM_QUERY_SETS, similarity=("indri", LMD_MU),
+    )
     q["sweetspot_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("sweetspot",) + SWEETSPOT_PARAMS,
     )
@@ -7814,7 +7817,8 @@ def _similarity_sql(model: str) -> str:
     p_col = "((t2.ttf + 1.0) / (s.sum_tf + 1.0))"
     avgdl = "(CAST(s.sum_tf AS DOUBLE) / s.n_docs)"
     tfn = f"(tf.tf * (ln(1.0 + 1.0 * {avgdl} / dl.dl) / ln(2.0)))"
-    needs_ttf = model in ("lmd", "lmjm", "dfi", "dfr_gb1", "ib_spl")
+    needs_ttf = model in ("lmd", "lmjm", "dfi", "dfr_gb1", "ib_spl",
+                          "indri")
     needs_df = model in ("classic", "dfr", "ib", "axiomatic", "dfr_gb1",
                          "sweetspot")
     tfn_h1 = f"(tf.tf * 1.0 * ({avgdl} / dl.dl))"
@@ -7873,6 +7877,12 @@ def _similarity_sql(model: str) -> str:
             )
         elif model == "boolean":
             expr = "1.0"
+        elif model == "indri":
+            # IndriDirichletSimilarity.java:55-60 — NO zero clamp; the
+            # engine's float64 op order literally
+            expr = (
+                f"ln((tf.tf + {LMD_MU} * {p_col}) / (dl.dl + {LMD_MU}))"
+            )
         elif model == "sweetspot":
             # SweetSpotSimilarity.java:110-147 — Classic idf, baselineTf,
             # plateau length norm; literal float64 op order of
@@ -8780,6 +8790,7 @@ UNION ALL
     sql["dfr_gb1_term"] = _similarity_sql("dfr_gb1")
     sql["ib_spl_term"] = _similarity_sql("ib_spl")
     sql["sweetspot_term"] = _similarity_sql("sweetspot")
+    sql["indri_term"] = _similarity_sql("indri")
     sql["bm25_synonym_query"] = _synonym_sql()
     sql["bm25_span_not"] = _span_not_sql()
     sql["suggest_freetext"] = _suggest_freetext_sql()

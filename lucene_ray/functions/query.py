@@ -3437,6 +3437,18 @@ def score_blockmax(reader, query, k: int = 10):
     order, so float sums stay bit-identical)."""
     if k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    sim_sel = getattr(reader, "similarity", None)
+    if sim_sel is not None:
+        from .similarities import NEGATIVE_SCORE_MODELS
+
+        if sim_sel[0] in NEGATIVE_SCORE_MODELS:
+            # negative (log-probability) scores break the additive
+            # block-max bound: a doc MISSING a SHOULD clause out-scores
+            # one containing it, which interval bound summation cannot
+            # model — same reason the reference's impacts/WAND contract
+            # requires non-negative scores. Exhaustive is exact.
+            _set_path("exhaustive:negative-scores")
+            return score_exhaustive(reader, query, k)
     if isinstance(query, SynonymQuery):
         # blended pseudo-term: its own pruned executor (r4) — interval
         # bound from summed block-max tfs + min norm key

@@ -129,6 +129,46 @@ class ClassicTFIDF(_LenDecode):
         return s.astype(self.dtype, copy=False)
 
 
+#: models whose scores can be negative (log-probabilities) — the WAND
+#: block-max arithmetic, like the reference's impacts contract, assumes
+#: non-negative per-clause scores, so the executor routes these to the
+#: exhaustive path (a SHOULD clause's absence out-scores its presence,
+#: which interval bound summation does not model)
+NEGATIVE_SCORE_MODELS = frozenset({"indri"})
+
+
+class IndriDirichlet(_LenDecode):
+    """IndriDirichletSimilarity (core/src/java/org/apache/lucene/search/
+    similarities/IndriDirichletSimilarity.java:55-60): ``score = boost *
+    ln((tf + mu*p) / (dl + mu))`` with the default LM collection model
+    ``p = (ttf+1)/(sumTotalTermFreq+1)`` (LMSimilarity.java:151-153).
+    Unlike LMDirichlet there is NO zero clamp — SimilarityBase.score
+    passes the raw value through, so scores are typically NEGATIVE (log
+    of a probability); the executor therefore routes this model to the
+    exhaustive path (NEGATIVE_SCORE_MODELS) — negative clause scores
+    break the additive block-max bound (absence beats presence)."""
+
+    may_be_negative = True
+
+    def __init__(self, norm_kind: str, doc_count: int, sum_total_tf: int,
+                 doc_freq: int, total_tf: int = 0, boost: float = 1.0,
+                 mu: float = 2000.0):
+        super().__init__(norm_kind)
+        self.mu = float(mu)
+        self.boost = float(boost)
+        self.p_col = (total_tf + 1.0) / (sum_total_tf + 1.0)
+        self._key = ("indri", norm_kind, doc_count, sum_total_tf,
+                     total_tf, mu, boost)
+
+    def score_array(self, tfs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = self.doc_len(keys)
+        s = self.boost * np.log(
+            (tf + self.mu * self.p_col) / (dl + self.mu)
+        )
+        return s.astype(self.dtype, copy=False)
+
+
 class SweetSpot(_LenDecode):
     """SweetSpotSimilarity analogue (misc/src/java/org/apache/lucene/
     misc/SweetSpotSimilarity.java:110-147): Classic TF-IDF with
@@ -432,6 +472,7 @@ class BooleanSim(_LenDecode):
 
 _MODELS = {
     "lmd": (LMDirichlet, "mu", 2000.0),
+    "indri": (IndriDirichlet, "mu", 2000.0),
     "lmjm": (LMJelinekMercer, "lam", 0.1),
     "dfr_inl2": (DFRInL2, "c", 1.0),
     "ib_ll": (IBLLDFH2, "c", 1.0),

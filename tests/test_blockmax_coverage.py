@@ -77,7 +77,27 @@ def _identical(reader, q, k=10):
     return score_blockmax.last_path
 
 
-@pytest.mark.parametrize("sim", ALL_SIMS_PLUS)
+def test_negative_score_model_routes_exhaustive(bx_index):
+    """IndriDirichlet scores are negative log-probabilities: the additive
+    block-max bound is invalid for them (a doc missing a SHOULD clause
+    out-scores one containing it), so the executor must route to the
+    exhaustive path — results still bit-identical."""
+    idx, _ts = bx_index
+    reader = _reader(idx)
+    reader.similarity = ("indri", 2000.0)
+    an = make_analyzer("en_nostem_simple")
+    rng = np.random.default_rng(59)
+    try:
+        for q in analyzed(random_queries(rng, n=8), an):
+            path = _identical(reader, q, k=10)
+            assert path == "exhaustive:negative-scores", path
+    finally:
+        reader.similarity = None
+
+
+@pytest.mark.parametrize(
+    "sim", [s for s in ALL_SIMS_PLUS if s[0] != "indri"]
+)
 def test_similarity_queries_take_pruned_path(bx_index, sim):
     """Every similarity family: random boolean queries are result-identical
     dumb-vs-smart AND at least one multi-term query runs the pruned

@@ -63,9 +63,12 @@ ALL_SIMS = [
 
 # SweetSpotSimilarity (misc/SweetSpotSimilarity.java) — plateau length
 # norm, so it is deliberately EXCLUDED from the dl-antitone monotonicity
-# matrix; it still must match brute scoring and prune bit-identically
+# matrix; it still must match brute scoring and prune bit-identically.
+# IndriDirichletSimilarity — NEGATIVE scores by design (no clamp), so it
+# is excluded from the score>=0 matrix assertions for the same reason.
 SWEET = ("sweetspot", 3, 8, 0.5, 1.5, 2.0)
-ALL_SIMS_PLUS = ALL_SIMS + [SWEET]
+INDRI = ("indri", 2000.0)
+ALL_SIMS_PLUS = ALL_SIMS + [SWEET, INDRI]
 
 # the full composable grid (DFRSimilarity / IBSimilarity component
 # matrices) — every combination must satisfy the monotonicity matrix
@@ -223,6 +226,29 @@ def test_sweetspot_shape():
         assert np.all(
             sc.score_array(np.full(len(dls), tf), dls) <= bound + 1e-12
         )
+
+
+def test_indri_shape():
+    """IndriDirichletSimilarity.java:55-60 — ln((tf+mu*p)/(dl+mu)):
+    monotone in tf, antitone in dl, typically NEGATIVE (no clamp)."""
+    N, SUM = 1000, 50_000
+    sc = make_similarity(INDRI, "exact", N, SUM, 10, 300)
+    tfs = np.arange(1, 50)
+    for dl in (1, 10, 100, 1000):
+        s = sc.score_array(tfs, np.full(len(tfs), dl))
+        assert np.all(np.diff(s) >= 0) and np.all(np.isfinite(s))
+    dls = np.array([1, 5, 25, 125, 625])
+    s = sc.score_array(np.full(len(dls), 5), dls)
+    assert np.all(np.diff(s) <= 0)
+    # the log of a smoothed probability: negative for ordinary tf/dl
+    assert sc.score_array(np.array([2]), np.array([100]))[0] < 0
+    # golden: mu=2000, p=(300+1)/(50000+1), tf=3, dl=120
+    import math
+
+    p = 301.0 / 50001.0
+    want = math.log((3.0 + 2000.0 * p) / (120.0 + 2000.0))
+    assert sc.score_array(np.array([3]), np.array([120]))[0] == \
+        pytest.approx(want, rel=1e-15)
 
 
 @pytest.mark.parametrize("sim", DFR_GRID + IB_GRID)
