@@ -710,6 +710,84 @@ class ElisionAnalyzer(_WrapAnalyzer):
         return out, pos
 
 
+class CapitalizationAnalyzer(_WrapAnalyzer):
+    """CapitalizationFilter default behavior (analysis/common/.../
+    miscellaneous/CapitalizationFilter.java:36-119): every word is
+    normalized to Capitalized form — first letter upper, the rest lower
+    — when it reaches ``minWordLength`` (default 0; the factory docs use
+    3 as the example: "and" -> "And" but "or" stays "or")."""
+
+    def __init__(self, base, min_word_length: int, name: str):
+        super().__init__(base, name)
+        self.min_len = int(min_word_length)
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        out = []
+        for t in terms:
+            if len(t) >= self.min_len and t:
+                out.append(t[0].upper() + t[1:].lower())
+            else:
+                out.append(t)
+        return out, pos
+
+
+class FingerprintAnalyzer(_WrapAnalyzer):
+    """FingerprintFilter (analysis/common/.../miscellaneous/
+    FingerprintFilter.java:40-160): the whole stream collapses to ONE
+    output token — the SORTED, de-duplicated terms joined by the
+    separator (default space); an empty stream emits nothing and the
+    output is suppressed entirely when it would exceed
+    ``maxOutputTokenSize`` (default 1024). The Solr/OpenRefine
+    "fingerprint" dedup key."""
+
+    def __init__(self, base, name: str, max_output_token_size: int = 1024,
+                 separator: str = " "):
+        super().__init__(base, name)
+        self.max_size = int(max_output_token_size)
+        self.sep = separator
+
+    def analyze_positions(self, text: str):
+        terms, _pos = self._base_positions(text)
+        if not terms:
+            return [], []
+        joined = self.sep.join(sorted(set(terms)))
+        if len(joined) > self.max_size:
+            return [], []
+        return [joined], [0]
+
+
+class HyphenatedWordsAnalyzer(_WrapAnalyzer):
+    """HyphenatedWordsFilter (analysis/common/.../miscellaneous/
+    HyphenatedWordsFilter.java:58-120): a token ending in ``-`` joins
+    with the following token(s) ("ecologi-" + "cal" -> "ecological" —
+    the OCR/newsletter line-break case); the joined token sits at the
+    FIRST part's position and consumed parts leave position gaps. A
+    trailing unpaired hyphen token keeps its hyphen (the reference
+    restores it at end-of-stream)."""
+
+    def analyze_positions(self, text: str):
+        terms, pos = self._base_positions(text)
+        out_t, out_p = [], []
+        buf, buf_pos = None, None
+        for t, p in zip(terms, pos):
+            if buf is not None:
+                buf += t[:-1] if t.endswith("-") else t
+                if not t.endswith("-"):
+                    out_t.append(buf)
+                    out_p.append(buf_pos)
+                    buf, buf_pos = None, None
+            elif t.endswith("-") and len(t) > 1:
+                buf, buf_pos = t[:-1], p
+            else:
+                out_t.append(t)
+                out_p.append(p)
+        if buf is not None:  # unpaired trailing hyphen restored
+            out_t.append(buf + "-")
+            out_p.append(buf_pos)
+        return out_t, out_p
+
+
 class ReverseAnalyzer(_WrapAnalyzer):
     """ReverseStringFilter (analysis/common/src/java/org/apache/lucene/
     analysis/reverse/ReverseStringFilter.java:35-60): every token's
@@ -743,6 +821,13 @@ def _parse_wrapped_name(name: str):
         return ElisionAnalyzer(make_analyzer(rest), name)
     if kind == "reverse":
         return ReverseAnalyzer(make_analyzer(rest), name)
+    if kind == "capitalize":
+        n, base = rest.split(":", 1)
+        return CapitalizationAnalyzer(make_analyzer(base), int(n), name)
+    if kind == "fingerprint":
+        return FingerprintAnalyzer(make_analyzer(rest), name)
+    if kind == "hyphenated":
+        return HyphenatedWordsAnalyzer(make_analyzer(rest), name)
     raise KeyError(f"unknown wrapped analyzer spec {name!r}")
 
 
@@ -857,7 +942,8 @@ def make_analyzer(name: str):
     if name.startswith("synonym:"):
         return _parse_synonym_name(name)
     if name.startswith(("length:", "limit:", "keep:", "truncate:",
-                        "elision:", "reverse:")):
+                        "elision:", "reverse:", "capitalize:",
+                        "fingerprint:", "hyphenated:")):
         return _parse_wrapped_name(name)
     try:
         return _REGISTRY[name]()

@@ -283,3 +283,50 @@ def test_elision_filter():
     terms, pos = an.analyze_positions("l'avion d'or qu'il xyz'q")
     assert terms == ["avion", "or", "il", "xyz'q"]
     assert pos == [0, 1, 2, 3]
+
+
+def test_capitalization_filter():
+    """CapitalizationFilter default: Capitalize words >= minWordLength
+    (the factory's own example: minLength 3 -> 'and' capitalizes, 'or'
+    stays)."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("capitalize:3:whitespace")
+    assert an.analyze("and or miXED a") == ["And", "or", "Mixed", "a"]
+    an0 = make_analyzer("capitalize:0:whitespace")
+    assert an0.analyze("x yZ") == ["X", "Yz"]
+
+
+def test_fingerprint_filter():
+    """FingerprintFilter: one sorted-deduped space-joined output token;
+    empty stream emits nothing; identical content in any order yields
+    the same fingerprint (the dedup-key property)."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("fingerprint:en_nostem_simple")
+    a = an.analyze("Beta apple cat apple beta")
+    b = an.analyze("cat beta Apple")
+    assert a == b == ["apple beta cat"]
+    terms, pos = an.analyze_positions("z y")
+    assert terms == ["y z"] and pos == [0]
+    assert an.analyze("") == []
+    # stopwords drop before fingerprinting (the chain composes)
+    assert an.analyze("the cat the") == ["cat"]
+
+
+def test_hyphenated_words_filter():
+    """HyphenatedWordsFilter: '-'-terminated tokens join the following
+    token at the first part's position; trailing unpaired hyphen is
+    restored."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer("hyphenated:whitespace")
+    terms, pos = an.analyze_positions("ecologi- cal niche")
+    assert terms == ["ecological", "niche"]
+    assert pos == [0, 2]  # consumed part leaves a gap
+    # multi-segment join: "a- b- c" -> abc
+    assert an.analyze("a- b- c") == ["abc"]
+    # unpaired trailing hyphen restored
+    assert an.analyze("end-") == ["end-"]
+    # plain hyphenless stream unchanged
+    assert an.analyze("plain words") == ["plain", "words"]
