@@ -4176,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- dedup suite ---
     q["dedup_exact"] = lambda sf: _dedup_exact(sf)
+    q["dedup_fingerprint"] = lambda sf: _dedup_fingerprint(sf)
     q["neardup_jaccard"] = lambda sf: _neardup_jaccard(sf)
     q["dedup_clusters"] = lambda sf: _dedup_clusters(sf)
     q["neardup_minhash"] = lambda sf: _neardup_minhash(sf)  # rows-only
@@ -4384,6 +4385,15 @@ def _dedup_exact(sf_dir: str):
     from lucene_ray.pipelines.dedup import exact_dedup
 
     return exact_dedup(_load_documents(sf_dir))
+
+
+def _dedup_fingerprint(sf_dir: str):
+    """Token-set dedup keyed on the FingerprintFilter output (sorted
+    unique analyzed tokens): order/repetition/case/stopword-insensitive
+    exact dedup. -> (doc_id, fingerprint) survivors."""
+    from lucene_ray.pipelines.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_load_documents(sf_dir))
 
 
 def _neardup_jaccard(sf_dir: str):
@@ -9178,6 +9188,18 @@ FROM checked, range(0, {N_FRAMES}) s(i)"""
   SELECT doc_id, md5(text) AS fingerprint,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1"""
+
+    sql["dedup_fingerprint"] = f"""WITH {_BASE_CTES},
+fpk AS (
+  SELECT d.doc_id, COALESCE(f.fp, '') AS fingerprint
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, string_agg(term, ' ' ORDER BY term) AS fp
+    FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY doc_id
+  ) f USING (doc_id)
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint
+FROM fpk GROUP BY fingerprint"""
 
     jaccard_ctes = f"""tl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

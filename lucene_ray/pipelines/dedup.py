@@ -110,6 +110,58 @@ def exact_dedup(
     )
 
 
+def fingerprint_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "en_nostem_simple",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Token-set (fingerprint) dedup: :func:`exact_dedup` keyed on the
+    FingerprintFilter output (analysis/common/.../miscellaneous/
+    FingerprintFilter.java — the Solr/OpenRefine fingerprint dedup key):
+    two docs collapse when their SORTED UNIQUE analyzed token sets are
+    equal, regardless of word order, repetition, case or stopwords.
+    Empty streams key as ``''``. Same bounded-bucket plan as
+    :func:`exact_dedup` (bucketed groupby on the key hash, min doc wins).
+
+    -> Dataset(doc_id, fingerprint) of surviving rows.
+    """
+    from ..functions.analysis import make_analyzer
+
+    def fingerprint_batch(batch: pa.Table) -> pa.Table:
+        an = make_analyzer(f"fingerprint:{analyzer}")
+        texts = batch.column(text_col).to_pylist()
+        fps = []
+        for t in texts:
+            toks = an.analyze(t or "")
+            fps.append(toks[0] if toks else "")
+        bucket = crc32_array(fps) % num_buckets
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "fingerprint": pa.array(fps, pa.string()),
+                "_bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def first_per_fp(group: pa.Table) -> pa.Table:
+        g = group.group_by("fingerprint").aggregate([("doc_id", "min")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id_min").cast(pa.int64()),
+                "fingerprint": g.column("fingerprint"),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(first_per_fp, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word-shingle machinery shared by jaccard / minhash
 # ---------------------------------------------------------------------------

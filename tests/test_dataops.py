@@ -72,6 +72,30 @@ def test_exact_dedup(ray_session):
     assert fp[0] == hashlib.md5(b"aaa").hexdigest()
 
 
+def test_fingerprint_dedup(ray_session):
+    """Token-set dedup: word order, repetition, case and stopwords are
+    all identity-preserving; distinct token sets survive separately."""
+    import ray.data
+
+    from lucene_ray.pipelines.dedup import fingerprint_dedup
+
+    texts = [
+        "batch scan merge",          # 0: canonical
+        "merge the BATCH scan",      # 1: reorder + case + stopword == 0
+        "batch batch scan merge",    # 2: repetition == 0
+        "batch scan",                # 3: subset -> distinct
+        "",                          # 4: empty
+        "the a",                     # 5: stopwords only -> empty key
+    ]
+    ds = ray.data.from_arrow(_docs_table(texts))
+    out = fingerprint_dedup(ds).take_all()
+    kept = {r["doc_id"]: r["fingerprint"] for r in out}
+    assert sorted(kept) == [0, 3, 4]
+    assert kept[0] == "batch merge scan"
+    assert kept[3] == "batch scan"
+    assert kept[4] == ""  # empty and stopword-only collapse together
+
+
 def test_jaccard_and_minhash_agree(ray_session):
     import ray.data
 
