@@ -178,6 +178,15 @@ SPELL_INPUTS: Dict[int, str] = {
 }
 SPELL_TOPK = 5
 SUGGEST_PREFIXES: Dict[int, str] = {0: "st", 1: "cu", 2: "d", 3: "zzz"}
+# ContextSuggestField / ContextQuery analogue: (prefix, lang context) —
+# same prefix across contexts must rank by the IN-CONTEXT df.
+SUGGEST_CTX_QUERIES: Dict[int, Tuple[str, str]] = {
+    0: ("st", "en"),
+    1: ("st", "de"),
+    2: ("cu", "fr"),
+    3: ("d", "zh"),
+    4: ("zzz", "en"),
+}
 # AnalyzingInfixSuggester analogue: substrings matched ANYWHERE in the
 # term, weight (df) ranked. 'zz' matches nothing in the vocabulary.
 INFIX_SUBSTRINGS: Dict[int, str] = {0: "ar", 1: "ort", 2: "a", 3: "zz"}
@@ -4156,6 +4165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_wordcombine"] = lambda sf: _spell_wordcombine(sf)
     q["covering_query"] = lambda sf: _covering_query(sf)
     q["suggest_prefix"] = lambda sf: _suggest_prefix(sf)
+    q["suggest_context"] = lambda sf: _suggest_context(sf)
     q["suggest_fuzzy"] = lambda sf: _suggest_fuzzy(sf)
     q["suggest_infix"] = lambda sf: _suggest_infix(sf)
     q["suggest_freetext"] = lambda sf: _suggest_freetext(sf)
@@ -4313,6 +4323,22 @@ def _suggest_prefix(sf_dir: str):
     return complete_prefix(
         _load_documents(sf_dir),
         [SUGGEST_PREFIXES[i] for i in sorted(SUGGEST_PREFIXES)],
+        k=SPELL_TOPK,
+        cfg=cfg,
+    )
+
+
+def _suggest_context(sf_dir: str):
+    """Context-filtered completion (ContextSuggestField + ContextQuery):
+    per (prefix, lang) query, completions ranked by in-context df."""
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import complete_prefix_context
+
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    return complete_prefix_context(
+        _load_documents(sf_dir),
+        [SUGGEST_CTX_QUERIES[i] for i in sorted(SUGGEST_CTX_QUERIES)],
+        context_col="lang",
         k=SPELL_TOPK,
         cfg=cfg,
     )
@@ -9025,6 +9051,31 @@ ranked AS (
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
        term, CAST(df AS BIGINT) AS df
 FROM ranked WHERE rank <= {SPELL_TOPK}"""
+
+    _ctx_vals = ", ".join(
+        f"({qid}, '{p}', '{c}')"
+        for qid, (p, c) in sorted(SUGGEST_CTX_QUERIES.items())
+    )
+    sql["suggest_context"] = f"""WITH {_BASE_CTES},
+qc(query_id, p, c) AS (VALUES {_ctx_vals}),
+cdf AS (
+  SELECT d.lang AS ctx, tf.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf JOIN documents d USING (doc_id)
+  GROUP BY d.lang, tf.term
+),
+candc AS (
+  SELECT qc.query_id, cdf.term, cdf.df
+  FROM cdf JOIN qc ON starts_with(cdf.term, qc.p) AND cdf.ctx = qc.c
+),
+rankedc AS (
+  SELECT query_id, term, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, term) AS rank
+  FROM candc
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM rankedc WHERE rank <= {SPELL_TOPK}"""
 
     _ifx_vals = ", ".join(
         f"({i}, '{INFIX_SUBSTRINGS[i]}')" for i in sorted(INFIX_SUBSTRINGS)

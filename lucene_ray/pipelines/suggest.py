@@ -588,3 +588,92 @@ def suggest_word_combinations(
                 cands.append((combined, (i, j), df_c, j - i))
     cands.sort(key=lambda c: (c[3], -c[2], c[1][0], c[0]))
     return [(c[0], c[1], c[2]) for c in cands[: max(0, k)]]
+
+
+def complete_prefix_context(
+    ds: "ray.data.Dataset",
+    queries: Sequence,  # [(prefix, context_value), ...]
+    context_col: str = "lang",
+    k: int = 5,
+    cfg: Optional[IndexConfig] = None,
+) -> "ray.data.Dataset":
+    """Context-filtered completion — ContextSuggestField + ContextQuery
+    analogue (reference: suggest/src/java/org/apache/lucene/search/
+    suggest/document/ContextSuggestField.java, ContextQuery.java: each
+    suggestion carries contexts and a lookup filters to the query's
+    context before ranking). Completions are drawn only from docs whose
+    ``context_col`` equals the query's context, ranked
+    (df-within-context desc, term asc) like :func:`complete_prefix`.
+
+    Plan: one streaming analyzer pass emits per-batch PRE-AGGREGATED
+    (context, term, df_part) rows (distinct terms per doc — df not tf);
+    a bounded groupby((context, term)) sums; per-query prefix+context
+    filters and the shared top-k group kernel finish.
+    -> Dataset(query_id, rank, term, df)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.analysis import make_analyzer
+
+    cfg = cfg or IndexConfig()
+    analyzer_name = cfg.analyzer
+    lowered = [(str(p).lower(), c) for p, c in queries]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = make_analyzer(analyzer_name)
+        ctxs = batch.column(context_col).to_pylist()
+        texts = batch.column(cfg.text_col).to_pylist()
+        agg: dict = {}
+        for ctx, text in zip(ctxs, texts):
+            for t in set(an.analyze(text or "")):
+                key = (ctx, t)
+                agg[key] = agg.get(key, 0) + 1
+        if not agg:
+            return pa.table(
+                {"ctx": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "df_part": pa.array([], pa.int64())}
+            )
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "ctx": pa.array([c for c, _ in keys], pa.string()),
+                "term": pa.array([t for _, t in keys], pa.string()),
+                "df_part": pa.array([agg[k2] for k2 in keys], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.select_columns([cfg.text_col, context_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ctx", "term"])
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for qid, (p, c) in enumerate(lowered):
+            hit = batch.filter(
+                pc.and_(
+                    pc.starts_with(batch.column("term"), p),
+                    pc.equal(batch.column("ctx"), c),
+                )
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(hit), pa.int32()),
+                        "term": hit.column("term"),
+                        "df": hit.column("df").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        stats.map_batches(match, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_topk_prefix(k), batch_format="pyarrow")
+    )

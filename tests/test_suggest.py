@@ -240,3 +240,45 @@ def test_freetext_suggest(ray_session):
     assert list(q2.term) == ["hash"]
     # the pipeline rounds scores to 6 digits
     assert q2.score.iloc[0] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_complete_prefix_context(ray_session):
+    """ContextQuery: the SAME prefix ranks by the df WITHIN the query's
+    context; out-of-context docs never leak in; unknown context or
+    prefix yields nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.suggest import complete_prefix_context
+
+    rows = [
+        ("stream stock stream", "en"),
+        ("stream stone", "en"),
+        ("stock stock", "de"),
+        ("stone stock stone", "de"),
+        ("strange", "fr"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for t, _ in rows], pa.string()),
+                "lang": pa.array([c for _, c in rows], pa.string()),
+            }
+        )
+    )
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    got = complete_prefix_context(
+        ds,
+        [("st", "en"), ("st", "de"), ("st", "it"), ("zz", "en")],
+        context_col="lang", k=5, cfg=cfg,
+    ).take_all()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["term"], r["df"]))
+    # en: stream df2, stock df1, stone df1 -> (df desc, term asc)
+    assert by_q[0] == [("stream", 2), ("stock", 1), ("stone", 1)]
+    # de: stock df2, stone df1 — stream absent in-context
+    assert by_q[1] == [("stock", 2), ("stone", 1)]
+    assert 2 not in by_q and 3 not in by_q
