@@ -3596,6 +3596,55 @@ def _geo_distance(sf_dir: str):
     )
 
 
+INDEX_SPLIT_QUERY = "data"
+
+
+def _index_split(sf_dir: str):
+    """PKIndexSplitter: split the base index at the postings level by
+    the 'data' query; emit every doc's side plus each side's recomputed
+    live stats-visible doc count. -> (side, doc_id)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.merge import split_index
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.reader import IndexReader
+
+    base = _ensure_index(sf_dir)
+    out_m = base.rstrip("/") + "-split-match"
+    out_r = base.rstrip("/") + "-split-rest"
+    shutil.rmtree(out_m, ignore_errors=True)
+    shutil.rmtree(out_r, ignore_errors=True)
+    split_index(base, out_m, out_r, INDEX_SPLIT_QUERY)
+    sides, docs = [], []
+    for side, d in (("match", out_m), ("rest", out_r)):
+        ids = IndexReader(d).all_doc_ids()
+        sides.extend([side] * len(ids))
+        docs.extend(int(x) for x in ids)
+    return pa.table(
+        {
+            "side": pa.array(sides, pa.string()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def _index_split_sql() -> str:
+    """Oracle for index_split: side = membership of the split query's
+    matching-doc set."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    match = _match_docs_sql(parse_query(INDEX_SPLIT_QUERY, an))
+    return f"""WITH {_BASE_CTES},
+{_SC_CTE}
+SELECT CASE WHEN doc_id IN ({match}) THEN 'match' ELSE 'rest' END AS side,
+       doc_id
+FROM documents"""
+
+
 def _dv_update(sf_dir: str):
     """IndexWriter.updateNumericDocValue analogue: seed ``upd_val`` =
     doc_id % 100, then update every doc matching term 'batch' to 777
@@ -4122,6 +4171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["geo_polygon"] = lambda sf: _geo_polygon(sf)
     q["dv_update"] = lambda sf: _dv_update(sf)
+    q["index_split"] = lambda sf: _index_split(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -8867,6 +8917,7 @@ UNION ALL
     sql["geo_distance"] = _geo_sql()
     sql["geo_polygon"] = _geo_polygon_sql()
     sql["dv_update"] = _dv_update_sql()
+    sql["index_split"] = _index_split_sql()
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()
     sql["expr_score"] = _expr_score_sql()

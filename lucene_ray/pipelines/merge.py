@@ -439,3 +439,51 @@ def maintain_root(
     remaining = [s for s in shards if s["shard_id"] not in window_ids]
     _publish(root, sorted(remaining + [entry], key=lambda s: s["doc_min"]))
     return entry
+
+
+def split_index(
+    index_dir: str,
+    out_match: str,
+    out_rest: str,
+    query_text: str,
+) -> tuple:
+    """PKIndexSplitter analogue (reference: misc/src/java/org/apache/
+    lucene/misc/index/PKIndexSplitter.java:40-95): split one index into
+    two at the POSTINGS level — no re-analysis. Docs matching the query
+    land in ``out_match``, all others in ``out_rest``. The reference
+    wraps each side in a FilterCodecReader whose liveDocs are the
+    query's hit bitset (resp. its complement) and addIndexes-copies it;
+    here each side is a :func:`compact_shards` run whose ``deleted`` set
+    is the OTHER side's doc ids — the same delete-aware postings
+    rewrite, so positions/offsets/payloads carry over and each side gets
+    its own live-docs-only collection statistics. Unlike the reference's
+    addIndexes renumbering, ORIGINAL doc ids are preserved (they are
+    external identities in this engine).
+
+    Returns (manifest_match, manifest_rest)."""
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = matching_docs(reader, q)
+    all_ids = np.asarray(reader.all_doc_ids(), dtype=np.int64)
+    rest = np.setdiff1d(all_ids, hits, assume_unique=True)
+    m_match = compact_shards([index_dir], out_match, deleted=rest)
+    m_rest = compact_shards([index_dir], out_rest, deleted=hits)
+    # the split sides hold SPARSE doc-id sets, so the dense
+    # [0, doc_count) liveDocs fallback no longer applies — persist each
+    # side's id set as a docmap sidecar (what all_doc_ids reads first)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for out_dir, ids in ((out_match, hits), (out_rest, rest)):
+        dm = os.path.join(out_dir, "docmap")
+        os.makedirs(dm, exist_ok=True)
+        tmp = os.path.join(dm, "split-ids.parquet.tmp")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp
+        )
+        os.replace(tmp, os.path.join(dm, "split-ids.parquet"))
+    return m_match, m_rest

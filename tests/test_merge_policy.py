@@ -107,3 +107,59 @@ def test_compaction_carries_positions(ray_session, tmp_path):
     after = score_exhaustive(get_reader(out), q, 10)
     assert after[0].tolist() == before[0].tolist() == [1, 20]
     assert after[1].tolist() == before[1].tolist()
+
+
+def test_split_index(ray_session, tmp_path):
+    """PKIndexSplitter: postings-level split by a query — sides
+    partition the doc set exactly, per-side collection stats are
+    live-only, positions carry, and per-side searches equal the
+    original's results restricted to that side."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        matching_docs,
+        parse_query,
+        score_exhaustive,
+    )
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.merge import split_index
+    from lucene_ray.pipelines.search import get_reader
+
+    from test_engine_oracle import build_from_lists, make_corpus
+
+    doc_ids, texts = make_corpus(n_docs=120, seed=33)
+    base = str(tmp_path / "base")
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=3,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(base, doc_ids, texts, cfg)
+    an = make_analyzer("en_nostem_simple")
+    reader = get_reader(base)
+    hits = set(matching_docs(reader, parse_query("alpha", an)).tolist())
+
+    out_m, out_r = str(tmp_path / "m"), str(tmp_path / "r")
+    mm, mr = split_index(base, out_m, out_r, "alpha")
+    rm, rr = get_reader(out_m), get_reader(out_r)
+    # exact partition, original ids preserved
+    got_m = set(rm.all_doc_ids().tolist())
+    got_r = set(rr.all_doc_ids().tolist())
+    assert got_m == hits and got_r == set(doc_ids) - hits
+    assert mm["positions"] and mr["positions"]
+    # per-side stats are live-only
+    assert mm["doc_count"] == len(hits)
+    assert mr["doc_count"] == len(doc_ids) - len(hits)
+    assert mm["sum_total_tf"] + mr["sum_total_tf"] == \
+        get_reader(base).sum_total_tf
+    # a term's docs on each side == the original's docs intersected
+    for term in ("beta", "gamma"):
+        all_docs = set(
+            matching_docs(reader, parse_query(term, an)).tolist()
+        )
+        assert set(matching_docs(rm, parse_query(term, an)).tolist()) == \
+            all_docs & hits
+        assert set(matching_docs(rr, parse_query(term, an)).tolist()) == \
+            all_docs - hits
+    # phrases still work on the split side (positions carried)
+    q = parse_query('"kappa mu"', an)
+    orig = set(matching_docs(reader, q).tolist())
+    assert set(matching_docs(rm, q).tolist()) == orig & hits
