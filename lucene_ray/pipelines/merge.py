@@ -472,18 +472,60 @@ def split_index(
     rest = np.setdiff1d(all_ids, hits, assume_unique=True)
     m_match = compact_shards([index_dir], out_match, deleted=rest)
     m_rest = compact_shards([index_dir], out_rest, deleted=hits)
-    # the split sides hold SPARSE doc-id sets, so the dense
-    # [0, doc_count) liveDocs fallback no longer applies — persist each
-    # side's id set as a docmap sidecar (what all_doc_ids reads first)
+    _write_split_docmap(out_match, hits)
+    _write_split_docmap(out_rest, rest)
+    return m_match, m_rest
+
+
+def _write_split_docmap(out_dir: str, ids) -> None:
+    """Split outputs hold SPARSE doc-id sets, so the dense
+    [0, doc_count) liveDocs fallback no longer applies — persist the
+    side's id set as a docmap sidecar (what all_doc_ids reads first)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    for out_dir, ids in ((out_match, hits), (out_rest, rest)):
-        dm = os.path.join(out_dir, "docmap")
-        os.makedirs(dm, exist_ok=True)
-        tmp = os.path.join(dm, "split-ids.parquet.tmp")
-        pq.write_table(
-            pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp
-        )
-        os.replace(tmp, os.path.join(dm, "split-ids.parquet"))
-    return m_match, m_rest
+    dm = os.path.join(out_dir, "docmap")
+    os.makedirs(dm, exist_ok=True)
+    tmp = os.path.join(dm, "split-ids.parquet.tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(dm, "split-ids.parquet"))
+
+
+def multi_split_index(
+    index_dir: str, out_dirs: Sequence[str], seq: bool = False
+) -> list:
+    """MultiPassIndexSplitter analogue (reference: misc/src/java/org/
+    apache/lucene/misc/index/MultiPassIndexSplitter.java:61-115): split
+    an index into ``len(out_dirs)`` parts with artificially-applied
+    deletes (the FakeDeleteIndexReader trick) — here each part is a
+    delete-aware :func:`compact_shards` whose deleted set is the
+    complement of its keep set.
+
+    * ``seq=True``: contiguous ordinal ranges of maxDoc//n docs; the
+      LAST part collects the integer-rounding remainder (:87-99).
+    * ``seq=False`` (default): round-robin — part i keeps ordinals j
+      with ``j % n == i`` (:100-106).
+
+    Returns the per-part manifests; original doc ids preserved."""
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    all_ids = np.asarray(reader.all_doc_ids(), dtype=np.int64)
+    n = len(out_dirs)
+    if n < 2:
+        raise ValueError("need at least 2 output parts")
+    ordinals = np.arange(len(all_ids))
+    manifests = []
+    for i, out in enumerate(out_dirs):
+        if seq:
+            part_len = len(all_ids) // n
+            lo = part_len * i
+            hi = len(all_ids) if i == n - 1 else lo + part_len
+            keep_mask = (ordinals >= lo) & (ordinals < hi)
+        else:
+            keep_mask = ordinals % n == i
+        keep = all_ids[keep_mask]
+        dead = all_ids[~keep_mask]
+        manifests.append(compact_shards([index_dir], out, deleted=dead))
+        _write_split_docmap(out, keep)
+    return manifests

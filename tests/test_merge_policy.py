@@ -163,3 +163,49 @@ def test_split_index(ray_session, tmp_path):
     q = parse_query('"kappa mu"', an)
     orig = set(matching_docs(reader, q).tolist())
     assert set(matching_docs(rm, q).tolist()) == orig & hits
+
+
+def test_multi_split_index(ray_session, tmp_path):
+    """MultiPassIndexSplitter: round-robin and sequential modes
+    partition the ordinal space exactly (last sequential part takes the
+    rounding remainder); parts re-merge losslessly."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.merge import compact_shards, multi_split_index
+    from lucene_ray.pipelines.search import get_reader
+
+    from test_engine_oracle import build_from_lists, make_corpus
+
+    doc_ids, texts = make_corpus(n_docs=100, seed=37)
+    base = str(tmp_path / "base")
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0,
+    )
+    build_from_lists(base, doc_ids, texts, cfg)
+
+    # round-robin: part i keeps ordinals j % 3 == i
+    outs = [str(tmp_path / f"rr{i}") for i in range(3)]
+    ms = multi_split_index(base, outs, seq=False)
+    for i, out in enumerate(outs):
+        ids = get_reader(out).all_doc_ids().tolist()
+        assert ids == [d for j, d in enumerate(doc_ids) if j % 3 == i]
+        assert ms[i]["doc_count"] == len(ids)
+    # sequential: 33/33/34 (remainder to the last part)
+    outs_s = [str(tmp_path / f"sq{i}") for i in range(3)]
+    multi_split_index(base, outs_s, seq=True)
+    sizes = [len(get_reader(o).all_doc_ids()) for o in outs_s]
+    assert sizes == [33, 33, 34]
+    # lossless: re-merging the round-robin parts == the original
+    remerged = str(tmp_path / "remerged")
+    compact_shards(outs, remerged)
+    an = make_analyzer("en_nostem_simple")
+    r0, r1 = get_reader(base), get_reader(remerged)
+    assert r1.doc_count == r0.doc_count
+    assert r1.sum_total_tf == r0.sum_total_tf
+    for term in ("alpha", "beta"):
+        q = parse_query(term, an)
+        assert matching_docs(r1, q).tolist() == matching_docs(r0, q).tolist()
+    with pytest.raises(ValueError):
+        multi_split_index(base, [str(tmp_path / "one")])
