@@ -3596,6 +3596,56 @@ def _geo_distance(sf_dir: str):
     )
 
 
+def _bp_reorder(sf_dir: str):
+    """BP recursive-graph-bisection reorder (BPIndexReorderer / KDD'16):
+    rebuild the corpus index in BP doc order and report the log-gap
+    objective before/after plus the on-disk postings byte delta.
+    Rows-only (iterative heuristic — no SQL image); the invariants are
+    pytest-gated (tests/test_bp_reorder.py: identical result sets via
+    orig_id, smaller postings on clustered data)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.bp_reorder import bp_reorder_index
+    from lucene_ray.pipelines.build import IndexConfig
+
+    base = _ensure_index(sf_dir)
+    out = base.rstrip("/") + "-bp"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(analyzer="en_nostem_simple", norm_kind="exact")
+    manifest, stats = bp_reorder_index(
+        _load_documents(sf_dir), out, cfg, min_df=2,
+        min_partition_size=16,
+    )
+
+    def post_bytes(d):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "segments", "*"))
+            if f.endswith(".post")
+        )
+
+    return pa.table(
+        {
+            "n_docs": pa.array([stats["n_docs"]], pa.int64()),
+            "n_terms": pa.array([stats["n_terms"]], pa.int64()),
+            "cost_before": pa.array(
+                [round(stats["cost_before"], 3)], pa.float64()
+            ),
+            "cost_after": pa.array(
+                [round(stats["cost_after"], 3)], pa.float64()
+            ),
+            "improved": pa.array(
+                [stats["cost_after"] <= stats["cost_before"]], pa.bool_()
+            ),
+            "post_bytes": pa.array([post_bytes(out)], pa.int64()),
+        }
+    )
+
+
 INDEX_SPLIT_QUERY = "data"
 
 
@@ -4172,6 +4222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["geo_polygon"] = lambda sf: _geo_polygon(sf)
     q["dv_update"] = lambda sf: _dv_update(sf)
     q["index_split"] = lambda sf: _index_split(sf)
+    q["bp_reorder"] = lambda sf: _bp_reorder(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
