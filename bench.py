@@ -630,6 +630,70 @@ def run_suite() -> dict:
     stages["interval_query"] = round(time.time() - t0, 3)
     log(f"intervals: {stages['interval_query']}s / 40 queries")
 
+    # 2f-ter. extension proximity ops: TermAutomatonQuery (synonym-span /
+    # ANY / kleene shapes) + PhraseWildcardQuery through the pruned
+    # MultiPhrase executor — warm reader, per-query cost
+    from lucene_ray.functions.multiterm import phrase_wildcard_query
+    from lucene_ray.functions.term_automaton import (
+        TermAutomatonQuery,
+        score_term_automaton,
+    )
+
+    def _aut_span(a, b):
+        q = TermAutomatonQuery()
+        s1, s2 = q.create_state(), q.create_state()
+        q.add_transition(0, s1, a)
+        q.add_transition(s1, s2, b)
+        q.add_transition(0, s2, b)
+        q.set_accept(s2)
+        return q.finish()
+
+    def _aut_any(a, b, kleene=False):
+        q = TermAutomatonQuery()
+        s1, s2 = q.create_state(), q.create_state()
+        q.add_transition(0, s1, a)
+        if kleene:
+            q.add_any_transition(s1, s1)
+        else:
+            mid = q.create_state()
+            q.add_any_transition(s1, mid)
+            s1 = mid
+        q.add_transition(s1, s2, b)
+        q.set_accept(s2)
+        return q.finish()
+
+    autos = [
+        _aut_span("data", "stream"),
+        _aut_any("hash", "join"),
+        _aut_any("batch", "scan", kleene=True),
+    ]
+    pws = [
+        phrase_wildcard_query(
+            [("prefix", "ha"), ("term", "join")], reader_pos.expand_multi
+        ),
+        phrase_wildcard_query(
+            [("wildcard", "d?ta"), ("term", "stream")],
+            reader_pos.expand_multi,
+        ),
+    ]
+    for q in autos:
+        score_term_automaton(reader_pos, q, 10)  # warm
+    for q in pws:
+        if q is not None:
+            score_blockmax(reader_pos, q, 10)
+    t0 = time.time()
+    for _ in range(10):
+        for q in autos:
+            score_term_automaton(reader_pos, q, 10)
+        for q in pws:
+            if q is not None:
+                score_blockmax(reader_pos, q, 10)
+    stages["automaton_wildcard"] = round(time.time() - t0, 3)
+    log(
+        f"automaton+phrase-wildcard: {stages['automaton_wildcard']}s "
+        f"/ 50 queries"
+    )
+
     # 2g. multi-field: per-field subindex build (title projection + body)
     # then field-scoped and combined-field (BM25F) query batches
     from lucene_ray.pipelines.multifield import (

@@ -788,6 +788,36 @@ class HyphenatedWordsAnalyzer(_WrapAnalyzer):
         return out_t, out_p
 
 
+class DelimitedTermFrequencyAnalyzer:
+    """DelimitedTermFrequencyTokenFilter (analysis/common/.../
+    miscellaneous/DelimitedTermFrequencyTokenFilter.java:30-77):
+    whitespace tokens of the form ``term|N`` carry an explicit term
+    frequency. The reference sets the TermFrequencyAttribute, which adds
+    N to both the term's tf and the field length
+    (FieldInvertState.length); emitting the term N times reproduces
+    both EXACTLY under this engine's counting inverter. Tokens without
+    the delimiter keep frequency 1; a malformed count raises like the
+    reference's ArrayIndexOutOfBounds/NumberFormat contract. As in the
+    reference, the stream is NOT position-safe — index with
+    ``positions=False`` (repeated emissions would fabricate positions).
+    Terms lowercase (the usual downstream lowercase filter)."""
+
+    name = "termfreq"
+
+    def analyze(self, text: str):
+        out = []
+        for tok in (text or "").split():
+            if "|" in tok:
+                term, _, n = tok.partition("|")
+                count = int(n)  # malformed counts raise (reference contract)
+                if count < 1 or not term:
+                    raise ValueError(f"bad term|freq token: {tok!r}")
+                out.extend([term.lower()] * count)
+            else:
+                out.append(tok.lower())
+        return out
+
+
 class ReverseAnalyzer(_WrapAnalyzer):
     """ReverseStringFilter (analysis/common/src/java/org/apache/lucene/
     analysis/reverse/ReverseStringFilter.java:35-60): every token's
@@ -921,6 +951,7 @@ _REGISTRY: Dict[str, Callable[[], object]] = {
     "edge_ngram": lambda: NGramAnalyzer(edge=True),
     "shingle": ShingleAnalyzer,
     "ascii_folding": AsciiFoldingAnalyzer,
+    "termfreq": DelimitedTermFrequencyAnalyzer,
     "cjk_bigram": CJKBigramAnalyzer,
     "phonetic": PhoneticAnalyzer,
     "phonetic_replace": lambda: PhoneticAnalyzer(inject=False),

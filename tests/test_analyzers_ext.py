@@ -330,3 +330,37 @@ def test_hyphenated_words_filter():
     assert an.analyze("end-") == ["end-"]
     # plain hyphenless stream unchanged
     assert an.analyze("plain words") == ["plain", "words"]
+
+
+def test_delimited_term_frequency(ray_session, tmp_path):
+    """DelimitedTermFrequencyTokenFilter: term|N contributes N to BOTH
+    the term's tf and the field length — verified through a real index
+    build (tf, df, dl all annotation-driven)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.search import get_reader
+
+    from test_engine_oracle import build_from_lists
+
+    an = make_analyzer("termfreq")
+    assert an.analyze("apple|3 Pie cherry|1") == \
+        ["apple", "apple", "apple", "pie", "cherry"]
+    with pytest.raises(ValueError):
+        an.analyze("bad|0")
+    with pytest.raises(ValueError):
+        an.analyze("|5")
+
+    texts = ["apple|3 pie", "apple|1 cherry|4", "pie|2"]
+    out = tmp_path / "tfq"
+    cfg = IndexConfig(
+        analyzer="termfreq", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0,
+    )
+    build_from_lists(out, [0, 1, 2], texts, cfg)
+    r = get_reader(str(out))
+    df, ttf = r.term_stats("apple")
+    assert (df, ttf) == (2, 4)
+    df_p, ttf_p = r.term_stats("pie")
+    assert (df_p, ttf_p) == (2, 3)
+    # field length includes the expanded frequencies: doc0 dl = 3+1
+    assert r.sum_total_tf == 4 + 5 + 2
