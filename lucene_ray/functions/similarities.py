@@ -17,18 +17,26 @@ agnostic; this module adds the two most-used alternatives:
   ``score = sqrt(freq) * (boost * idf) * 1/sqrt(dl)`` with
   ``idf = log((docCount+1)/(docFreq+1)) + 1``).
 
-Both run the float64 exact chain (norm key = exact doc length) or the
-byte4 chain (key decodes through SmallFloat's LENGTH_TABLE like the
-reference's norm decode). Unlike BM25, neither factors into a
-weight x monotone-ratio form, so ``frontier_m`` returns the frontier's
-max SCORE and ``scores_from_m`` is the identity — still a valid upper
-bound, but the block-max executor routes these scorers through the
-exhaustive path (LMDirichlet can clamp in-document scores to 0, which
-interval pruning does not model).
+All families run the float64 exact chain (norm key = exact doc length)
+or the byte4 chain (key decodes through SmallFloat's LENGTH_TABLE like
+the reference's norm decode). None factors into BM25's weight x
+monotone-ratio form, so ``frontier_m`` returns the frontier's max SCORE
+and ``scores_from_m`` is the identity — since r4 that bound drives the
+PRUNED block-max path for every tf-monotone / dl-antitone family
+(clamped-zero models use activity-based interval feasibility). Two
+exceptions, each with its own mechanism:
 
-Selection: set ``reader.similarity`` to ``("lmd", mu)`` or
-``("classic",)`` (None = BM25, the default) — the per-searcher
-IndexSearcher.setSimilarity analogue, same contract as
+* :class:`SweetSpot` — plateau length norm, NOT dl-antitone: bounds via
+  the ``bound_array`` norm<=1 relaxation (still pruned);
+* :class:`IndriDirichlet` — NEGATIVE log-probability scores:
+  ``NEGATIVE_SCORE_MODELS`` routes it to the exhaustive path (additive
+  bounds are invalid when absence out-scores presence — the same
+  non-negativity assumption the reference's impacts contract makes).
+
+Selection: set ``reader.similarity`` to ``("lmd", mu)``,
+``("classic",)``, ``("sweetspot", lmin, lmax, steep, tf_base,
+tf_min)``, ``("indri", mu)`` ... (None = BM25, the default) — the
+per-searcher IndexSearcher.setSimilarity analogue, same contract as
 ``reader.bm25_params``.
 """
 
