@@ -203,6 +203,42 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
         ids = dv.doc_sorted_ids
         if len(ids) > 1 and np.any(np.diff(ids) <= 0):
             errors.append(f"docvalues[{field}]: duplicate or unsorted doc ids")
+    # doc-values UPDATE overlays (upd-<gen>-<crc> files): generations
+    # must be contiguous from 1 (a gap means a lost update generation)
+    # and each file's name-embedded CRC must match its content — the
+    # same tamper discipline as the postings CRCs
+    import glob as _glob
+    import zlib as _zlib
+
+    import pyarrow.parquet as _pq
+
+    for field in dv_fields:
+        upds = sorted(
+            _glob.glob(os.path.join(dv_root, field, "upd-*.parquet"))
+        )
+        gens = []
+        for f in upds:
+            base = os.path.basename(f)[: -len(".parquet")]
+            try:
+                _, gen_s, crc_s = base.split("-")
+                gens.append(int(gen_s))
+            except ValueError:
+                errors.append(
+                    f"docvalues[{field}]: malformed overlay name {base}"
+                )
+                continue
+            t = _pq.read_table(f)
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            vals = t.column("value").to_numpy().astype(np.int64)
+            crc = _zlib.crc32(ids.tobytes()) ^ _zlib.crc32(vals.tobytes())
+            if f"{crc:08x}" != crc_s:
+                errors.append(
+                    f"docvalues[{field}]: overlay {base} CRC mismatch"
+                )
+        if gens and sorted(gens) != list(range(1, len(gens) + 1)):
+            errors.append(
+                f"docvalues[{field}]: overlay generations not contiguous"
+            )
     # string (SORTED) doc-values sidecars: unique sorted doc ids, ords
     # inside the dictionary, dictionary sorted+unique
     from .docvalues import DOCVALUES_STR_DIR, StrDocValues

@@ -379,3 +379,38 @@ def test_update_numeric_doc_values(dv_index):
         update_numeric_doc_values(out, "ts", [], 1)
     with pytest.raises(FileNotFoundError):
         update_numeric_doc_values(out, "nope", [1], 1)
+
+
+def test_checkindex_validates_update_overlays(dv_index):
+    """CheckIndex: overlay CRC tamper detection + generation
+    contiguity."""
+    import glob
+    import os
+
+    from lucene_ray.state.checkindex import check_index
+    from lucene_ray.state.docvalues import update_numeric_doc_values
+
+    out = dv_index
+    update_numeric_doc_values(out, "ts", [1], 500)
+    update_numeric_doc_values(out, "ts", [2], 600)
+    rep = check_index(out)
+    assert rep["errors"] == []
+    # tamper: rewrite the newest overlay with a different value under
+    # the same (CRC-bearing) name
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    upd = sorted(glob.glob(os.path.join(out, "docvalues", "ts",
+                                        "upd-*.parquet")))[-1]
+    pq_.write_table(
+        pa_.table({"doc_id": pa_.array([2], pa_.int64()),
+                   "value": pa_.array([601], pa_.int64())}),
+        upd,
+    )
+    rep = check_index(out, raise_on_error=False)
+    assert any("CRC mismatch" in e for e in rep["errors"])
+    # generation gap: remove gen 1, keep gen 2
+    os.remove(sorted(glob.glob(os.path.join(out, "docvalues", "ts",
+                                            "upd-*.parquet")))[0])
+    rep = check_index(out, raise_on_error=False)
+    assert any("generations not contiguous" in e for e in rep["errors"])
