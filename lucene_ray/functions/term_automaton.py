@@ -117,8 +117,39 @@ class TermAutomatonQuery:
                 a[i] = arcs[i].get(sym, -1)
             self.step[sym] = a
         self._any_pows: List[np.ndarray] = [self.step[ANY]]
+        # pure-python step tables: for the tiny det automata this query
+        # family produces, list indexing beats numpy per-op overhead in
+        # the per-doc loop by ~an order of magnitude
+        self.step_py = {sym: a.tolist() for sym, a in self.step.items()}
+        self.accept_py = self.det_accept.tolist()
+        # required terms (the reference's own noted optimization,
+        # TermAutomatonQuery.java:62-63 "find terms that are in fact
+        # MUST"): a term is required when removing its arcs leaves no
+        # start->accept path — candidates can then INTERSECT that term's
+        # postings instead of unioning everything
+        self.required = [
+            t for t in self.terms if not self._accepts_without(t)
+        ]
         self._finished = True
         return self
+
+    def _accepts_without(self, banned: str) -> bool:
+        """Is any accept state reachable from det state 0 using every
+        symbol except ``banned``? (BFS over the det arcs.)"""
+        seen = {0}
+        stack = [0]
+        while stack:
+            s = stack.pop()
+            if self.det_accept[s]:
+                return True
+            for sym, arr in self.step.items():
+                if sym == banned:
+                    continue
+                nxt = int(arr[s])
+                if nxt >= 0 and nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        return False
 
     def _any_power(self, k: int) -> Optional[np.ndarray]:
         """Composition of the ANY next-state map with itself k times
@@ -146,43 +177,64 @@ class TermAutomatonQuery:
 
 def _doc_freq_automaton(q: TermAutomatonQuery, events: List[Tuple[int, List[int]]]) -> int:
     """The scorer's countMatches over one doc's (position, term-ids)
-    events (ascending positions). Returns the automaton freq."""
+    events (ascending positions). Returns the automaton freq.
+
+    Pure-Python int arithmetic over the tiny det state tables — an order
+    of magnitude faster per doc than numpy's per-op overhead at these
+    sizes; ANY-only gaps still use the doubled next-state maps
+    (:meth:`TermAutomatonQuery._any_power`), so kleene self-loops stay
+    O(log gap). ``S is None`` encodes the all-zero multiset."""
     n = q.n_det
-    accept = q.det_accept
-    any_step = q.step[ANY]
-    S = np.zeros(n, dtype=np.int64)
+    accept = q.accept_py
+    step_py = q.step_py
+    any_py = step_py[ANY]
+    terms = q.terms
+    S = None
     freq = 0
     prev = None
     for pos, tids in events:
-        if prev is not None and pos - prev > 1 and S.any():
-            p = q._any_power(pos - prev - 1)
-            if p is None:
-                S = np.zeros(n, dtype=np.int64)
+        if S is not None and prev is not None and pos - prev > 1:
+            m = q._any_power(pos - prev - 1)
+            if m is None:
+                S = None
             else:
-                ns = np.zeros(n, dtype=np.int64)
-                valid = p >= 0
-                np.add.at(ns, p[valid], S[valid])
-                S = ns
-        elif prev is not None and pos - prev > 1:
-            S = np.zeros(n, dtype=np.int64)
-        # one combined step into pos+1: ANY from S, term arcs from S,
-        # plus a fresh start per term at this position
-        ns = np.zeros(n, dtype=np.int64)
-        valid = any_step >= 0
-        if S.any():
-            np.add.at(ns, any_step[valid], S[valid])
+                ml = m.tolist()
+                ns = [0] * n
+                alive = False
+                for i, c in enumerate(S):
+                    if c:
+                        t_ = ml[i]
+                        if t_ >= 0:
+                            ns[t_] += c
+                            alive = True
+                S = ns if alive else None
+        ns = [0] * n
+        alive = False
+        if S is not None:
+            for i, c in enumerate(S):
+                if c:
+                    a = any_py[i]
+                    if a >= 0:
+                        ns[a] += c
+                        alive = True
         for tid in tids:
-            st = q.step[q.terms[tid]]
-            tv = st >= 0
-            if S.any():
-                np.add.at(ns, st[tv], S[tv])
-                freq += int(S[tv][accept[st[tv]]].sum())
-            s0 = int(st[0])
+            st = step_py[terms[tid]]
+            if S is not None:
+                for i, c in enumerate(S):
+                    if c:
+                        nx = st[i]
+                        if nx >= 0:
+                            ns[nx] += c
+                            alive = True
+                            if accept[nx]:
+                                freq += c
+            s0 = st[0]
             if s0 >= 0:
                 ns[s0] += 1
+                alive = True
                 if accept[s0]:
                     freq += 1
-        S = ns
+        S = ns if alive else None
         prev = pos
     return freq
 
@@ -208,14 +260,18 @@ def term_automaton_scored(reader, q: TermAutomatonQuery):
     k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
     idf64 = 0.0
     present: List[str] = []
+    term_docs: Dict[str, np.ndarray] = {}
     ev_docs, ev_pos, ev_tid = [], [], []
     for tid, t in enumerate(q.terms):
         df, _ = reader.term_stats(t)
         if df == 0:
+            if t in q.required:
+                return empty  # a required term absent: nothing matches
             continue
         idf64 += math.log(1.0 + (reader.doc_count - df + 0.5) / (df + 0.5))
         present.append(t)
         docs, tfs, flat = reader.term_positions(t)
+        term_docs[t] = docs
         ev_docs.append(np.repeat(docs, tfs))
         ev_pos.append(flat.astype(np.int64))
         ev_tid.append(np.full(int(tfs.sum()), tid, dtype=np.int64))
@@ -224,26 +280,49 @@ def term_automaton_scored(reader, q: TermAutomatonQuery):
     d = np.concatenate(ev_docs)
     p = np.concatenate(ev_pos)
     t = np.concatenate(ev_tid)
+    # required-term candidate pruning (the reference's noted MUST-term
+    # optimization): only docs containing EVERY required term can match,
+    # so events narrow to their intersection before the per-doc DP
+    allowed: Optional[np.ndarray] = None
+    for rt in q.required:
+        rd = term_docs[rt]
+        allowed = rd if allowed is None else np.intersect1d(
+            allowed, rd, assume_unique=True
+        )
+    if allowed is not None:
+        if len(allowed) == 0:
+            return empty
+        pos_a = np.minimum(
+            np.searchsorted(allowed, d), len(allowed) - 1
+        )
+        keep = allowed[pos_a] == d
+        d, p, t = d[keep], p[keep], t[keep]
+        if len(d) == 0:
+            return empty
     order = np.lexsort((t, p, d))
     d, p, t = d[order], p[order], t[order]
     deleted = getattr(reader, "deleted", None)
     out_docs, out_freq = [], []
     starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
     bounds = np.r_[starts, len(d)]
+    p_l = p.tolist()
+    t_l = t.tolist()
     for i in range(len(starts)):
-        lo, hi = bounds[i], bounds[i + 1]
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
         doc = int(d[lo])
         if deleted is not None and len(deleted):
             j = int(np.searchsorted(deleted, doc))
             if j < len(deleted) and deleted[j] == doc:
                 continue
         events: List[Tuple[int, List[int]]] = []
+        last_pos = -1
         for j in range(lo, hi):
-            pos = int(p[j])
-            if events and events[-1][0] == pos:
-                events[-1][1].append(int(t[j]))
+            pos = p_l[j]
+            if pos == last_pos:
+                events[-1][1].append(t_l[j])
             else:
-                events.append((pos, [int(t[j])]))
+                events.append((pos, [t_l[j]]))
+                last_pos = pos
         freq = _doc_freq_automaton(q, events)
         if freq > 0:
             out_docs.append(doc)
