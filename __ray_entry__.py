@@ -3646,6 +3646,30 @@ def _bp_reorder(sf_dir: str):
     )
 
 
+def _field_exists(sf_dir: str):
+    """FieldExistsQuery (core/search/FieldExistsQuery.java): docs
+    carrying a value for the field — sparse numeric (len_sparse), dense
+    string (lang), and an unknown field (no rows).
+    -> (query_id, doc_id)."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    qids, docs = [], []
+    for qid, field in ((0, "len_sparse"), (1, "lang"), (2, "nope")):
+        ids = reader.field_exists_docs(field)
+        qids.extend([qid] * len(ids))
+        docs.extend(int(x) for x in ids)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 INDEX_SPLIT_QUERY = "data"
 
 
@@ -4223,6 +4247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dv_update"] = lambda sf: _dv_update(sf)
     q["index_split"] = lambda sf: _index_split(sf)
     q["bp_reorder"] = lambda sf: _bp_reorder(sf)
+    q["field_exists"] = lambda sf: _field_exists(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -8969,6 +8994,10 @@ UNION ALL
     sql["geo_polygon"] = _geo_polygon_sql()
     sql["dv_update"] = _dv_update_sql()
     sql["index_split"] = _index_split_sql()
+    sql["field_exists"] = """
+(SELECT 0 AS query_id, doc_id FROM documents WHERE doc_id % 5 <> 0)
+UNION ALL
+(SELECT 1 AS query_id, doc_id FROM documents)"""
     sql["bm25_recency_boost"] = _boost_field_sql()
     sql["bm25_feature"] = _feature_sql()
     sql["expr_score"] = _expr_score_sql()

@@ -214,6 +214,29 @@ class IndexReader:
     def doc_values_for(self, field: str, docs):
         return self.doc_values(field).values_for(docs)
 
+    def field_exists_docs(self, field: str) -> "np.ndarray":
+        """FieldExistsQuery (core/src/java/org/apache/lucene/search/
+        FieldExistsQuery.java:41-47): sorted doc IDs carrying a value
+        for ``field`` — resolved against the numeric doc-values sidecar
+        first, then the SORTED string sidecar (the reference likewise
+        matches on whichever of norms/doc-values the field indexed);
+        constant-score FILTER semantics, tombstones excluded."""
+        import numpy as np
+
+        from .docvalues import has_doc_values, has_str_doc_values
+
+        if has_doc_values(self.index_dir, field):
+            ids = self.doc_values(field).doc_sorted_ids
+        elif has_str_doc_values(self.index_dir, field):
+            ids = self.str_doc_values(field).doc_sorted_ids
+        else:
+            return np.empty(0, dtype=np.int64)
+        deleted = getattr(self, "deleted", None)
+        if deleted is not None and len(deleted) and len(ids):
+            pos = np.minimum(np.searchsorted(deleted, ids), len(deleted) - 1)
+            ids = ids[deleted[pos] != ids]
+        return np.asarray(ids, dtype=np.int64)
+
     def reopen_doc_values(self, field: str = None) -> None:
         """Drop the cached doc-values column(s) so the next access
         reloads update generations (state/docvalues.py

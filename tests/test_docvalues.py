@@ -414,3 +414,33 @@ def test_checkindex_validates_update_overlays(dv_index):
                                             "upd-*.parquet")))[0])
     rep = check_index(out, raise_on_error=False)
     assert any("generations not contiguous" in e for e in rep["errors"])
+
+
+def test_field_exists_query(dv_index):
+    """FieldExistsQuery: numeric + string doc-values presence, unknown
+    field empties, tombstones excluded."""
+    from lucene_ray.state.deletes import delete_docs
+    from lucene_ray.state.docvalues import write_str_doc_values
+
+    out = dv_index
+    r = _reader(out)
+    assert r.field_exists_docs("ts").tolist() == list(range(len(TEXTS)))
+    assert r.field_exists_docs("nope").tolist() == []
+    # sparse string field
+    import pyarrow as pa
+    import ray.data
+
+    stbl = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 5], pa.int64()),
+            "v": pa.array(["a", "b", "a"], pa.string()),
+        }
+    )
+    write_str_doc_values(ray.data.from_arrow(stbl), out, "cat", "v")
+    assert r.field_exists_docs("cat").tolist() == [0, 2, 5]
+    # deletes excluded
+    delete_docs(out, [2])
+    from lucene_ray.pipelines.search import get_reader
+
+    r2 = get_reader(out)  # fresh tombstone fingerprint
+    assert r2.field_exists_docs("cat").tolist() == [0, 5]
