@@ -45,7 +45,27 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-ANY = object()  # the addAnyTransition label sentinel
+class _AnyLabel:
+    """The addAnyTransition label sentinel — a pickle-stable singleton
+    (queries cross Ray actor boundaries for sharded serving; a plain
+    ``object()`` would lose identity and break ``step[ANY]`` lookups
+    after unpickling)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __reduce__(self):
+        return (_AnyLabel, ())
+
+    def __repr__(self):
+        return "ANY"
+
+
+ANY = _AnyLabel()
 
 
 class TermAutomatonQuery:
@@ -280,6 +300,10 @@ def term_automaton_scored(reader, q: TermAutomatonQuery):
     d = np.concatenate(ev_docs)
     p = np.concatenate(ev_pos)
     t = np.concatenate(ev_tid)
+    if len(d) == 0:
+        # globally-present terms can still be locally absent (sharded
+        # serving under global stats)
+        return empty
     # required-term candidate pruning (the reference's noted MUST-term
     # optimization): only docs containing EVERY required term can match,
     # so events narrow to their intersection before the per-doc DP

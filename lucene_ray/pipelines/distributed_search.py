@@ -162,6 +162,20 @@ class ShardedSearchService:
                     qid: score_span(view, q, k) for qid, q in queries
                 }
 
+            def topk_automaton(self, queries, k, doc_count,
+                               sum_total_tf, df_map):
+                from ..functions.term_automaton import (
+                    score_term_automaton,
+                )
+
+                view = GlobalStatsView(
+                    self._reader(), doc_count, sum_total_tf, df_map
+                )
+                return {
+                    qid: score_term_automaton(view, q, k)
+                    for qid, q in queries
+                }
+
             def topk_payloads(self, queries, k):
                 # pure payload folds need no cross-shard statistics: the
                 # fold is per doc and docs live on exactly one shard
@@ -304,6 +318,48 @@ class ShardedSearchService:
             out[qid] = (
                 np.asarray([d for _, d in top], dtype=np.int64),
                 np.asarray([-s for s, _ in top], dtype=dtype),
+            )
+        return out
+
+    def search_automata(
+        self, automata: Sequence, k: int = 10
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Sharded TermAutomatonQuery serving: global (df, ttf) gathered
+        for every automaton term (the one-SimScorer idf sum must see
+        whole-corpus stats), each shard runs the multiset DP over its
+        local positions, TopDocs.merge finishes — result-identical to a
+        single index (doc ranges disjoint, matching is doc-local)."""
+        queries = list(enumerate(automata))
+        all_terms = sorted({t for _, q in queries for t in q.terms})
+        df_map: Dict[str, Tuple[int, int]] = {}
+        for shard_stats in ray.get(
+            [a.term_stats.remote(all_terms) for a in self._actors]
+        ):
+            for t, (df, ttf) in shard_stats.items():
+                d0, t0 = df_map.get(t, (0, 0))
+                df_map[t] = (d0 + df, t0 + ttf)
+        per_shard = ray.get(
+            [
+                a.topk_automaton.remote(
+                    queries, k, self.doc_count, self.sum_total_tf, df_map
+                )
+                for a in self._actors
+            ]
+        )
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        for qid, _ in queries:
+            entries = []
+            for shard_out in per_shard:
+                docs, scores = shard_out[qid][:2]
+                entries.extend(
+                    zip((-s for s in np.asarray(scores).tolist()),
+                        docs.tolist())
+                )
+            entries.sort()
+            top = entries[:k]
+            out[qid] = (
+                np.asarray([d for _, d in top], dtype=np.int64),
+                np.asarray([-s for s, _ in top], dtype=np.float64),
             )
         return out
 

@@ -574,3 +574,66 @@ def test_sharded_phrase_synonym_multiphrase_parity(tmp_path, ray_session):
             )
     finally:
         svc.shutdown()
+
+
+def test_sharded_term_automaton_matches_single(tmp_path, ray_session):
+    """Doc-range-sharded TermAutomatonQuery serving under global stats
+    equals the single-index result exactly (incl. a shard missing some
+    automaton terms entirely)."""
+    import numpy as np
+
+    from lucene_ray.functions.term_automaton import (
+        ANY,
+        TermAutomatonQuery,
+        score_term_automaton,
+    )
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.distributed_search import ShardedSearchService
+    from lucene_ray.pipelines.search import get_reader
+
+    from test_engine_oracle import build_from_lists, make_corpus
+
+    doc_ids, texts = make_corpus(n_docs=160, seed=47)
+    # shard B gets doc texts stripped of 'alpha' so one automaton term
+    # is entirely absent there
+    texts = list(texts)
+    for i in range(80, 160):
+        texts[i] = texts[i].replace("alpha", "kappa")
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(tmp_path / "full", doc_ids, texts, cfg)
+    build_from_lists(tmp_path / "a", doc_ids[:80], texts[:80], cfg)
+    build_from_lists(tmp_path / "b", doc_ids[80:], texts[80:], cfg)
+
+    def qa():
+        q = TermAutomatonQuery()
+        s1, s2 = q.create_state(), q.create_state()
+        q.add_transition(0, s1, "alpha")
+        q.add_any_transition(s1, s1)
+        q.add_transition(s1, s2, "beta")
+        q.set_accept(s2)
+        return q.finish()
+
+    def qb():
+        q = TermAutomatonQuery()
+        s1, s2 = q.create_state(), q.create_state()
+        q.add_transition(0, s1, "kappa")
+        q.add_transition(s1, s2, "mu")
+        q.add_transition(0, s2, "mu")
+        q.set_accept(s2)
+        return q.finish()
+
+    reader = get_reader(str(tmp_path / "full"))
+    svc = ShardedSearchService([str(tmp_path / "a"), str(tmp_path / "b")])
+    try:
+        got = svc.search_automata([qa(), qb()], k=10)
+        for qid, q in ((0, qa()), (1, qb())):
+            d, s = score_term_automaton(reader, q, 10)
+            assert np.array_equal(d, got[qid][0]), qid
+            np.testing.assert_array_equal(
+                np.asarray(s, np.float64), got[qid][1]
+            )
+    finally:
+        svc.shutdown()
