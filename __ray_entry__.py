@@ -426,6 +426,19 @@ PHRASE_QUERY_SETS: Dict[int, str] = {
     4: '"zzz missing"',
 }
 
+# Surround query language distance operators (queryparser/surround):
+# <d>W = ordered within distance d, <d>N = unordered; slop = d - 1
+# (DistanceQuery.java:96). Parsed by functions/spans.py::parse_surround
+# and executed/oracled exactly like the span sets below.
+SURROUND_QUERY_SETS: Dict[int, str] = {
+    0: "3W(data, stream)",
+    1: "N(key, value)",
+    2: "2N(hash, join)",
+    3: "W(customer, table, merge)",
+    4: "4W(batch, scan)",
+}
+
+
 # Span queries (queries/spans module): (terms, slop, in_order).
 # Ordered = per-start greedy shortest chain (NearSpansOrdered); unordered
 # two-clause = two-pointer merge intervals (NearSpansUnordered); each
@@ -2543,6 +2556,49 @@ def _bm25_span_near(sf_dir: str):
     )
 
 
+def _surround_sets() -> Dict[int, Tuple[Tuple[str, ...], int, bool]]:
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.spans import parse_surround
+
+    an = make_analyzer("en_nostem_simple")
+    out = {}
+    for qid, text in sorted(SURROUND_QUERY_SETS.items()):
+        q = parse_surround(text, an)
+        out[qid] = (q.terms, q.slop, q.in_order)
+    return out
+
+
+def _surround_query(sf_dir: str):
+    """Surround-language distance queries (<d>W / <d>N) parsed to span
+    queries and scored like bm25_span_near.
+    -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import parse_surround, score_span
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    an = make_analyzer("en_nostem_simple")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in sorted(SURROUND_QUERY_SETS.items()):
+        q = parse_surround(text, an)
+        d, s = score_span(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def _bm25_recency_boost(sf_dir: str):
     """Function-scored top-k: BM25 + recency term from warc_ts doc values."""
     import numpy as np
@@ -4248,6 +4304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["index_split"] = lambda sf: _index_split(sf)
     q["bp_reorder"] = lambda sf: _bp_reorder(sf)
     q["field_exists"] = lambda sf: _field_exists(sf)
+    q["surround_query"] = lambda sf: _surround_query(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -6957,7 +7014,7 @@ def _interval_unordered_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
-def _span_near_sql() -> str:
+def _span_near_sql(sets=None) -> str:
     """Oracle for bm25_span_near: positions from the stopword-gap ptok
     CTE; ordered spans as chained per-start MIN-successor joins, unordered
     two-clause spans as the LAG-window image of the two-pointer merge
@@ -6984,7 +7041,9 @@ def _span_near_sql() -> str:
         )
 
     arms = []
-    for qid, (terms, slop, in_order) in sorted(SPAN_QUERY_SETS.items()):
+    for qid, (terms, slop, in_order) in sorted(
+        (sets if sets is not None else SPAN_QUERY_SETS).items()
+    ):
         n = len(terms)
         if in_order:
             # chained greedy successors: level i adds MIN(pos > prev link)
@@ -8976,6 +9035,7 @@ UNION ALL
     sql["pack_sequences"] = _pack_sequences_sql()
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()
+    sql["surround_query"] = _span_near_sql(_surround_sets())
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()
     sql["interval_containing"] = _interval_containing_sql()

@@ -475,3 +475,40 @@ def span_query_terms(query) -> Tuple[str, ...]:
     if isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
         return tuple(query.big.terms) + (query.little,)
     return tuple(query.terms)
+
+
+def parse_surround(text: str, analyzer) -> "SpanNearQuery":
+    """Surround query language — the distance-operator subset
+    (reference: queryparser/src/java/org/apache/lucene/queryparser/
+    surround/query/DistanceQuery.java:29-96 and the surround grammar):
+    ``<d>W(t1, t2, ...)`` = ordered within distance d, ``<d>N(...)`` =
+    unordered; a bare ``W``/``N`` means distance 1. DistanceQuery
+    rewrites to ``SpanNearQuery(clauses, opDistance - 1, ordered)``
+    (:96) — the slop mapping kept here literally. Prefix operator form
+    only (the language's canonical shape); each operand must analyze to
+    exactly one term."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d*)\s*([WwNn])\s*\((.*)\)\s*", text)
+    if not m:
+        raise ValueError(
+            f"not a surround distance query: {text!r} "
+            "(expected <d>W(t1, t2, ...) or <d>N(...))"
+        )
+    distance = int(m.group(1)) if m.group(1) else 1
+    if distance < 1:
+        raise ValueError("surround distance must be >= 1")
+    ordered = m.group(2).lower() == "w"
+    terms = []
+    for part in m.group(3).split(","):
+        toks = analyzer.analyze(part.strip())
+        if len(toks) != 1:
+            raise ValueError(
+                f"surround operand {part.strip()!r} must analyze to one term"
+            )
+        terms.append(toks[0])
+    if len(terms) < 2:
+        raise ValueError("surround distance query needs >= 2 operands")
+    return SpanNearQuery(
+        terms=tuple(terms), slop=distance - 1, in_order=ordered
+    )

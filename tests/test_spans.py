@@ -433,3 +433,29 @@ def test_masked_span_near_vs_model(ray_session, tmp_path):
         np.testing.assert_allclose(
             got_s, [exp[d] for d in ranked], rtol=1e-12
         )
+
+
+def test_parse_surround():
+    """Surround distance operators: <d>W ordered / <d>N unordered,
+    slop = distance - 1 (DistanceQuery.java:96), bare op = distance 1,
+    analyzer-normalized operands, malformed inputs raise."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.spans import SpanNearQuery, parse_surround
+
+    an = make_analyzer("en_nostem_simple")
+    q = parse_surround("3W(data, stream)", an)
+    assert q == SpanNearQuery(terms=("data", "stream"), slop=2,
+                              in_order=True)
+    q = parse_surround("N(key, value)", an)
+    assert (q.terms, q.slop, q.in_order) == (("key", "value"), 0, False)
+    q = parse_surround("W(a1, b2, c3)", an)
+    assert q.slop == 0 and q.in_order and len(q.terms) == 3
+    # operands run through the analyzer (case folding)
+    assert parse_surround("2N(Hash, JOIN)", an).terms == ("hash", "join")
+    for bad in ("W(a)", "3W()", "near(a, b)", "0W(a, b)",
+                "3W(ab cd, c)", "plain text"):
+        with pytest.raises(ValueError):
+            parse_surround(bad, an)
+    # stopword operands vanish through the analyzer like any chain:
+    # "a b" analyzes to just "b"
+    assert parse_surround("3W(a b, c)", an).terms == ("b", "c")
