@@ -4305,6 +4305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bp_reorder"] = lambda sf: _bp_reorder(sf)
     q["field_exists"] = lambda sf: _field_exists(sf)
     q["surround_query"] = lambda sf: _surround_query(sf)
+    q["complex_phrase"] = lambda sf: _complex_phrase(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -7707,6 +7708,140 @@ def _multi_phrase_sql() -> str:
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
 
+# ComplexPhraseQueryParser subset (queryparser/complexPhrase): quoted
+# phrases with embedded wildcard/prefix/fuzzy words, parsed by
+# functions/multiterm.py::parse_complex_phrase and executed as
+# MultiPhraseQuery. Unlike PHRASE_WILDCARD_QUERY_SETS the multiterm
+# slot may appear ANYWHERE — the oracle folds the full idf chain with
+# one ordered list_reduce over the concatenated per-slot idf lists.
+COMPLEX_PHRASE_SETS: Dict[int, str] = {
+    0: '"data str*"',
+    1: '"d?ta stream"',
+    2: '"cust* table"',
+    3: '"tabel~1 merge"',
+    4: '"hash jo*"',
+}
+
+
+def _complex_phrase(sf_dir: str):
+    """Complex phrases through the pruned MultiPhrase executor.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.multiterm import (
+        parse_complex_phrase,
+        phrase_wildcard_query,
+    )
+    from lucene_ray.functions.query import score_blockmax
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    an = make_analyzer("en_nostem_simple")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in sorted(COMPLEX_PHRASE_SETS.items()):
+        slots = parse_complex_phrase(text, an)
+        q = phrase_wildcard_query(slots, reader.expand_multi)
+        if q is None:
+            continue
+        d, s = score_blockmax(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(round_half_away(np.asarray(s, np.float64), 4).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _complex_phrase_sql() -> str:
+    """Oracle for complex_phrase: per slot a membership predicate
+    (expansion subquery or literal); the idf chain concatenates every
+    slot's idf list IN DECLARATION ORDER (literal slots contribute a
+    one-element list, multiterm slots an ORDER BY term list) and folds
+    once with list_reduce — exactly the engine's flat running
+    accumulation regardless of where the multiterm slot sits."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.multiterm import parse_complex_phrase
+
+    an = make_analyzer("en_nostem_simple")
+    ptok = """ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {stop}
+)""".format(stop=_STOP_SQL)
+    idf_expr = "ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    arms = []
+    for qid, text in sorted(COMPLEX_PHRASE_SETS.items()):
+        slots = parse_complex_phrase(text, an)
+        idf_items = []
+        conds = []
+        base = None
+        for i, slot in enumerate(slots):
+            if slot[0] == "term":
+                t = slot[1]
+                idf_items.append(
+                    f"[COALESCE((SELECT {idf_expr} FROM df d "
+                    f"CROSS JOIN stats s2 WHERE d.term = '{t}'), 0.0)]"
+                )
+                member = f"term = '{t}'"
+            else:
+                kind, pattern = slot[0], slot[1]
+                arg = int(slot[2]) if len(slot) > 2 else 0
+                pred = _clause_pred(kind, pattern, arg)
+                idf_items.append(
+                    f"COALESCE((SELECT list({idf_expr} ORDER BY d.term) "
+                    f"FROM df d CROSS JOIN stats s2 WHERE {pred}), "
+                    f"CAST([] AS DOUBLE[]))"
+                )
+                member = (
+                    f"term IN (SELECT d2.term FROM df d2 WHERE "
+                    f"{pred.replace('term', 'd2.term')})"
+                )
+            if i == 0:
+                base = f"a.{member}"
+            else:
+                conds.append(
+                    f"EXISTS (SELECT 1 FROM ptok b WHERE b.doc_id = a.doc_id "
+                    f"AND b.pos = a.pos + {i} AND b.{member})"
+                )
+        idf = (
+            "list_reduce(" + " || ".join(idf_items) + ", (x, y) -> x + y)"
+        )
+        where = " AND ".join([base] + conds)
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM (
+      SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf
+      FROM ptok a WHERE {where}
+      GROUP BY a.doc_id
+    ) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 # PhraseWildcardQuery (sandbox/.../search/PhraseWildcardQuery.java):
 # slots are (kind, pattern[, arg]) multi-terms or ("term", t) literals.
 # The MULTI-TERM slot is always declared FIRST so the engine's flat
@@ -9018,6 +9153,7 @@ UNION ALL
     sql["html_extract"] = _html_extract_sql()
     sql["multi_phrase"] = _multi_phrase_sql()
     sql["phrase_wildcard"] = _phrase_wildcard_sql()
+    sql["complex_phrase"] = _complex_phrase_sql()
     sql["term_automaton"] = _term_automaton_sql()
     sql["payload_score"] = _payload_sql()
     sql["span_payload_check"] = _span_payload_check_sql()

@@ -351,3 +351,51 @@ def phrase_wildcard_query(slots, expander, max_expansions: int = None):
     return MultiPhrase(
         term_arrays=tuple(arrays), offsets=tuple(range(len(arrays)))
     )
+
+
+def parse_complex_phrase(text: str, analyzer):
+    """ComplexPhraseQueryParser subset (reference: queryparser/src/java/
+    org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:49-77 — quoted phrases whose words may
+    embed wildcard/fuzzy syntax, rewritten against the dictionary and
+    run as a position-aware query). Parses ``"w1 w2 ..."`` (quotes
+    optional) into the slot list :func:`phrase_wildcard_query` consumes:
+
+    * ``pre*`` (star only, at the end)      -> ("prefix", pre)
+    * any other ``*``/``?`` word            -> ("wildcard", word)
+    * ``word~N``                            -> ("fuzzy", word, N)
+    * plain word                            -> ("term", analyzed token)
+
+    Plain words run through the analyzer; a word the analyzer DROPS
+    (stopword) is removed and the remaining slots close ranks —
+    documented deviation from the reference, which keeps position
+    holes. Raises when a plain word analyzes to several tokens or
+    nothing matchable remains."""
+    inner = text.strip()
+    if inner.startswith('"') and inner.endswith('"') and len(inner) >= 2:
+        inner = inner[1:-1]
+    slots = []
+    for word in inner.split():
+        if "*" in word or "?" in word:
+            body = word.lower()
+            if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+                slots.append(("prefix", body[:-1]))
+            else:
+                slots.append(("wildcard", body))
+            continue
+        if "~" in word:
+            base, _, n = word.partition("~")
+            if not base:
+                raise ValueError(f"bad fuzzy word: {word!r}")
+            slots.append(("fuzzy", base.lower(), int(n) if n else 2))
+            continue
+        toks = analyzer.analyze(word)
+        if len(toks) > 1:
+            raise ValueError(
+                f"complex-phrase word {word!r} analyzes to several tokens"
+            )
+        if toks:  # stopword words drop and slots close ranks
+            slots.append(("term", toks[0]))
+    if len(slots) < 2:
+        raise ValueError("complex phrase needs >= 2 effective words")
+    return slots

@@ -457,3 +457,52 @@ def test_reverse_analyzer():
     terms, pos = an.analyze_positions("Hello stream the")
     assert terms == ["olleh", "maerts"]  # stopword dropped, then reversed
     assert an.analyze("abc") == ["cba"]
+
+
+def test_parse_complex_phrase(ray_session, tmp_path):
+    """ComplexPhraseQueryParser subset: wildcard/prefix/fuzzy words
+    inside quotes become multiterm slots; plain words analyze; stopword
+    words drop with slots closing ranks; malformed inputs raise."""
+    from lucene_ray.functions.multiterm import (
+        parse_complex_phrase,
+        phrase_wildcard_query,
+    )
+
+    an = make_analyzer("en_nostem_simple")
+    assert parse_complex_phrase('"data str*"', an) == [
+        ("term", "data"), ("prefix", "str")
+    ]
+    assert parse_complex_phrase('"d?ta STREAM"', an) == [
+        ("wildcard", "d?ta"), ("term", "stream")
+    ]
+    assert parse_complex_phrase('"tabel~1 merge"', an) == [
+        ("fuzzy", "tabel", 1), ("term", "merge")
+    ]
+    assert parse_complex_phrase('"word~ x*y"', an) == [
+        ("fuzzy", "word", 2), ("wildcard", "x*y")
+    ]
+    # stopword drops, ranks close
+    assert parse_complex_phrase('"data the str*"', an) == [
+        ("term", "data"), ("prefix", "str")
+    ]
+    for bad in ('"one"', '"the a"', '"~2 x"'):
+        with pytest.raises(ValueError):
+            parse_complex_phrase(bad, an)
+
+    # end-to-end: parsed phrase == hand-built slots through the executor
+    texts = ["hash join wins", "hash joint", "hash join hash join",
+             "data stream", "plain filler"]
+    out = tmp_path / "cpx"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(out, list(range(len(texts))), texts, cfg)
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(str(out))
+    q = phrase_wildcard_query(
+        parse_complex_phrase('"hash jo*"', an), reader.expand_multi
+    )
+    d, s = score_exhaustive(reader, q, 10)
+    assert set(d.tolist()) == {0, 1, 2}
