@@ -249,3 +249,45 @@ def test_token_stream_to_automaton(ray_session, tmp_path):
                                    preserve_position_increments=False)
     assert _freq(q3, "alpha beta".split()) == 1
     assert token_stream_to_automaton("", an) is None
+
+
+def test_automaton_and_phrase_wildcard_respect_deletes(ray_session, tmp_path):
+    """Tombstoned docs never appear in TermAutomaton or PhraseWildcard
+    results (liveDocs filtering on the extension executors)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.multiterm import phrase_wildcard_query
+    from lucene_ray.functions.query import score_blockmax
+    from lucene_ray.pipelines.search import get_reader
+    from lucene_ray.state.deletes import delete_docs
+
+    texts = [
+        "alpha beta gamma",
+        "alpha beta",
+        "alpha x beta",
+        "alpha beta again",
+    ]
+    out = tmp_path / "del"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(out, list(range(len(texts))), texts, cfg)
+    reader = get_reader(str(out))
+    q = _phrase_q("alpha", ANY, "beta")  # doc 2 only? also spans others
+    before, _ = score_term_automaton(reader, q, 10)
+    qa = _phrase_q("alpha", "beta")
+    before_exact, _ = score_term_automaton(reader, qa, 10)
+    assert 1 in before_exact.tolist()
+    delete_docs(str(out), [1, 2])
+    reader2 = get_reader(str(out))  # fresh tombstone fingerprint
+    after, _ = score_term_automaton(reader2, qa, 10)
+    assert 1 not in after.tolist() and 2 not in after.tolist()
+    after_any, _ = score_term_automaton(reader2, q, 10)
+    assert 2 not in after_any.tolist()
+    # phrase-wildcard path too
+    pw = phrase_wildcard_query(
+        [("prefix", "alph"), ("term", "beta")], reader2.expand_multi
+    )
+    d, _ = score_blockmax(reader2, pw, 10)
+    assert 1 not in d.tolist() and 2 not in d.tolist()
+    assert set(d.tolist()) <= {0, 3}
