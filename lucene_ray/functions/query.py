@@ -2478,6 +2478,159 @@ def _phrase_blockmax(reader, phrase: "PhraseQuery", k: int):
     )
 
 
+def _sloppy_blockmax(reader, phrase: "PhraseQuery", k: int):
+    """Pruned executor for SLOPPY phrases (slop > 0) — the last
+    positional shape that used to route exhaustive. The bound: every
+    match is anchored at one position of the FIRST term and weighs at
+    most 1 (sloppyWeight 1/(1+L) <= 1), so a doc's float freq is at most
+    the anchor term's tf; an interval therefore carries
+    ``scorer(anchor block-max tf, min active norm key)`` with
+    every-term-active feasibility (candidates need the boolean AND).
+    Per-interval evaluation slices every term's (docs, tfs, positions)
+    arrays to the doc range and runs the SAME :func:`_sloppy_freqs`
+    kernel — the per-anchor smallest-range sweep is doc-local, so
+    per-doc float freqs, the norm gather and the single score
+    application are bit-identical to the global pass."""
+    import math
+
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    k1, b = getattr(reader, "bm25_params", (1.2, 0.75))
+    idf64 = 0.0
+    pos_cache: Dict[str, tuple] = {}
+    pstarts: Dict[str, np.ndarray] = {}
+    raws = []
+    for t in phrase.terms:
+        df, _ = reader.term_stats(t)
+        if df == 0:
+            return empty
+        idf64 += math.log(
+            1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
+        )
+        if t not in pos_cache:
+            pos_cache[t] = reader.term_positions(t)
+            pstarts[t] = np.concatenate(
+                ([0], np.cumsum(pos_cache[t][1]))
+            ).astype(np.int64)
+        raws.append(_raw_cursor(reader, t))
+    if any(r.n_blocks == 0 for r in raws):
+        return empty
+    if sum(r.n_blocks for r in raws) <= 32:
+        _set_path("exhaustive:small")
+        got = _phrase_scored(reader, phrase)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
+    scorer = make_scorer(
+        reader.norm_kind, reader.doc_count, reader.sum_total_tf, 1,
+        k1=k1, b=b,
+    )
+    if reader.norm_kind == "byte4":
+        scorer.idf = np.float32(idf64)
+        scorer.weight = np.float32(idf64)
+    else:
+        scorer.idf = idf64
+        scorer.weight = idf64
+    edges = np.unique(
+        np.concatenate(
+            [r.first_docs for r in raws] + [r.last_docs + 1 for r in raws]
+        )
+    )
+    starts = edges[:-1]
+    tf_bound = np.zeros(len(starts), dtype=np.int64)
+    key_min = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    feasible = np.ones(len(starts), dtype=bool)
+    for ti, r in enumerate(raws):
+        idx = np.searchsorted(r.last_docs, starts)
+        idx_c = np.minimum(idx, r.n_blocks - 1)
+        act = r.first_docs[idx_c] <= starts
+        feasible &= act
+        if ti == 0:  # the anchor term's tf bounds the weighted freq
+            tf_bound = np.where(act, r.block_max_tf[idx_c], 0)
+        key_min = np.where(
+            act, np.minimum(key_min, r.block_min_key[idx_c]), key_min
+        )
+    n_feasible = int(feasible.sum())
+    if n_feasible <= 32:
+        _set_path("exhaustive:small")
+        got = _phrase_scored(reader, phrase)
+        if got is None:
+            return empty
+        return _topk_from(got[0], got[1], k)
+    bounds = np.zeros(len(starts), dtype=np.float64)
+    if feasible.any():
+        bounds[feasible] = scorer.bound_array(
+            tf_bound[feasible], np.where(feasible, key_min, 0)[feasible]
+        ).astype(np.float64)
+    pad_f = (
+        1.0 + 4 * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
+    )
+    bounds = bounds * pad_f
+    deleted = getattr(reader, "deleted", None)
+    order = np.argsort(-bounds, kind="stable")
+    heap: List[Tuple[float, int]] = []
+    probed = 0
+    for i in order:
+        if not feasible[i]:
+            continue
+        if len(heap) == k and bounds[i] < heap[0][0]:
+            break
+        if probed == 8 and n_feasible > 64:
+            thr = heap[0][0] if len(heap) == k else -np.inf
+            alive = int((bounds[feasible] >= thr).sum())
+            if alive > 0.25 * n_feasible:
+                _set_path("exhaustive:cost-fallback")
+                got = _phrase_scored(reader, phrase)
+                if got is None:
+                    return empty
+                return _topk_from(got[0], got[1], k)
+        probed += 1
+        lo = int(starts[i])
+        hi = int(edges[i + 1]) - 1
+        sliced: Dict[str, tuple] = {}
+        alive = True
+        for t in pos_cache:
+            docs_t, tfs_t, flat_t = pos_cache[t]
+            i0 = int(np.searchsorted(docs_t, lo))
+            i1 = int(np.searchsorted(docs_t, hi, side="right"))
+            if i1 <= i0:
+                alive = False
+                break
+            ps = pstarts[t]
+            sliced[t] = (
+                docs_t[i0:i1],
+                tfs_t[i0:i1],
+                flat_t[int(ps[i0]): int(ps[i1])],
+            )
+        if not alive:
+            continue
+        docs_u, pf = _sloppy_freqs(sliced, phrase)
+        if deleted is not None and len(deleted) and len(docs_u):
+            dpos = np.minimum(
+                np.searchsorted(deleted, docs_u), len(deleted) - 1
+            )
+            keep = deleted[dpos] != docs_u
+            docs_u, pf = docs_u[keep], pf[keep]
+        if len(docs_u) == 0:
+            continue
+        norm_keys = _gather_norm_keys(reader, phrase.terms[0], docs_u)
+        acc = scorer.score_array(pf, norm_keys).astype(dtype, copy=False)
+        if len(heap) == k:
+            mask = acc.astype(np.float64) >= heap[0][0]
+            docs_u, acc = docs_u[mask], acc[mask]
+        for d, sc in zip(docs_u, acc):
+            entry = (float(sc), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return (
+        np.array([-e[1] for e in out], dtype=np.int64),
+        np.array([e[0] for e in out], dtype=dtype),
+    )
+
+
 def _multi_phrase_blockmax(reader, q: "MultiPhrase", k: int):
     """Pruned executor for MultiPhraseQuery: slot s's per-doc union
     occurrence count is at most the SUM of its present terms' tfs, and
@@ -3503,8 +3656,17 @@ def score_blockmax(reader, query, k: int = 10):
         # (r4 late addition); sloppy-phrase children route it back to
         # the exhaustive combiner inside _tree_blockmax
         return _tree_blockmax(reader, query, k)
+    if (
+        isinstance(query, PhraseQuery)
+        and getattr(query, "slop", 0) > 0
+        and getattr(reader, "has_positions", False)
+    ):
+        # sloppy phrases prune via the anchor-term tf bound (each match
+        # weighs <= 1 and is anchored at one first-term position)
+        _set_path("pruned:sloppy")
+        return _sloppy_blockmax(reader, query, k)
     if isinstance(query, (PhraseQuery, MultiPhrase)):
-        # positional sloppy verification isn't modeled by interval bounds
+        # positions-disabled indexes can't run positional verification
         _set_path("exhaustive:query-kind")
         return score_exhaustive(reader, query, k)
     prep = _prepare(reader, query)

@@ -458,12 +458,25 @@ def test_exact_phrase_queries_take_pruned_path(ray_session, tmp_path_factory):
         assert np.array_equal(ed, bd), (case, qs, k)
         assert np.array_equal(np.asarray(es), np.asarray(bs)), (case, qs, k)
     assert any(p.startswith("pruned") for p in paths), set(paths)
-    # sloppy stays exhaustive (documented)
-    q = PhraseQuery(terms=("alpha", "beta"), offsets=(0, 1), slop=2)
-    e = score_exhaustive(reader, q, 10)
-    b = score_blockmax(reader, q, 10)
-    assert score_blockmax.last_path == "exhaustive:query-kind"
-    assert np.array_equal(e[0], b[0])
+    # sloppy phrases now prune too (anchor-tf bound): randomized slops,
+    # repeated terms included — bit-identical dumb-vs-smart with the
+    # pruned path engaged at least once
+    spaths = []
+    for case in range(80):
+        size = int(rng.integers(2, 4))
+        words = [str(w) for w in rng.choice(WORDS, size=size)]
+        q = parse_query(
+            '"' + " ".join(words) + f'"~{int(rng.integers(1, 5))}', an
+        )
+        if not getattr(q, "terms", ()) or len(q.terms) < 2:
+            continue
+        k = int(rng.choice([1, 10, 30]))
+        ed, es = score_exhaustive(reader, q, k)
+        bd, bs = score_blockmax(reader, q, k)
+        spaths.append(score_blockmax.last_path)
+        assert np.array_equal(ed, bd), (case, q, k)
+        assert np.array_equal(np.asarray(es), np.asarray(bs)), (case, q, k)
+    assert any(p == "pruned:sloppy" for p in spaths), set(spaths)
 
 
 def test_matchall_shortcut(bx_index):
