@@ -1196,6 +1196,22 @@ def _packed_pos_keys(reader, term: str):
     return hit
 
 
+def _term_positions_cached(reader, term: str):
+    """(docs, tfs, flat, pstarts): the raw positions triple plus per-doc
+    prefix starts, cached per warm reader (LRU-bounded, same lifecycle
+    as ``_packed_pos``): the sloppy matchers consume the RAW arrays (not
+    the packed keys), and decoding positions dominated their per-query
+    cost on warm searchers before this cache."""
+    cache = reader.__dict__.setdefault("_raw_pos", LruDict(256))
+    hit = cache.get(term)
+    if hit is None:
+        docs, tfs, flat = reader.term_positions(term)
+        pstarts = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+        hit = (docs, tfs, flat, pstarts)
+        cache[term] = hit
+    return hit
+
+
 def _phrase_scored(reader, phrase: PhraseQuery):
     """-> (docs, scores, dtype) for an exact phrase, or None when any term
     is absent / the index lacks positions. Vectorized ExactPhraseMatcher:
@@ -1229,7 +1245,7 @@ def _phrase_scored(reader, phrase: PhraseQuery):
             1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
         )
         if sloppy and t not in pos_cache:
-            pos_cache[t] = reader.term_positions(t)
+            pos_cache[t] = _term_positions_cached(reader, t)[:3]
     if sloppy:
         docs_u, pf = _sloppy_freqs(pos_cache, phrase)
         if len(docs_u) == 0:
@@ -1437,15 +1453,29 @@ def _min_window_repeats(
     return best
 
 
+def _norm_key_arrays(reader, term: str):
+    """(docs, keys) concatenated across the term's postings, cached per
+    warm reader (LRU-bounded, same lifecycle as ``_packed_pos``): the
+    pruned positional executors gather norm keys PER INTERVAL, and
+    re-decoding the full postings each time dominated their profile."""
+    cache = reader.__dict__.setdefault("_norm_keys", LruDict(256))
+    hit = cache.get(term)
+    if hit is None:
+        parts = []
+        for tp in reader.postings(term):
+            d, _, k = tp.decode_all()
+            parts.append((d, k))
+        alld = np.concatenate([d for d, _ in parts])
+        allk = np.concatenate([k for _, k in parts])
+        hit = (alld, allk)
+        cache[term] = hit
+    return hit
+
+
 def _gather_norm_keys(reader, term: str, docs_u: np.ndarray) -> np.ndarray:
     """Norm keys of ``docs_u`` from one term's postings (docs_u ⊆ its doc
     set by construction)."""
-    parts = []
-    for tp in reader.postings(term):
-        d, _, k = tp.decode_all()
-        parts.append((d, k))
-    alld = np.concatenate([d for d, _ in parts])
-    allk = np.concatenate([k for _, k in parts])
+    alld, allk = _norm_key_arrays(reader, term)
     pos = np.minimum(np.searchsorted(alld, docs_u), len(alld) - 1)
     return allk[pos]
 
@@ -2508,10 +2538,9 @@ def _sloppy_blockmax(reader, phrase: "PhraseQuery", k: int):
             1.0 + (reader.doc_count - df + 0.5) / (df + 0.5)
         )
         if t not in pos_cache:
-            pos_cache[t] = reader.term_positions(t)
-            pstarts[t] = np.concatenate(
-                ([0], np.cumsum(pos_cache[t][1]))
-            ).astype(np.int64)
+            hit = _term_positions_cached(reader, t)
+            pos_cache[t] = hit[:3]
+            pstarts[t] = hit[3]
         raws.append(_raw_cursor(reader, t))
     if any(r.n_blocks == 0 for r in raws):
         return empty
@@ -2566,6 +2595,21 @@ def _sloppy_blockmax(reader, phrase: "PhraseQuery", k: int):
         1.0 + 4 * 2.0 ** -23 if dtype == np.float32 else 1.0 + 2.0 ** -40
     )
     bounds = bounds * pad_f
+    # zero-probe fallback pre-check (sloppy probes run the Python
+    # smallest-range sweep, so a wasted probe is far costlier than the
+    # exact executor's vectorized slice): with the heap OPTIMALLY filled
+    # by the top-k bounds the true surviving fraction can only be larger
+    # (scores <= bounds), so if even that exceeds the 25% budget the
+    # cost fallback is a guaranteed outcome — take it before probing
+    if n_feasible > 64:
+        fb = np.sort(bounds[feasible])
+        thr_opt = fb[max(0, n_feasible - k)]
+        if int((fb >= thr_opt).sum()) > 0.25 * n_feasible:
+            _set_path("exhaustive:cost-fallback")
+            got = _phrase_scored(reader, phrase)
+            if got is None:
+                return empty
+            return _topk_from(got[0], got[1], k)
     deleted = getattr(reader, "deleted", None)
     order = np.argsort(-bounds, kind="stable")
     heap: List[Tuple[float, int]] = []
