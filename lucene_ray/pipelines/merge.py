@@ -40,6 +40,7 @@ def _merge_gpart(
     shard_dirs: List[str], out_dir: str, gpart: int, num_partitions: int,
     deleted=None, with_positions: bool = False,
     with_offsets: bool = False, with_payloads: bool = False,
+    remap=None,
 ) -> dict:
     import time
 
@@ -101,6 +102,15 @@ def _merge_gpart(
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         keys = np.concatenate(key_parts)
+        if remap is not None:
+            # doc renumbering (IndexRearranger): map ids BEFORE the doc
+            # sort — the existing order/position-run permutation then
+            # rebuilds every stream in the NEW doc order
+            old_ids, new_ids = remap
+            rpos = np.minimum(
+                np.searchsorted(old_ids, docs), len(old_ids) - 1
+            )
+            docs = new_ids[rpos]
         order = np.argsort(docs, kind="stable")
         flat_pos = None
         if with_positions:
@@ -293,7 +303,7 @@ def _live_doc_count(shard_dirs: Sequence[str], total: int, deleted) -> int:
 
 
 def compact_shards(
-    shard_dirs: Sequence[str], out_dir: str, deleted=None
+    shard_dirs: Sequence[str], out_dir: str, deleted=None, remap=None
 ) -> dict:
     """Merge ``shard_dirs`` (disjoint ascending doc ranges, same config,
     no heavy splits) into one index at ``out_dir``; returns its manifest.
@@ -322,7 +332,7 @@ def compact_shards(
         [
             _merge_gpart.remote(
                 list(shard_dirs), out_dir, g, num_partitions, dead,
-                with_positions, with_offsets, with_payloads,
+                with_positions, with_offsets, with_payloads, remap,
             )
             for g in range(num_partitions)
         ]
@@ -344,8 +354,14 @@ def compact_shards(
         "doc_count": doc_count,
         "sum_total_tf": int(sum(s["sum_tf"] for s in metas)),
         "num_postings": int(sum(s["num_postings"] for s in metas)),
-        "doc_min": int(min(m.get("doc_min", 0) for m in manifests)),
-        "doc_max": int(max(m.get("doc_max", -1) for m in manifests)),
+        "doc_min": (
+            int(remap[1].min()) if remap is not None and len(remap[1])
+            else int(min(m.get("doc_min", 0) for m in manifests))
+        ),
+        "doc_max": (
+            int(remap[1].max()) if remap is not None and len(remap[1])
+            else int(max(m.get("doc_max", -1) for m in manifests))
+        ),
         "fingerprint": f"compacted:{';'.join(sorted(os.path.basename(d.rstrip('/')) for d in shard_dirs))}",
         "build_sec": None,
         "docs_per_sec": None,
@@ -529,3 +545,114 @@ def multi_split_index(
         manifests.append(compact_shards([index_dir], out, deleted=dead))
         _write_split_docmap(out, keep)
     return manifests
+
+
+def rearrange_index(
+    index_dir: str, out_dir: str, new_order
+) -> dict:
+    """IndexRearranger analogue (reference: misc/src/java/org/apache/
+    lucene/misc/index/IndexRearranger.java — rewrite an index with
+    documents assigned to a caller-chosen order, no re-analysis):
+    ``new_order`` lists the ORIGINAL doc ids in their new sequence
+    (every live doc exactly once); the output numbers them densely
+    0..n-1 in that sequence. Rides the merge machinery: ids are remapped
+    before the per-term doc sort, so postings, positions, offsets and
+    payload streams all rebuild in the new order. An ``orig_id``
+    doc-values sidecar carries external identities (doc-values sidecars
+    themselves are not carried — same contract as compaction).
+
+    Returns the output manifest."""
+    from ..state.docvalues import write_doc_values
+
+    new_order = np.asarray(new_order, dtype=np.int64)
+    order_sort = np.argsort(new_order, kind="stable")
+    old_sorted = new_order[order_sort]
+    if len(old_sorted) > 1 and np.any(np.diff(old_sorted) <= 0):
+        raise ValueError("new_order must list each doc id exactly once")
+    new_ids = np.arange(len(new_order), dtype=np.int64)[order_sort]
+    manifest = compact_shards(
+        [index_dir], out_dir, remap=(old_sorted, new_ids)
+    )
+    import pyarrow as pa
+
+    import ray.data
+
+    write_doc_values(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(new_order), dtype=np.int64)
+                    ),
+                    "orig_id": pa.array(new_order),
+                }
+            )
+        ),
+        out_dir,
+        "orig_id",
+    )
+    return manifest
+
+
+def bp_rearrange(
+    index_dir: str,
+    out_dir: str,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    max_iters: int = 20,
+    min_partition_size: int = 32,
+) -> tuple:
+    """Merge-time BP reordering — the BPReorderingMergePolicy shape
+    (misc/index/BPReorderingMergePolicy.java wraps BPIndexReorderer into
+    the merge): compute the recursive-graph-bisection order from the
+    INDEX ITSELF (postings inverted to the doc->term incidence, df
+    window applied) and rewrite through :func:`rearrange_index` — no
+    original dataset needed. Returns (manifest, stats) with the log-gap
+    objective before/after."""
+    from .bp_reorder import bp_permutation, log_gap_cost
+
+    reader = IndexReader(index_dir)
+    n_docs = reader.doc_count
+    hi = max(int(max_df_frac * n_docs), min_df)
+    pairs_d, pairs_t = [], []
+    tid = 0
+    for term in reader.all_terms():
+        df, _ = reader.term_stats(term)
+        if not (min_df <= df <= hi):
+            continue
+        for tp in reader.postings(term):
+            d, _, _k = tp.decode_all()
+            pairs_d.append(np.asarray(d, dtype=np.int64))
+            pairs_t.append(np.full(len(d), tid, dtype=np.int64))
+        tid += 1
+    if tid == 0:
+        raise ValueError("no terms inside the df window")
+    doc_ids = np.concatenate(pairs_d)
+    tids = np.concatenate(pairs_t)
+    uniq_docs = np.unique(doc_ids)
+    dpos = np.searchsorted(uniq_docs, doc_ids)
+    o = np.lexsort((tids, dpos))
+    dpos_s, tids_s = dpos[o], tids[o]
+    counts = np.bincount(dpos_s, minlength=len(uniq_docs))
+    indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    perm = bp_permutation(
+        indptr, tids_s, tid, max_iters=max_iters,
+        min_partition_size=min_partition_size,
+    )
+    stats = {
+        "cost_before": log_gap_cost(
+            indptr, tids_s, tid, np.arange(len(uniq_docs))
+        ),
+        "cost_after": log_gap_cost(indptr, tids_s, tid, perm),
+        "n_docs": int(n_docs),
+        "n_terms": tid,
+    }
+    ordered = uniq_docs[perm]
+    rest = np.setdiff1d(
+        np.asarray(IndexReader(index_dir).all_doc_ids(), dtype=np.int64),
+        uniq_docs,
+        assume_unique=True,
+    )
+    new_order = np.concatenate([ordered, rest])
+    manifest = rearrange_index(index_dir, out_dir, new_order)
+    return manifest, stats

@@ -209,3 +209,88 @@ def test_multi_split_index(ray_session, tmp_path):
         assert matching_docs(r1, q).tolist() == matching_docs(r0, q).tolist()
     with pytest.raises(ValueError):
         multi_split_index(base, [str(tmp_path / "one")])
+
+
+def test_rearrange_and_bp_merge_time(ray_session, tmp_path):
+    """IndexRearranger + merge-time BP: postings-level renumbering in a
+    caller-chosen order (no re-analysis), identity via orig_id, phrase
+    streams carried; bp_rearrange computes the order from the index
+    itself and shrinks the postings on a clustered corpus."""
+    import glob
+    import os
+
+    import ray.data
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import matching_docs, parse_query
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.merge import bp_rearrange, rearrange_index
+    from lucene_ray.pipelines.search import get_reader
+
+    rng = np.random.default_rng(13)
+    words_a = [f"alpha{i}" for i in range(25)]
+    words_b = [f"beta{i}" for i in range(25)]
+    texts = []
+    for i in range(500):
+        pool = words_a if i % 2 == 0 else words_b
+        texts.append(" ".join(rng.choice(pool, size=7, replace=False))
+                     + (" anchor point" if i % 10 == 0 else ""))
+    base = str(tmp_path / "base")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_index(ray.data.from_arrow(tbl), base, cfg, doc_count=len(texts))
+    r0 = get_reader(base)
+    an = make_analyzer("en_nostem_simple")
+
+    # 1. explicit rearrangement: reverse order
+    rev = str(tmp_path / "rev")
+    new_order = np.arange(len(texts) - 1, -1, -1)
+    m = rearrange_index(base, rev, new_order)
+    rr = get_reader(rev)
+    assert m["doc_count"] == len(texts)
+    orig = rr.doc_values("orig_id")
+    for term in ("alpha3", "beta7", "anchor"):
+        want = set(matching_docs(r0, parse_query(term, an)).tolist())
+        got_new = matching_docs(rr, parse_query(term, an))
+        assert set(
+            int(x) for x in orig.values_for(got_new)
+        ) == want, term
+    # phrase stream carried and renumbered
+    qp = parse_query('"anchor point"', an)
+    want = set(matching_docs(r0, qp).tolist())
+    got = set(int(x) for x in orig.values_for(matching_docs(rr, qp)))
+    assert got == want and len(want) == 50
+    with pytest.raises(ValueError):
+        rearrange_index(base, str(tmp_path / "dup"), [0, 0, 1])
+
+    # 2. merge-time BP from the index itself
+    def post_bytes(d):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "segments", "*"))
+            if f.endswith(".post")
+        )
+
+    bp = str(tmp_path / "bp")
+    m2, stats = bp_rearrange(base, bp, min_df=2, min_partition_size=16)
+    assert stats["cost_after"] < stats["cost_before"]
+    assert post_bytes(bp) < post_bytes(base)
+    rb = get_reader(bp)
+    orig_bp = rb.doc_values("orig_id")
+    for term in ("alpha3", "beta7"):
+        want = set(matching_docs(r0, parse_query(term, an)).tolist())
+        got = set(
+            int(x)
+            for x in orig_bp.values_for(
+                matching_docs(rb, parse_query(term, an))
+            )
+        )
+        assert got == want, term
