@@ -426,6 +426,155 @@ PHRASE_QUERY_SETS: Dict[int, str] = {
     4: '"zzz missing"',
 }
 
+# SpanMultiTermQueryWrapper under SpanNear (queries/spans/
+# SpanMultiTermQueryWrapper.java): (slots, slop, in_order) — slots are
+# ("term", t) literals or multiterm patterns expanded per segment.
+SPAN_MT_QUERY_SETS: Dict[int, Tuple[tuple, int, bool]] = {
+    0: ((("prefix", "ha"), ("term", "join")), 2, True),
+    1: ((("term", "data"), ("prefix", "st")), 1, True),
+    2: ((("wildcard", "d?ta"), ("term", "stream")), 3, False),
+    3: ((("prefix", "cust"), ("term", "table"), ("term", "merge")),
+        4, True),
+}
+
+
+def _span_multiterm(sf_dir: str):
+    """SpanMultiTermQueryWrapper composed under SpanNear: per-slot
+    dictionary expansions matched as SpanOr unions inside the near
+    chain. -> (query_id, rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.spans import score_span, span_multiterm_near
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (slots, slop, in_order) in sorted(SPAN_MT_QUERY_SETS.items()):
+        q = span_multiterm_near(
+            slots, reader.expand_multi, slop=slop, in_order=in_order
+        )
+        if q is None:
+            continue
+        d, s = score_span(reader, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(int(x) for x in d)
+        scores.extend(round_half_away(s, 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _span_multiterm_sql() -> str:
+    """Oracle for span_multiterm: the span-near kernels (chained greedy
+    MIN-successors / the LAG-window unordered image) with per-slot
+    MEMBERSHIP predicates instead of single terms, and the idf chain as
+    one declaration-order list_reduce fold over concatenated per-slot
+    idf lists (expansion slots ORDER BY term — the engine's expander
+    order)."""
+    ptok = """ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {stop}
+)""".format(stop=_STOP_SQL)
+    idf_expr = "ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5))"
+
+    def slot_parts(slot):
+        if slot[0] == "term":
+            t = slot[1]
+            mem = f"term = '{t}'"
+            idf = (
+                f"[COALESCE((SELECT {idf_expr} FROM df d "
+                f"CROSS JOIN stats s2 WHERE d.term = '{t}'), 0.0)]"
+            )
+        else:
+            kind, pattern = slot[0], slot[1]
+            arg = int(slot[2]) if len(slot) > 2 else 0
+            pred = _clause_pred(kind, pattern, arg)
+            mem = (
+                f"term IN (SELECT d2.term FROM df d2 WHERE "
+                f"{pred.replace('term', 'd2.term')})"
+            )
+            idf = (
+                f"COALESCE((SELECT list({idf_expr} ORDER BY d.term) "
+                f"FROM df d CROSS JOIN stats s2 WHERE {pred}), "
+                f"CAST([] AS DOUBLE[]))"
+            )
+        return mem, idf
+
+    arms = []
+    for qid, (slots, slop, in_order) in sorted(SPAN_MT_QUERY_SETS.items()):
+        mems, idfs = zip(*[slot_parts(sl) for sl in slots])
+        spos = [
+            f"(SELECT doc_id, pos FROM ptok WHERE {m})" for m in mems
+        ]
+        n = len(slots)
+        if in_order:
+            inner = (
+                f"SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS p1\n"
+                f"      FROM {spos[0]} a\n"
+                f"      JOIN {spos[1]} b"
+                " ON b.doc_id = a.doc_id AND b.pos > a.pos\n"
+                "      GROUP BY a.doc_id, a.pos"
+            )
+            for i in range(2, n):
+                inner = (
+                    f"SELECT s.doc_id, s.pa, MIN(c{i}.pos) AS p{i}\n"
+                    f"      FROM ({inner}) s\n"
+                    f"      JOIN {spos[i]} c{i}"
+                    f" ON c{i}.doc_id = s.doc_id AND c{i}.pos > s.p{i - 1}\n"
+                    f"      GROUP BY s.doc_id, s.pa, s.p{i - 1}"
+                )
+            gap = f"p{n - 1} - pa - {n - 1}"
+            pf = (
+                f"SELECT doc_id, SUM(1.0 / (1.0 + ({gap}))) AS pf\n"
+                f"    FROM ({inner})\n"
+                f"    WHERE {gap} <= {slop} GROUP BY doc_id"
+            )
+        else:
+            slag = [
+                f"(SELECT doc_id, pos, LAG(pos, 1, -1) OVER "
+                f"(PARTITION BY doc_id ORDER BY pos) AS prev FROM ptok "
+                f"WHERE {m})"
+                for m in mems
+            ]
+            pf = (
+                "SELECT doc_id, SUM(1.0 / (1.0 + gap)) AS pf FROM (\n"
+                "      SELECT al.doc_id, abs(al.pos - bl.pos) - 1 AS gap\n"
+                f"      FROM {slag[0]} al\n"
+                f"      JOIN {slag[1]} bl ON bl.doc_id = al.doc_id\n"
+                "      WHERE al.prev < bl.pos AND bl.prev < al.pos\n"
+                f"    ) WHERE gap <= {slop} GROUP BY doc_id"
+            )
+        idf = "list_reduce(" + " || ".join(idfs) + ", (x, y) -> x + y)"
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT p.doc_id,
+           {idf}
+             * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                  / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+    FROM ({pf}) p
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN stats s
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+
+
 # Surround query language distance operators (queryparser/surround):
 # <d>W = ordered within distance d, <d>N = unordered; slop = d - 1
 # (DistanceQuery.java:96). Parsed by functions/spans.py::parse_surround
@@ -4306,6 +4455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["field_exists"] = lambda sf: _field_exists(sf)
     q["surround_query"] = lambda sf: _surround_query(sf)
     q["complex_phrase"] = lambda sf: _complex_phrase(sf)
+    q["span_multiterm"] = lambda sf: _span_multiterm(sf)
     q["bm25_recency_boost"] = lambda sf: _bm25_recency_boost(sf)
     q["bm25_feature"] = lambda sf: _bm25_feature(sf)
     q["expr_score"] = lambda sf: _expr_score(sf)
@@ -9172,6 +9322,7 @@ UNION ALL
     sql["bpe_token_count"] = _bpe_token_count_sql()
     sql["bm25_span_near"] = _span_near_sql()
     sql["surround_query"] = _span_near_sql(_surround_sets())
+    sql["span_multiterm"] = _span_multiterm_sql()
     sql["interval_ordered"] = _interval_sql()
     sql["interval_unordered"] = _interval_unordered_sql()
     sql["interval_containing"] = _interval_containing_sql()

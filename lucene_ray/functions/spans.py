@@ -84,6 +84,26 @@ class SpanOrQuery:
 
 
 @dataclass(frozen=True)
+class SpanMultiTermNearQuery:
+    """SpanMultiTermQueryWrapper composed under SpanNearQuery
+    (reference: queries/src/java/org/apache/lucene/queries/spans/
+    SpanMultiTermQueryWrapper.java:41-76 — a multiterm query rewrites to
+    the SpanOr of its dictionary expansions and then participates as an
+    ordinary span clause). ``clause_sets``: one tuple of accepted terms
+    per slot (an expanded wrapper, or a single literal); a slot's span
+    is width-1 at any member position (the SpanOr union — members
+    cannot share a position in linearly-tokenized text). Absent members
+    drop out of their slot; a slot with NO present member empties the
+    query. idf sums every present term slot-by-slot in declaration
+    order; norms gather from whichever present term the doc carries
+    (the SpanOr union gather)."""
+
+    clause_sets: Tuple[Tuple[str, ...], ...]
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class SpanContainingQuery:
     """SpanContainingQuery (queries/spans/SpanContainingQuery.java +
     ContainSpans.java): big spans that CONTAIN at least one little span.
@@ -261,6 +281,25 @@ def span_scored(reader, query):
         if not terms:
             return empty
         norm_union = True
+    elif isinstance(query, SpanMultiTermNearQuery):
+        mt_sets = []
+        for cs in query.clause_sets:
+            present = tuple(
+                t for t in cs if reader.term_stats(t)[0] > 0
+            )
+            if not present:
+                return empty  # a slot with no indexed member cannot match
+            mt_sets.append(present)
+        if len(mt_sets) < 2:
+            raise ValueError(
+                "SpanMultiTermNearQuery needs at least two slots"
+            )
+        if not query.in_order and len(mt_sets) != 2:
+            raise ValueError(
+                "unordered span_near supports exactly two clauses"
+            )
+        terms = tuple(t for s_ in mt_sets for t in s_)
+        norm_union = True
     elif isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
         big = query.big
         if not big.in_order or len(big.terms) < 2:
@@ -337,6 +376,19 @@ def span_scored(reader, query):
             docs_u, pf = _freqs_by_doc(
                 little[ok], np.ones(int(ok.sum()))
             )
+    elif isinstance(query, SpanMultiTermNearQuery):
+        key_lists = [
+            np.sort(np.concatenate([key_cache[t] for t in s_]))
+            for s_ in mt_sets
+        ]
+        if query.in_order:
+            docs_u, pf = _ordered_matches(key_lists, query.slop)
+        else:
+            docs_u, pf = _unordered_matches(
+                key_lists[0], key_lists[1], query.slop
+            )
+        if len(docs_u) == 0:
+            return empty
     elif isinstance(query, SpanNotQuery):
         keys = key_cache[terms[0]]
         ex_df, _ = reader.term_stats(query.exclude)
@@ -511,4 +563,36 @@ def parse_surround(text: str, analyzer) -> "SpanNearQuery":
         raise ValueError("surround distance query needs >= 2 operands")
     return SpanNearQuery(
         terms=tuple(terms), slop=distance - 1, in_order=ordered
+    )
+
+
+def span_multiterm_near(slots, expander, slop: int = 0,
+                        in_order: bool = True,
+                        max_expansions: int = None) -> "SpanMultiTermNearQuery":
+    """Build a :class:`SpanMultiTermNearQuery` from multiterm slots —
+    ``("term", t)`` or ``(kind, pattern[, arg])`` with ``kind`` from
+    functions/multiterm.py::expand (prefix/wildcard/regexp/fuzzy/trange)
+    — expanding each against the dictionary like
+    SpanMultiTermQueryWrapper's rewrite. Returns None when a slot
+    expands to nothing (the wrapper's empty-rewrite)."""
+    from .multiterm import expand
+
+    sets = []
+    for slot in slots:
+        kind = slot[0]
+        if kind == "term":
+            members = (slot[1],)
+        else:
+            arg = int(slot[2]) if len(slot) > 2 else 0
+            if callable(expander):
+                members = tuple(expander(kind, slot[1], arg))
+            else:
+                members = tuple(expand(kind, slot[1], arg, expander))
+            if max_expansions is not None:
+                members = members[:max_expansions]
+        if not members:
+            return None
+        sets.append(members)
+    return SpanMultiTermNearQuery(
+        clause_sets=tuple(sets), slop=slop, in_order=in_order
     )

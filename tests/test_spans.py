@@ -459,3 +459,80 @@ def test_parse_surround():
     # stopword operands vanish through the analyzer like any chain:
     # "a b" analyzes to just "b"
     assert parse_surround("3W(a b, c)", an).terms == ("b", "c")
+
+
+def test_span_multiterm_near(ray_session, tmp_path):
+    """SpanMultiTermQueryWrapper under SpanNear: singleton slots equal
+    plain SpanNearQuery bit-for-bit... except idf when expansions add
+    terms; union slots match any member; empty expansion empties."""
+    import numpy as np
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.spans import (
+        SpanMultiTermNearQuery,
+        SpanNearQuery,
+        score_span,
+        span_multiterm_near,
+    )
+    from lucene_ray.pipelines.build import IndexConfig
+    from lucene_ray.pipelines.search import get_reader
+
+    from test_engine_oracle import build_from_lists
+
+    texts = [
+        "hash join wins today",
+        "hatch x join later",
+        "hash merge join",
+        "data stream flows",
+        "nothing here",
+        "hash y y join",
+    ]
+    out = tmp_path / "smt"
+    cfg = IndexConfig(
+        analyzer="en_nostem_simple", norm_kind="exact", num_partitions=2,
+        sample_rate=1.0, positions=True,
+    )
+    build_from_lists(out, list(range(len(texts))), texts, cfg)
+    reader = get_reader(str(out))
+
+    # singleton slots == plain SpanNearQuery exactly
+    q1 = SpanMultiTermNearQuery(
+        clause_sets=(("hash",), ("join",)), slop=2, in_order=True
+    )
+    q2 = SpanNearQuery(terms=("hash", "join"), slop=2, in_order=True)
+    d1, s1 = score_span(reader, q1, 10)
+    d2, s2 = score_span(reader, q2, 10)
+    assert np.array_equal(d1, d2)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+    # union slot (ha* -> hash|hatch): doc 1 (hatch..join, gap 1) joins in
+    q3 = span_multiterm_near(
+        [("prefix", "ha"), ("term", "join")], reader.expand_multi,
+        slop=2, in_order=True,
+    )
+    assert q3.clause_sets[0] == ("hash", "hatch")
+    d3, _ = score_span(reader, q3, 10)
+    assert set(d3.tolist()) == {0, 1, 2, 6 - 1}  # 0,1,2 and doc 5 (gap 2)
+    # unordered two-slot union
+    q4 = span_multiterm_near(
+        [("term", "join"), ("prefix", "ha")], reader.expand_multi,
+        slop=2, in_order=False,
+    )
+    d4, _ = score_span(reader, q4, 10)
+    assert set(d4.tolist()) >= set(d3.tolist())
+    # empty expansion -> None from the builder; absent slot -> no rows
+    assert span_multiterm_near(
+        [("prefix", "zzz"), ("term", "join")], reader.expand_multi
+    ) is None
+    dq, _ = score_span(
+        reader,
+        SpanMultiTermNearQuery(clause_sets=(("zzz",), ("join",)), slop=1),
+        10,
+    )
+    assert len(dq) == 0
+    with pytest.raises(ValueError):
+        score_span(
+            reader,
+            SpanMultiTermNearQuery(clause_sets=(("hash",),), slop=1),
+            10,
+        )
