@@ -4378,6 +4378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, NESTED_BOOL_QUERY_SETS,
         index_dir=_ensure_index(sf, positions=True),
     )
+    q["synonym_graph"] = lambda sf: _synonym_graph(sf)
+    q["synonym_graph_index"] = lambda sf: _synonym_graph_index(sf)
     q["lmd_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("lmd", LMD_MU),
     )
@@ -7406,6 +7408,222 @@ def _phrase_mixed_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
+# Multi-word (graph) synonyms, round 5 (reference: analysis/common/.../
+# synonym/SynonymGraphFilter.java + FlattenGraphFilter.java; query-time
+# expansion per core/.../util/QueryBuilder.java:560-640
+# analyzeGraphBoolean). Two entries: synonym_graph = query-TIME graph
+# expansion over a plain index (the reference-recommended deployment);
+# synonym_graph_index = index-TIME flattened emission, plain queries.
+# Rules keep multi-token alternatives at 2 tokens because the SQL
+# phrase-score helper is two-term; the engine itself takes any length
+# (pytest covers a 3-token rule).
+SYNGRAPH_RULES = (
+    "data+stream=spark,merge=sort+merge,key+value=row+column,fast=swift"
+)
+SYNGRAPH_ANALYZER = "syngraph:en_nostem_simple:" + SYNGRAPH_RULES
+SYNGRAPH_QUERY_SETS: Dict[int, Tuple[str, str]] = {
+    0: ("data stream scan", "or"),   # m->1 rule + plain token
+    1: ("merge table", "and"),       # 1->m rule: term OR "sort merge"
+    2: ("key value big", "or"),      # m->m rule
+    3: ("fast data stream", "and"),  # stacked 1->1 (absent syn) + m->1
+    4: ("slow key value", "or"),
+}
+
+SYNGRAPH_INDEX_ANALYZER = "syngraph:en_nostem_simple:data+stream=spark"
+SYNGRAPH_INDEX_QUERY_SETS: Dict[int, str] = {
+    0: "spark",          # hits literal sparks AND injected synonyms
+    1: "spark scan",
+    2: "+spark -slow",
+    3: "stream table",   # un-expanded terms under the modified norms
+}
+
+
+def _synonym_graph(sf_dir: str):
+    """Query-time graph expansion: analyze_graph segments compiled by
+    graph_boolean_query, executed on the PLAIN positions index."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        graph_boolean_query,
+        score_blockmax,
+    )
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    an = make_analyzer(SYNGRAPH_ANALYZER)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, (qs, op) in sorted(SYNGRAPH_QUERY_SETS.items()):
+        q = graph_boolean_query(an.analyze_graph(qs), op)
+        d, s = score_blockmax(reader, q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(np.asarray(d).tolist())
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _syngraph_segment_sub(seg) -> str:
+    """(doc_id, score) for ONE graph segment: union of the single-token
+    alternatives' sc rows plus each two-token alternative's exact
+    phrase score, summed per doc (the engine's SHOULD-disjunction
+    accumulation for the segment)."""
+    from lucene_ray.functions.query import PhraseQuery
+
+    parts = []
+    terms = [a[0] for a in seg if len(a) == 1]
+    if terms:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"SELECT doc_id, score FROM sc WHERE term IN ({tl})"
+        )
+    for a in seg:
+        if len(a) > 1:
+            assert len(a) == 2, "oracle helper is two-term"
+            ph = PhraseQuery(
+                terms=tuple(a), offsets=tuple(range(len(a)))
+            )
+            parts.append(
+                "SELECT doc_id, pscore AS score FROM ("
+                + _phrase_score_sub(ph)
+                + ")"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT doc_id, SUM(score) AS score FROM (\n"
+        + union
+        + "\n) GROUP BY doc_id"
+    )
+
+
+def _syngraph_sql() -> str:
+    """Oracle for synonym_graph: per segment a scored-match subquery
+    (terms from sc, phrases via the offset join); AND joins the
+    segments, OR unions them and sums per doc — the compiled
+    NestedQuery's exact match/accumulation contract."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    an = make_analyzer(SYNGRAPH_ANALYZER)
+    ptok = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+    selects = []
+    for qid, (qs, op) in sorted(SYNGRAPH_QUERY_SETS.items()):
+        segs = an.analyze_graph(qs)
+        subs = [f"({_syngraph_segment_sub(s)})" for s in segs]
+        if op == "and":
+            joins = "".join(
+                f"\n    JOIN {subs[i]} g{i} ON g{i}.doc_id = g0.doc_id"
+                for i in range(1, len(subs))
+            )
+            score = " + ".join(f"g{i}.score" for i in range(len(subs)))
+            inner = (
+                f"SELECT g0.doc_id AS doc_id, {score} AS score"
+                f"\n    FROM {subs[0]} g0{joins}"
+            )
+        else:
+            union = "\nUNION ALL\n".join(f"SELECT * FROM {s}" for s in subs)
+            inner = (
+                "SELECT doc_id, SUM(score) AS score FROM (\n"
+                + union
+                + "\n) GROUP BY doc_id"
+            )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM ({inner})
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
+
+
+def _synonym_graph_index(sf_dir: str):
+    """Index-time flattened graph synonyms: the corpus indexed through
+    SYNGRAPH_INDEX_ANALYZER (every kept `data stream` run also emits
+    `spark` at the span start), then PLAIN term/boolean queries."""
+    index_dir = _ensure_index(sf_dir, analyzer=SYNGRAPH_INDEX_ANALYZER)
+    return _run_query_strings(
+        sf_dir, SYNGRAPH_INDEX_QUERY_SETS, index_dir=index_dir
+    )
+
+
+def _syngraph_index_sql() -> str:
+    """Oracle for synonym_graph_index: rebuild the FLATTENED token
+    statistics in SQL — kept-stream adjacency pairs (data, stream)
+    inject one extra `spark` occurrence each (matching is over
+    consecutive KEPT tokens, and injected tokens count toward dl —
+    discountOverlaps=false, the analyzer's documented contract) — then
+    the standard BM25 arithmetic over the modified tf/dl/df/stats."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")  # plain parse: no rule fires
+    ctes = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+),
+kept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM ptok
+),
+pairs AS (
+  SELECT a.doc_id, COUNT(*) AS pc
+  FROM kept a JOIN kept b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+  WHERE a.term = 'data' AND b.term = 'stream'
+  GROUP BY a.doc_id
+),
+tf AS (
+  SELECT doc_id, term, CAST(SUM(c) AS BIGINT) AS tf FROM (
+    SELECT doc_id, term, COUNT(*) AS c FROM kept GROUP BY doc_id, term
+    UNION ALL
+    SELECT doc_id, 'spark' AS term, pc AS c FROM pairs
+  ) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_tf
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+{_sc_cte()}"""
+    selects = []
+    for qid, qs in sorted(SYNGRAPH_INDEX_QUERY_SETS.items()):
+        sub, cond = _scored_match_sub(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM ({sub})
+  WHERE {cond}
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {ctes}\n{body}"
+
+
 # FreeTextSuggester analogue (suggest/analyzing/FreeTextSuggester.java):
 # (context word, typed prefix) -> next-word completions under the
 # word-bigram stupid-backoff LM (ALPHA=0.4).
@@ -9285,6 +9503,8 @@ UNION ALL
     sql["bm25_phrase_sloppy3"] = _phrase_sloppy3_sql()
     sql["bm25_phrase_mixed"] = _phrase_mixed_sql()
     sql["bm25_nested_bool"] = _nested_bool_sql()
+    sql["synonym_graph"] = _syngraph_sql()
+    sql["synonym_graph_index"] = _syngraph_index_sql()
     sql["lmd_term"] = _similarity_sql("lmd")
     sql["classic_term"] = _similarity_sql("classic")
     sql["lmjm_term"] = _similarity_sql("lmjm")

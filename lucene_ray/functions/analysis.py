@@ -362,6 +362,132 @@ class SynonymAnalyzer:
         return terms, pos
 
 
+class SynonymGraphAnalyzer:
+    """Multi-word (graph) synonyms over a base chain (reference:
+    analysis/common/src/java/org/apache/lucene/analysis/synonym/
+    SynonymGraphFilter.java:33-92 — rules match runs of CONSECUTIVE
+    output tokens of the base chain, greedy longest-first like the
+    SynonymMap FST parse; matched spans grow side paths carrying the
+    replacement token sequences). Index-time output is the FLATTENED
+    stream (FlattenGraphFilter.java): Lucene's index stores positions
+    but not posLength, so flattening is the faithful index-time shape.
+
+    ``rules`` maps a tuple of consecutive base-output terms to
+    ``(keep_orig, alternatives)`` — keep_orig mirrors SynonymMap.Builder
+    keepOrig (the solr ``a, b`` expand format keeps originals,
+    ``a => b`` replaces); each alternative is a tuple of output terms.
+
+    Flatten contract (documented against FlattenGraphFilter's node
+    renumbering): a match over output positions p..e emits alternative
+    token j at position ``p + j``; tokens AFTER the match shift by
+    ``(p + width) - e`` where width = the longest emitted path's last
+    offset (the original path counts when kept) — a longer replacement
+    opens exactly the positions its inserted graph nodes need, and a
+    shorter replace-only rule closes the hole the way the flattener
+    renumbers unreferenced nodes. Gap-free streams match
+    FlattenGraphFilter for the m->1, 1->k and m->k shapes. Matching is
+    over consecutive KEPT tokens (a dropped stopword inside a span does
+    not break the rule — SynonymGraphFilter consumes the post-StopFilter
+    stream), and synonym tokens count toward the length norm
+    (discountOverlaps=false, the same documented deviation as
+    :class:`SynonymAnalyzer`).
+
+    Serializable by name —
+    ``syngraph:<base>:<w1+w2=o1+o2|o3>,<rule>,...`` — ``+`` joins words
+    inside one phrase, ``|`` separates alternative outputs, and a value
+    starting with ``>`` replaces instead of expanding (solr ``=>``)."""
+
+    def __init__(self, base, rules, name: str = "syngraph"):
+        self.base = base
+        norm: Dict[tuple, tuple] = {}
+        for k, v in rules.items():
+            key = tuple(k)
+            if (
+                isinstance(v, tuple)
+                and len(v) == 2
+                and isinstance(v[0], bool)
+            ):
+                keep, alts = v
+            else:
+                keep, alts = True, v
+            alts = tuple(tuple(a) for a in alts)
+            if not key or not alts or any(not a for a in alts):
+                raise ValueError(f"empty synonym rule {k!r} -> {v!r}")
+            norm[key] = (keep, alts)
+        self.rules = norm
+        self.max_len = max((len(k) for k in norm), default=1)
+        self.name = name
+
+    def _match_at(self, terms: List[str], i: int):
+        """Greedy longest rule match starting at stream index ``i``
+        (SynonymMap FST longest-match parse; no re-match inside a
+        consumed span)."""
+        top = min(self.max_len, len(terms) - i)
+        for length in range(top, 0, -1):
+            rule = self.rules.get(tuple(terms[i : i + length]))
+            if rule is not None:
+                return length, rule
+        return 0, None
+
+    def analyze_positions(self, text: str):
+        base_terms, base_pos = self.base.analyze_positions(text)
+        out_t: List[str] = []
+        out_p: List[int] = []
+        shift = 0
+        i, n = 0, len(base_terms)
+        while i < n:
+            length, rule = self._match_at(base_terms, i)
+            if not length:
+                out_t.append(base_terms[i])
+                out_p.append(base_pos[i] + shift)
+                i += 1
+                continue
+            keep, alts = rule
+            p = base_pos[i] + shift
+            e = base_pos[i + length - 1] + shift
+            if keep:
+                for j in range(length):
+                    out_t.append(base_terms[i + j])
+                    out_p.append(base_pos[i + j] + shift)
+            width = (e - p) if keep else -(1 << 30)
+            for alt in alts:
+                for j, t in enumerate(alt):
+                    out_t.append(t)
+                    out_p.append(p + j)
+                width = max(width, len(alt) - 1)
+            shift += (p + width) - e
+            i += length
+        return out_t, out_p
+
+    def analyze(self, text: str) -> List[str]:
+        return self.analyze_positions(text)[0]
+
+    def analyze_graph(self, text: str):
+        """Query-time graph decomposition: the token stream split at
+        articulation points (QueryBuilder.analyzeGraph* consume this
+        shape, core/.../util/QueryBuilder.java:560-640). Returns a list
+        of segments; each segment is the list of alternative paths
+        through that span (tuples of terms), original path first when
+        kept."""
+        base_terms, _ = self.base.analyze_positions(text)
+        segs: List[List[tuple]] = []
+        i = 0
+        while i < len(base_terms):
+            length, rule = self._match_at(base_terms, i)
+            if not length:
+                segs.append([(base_terms[i],)])
+                i += 1
+                continue
+            keep, alts = rule
+            seg: List[tuple] = []
+            if keep:
+                seg.append(tuple(base_terms[i : i + length]))
+            seg.extend(alts)
+            segs.append(seg)
+            i += length
+        return segs
+
+
 #: non-decomposable folds ASCIIFoldingFilter maps explicitly (subset of
 #: its ~2000-entry table; NFKD strip handles the accent cases)
 _FOLD_MAP = {
@@ -876,6 +1002,28 @@ def _parse_synonym_name(name: str) -> SynonymAnalyzer:
     return SynonymAnalyzer(make_analyzer(base), mapping, name=name)
 
 
+def _parse_syngraph_name(name: str) -> SynonymGraphAnalyzer:
+    try:
+        _, base, spec = name.split(":", 2)
+        rules: Dict[tuple, tuple] = {}
+        for pair in spec.split(","):
+            k, v = pair.split("=", 1)
+            keep = True
+            if v.startswith(">"):
+                keep = False
+                v = v[1:]
+            rules[tuple(k.split("+"))] = (
+                keep,
+                tuple(tuple(a.split("+")) for a in v.split("|")),
+            )
+    except ValueError:
+        raise KeyError(
+            f"bad syngraph analyzer spec {name!r}; expected "
+            "'syngraph:<base>:<w1+w2=o1+o2|o3>,...' ('=>' replaces)"
+        ) from None
+    return SynonymGraphAnalyzer(make_analyzer(base), rules, name=name)
+
+
 class DelimitedPayloadAnalyzer:
     """Whitespace tokenizer + DelimitedPayloadTokenFilter analogue
     (reference: analysis/common/src/java/org/apache/lucene/analysis/
@@ -972,6 +1120,8 @@ def register_analyzer(name: str, factory: Callable[[], object]) -> None:
 def make_analyzer(name: str):
     if name.startswith("synonym:"):
         return _parse_synonym_name(name)
+    if name.startswith("syngraph:"):
+        return _parse_syngraph_name(name)
     if name.startswith(("length:", "limit:", "keep:", "truncate:",
                         "elision:", "reverse:", "capitalize:",
                         "fingerprint:", "hyphenated:")):

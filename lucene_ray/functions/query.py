@@ -234,6 +234,64 @@ class BooleanQuery:
     must_groups: Tuple[Tuple[str, ...], ...] = ()
 
 
+def graph_boolean_query(segments, operator: str = "or"):
+    """Compile query-time graph-analysis segments
+    (analysis.SynonymGraphAnalyzer.analyze_graph) into a query — the
+    reference's QueryBuilder.analyzeGraphBoolean
+    (core/.../util/QueryBuilder.java:560-640): each articulation span
+    with a side path becomes a disjunction with one TermQuery /
+    PhraseQuery clause per path, and the spans combine under the
+    operator (MUST for AND, SHOULD for OR).
+
+    Shapes produced: all-plain segments -> flat BooleanQuery; a single
+    all-single-token multi-path segment -> SynonymQuery (the reference's
+    no-side-path stacked-token case); otherwise a NestedQuery whose base
+    carries the plain tokens (in segment order) and whose children are
+    the multi-path segments, each an inner NestedQuery of SHOULD term
+    alternatives plus SHOULD exact-phrase alternatives. Documented
+    deviation: an all-single-token multi-path segment EMBEDDED in a
+    larger query compiles to the SHOULD-of-TermQuery disjunction, not a
+    blended SynonymQuery (NestedQuery children carry term/phrase/boolean
+    clauses only); scores differ from the reference's blending there."""
+    occur = "must" if operator == "and" else "should"
+    if all(len(s) == 1 and len(s[0]) == 1 for s in segments):
+        return BooleanQuery(
+            **{occur: tuple(s[0][0] for s in segments)}
+        )
+    if len(segments) == 1 and all(len(a) == 1 for a in segments[0]):
+        return SynonymQuery(terms=tuple(a[0] for a in segments[0]))
+    base_terms = []
+    children = []
+    for seg in segments:
+        if len(seg) == 1 and len(seg[0]) == 1:
+            base_terms.append(seg[0][0])
+            continue
+        if len(seg) == 1:
+            # one path, multi token: a plain phrase clause
+            children.append(
+                (occur, PhraseQuery(
+                    terms=seg[0], offsets=tuple(range(len(seg[0])))
+                ))
+            )
+            continue
+        terms = tuple(a[0] for a in seg if len(a) == 1)
+        phrases = tuple(
+            PhraseQuery(terms=a, offsets=tuple(range(len(a))))
+            for a in seg
+            if len(a) > 1
+        )
+        children.append(
+            (occur, NestedQuery(
+                base=BooleanQuery(should=terms),
+                children=tuple(("should", p) for p in phrases),
+            ))
+        )
+    return NestedQuery(
+        base=BooleanQuery(**{occur: tuple(base_terms)}),
+        children=tuple(children),
+    )
+
+
 def parse_query(text: str, analyzer):
     """Query parser: flat queries take the flat fast path below
     (:func:`_parse_flat`, byte-compatible with previous rounds); queries
