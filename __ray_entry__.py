@@ -4380,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["synonym_graph"] = lambda sf: _synonym_graph(sf)
     q["synonym_graph_index"] = lambda sf: _synonym_graph_index(sf)
+    q["bm25_fuzzy_transpose"] = lambda sf: _bm25_fuzzy_transpose(sf)
     q["lmd_term"] = lambda sf: _run_query_strings(
         sf, SIM_QUERY_SETS, similarity=("lmd", LMD_MU),
     )
@@ -6594,6 +6595,10 @@ def _clause_pred(kind: str, pattern: str, arg: int) -> str:
         return "(" + (" AND ".join(preds) or "TRUE") + ")"
     if arg == 0:
         return f"term = '{pattern}'"
+    if kind == "dfuzzy":
+        # FuzzyQuery's transpositions=true default = full Damerau-
+        # Levenshtein, exactly DuckDB's damerau_levenshtein
+        return f"damerau_levenshtein(term, '{pattern}') <= {arg}"
     return f"editdist3(term, '{pattern}') <= {arg}"
 
 
@@ -7406,6 +7411,117 @@ def _phrase_mixed_sql() -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
+
+
+# FuzzyQuery with transpositions=true — the reference DEFAULT
+# (core/.../search/FuzzyQuery.java:61-76: Damerau-Levenshtein; the
+# pre-existing fuzzy entries keep the documented transpositions=false
+# deviation, this entry covers the default). Sets are BooleanQuery
+# kwargs with ("dfuzzy", pattern, max_edits, role) multi clauses;
+# patterns are adjacent-swap typos that PLAIN Levenshtein does NOT
+# reach at the same budget (dtaa/straem/jion/windwo at 1 edit).
+FUZZY_TRANSPOSE_QUERY_SETS: Dict[int, dict] = {
+    0: dict(should=("scan",), multi=(("dfuzzy", "dtaa", 1, "should"),)),
+    1: dict(multi=(("dfuzzy", "straem", 1, "should"),)),
+    2: dict(
+        should=("table",),
+        multi=(
+            ("dfuzzy", "jion", 1, "should"),
+            ("dfuzzy", "volue", 1, "must_not"),
+        ),
+    ),
+    3: dict(multi=(("dfuzzy", "quey", 2, "should"),)),  # 2 expansions
+    4: dict(must=("key",), multi=(("dfuzzy", "windwo", 1, "must"),)),
+}
+
+
+def _bm25_fuzzy_transpose(sf_dir: str):
+    """Damerau fuzzy clauses through the standard boolean executor
+    (SCORING_BOOLEAN_REWRITE expansion, each matched term with its own
+    idf; 'must' role = required-OR group)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import BooleanQuery, score_blockmax
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, spec in sorted(FUZZY_TRANSPOSE_QUERY_SETS.items()):
+        d, s = score_blockmax(reader, BooleanQuery(**spec), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(np.asarray(d).tolist())
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _fuzzy_transpose_sql() -> str:
+    """Oracle for bm25_fuzzy_transpose: the _must_multi_sql combiner
+    shape with damerau_levenshtein predicates (DuckDB's full DL is the
+    engine's damerau_within, fuzz-verified bit-identical)."""
+    from lucene_ray.functions.query import BooleanQuery
+
+    def or_(preds):
+        return "(" + (" OR ".join(preds) or "FALSE") + ")"
+
+    selects = []
+    for qid, spec in sorted(FUZZY_TRANSPOSE_QUERY_SETS.items()):
+        q = BooleanQuery(**spec)
+        must = sorted(set(q.must))
+        should = sorted(set(q.should) - set(must))
+        group_preds = [
+            _clause_pred(kind, pattern, arg)
+            for kind, pattern, arg, role in q.multi
+            if role == "must"
+        ]
+        plain_preds = [
+            f"term = '{t}'" for t in sorted(set(must) | set(should))
+        ]
+        not_preds = [f"term = '{t}'" for t in sorted(set(q.must_not))]
+        for kind, pattern, arg, role in q.multi:
+            if role == "must_not":
+                not_preds.append(_clause_pred(kind, pattern, arg))
+            elif role == "should":
+                plain_preds.append(_clause_pred(kind, pattern, arg))
+        scoring = or_(plain_preds + group_preds)
+        neg = or_(not_preds)
+        gcols = "".join(
+            f",\n           COUNT(CASE WHEN {p} THEN term END) AS g{i}"
+            for i, p in enumerate(group_preds)
+        )
+        gcond = " AND ".join(
+            f"g{i} >= 1" for i in range(len(group_preds))
+        ) or "TRUE"
+        n_should_req = 0 if (must or group_preds) else 1
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE WHEN {scoring} THEN score ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(CASE WHEN {scoring} THEN term END) AS n_sc,
+           COUNT(CASE WHEN {neg} THEN term END) AS n_not{gcols}
+    FROM sc WHERE {scoring} OR {neg} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_not = 0 AND n_sc >= {n_should_req}
+    AND {gcond}
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
 # Multi-word (graph) synonyms, round 5 (reference: analysis/common/.../
@@ -9505,6 +9621,7 @@ UNION ALL
     sql["bm25_nested_bool"] = _nested_bool_sql()
     sql["synonym_graph"] = _syngraph_sql()
     sql["synonym_graph_index"] = _syngraph_index_sql()
+    sql["bm25_fuzzy_transpose"] = _fuzzy_transpose_sql()
     sql["lmd_term"] = _similarity_sql("lmd")
     sql["classic_term"] = _similarity_sql("classic")
     sql["lmjm_term"] = _similarity_sql("lmjm")

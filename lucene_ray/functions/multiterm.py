@@ -32,7 +32,7 @@ import numpy as np
 MAX_EXPANSIONS = 1024
 
 #: (kind, pattern, arg) clause kinds
-KINDS = ("prefix", "wildcard", "fuzzy", "regexp", "trange")
+KINDS = ("prefix", "wildcard", "fuzzy", "dfuzzy", "regexp", "trange")
 
 #: trange arg bit flags (includeLower / includeUpper)
 TRANGE_INCL_LO = 1
@@ -154,6 +154,90 @@ def levenshtein_within(
     return out
 
 
+def damerau_within(
+    cands: Sequence[str], query: str, max_edits: int
+) -> List[str]:
+    """Candidates at Damerau-Levenshtein distance <= max_edits from query
+    — FuzzyQuery's DEFAULT metric (search/FuzzyQuery.java:61-76,
+    transpositions=true: insert/delete/substitute plus transposition of
+    adjacent characters as one edit).
+
+    Variant note (documented): this is the FULL (unrestricted,
+    Lowrance-Wagner) Damerau-Levenshtein — exactly DuckDB's
+    ``damerau_levenshtein``, so the SQL oracle reproduces it bit-for-bit.
+    The reference's parametric Levenshtein automaton is the
+    optimal-string-alignment restriction; the two differ only when an
+    edit lands BETWEEN two transposed characters (``ca -> abc``: full 2,
+    OSA 3), which full-DL counts more permissively.
+
+    Same vectorized stacking as :func:`levenshtein_within`: all
+    same-length candidates advance one query character per step; the
+    transposition term gathers d[k-1, l-1] with per-cell (k, l) last-
+    occurrence indexes, and insertions close over the row via the
+    min-plus prefix scan."""
+    if max_edits == 0:
+        return [c for c in cands if c == query]
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    m = len(q)
+    by_len = {}
+    for c in cands:
+        if abs(len(c) - m) <= max_edits:
+            by_len.setdefault(len(c), []).append(c)
+    big = np.int32(1 << 20)
+    out = []
+    for n, grp in by_len.items():
+        if n == 0:
+            if m <= max_edits:
+                out.extend(grp)
+            continue
+        g = len(grp)
+        mat = np.empty((g, n), dtype=np.uint32)
+        for i, c in enumerate(grp):
+            mat[i] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+        js = np.arange(1, n + 1, dtype=np.int32)
+        # full row history: the transposition term reaches back to
+        # arbitrary earlier rows (d[k-1][l-1])
+        D = np.empty((m + 1, g, n + 1), dtype=np.int32)
+        D[0] = np.arange(n + 1, dtype=np.int32)
+        gidx = np.arange(g)[:, None]
+        # karr[g, j] = last 1-based i' (< current i) with q[i'] == mat[g, j]
+        karr = np.zeros((g, n), dtype=np.int32)
+        for i in range(1, m + 1):
+            prev = D[i - 1]
+            eqr = mat == q[i - 1]
+            t = np.minimum(
+                prev[:, :-1] + (~eqr).astype(np.int32),  # substitute
+                prev[:, 1:] + 1,                         # delete
+            )
+            if i >= 2:
+                # l[g, j] = last 1-based j' < j with mat[g, j'-1] == q[i-1]
+                pos = np.where(eqr, js, np.int32(0))
+                larr = np.empty_like(pos)
+                larr[:, 0] = 0
+                np.maximum.accumulate(pos[:, :-1], axis=1, out=larr[:, 1:])
+                k = karr
+                valid = (k >= 1) & (larr >= 1)
+                trans = (
+                    D[
+                        np.maximum(k - 1, 0),
+                        gidx,
+                        np.maximum(larr - 1, 0),
+                    ]
+                    + (i - k - 1) + 1 + (js[None, :] - larr - 1)
+                )
+                np.minimum(t, np.where(valid, trans, big), out=t)
+            # insertion closure: min-plus prefix scan + path through col 0
+            u = t - js
+            np.minimum.accumulate(u, axis=1, out=u)
+            np.minimum(u, np.int32(i), out=u)
+            D[i, :, 0] = i
+            D[i, :, 1:] = u + js
+            karr = np.where(eqr, np.int32(i), karr)
+        fin = D[m, :, n]
+        out.extend(c for i, c in enumerate(grp) if fin[i] <= max_edits)
+    return out
+
+
 def prefix_edit_distance(
     cands: Sequence[str], prefix: str, max_edits: int
 ) -> dict:
@@ -237,6 +321,9 @@ def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str],
         return [t for t in vocab[lo:hi] if rx.fullmatch(t)][:MAX_EXPANSIONS]
     if kind == "fuzzy":
         return sorted(levenshtein_within(vocab, pattern, arg))[:MAX_EXPANSIONS]
+    if kind == "dfuzzy":
+        # FuzzyQuery's transpositions=true DEFAULT (FuzzyQuery.java:61-76)
+        return sorted(damerau_within(vocab, pattern, arg))[:MAX_EXPANSIONS]
     if kind == "regexp":
         # reference: search/RegexpQuery.java — regex anchored over the full
         # term; the literal prefix bounds the dictionary scan
