@@ -259,6 +259,137 @@ def _doc_freq_automaton(q: TermAutomatonQuery, events: List[Tuple[int, List[int]
     return freq
 
 
+def _batch_freq_automaton(
+    q: TermAutomatonQuery,
+    d: np.ndarray,
+    p: np.ndarray,
+    t: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized countMatches across ALL candidate docs at once.
+
+    Input: the (doc, pos, term-id) event triples lexsorted by
+    (doc, pos, tid). Semantics are exactly
+    :func:`_doc_freq_automaton` (the reference scorer's multiset walk,
+    TermAutomatonScorer.java:261-321) but the DP advances a
+    ``(docs x n_det)`` int64 count MATRIX one event-column at a time:
+
+    * events are grouped per (doc, position) with a term-id BITMASK
+      (synonym stacks become set bits, processed against the same
+      source vector like the scalar code's per-position tid list);
+    * docs are sorted by event count DESCENDING so the active rows of
+      every column are a prefix — no boolean activity masks;
+    * each symbol step is n_det scatter-adds over all active rows;
+      accepting term-steps accumulate into a freq vector;
+    * ANY-only gaps group rows by DISTINCT gap length and apply the
+      doubled next-state map (:meth:`TermAutomatonQuery._any_power`)
+      once per distinct length;
+    * rows x columns is chunked (sorted order keeps padding waste low)
+      so one skewed mega-doc cannot blow up the padded matrices.
+
+    Counts are int64 (the scalar path uses unbounded Python ints; a
+    multiset count overflowing int64 would need ~2^63 simultaneous
+    parses — unreachable for real token streams). Returns
+    ``(docs, freqs)`` for freq > 0 docs, ascending doc order.
+    """
+    n = q.n_det
+    T = len(q.terms)
+    # --- event grouping: one row per (doc, position) ----------------
+    new_ev = np.r_[True, (d[1:] != d[:-1]) | (p[1:] != p[:-1])]
+    ev_starts = np.flatnonzero(new_ev)
+    ev_doc = d[ev_starts]
+    ev_pos = p[ev_starts]
+    ev_mask = np.bitwise_or.reduceat(
+        np.int64(1) << t.astype(np.int64), ev_starts
+    )
+    doc_starts = np.flatnonzero(np.r_[True, ev_doc[1:] != ev_doc[:-1]])
+    doc_ids = ev_doc[doc_starts]
+    cnt = np.diff(np.r_[doc_starts, len(ev_doc)])
+    order = np.argsort(-cnt, kind="stable")
+    offsets = doc_starts[order]
+    cnt_s = cnt[order]
+    docs_sorted = doc_ids[order]
+    D = len(docs_sorted)
+    freqs = np.zeros(D, dtype=np.int64)
+    # per-symbol live arcs: (src, dst, dst_is_accept) with dst >= 0
+    accept = q.det_accept
+    any_arcs = [
+        (i, int(a), bool(accept[a]))
+        for i, a in enumerate(q.step[ANY])
+        if a >= 0
+    ]
+    term_arcs = []
+    for tid in range(T):
+        st = q.step[q.terms[tid]]
+        arcs = [
+            (i, int(nx), bool(accept[nx]))
+            for i, nx in enumerate(st)
+            if nx >= 0
+        ]
+        term_arcs.append((arcs, int(st[0])))
+    BUDGET = 1 << 22  # padded cells per chunk
+    start = 0
+    while start < D:
+        me = int(cnt_s[start])
+        rows = max(1, BUDGET // max(me, 1))
+        end = min(D, start + rows)
+        k_all = end - start
+        offs = offsets[start:end]
+        cs = cnt_s[start:end]
+        col = np.arange(me, dtype=np.int64)
+        idx = offs[:, None] + col[None, :]
+        valid = col[None, :] < cs[:, None]
+        idxc = np.where(valid, idx, 0)
+        POS = np.where(valid, ev_pos[idxc], np.int64(-1))
+        MB = np.where(valid, ev_mask[idxc], np.int64(0))
+        # rows active at column j = count of cs > j (cs descending)
+        act = np.searchsorted(-cs, -col, side="right")
+        S = np.zeros((k_all, n), dtype=np.int64)
+        F = np.zeros(k_all, dtype=np.int64)
+        for j in range(me):
+            k = int(act[j])
+            Sv = S[:k]
+            if j > 0:
+                gaps = POS[:k, j] - POS[:k, j - 1] - 1
+                gpos = np.flatnonzero(gaps > 0)
+                if len(gpos):
+                    for g in np.unique(gaps[gpos]):
+                        grows = gpos[gaps[gpos] == g]
+                        m = q._any_power(int(g))
+                        sub = Sv[grows].copy()
+                        Sv[grows] = 0
+                        if m is not None:
+                            for i in range(n):
+                                tgt = int(m[i])
+                                if tgt >= 0:
+                                    Sv[grows, tgt] += sub[:, i]
+            NS = np.zeros((k, n), dtype=np.int64)
+            for i, a, _ in any_arcs:
+                NS[:, a] += Sv[:, i]
+            mb = MB[:k, j]
+            for tid in range(T):
+                trows = np.flatnonzero((mb >> tid) & 1)
+                if not len(trows):
+                    continue
+                arcs, s0 = term_arcs[tid]
+                sub = Sv[trows]
+                for i, nx, acc in arcs:
+                    NS[trows, nx] += sub[:, i]
+                    if acc:
+                        F[trows] += sub[:, i]
+                if s0 >= 0:
+                    NS[trows, s0] += 1
+                    if accept[s0]:
+                        F[trows] += 1
+            S[:k] = NS
+        freqs[start:end] = F
+        start = end
+    hit = freqs > 0
+    out_docs = docs_sorted[hit]
+    out_freq = freqs[hit]
+    o = np.argsort(out_docs, kind="stable")
+    return out_docs[o], out_freq[o]
+
+
 def term_automaton_scored(reader, q: TermAutomatonQuery):
     """-> (docs, scores, dtype) or None: every doc with freq > 0, scored
     with one similarity application (idf summed over the automaton's
@@ -326,35 +457,40 @@ def term_automaton_scored(reader, q: TermAutomatonQuery):
     order = np.lexsort((t, p, d))
     d, p, t = d[order], p[order], t[order]
     deleted = getattr(reader, "deleted", None)
-    out_docs, out_freq = [], []
-    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-    bounds = np.r_[starts, len(d)]
-    p_l = p.tolist()
-    t_l = t.tolist()
-    for i in range(len(starts)):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        doc = int(d[lo])
-        if deleted is not None and len(deleted):
-            j = int(np.searchsorted(deleted, doc))
-            if j < len(deleted) and deleted[j] == doc:
-                continue
-        events: List[Tuple[int, List[int]]] = []
-        last_pos = -1
-        for j in range(lo, hi):
-            pos = p_l[j]
-            if pos == last_pos:
-                events[-1][1].append(t_l[j])
-            else:
-                events.append((pos, [t_l[j]]))
-                last_pos = pos
-        freq = _doc_freq_automaton(q, events)
-        if freq > 0:
-            out_docs.append(doc)
-            out_freq.append(freq)
-    if not out_docs:
+    if deleted is not None and len(deleted):
+        j = np.minimum(np.searchsorted(deleted, d), len(deleted) - 1)
+        keep = deleted[j] != d
+        d, p, t = d[keep], p[keep], t[keep]
+        if len(d) == 0:
+            return empty
+    if len(q.terms) <= 63:
+        docs_u, pf = _batch_freq_automaton(q, d, p, t)
+    else:  # bitmask layout needs tid < 64: scalar per-doc fallback
+        out_docs, out_freq = [], []
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        bounds = np.r_[starts, len(d)]
+        p_l = p.tolist()
+        t_l = t.tolist()
+        for i in range(len(starts)):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            doc = int(d[lo])
+            events: List[Tuple[int, List[int]]] = []
+            last_pos = -1
+            for j in range(lo, hi):
+                pos = p_l[j]
+                if pos == last_pos:
+                    events[-1][1].append(t_l[j])
+                else:
+                    events.append((pos, [t_l[j]]))
+                    last_pos = pos
+            freq = _doc_freq_automaton(q, events)
+            if freq > 0:
+                out_docs.append(doc)
+                out_freq.append(freq)
+        docs_u = np.asarray(out_docs, dtype=np.int64)
+        pf = np.asarray(out_freq, dtype=np.int64)
+    if not len(docs_u):
         return empty
-    docs_u = np.asarray(out_docs, dtype=np.int64)
-    pf = np.asarray(out_freq, dtype=np.int64)
     keys_u = np.zeros(len(docs_u), dtype=np.int64)
     have = np.zeros(len(docs_u), dtype=bool)
     for term in present:

@@ -291,3 +291,63 @@ def test_automaton_and_phrase_wildcard_respect_deletes(ray_session, tmp_path):
     d, _ = score_blockmax(reader2, pw, 10)
     assert 1 not in d.tolist() and 2 not in d.tolist()
     assert set(d.tolist()) <= {0, 3}
+
+
+def test_batch_dp_matches_scalar_fuzz():
+    """The vectorized multi-doc DP (_batch_freq_automaton) is freq- and
+    doc-identical to the scalar per-doc walk over random automata and
+    random corpora with position gaps and synonym stacks (several
+    term-ids at the same position)."""
+    from lucene_ray.functions.term_automaton import _batch_freq_automaton
+
+    rng = np.random.default_rng(71)
+    alphabet = ["a", "b", "c", "d", "e"]
+    trials = 0
+    for trial in range(150):
+        q = TermAutomatonQuery()
+        n_states = int(rng.integers(2, 5))
+        states = [0] + [q.create_state() for _ in range(n_states)]
+        for _ in range(int(rng.integers(2, 9))):
+            src = int(rng.choice(states))
+            dst = int(rng.choice(states))
+            if rng.random() < 0.3:
+                q.add_any_transition(src, dst)
+            else:
+                q.add_transition(src, dst, str(rng.choice(alphabet)))
+        for s in states[1:]:
+            if rng.random() < 0.5:
+                q.set_accept(s)
+        if not q.terms:
+            continue
+        q.finish()
+        trials += 1
+        # corpus: docs with gappy positions and occasional synonym stacks
+        d_l, p_l, t_l = [], [], []
+        expected = {}
+        n_docs = int(rng.integers(1, 9))
+        for doc in range(n_docs):
+            pos = 0
+            events = []
+            for _ in range(int(rng.integers(0, 12))):
+                pos += int(rng.integers(1, 4))  # gaps of 0..2 ANY-holes
+                k = 1 + (rng.random() < 0.25)  # sometimes a synonym stack
+                tids = sorted(
+                    set(int(x) for x in rng.integers(0, len(q.terms), k))
+                )
+                events.append((pos, tids))
+                for tid in tids:
+                    d_l.append(doc)
+                    p_l.append(pos)
+                    t_l.append(tid)
+            f = _doc_freq_automaton(q, events)
+            if f > 0:
+                expected[doc] = f
+        if not d_l:
+            continue
+        d = np.asarray(d_l, dtype=np.int64)
+        p = np.asarray(p_l, dtype=np.int64)
+        t = np.asarray(t_l, dtype=np.int64)
+        docs, freqs = _batch_freq_automaton(q, d, p, t)
+        got = dict(zip(docs.tolist(), freqs.tolist()))
+        assert got == expected, (trial, got, expected)
+    assert trials >= 100
