@@ -223,6 +223,24 @@ MONITOR_QUERIES: Dict[int, str] = {
     6: '"data stream"',   # phrase: presearch on terms + positional verify
 }
 
+# Exact-verify percolation (MemoryIndex CandidateMatcher analogue,
+# lucene_ray/pipelines/monitor.py match_saved_queries_exact): query shapes
+# the flat term-count matcher REJECTS — sloppy phrases and multi-term
+# expansions run the real query against a per-candidate MemoryIndex.
+MONITOR_EXACT_QUERIES: Dict[int, str] = {
+    0: '"data stream"~2',     # sloppy phrase
+    1: "dat*",                # prefix (ANYTOKEN presearch bucket)
+    2: "+data -error",
+    3: "strem~1",             # fuzzy expansion
+    4: '"key value"',         # exact phrase through the verify path
+    5: "data stream key ~2",  # minimum_should_match
+}
+
+# MemoryIndex per-doc scoring entry: one query, every document scored by
+# its own single-doc ephemeral index (float64 "exact" norm chain). Two
+# terms keep the float sum order-free (a+b is commutative bitwise).
+MEMORY_INDEX_QUERY = "data stream"
+
 # Highlighting (highlighter module analogue) — rows-only oracle
 HIGHLIGHT_QUERY_SETS: Dict[int, str] = {
     0: "data stream",
@@ -4513,6 +4531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- monitor module: saved-query matching over the doc stream ---
     q["monitor_match"] = lambda sf: _monitor_match(sf)
+    q["monitor_exact"] = lambda sf: _monitor_exact(sf)
+    q["memory_index"] = lambda sf: _memory_index_scores(sf)
 
     # --- sources ---
     q["web_pages_urls"] = _web_pages_urls
@@ -4742,6 +4762,59 @@ def _monitor_match(sf_dir: str):
         _load_documents(sf_dir).select_columns(["doc_id", "text"]),
         MONITOR_QUERIES,
     )
+
+
+def _monitor_exact(sf_dir: str):
+    """Percolation with FULL query semantics: term presearch + a per-
+    candidate MemoryIndex running the real query (monitor/.../
+    CandidateMatcher.java over the MemoryIndex DocumentBatch) — covers
+    sloppy phrases and multi-term expansions the flat term-count matcher
+    rejects."""
+    from lucene_ray.pipelines.monitor import match_saved_queries_exact
+
+    return match_saved_queries_exact(
+        _load_documents(sf_dir).select_columns(["doc_id", "text"]),
+        MONITOR_EXACT_QUERIES,
+    )
+
+
+def _memory_index_scores(sf_dir: str):
+    """MemoryIndex (memory/.../MemoryIndex.java): per-document ephemeral
+    single-doc index + search — each doc is scored in isolation with
+    one-doc collection stats (doc_count=1, df=1, avgdl=dl), the
+    reference's ``MemoryIndex.search(query)`` float contract. Exercised
+    as a streaming map_batches (one MemoryIndex per row, no shuffle)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+    from lucene_ray.state.memory_index import MemoryIndex
+
+    class Stage:
+        def __init__(self):
+            self.an = make_analyzer("en_nostem_simple")
+            self.q = parse_query(MEMORY_INDEX_QUERY, self.an)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            out_d, out_s = [], []
+            for d, text in zip(ids, batch.column("text").to_pylist()):
+                toks, pos = self.an.analyze_positions(text or "")
+                mi = MemoryIndex.from_tokens(
+                    toks, pos, norm_kind="exact", doc_id=int(d)
+                )
+                s = mi.search(self.q)
+                if s > 0.0:
+                    out_d.append(int(d))
+                    out_s.append(round(s, 4))
+            return pa.table({
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            })
+
+    return _load_documents(sf_dir).select_columns(
+        ["doc_id", "text"]
+    ).map_batches(Stage, batch_format="pyarrow", concurrency=2)
 
 
 def _dedup_exact(sf_dir: str):
@@ -6199,6 +6272,78 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
 FROM agg a JOIN qreq r USING (query_id)
 WHERE a.n_must_m = r.n_must AND a.n_should_m >= r.msm_req
   AND a.n_not_m = 0{phrase_conds}"""
+
+
+_PTOK_CTE = f"""ptok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+    FROM documents
+  ) WHERE term NOT IN {_STOP_SQL}
+)"""
+
+
+def _monitor_exact_sql() -> str:
+    """Exact-verify percolation oracle: booleans/multi-term clauses via
+    the matching_docs SQL image; exact phrases via position-adjacency
+    joins; 2-term sloppy phrases via the Lucene matchLength condition
+    |(p1 - offset1) - p0| <= slop (SloppyPhraseMatcher, 2-clause case)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import PhraseQuery, parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(MONITOR_EXACT_QUERIES.items()):
+        q = parse_query(qs, an)
+        if isinstance(q, PhraseQuery):
+            if q.slop:
+                if len(q.terms) != 2:
+                    raise ValueError("sloppy oracle: 2-term phrases only")
+                t0, t1 = q.terms
+                sel = (
+                    f"SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1"
+                    f" ON t1.doc_id = t0.doc_id AND t1.term = '{t1}'"
+                    f" AND abs((t1.pos - {q.offsets[1]}) - t0.pos) <= {q.slop}"
+                    f" WHERE t0.term = '{t0}'"
+                )
+            else:
+                joins = "".join(
+                    f" JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id"
+                    f" AND t{i}.pos = t0.pos + {q.offsets[i]}"
+                    f" AND t{i}.term = '{q.terms[i]}'"
+                    for i in range(1, len(q.terms))
+                )
+                sel = (
+                    f"SELECT DISTINCT t0.doc_id FROM ptok t0{joins}"
+                    f" WHERE t0.term = '{q.terms[0]}'"
+                )
+        else:
+            sel = _match_docs_sql(q)
+        selects.append(
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            f" CAST({qid} AS BIGINT) AS query_id FROM ({sel})"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_PTOK_CTE}\n{body}"
+
+
+def _memory_index_sql() -> str:
+    """MemoryIndex single-doc BM25 oracle: with doc_count=1, df=1 and
+    avgdl=dl the float64 chain collapses exactly — idf = ln(1 + 0.5/1.5),
+    b*dl/avgdl == b bitwise (0.75*dl is exact, x/x == 1), so
+    denom = tf + k1. Two query terms keep the sum commutative-safe."""
+    from lucene_ray.functions.analysis import make_analyzer
+
+    terms = make_analyzer("en_nostem_simple").analyze(MEMORY_INDEX_QUERY)
+    in_list = "(" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + ")"
+    return f"""WITH {_BASE_CTES}
+SELECT doc_id,
+       round(SUM(ln(1 + 0.5/1.5) * (tf / (tf + {K1}))), 4) AS score
+FROM tf
+WHERE term IN {in_list}
+GROUP BY doc_id
+HAVING SUM(ln(1 + 0.5/1.5) * (tf / (tf + {K1}))) > 0"""
 
 
 def _bm25_sql(set_name: str) -> str:
@@ -9987,6 +10132,8 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
 FROM ranked WHERE rank <= {TOPK}"""
 
     sql["monitor_match"] = _monitor_sql()
+    sql["monitor_exact"] = _monitor_exact_sql()
+    sql["memory_index"] = _memory_index_sql()
 
     # boost variant: per-term boost = mscore / MIN(selected mscore) — the
     # reference's bestScore is the FIRST pop off a min-ordered PQ, i.e. the

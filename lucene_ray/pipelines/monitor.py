@@ -223,3 +223,139 @@ def match_saved_queries(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class ExactMatcherStage:
+    """Presearch + MemoryIndex exact verify: supports ANY query the
+    classic parser produces (boolean with msm/must_not, exact AND sloppy
+    phrases, prefix/wildcard/fuzzy multi-term clauses, boosts).
+
+    Reference shape: TermFilteredPresearcher selects candidate queries by
+    term overlap (queries whose positive clauses can't all be term-listed
+    get the ANYTOKEN bucket and run on every doc), then CandidateMatcher
+    runs the REAL query against a MemoryIndex of the document
+    (monitor/src/java/org/apache/lucene/monitor/TermFilteredPresearcher.java
+    + CandidateMatcher.java + the MemoryIndex DocumentBatch).
+
+    Ray-Data-first: one analysis pass per doc feeds both the presearch
+    join (vectorized pandas merge on distinct (doc, term) pairs) and —
+    only for candidate (doc, query) pairs — a per-doc
+    ``MemoryIndex.from_tokens`` verify. No shuffle; the query set rides
+    in the actor closure (``ray.put`` it for huge sets)."""
+
+    def __init__(self, query_strings: Dict[int, str],
+                 analyzer_name: str = "en_nostem_simple",
+                 norm_kind: str = "byte4"):
+        from ..functions.analysis import make_analyzer
+        from ..functions.query import BooleanQuery, PhraseQuery, parse_query
+
+        self._an = make_analyzer(analyzer_name)
+        self._norm_kind = norm_kind
+        self._queries: Dict[int, object] = {
+            qid: parse_query(s, self._an) for qid, s in query_strings.items()
+        }
+        # presearch: (term, query_id) rows for REQUIRED terms; queries
+        # with n_req == 0 (multi-term / pure-SHOULD-with-expansion) are
+        # ANYTOKEN — candidates for every non-empty doc
+        terms: List[str] = []
+        qids: List[int] = []
+        req_rows = []
+        self._any_qids: List[int] = []
+        for qid, q in sorted(self._queries.items()):
+            if isinstance(q, PhraseQuery):
+                req = sorted(set(q.terms))
+            elif isinstance(q, BooleanQuery):
+                req = sorted(set(q.must))
+                if not req:
+                    if q.multi or q.must_groups:
+                        self._any_qids.append(qid)
+                        continue
+                    # no MUST: any single SHOULD term makes a candidate —
+                    # verify applies minimum_should_match exactly
+                    for t in sorted(set(q.should)):
+                        terms.append(t); qids.append(qid)
+                    req_rows.append((qid, 1))
+                    continue
+            else:
+                self._any_qids.append(qid)
+                continue
+            for t in req:
+                terms.append(t); qids.append(qid)
+            req_rows.append((qid, len(req)))
+        self._qt = pd.DataFrame({"term": terms, "query_id": qids})
+        self._req = pd.DataFrame(
+            req_rows, columns=["query_id", "n_req"]
+        ).set_index("query_id")["n_req"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.query import score_blockmax
+        from ..state.memory_index import MemoryIndex
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        analyzed = [self._an.analyze_positions(t or "") for t in texts]
+        pair_docs: List[np.ndarray] = []
+        pair_terms: List[np.ndarray] = []
+        row_of: Dict[int, int] = {}
+        for i, (toks, _) in enumerate(analyzed):
+            row_of[int(doc_ids[i])] = i
+            u = np.unique(np.asarray(toks, dtype=object))
+            if len(u):
+                pair_docs.append(np.full(len(u), doc_ids[i], dtype=np.int64))
+                pair_terms.append(u)
+        cand: List[Tuple[int, int]] = []
+        if pair_docs and len(self._qt):
+            pairs = pd.DataFrame({
+                "doc_id": np.concatenate(pair_docs),
+                "term": np.concatenate(pair_terms),
+            })
+            hit = pairs.merge(self._qt, on="term", how="inner")
+            if len(hit):
+                counts = hit.groupby(["doc_id", "query_id"]).size()
+                need = self._req.reindex(
+                    counts.index.get_level_values("query_id")
+                ).to_numpy()
+                ok = counts.to_numpy() >= need
+                for (d, qid) in counts.index[ok]:
+                    cand.append((int(d), int(qid)))
+        if self._any_qids:
+            for i, (toks, _) in enumerate(analyzed):
+                if toks:
+                    for qid in self._any_qids:
+                        cand.append((int(doc_ids[i]), qid))
+        out_docs: List[int] = []
+        out_qids: List[int] = []
+        mi_cache: Dict[int, MemoryIndex] = {}
+        for d, qid in sorted(cand):
+            mi = mi_cache.get(d)
+            if mi is None:
+                toks, pos = analyzed[row_of[d]]
+                mi = MemoryIndex.from_tokens(
+                    toks, pos, norm_kind=self._norm_kind, doc_id=d,
+                    analyzer_name=getattr(self._an, "name", "custom"),
+                )
+                mi_cache[d] = mi
+            hits, _ = score_blockmax(mi, self._queries[qid], 1)
+            if len(hits):
+                out_docs.append(d)
+                out_qids.append(qid)
+        return pa.table({
+            "doc_id": pa.array(out_docs, pa.int64()),
+            "query_id": pa.array(out_qids, pa.int64()),
+        })
+
+
+def match_saved_queries_exact(
+    docs: "ray.data.Dataset",
+    query_strings: Dict[int, str],
+    analyzer_name: str = "en_nostem_simple",
+    concurrency: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Percolation with FULL query semantics: term presearch prunes, a
+    per-candidate MemoryIndex runs the real query (sloppy phrases,
+    multi-term expansions, msm — anything ``parse_query`` yields)."""
+    return docs.map_batches(
+        ExactMatcherStage(query_strings, analyzer_name),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -132,3 +132,39 @@ def test_flatten_rejects_sloppy_phrase():
     an = make_analyzer(ANALYZER)
     with pytest.raises(ValueError):
         flatten_queries({0: parse_query('"alpha beta"~2', an)})
+
+
+EXACT_QUERIES = {
+    0: "alpha",
+    1: "+alpha +beta",
+    2: '"alpha beta"',
+    3: '"alpha beta"~3',     # sloppy phrase: rejected by the flat matcher
+    4: "alph*",              # prefix expansion (ANYTOKEN presearch bucket)
+    5: "gamm?",              # wildcard
+    6: "alpa~1",             # fuzzy
+    7: "+alpha -beta",
+    8: "delta epsilon ~2",
+}
+
+
+def test_exact_matcher_full_query_semantics(corpus_index):
+    """MemoryIndex-verified percolation == forward engine for query
+    shapes the term-count matcher cannot express (sloppy/multi-term) —
+    the reference CandidateMatcher-over-MemoryIndex contract."""
+    import ray.data
+
+    from lucene_ray.pipelines.monitor import match_saved_queries_exact
+
+    out, doc_ids, texts = corpus_index
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    got = match_saved_queries_exact(docs, EXACT_QUERIES, ANALYZER).to_pandas()
+    reader = IndexReader(out)
+    an = make_analyzer(ANALYZER)
+    for qid, qs in EXACT_QUERIES.items():
+        want = set(matching_docs(reader, parse_query(qs, an)).tolist())
+        have = set(got[got.query_id == qid].doc_id.tolist())
+        assert have == want, (qid, qs)
+    assert not got.duplicated(["doc_id", "query_id"]).any()
