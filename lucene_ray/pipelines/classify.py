@@ -47,9 +47,28 @@ def train_naive_bayes(
     class_col: str = "lang",
     id_col: str = "doc_id",
     analyzer_name: str = "en_nostem_simple",
+    model_dir: Optional[str] = None,
+    min_hits: int = 1,
 ) -> dict:
-    """Aggregate the NB sufficient statistics into a broadcastable model:
-    ``{classes, prior, den, hits: term -> int64[n_classes]}``."""
+    """Aggregate the NB sufficient statistics into a model.
+
+    ``model_dir=None`` (small-vocab path): gather the aggregated
+    (term, class, hits) table onto the driver as
+    ``{classes, prior, den, hits: term -> int64[n_classes]}``.
+
+    ``model_dir=<path>`` (web-scale path): the aggregated table is
+    WRITTEN TO PARQUET straight from the shuffle — the driver holds only
+    the (n_classes)-sized priors/denominators; each classifier actor
+    loads the model table once in ``__init__``. Driver RSS stays flat in
+    the vocabulary size.
+
+    ``min_hits`` is an optional df-floor feature selection (drop
+    (term, class) rows with hits < min_hits) — the standard NB
+    vocabulary-pruning move; collection stats (``den``, priors) are
+    computed BEFORE the floor so min_hits=1 is bit-identical to no
+    floor. Predictions under a floor treat pruned terms as unseen
+    (hits=0 smoothing), exactly as if the term were absent from class C
+    at train time."""
     from ..functions.analysis import make_analyzer
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -69,12 +88,11 @@ def train_naive_bayes(
             }
         )
 
-    model_rows = (
+    agg = (
         docs_ds.select_columns([id_col, text_col, class_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["term", "cls"])
         .aggregate(ray.data.aggregate.Sum("hits_part", alias_name="hits"))
-        .take_all()
     )
     cls_rows = (
         docs_ds.select_columns([class_col]).groupby(class_col).count().take_all()
@@ -85,23 +103,45 @@ def train_naive_bayes(
         dtype=np.float64,
     )
     n_docs = float(dfc.sum())
+    meta = {"classes": classes, "analyzer": analyzer_name}
+    if model_dir is not None:
+        # web-scale path: model table never touches the driver — sink the
+        # shuffle output to parquet, read it back for the (scalar) sum_df
+        agg.write_parquet(model_dir)
+        model_ds = ray.data.read_parquet(model_dir)
+        # (the min_hits floor is applied at actor load time — sum_df and
+        # den stay collection-level, reference getTextTermFreqForClass)
+        sum_df = model_ds.sum("hits")
+        avg_unique = float(sum_df) / n_docs
+        meta.update(
+            prior=np.log(dfc) - np.log(n_docs),
+            den=avg_unique * dfc + n_docs,
+            model_dir=model_dir,
+            min_hits=min_hits,
+        )
+        return meta
     cidx = {c: i for i, c in enumerate(classes)}
     hits: Dict[str, np.ndarray] = {}
     sum_df = 0
-    for r in model_rows:
+    for r in agg.take_all():
         v = hits.get(r["term"])
         if v is None:
             v = hits[r["term"]] = np.zeros(len(classes), dtype=np.int64)
         v[cidx[r["cls"]]] = r["hits"]
         sum_df += int(r["hits"])
     avg_unique = sum_df / n_docs
-    return {
-        "classes": classes,
-        "prior": np.log(dfc) - np.log(n_docs),
-        "den": avg_unique * dfc + n_docs,
-        "hits": hits,
-        "analyzer": analyzer_name,
-    }
+    if min_hits > 1:
+        hits = {
+            t: np.where(v >= min_hits, v, 0)
+            for t, v in hits.items()
+            if (v >= min_hits).any()
+        }
+    meta.update(
+        prior=np.log(dfc) - np.log(n_docs),
+        den=avg_unique * dfc + n_docs,
+        hits=hits,
+    )
+    return meta
 
 
 def naive_bayes_classify(
@@ -111,46 +151,81 @@ def naive_bayes_classify(
     id_col: str = "doc_id",
 ):
     """Assign each test doc its argmax class (score desc, class asc).
-    -> Dataset(doc_id, pred_cls, score[raw log-joint, float64])."""
-    from ..functions.analysis import make_analyzer
+    -> Dataset(doc_id, pred_cls, score[raw log-joint, float64]).
 
-    model_ref = ray.put(model)
+    Small models (``hits`` dict present) broadcast via ``ray.put``;
+    parquet-sunk models (``model_dir``) are loaded ONCE PER ACTOR in the
+    stage's ``__init__`` — the driver never materializes the vocabulary."""
+    meta = {k: v for k, v in model.items() if k != "hits"}
+    hits_ref = ray.put(model.get("hits"))
 
-    def classify(batch: pa.Table) -> pa.Table:
-        m = ray.get(model_ref)
-        an = make_analyzer(m["analyzer"])
-        classes, prior, den, hits = (
-            m["classes"], m["prior"], m["den"], m["hits"],
-        )
-        nc = len(classes)
-        zero = np.zeros(nc, dtype=np.int64)
-        preds: List[str] = []
-        scores = np.empty(len(batch), dtype=np.float64)
-        for i, text in enumerate(batch.column(text_col).to_pylist()):
-            toks = an.analyze(text or "")
-            if toks:
-                terms, occ = np.unique(
-                    np.asarray(toks, dtype=object), return_counts=True
+    class _Classify:
+        def __init__(self):
+            from ..functions.analysis import make_analyzer
+
+            self.an = make_analyzer(meta["analyzer"])
+            self.classes = meta["classes"]
+            self.prior = meta["prior"]
+            self.den = meta["den"]
+            nc = len(self.classes)
+            hits = ray.get(hits_ref)
+            if hits is None:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    meta["model_dir"], columns=["term", "cls", "hits"]
                 )
-                h = np.stack([hits.get(str(t), zero) for t in terms])
-                # sum over tokens of ln((hits+1)/den): occ-weighted dot
-                ll = occ.astype(np.float64) @ np.log((h + 1.0) / den)
-            else:
-                ll = np.zeros(nc)
-            s = prior + ll
-            j = int(np.argmax(s))  # first max = lexicographically smallest
-            preds.append(classes[j])
-            scores[i] = s[j]
-        return pa.table(
-            {
-                "doc_id": batch.column(id_col),
-                "pred_cls": pa.array(preds, pa.string()),
-                "score": pa.array(scores),
-            }
-        )
+                cidx = {c: i for i, c in enumerate(self.classes)}
+                floor = int(meta.get("min_hits", 1))
+                hits = {}
+                h_np = tbl.column("hits").to_numpy()
+                for t, c, h in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("cls").to_pylist(),
+                    h_np,
+                ):
+                    if h < floor:
+                        continue
+                    v = hits.get(t)
+                    if v is None:
+                        v = hits[t] = np.zeros(nc, dtype=np.int64)
+                    v[cidx[c]] = h
+            self.hits = hits
+            self.zero = np.zeros(nc, dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            classes, prior, den, hits = (
+                self.classes, self.prior, self.den, self.hits,
+            )
+            nc = len(classes)
+            zero = self.zero
+            preds: List[str] = []
+            scores = np.empty(len(batch), dtype=np.float64)
+            for i, text in enumerate(batch.column(text_col).to_pylist()):
+                toks = self.an.analyze(text or "")
+                if toks:
+                    terms, occ = np.unique(
+                        np.asarray(toks, dtype=object), return_counts=True
+                    )
+                    h = np.stack([hits.get(str(t), zero) for t in terms])
+                    # sum over tokens of ln((hits+1)/den): occ-weighted dot
+                    ll = occ.astype(np.float64) @ np.log((h + 1.0) / den)
+                else:
+                    ll = np.zeros(nc)
+                s = prior + ll
+                j = int(np.argmax(s))  # first max = lexicographically smallest
+                preds.append(classes[j])
+                scores[i] = s[j]
+            return pa.table(
+                {
+                    "doc_id": batch.column(id_col),
+                    "pred_cls": pa.array(preds, pa.string()),
+                    "score": pa.array(scores),
+                }
+            )
 
     return test_ds.select_columns([id_col, text_col]).map_batches(
-        classify, batch_format="pyarrow"
+        _Classify, batch_format="pyarrow", concurrency=2
     )
 
 

@@ -180,3 +180,51 @@ def test_knn_classify_empty_selection(knn_index, ray_session):
     )
     got = knn_classify(out, {0: "qqqq zzzz wwww"}, lookup, k=5).to_pandas()
     assert len(got) == 0
+
+
+def test_naive_bayes_parquet_model_identical(ray_session, tmp_path):
+    """The web-scale model path (model sunk to parquet, loaded per actor)
+    and the df-floor are prediction-identical to the driver-dict path
+    (floor=1) / treat pruned terms as hits=0 (floor>1)."""
+    import ray.data
+
+    from lucene_ray.pipelines.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = {"ca": ["apple", "arrow", "amber"], "cb": ["breeze", "bark", "bishop"]}
+    texts, classes = [], []
+    for i in range(90):
+        cls = "ca" if i % 2 else "cb"
+        words = list(rng.choice(vocab[cls], size=5)) + ["shared"]
+        texts.append(" ".join(words))
+        classes.append(cls)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(90), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(classes, pa.string()),
+    }))
+    m_small = train_naive_bayes(ds)
+    m_pq = train_naive_bayes(ds, model_dir=str(tmp_path / "nbmodel"))
+    assert "hits" not in m_pq and m_pq["model_dir"]
+    assert m_pq["classes"] == m_small["classes"]
+    assert np.allclose(m_pq["prior"], m_small["prior"])
+    assert np.allclose(m_pq["den"], m_small["den"])
+    a = naive_bayes_classify(m_small, ds).to_pandas().sort_values("doc_id")
+    b = naive_bayes_classify(m_pq, ds).to_pandas().sort_values("doc_id")
+    assert a["pred_cls"].tolist() == b["pred_cls"].tolist()
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())
+
+    # df-floor: both paths prune identically
+    m_small_f = train_naive_bayes(ds, min_hits=3)
+    m_pq_f = train_naive_bayes(
+        ds, model_dir=str(tmp_path / "nbmodel_f"), min_hits=3
+    )
+    # floor does not move the collection-level den/prior
+    assert np.allclose(m_small_f["den"], m_small["den"])
+    af = naive_bayes_classify(m_small_f, ds).to_pandas().sort_values("doc_id")
+    bf = naive_bayes_classify(m_pq_f, ds).to_pandas().sort_values("doc_id")
+    assert af["pred_cls"].tolist() == bf["pred_cls"].tolist()
+    assert np.allclose(af["score"].to_numpy(), bf["score"].to_numpy())
