@@ -3045,6 +3045,77 @@ def _ensure_geo_doc_values(sf_dir: str, index_dir: str) -> None:
         )
 
 
+# LatLonShape query boxes (centi-degrees): (min_lat, max_lat, min_lon,
+# max_lon) — sized so plenty of triangles interact with the boundary
+GEO_SHAPE_BOXES: Dict[int, Tuple[int, int, int, int]] = {
+    0: (-2000, 2000, -3000, 3000),
+    1: (4000, 8900, 10000, 17900),
+}
+
+
+def _ensure_shape_values(sf_dir: str, index_dir: str) -> None:
+    """Per-doc indexed TRIANGLE derived from the same deterministic
+    lat/lon hash as the point entries: apex (lat+h, lon), base corners
+    (lat-h, lon∓w) with h = 50 + id%400, w = 60 + id%500 centi-degrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.state.shapes import has_shape_values, write_shape_values
+
+    if has_shape_values(index_dir, "shape"):
+        return
+    ids = (
+        pq.read_table(_docs_path(sf_dir), columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat = (ids * 7919) % 18000 - 9000
+    lon = (ids * 104729) % 36000 - 18000
+    h = 50 + ids % 400
+    w = 60 + ids % 500
+    flat = np.empty((len(ids), 6), dtype=np.int64)
+    flat[:, 0] = lat + h; flat[:, 1] = lon
+    flat[:, 2] = lat - h; flat[:, 3] = lon - w
+    flat[:, 4] = lat - h; flat[:, 5] = lon + w
+    write_shape_values(
+        ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids),
+            "verts": pa.array(flat.tolist(), pa.list_(pa.int64())),
+        })),
+        index_dir,
+    )
+
+
+def _geo_shape(sf_dir: str):
+    """LatLonShape box queries over indexed triangles: every doc under
+    each of INTERSECTS / WITHIN / DISJOINT per query box (document/
+    LatLonShape.java newBoxQuery + ShapeField.QueryRelation). -> rows
+    (query_id, relation, doc_id)."""
+    import pyarrow as pa
+
+    from lucene_ray.functions.geo import DISJOINT, INTERSECTS, WITHIN, shape_docs
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    _ensure_shape_values(sf_dir, index_dir)
+    reader = get_reader(index_dir)
+    qids, rels, docs_out = [], [], []
+    for qid, box in sorted(GEO_SHAPE_BOXES.items()):
+        for rel in (INTERSECTS, WITHIN, DISJOINT):
+            d = shape_docs(reader, ("box",) + box, rel)
+            qids.extend([qid] * len(d))
+            rels.extend([rel] * len(d))
+            docs_out.extend(d.tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "relation": pa.array(rels, pa.string()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+    })
+
+
 def _interval_unordered(sf_dir: str):
     """Unordered IntervalQuery top-k (true minimal intervals + saturation
     score). -> (query_id, rank, doc_id, score)."""
@@ -4059,6 +4130,59 @@ def _geo_polygon(sf_dir: str):
     )
 
 
+def _geo_shape_sql() -> str:
+    """LatLonShape box-relation oracle: both shapes are CONVEX (triangle
+    vs box), so the exact relation is the separating-axis test in pure
+    integer arithmetic — WITHIN ⟺ triangle bbox inside the box;
+    DISJOINT ⟺ bbox gap on an axis OR all four box corners strictly
+    outside one slanted edge's supporting line (interior side has
+    cross < 0 for both edges by construction); INTERSECTS otherwise.
+    The engine's vertex/corner/edge-touch decision is equivalent for
+    closed convex sets (touching counts as intersecting on both sides)."""
+    selects = []
+    for qid, (miny, maxy, minx, maxx) in sorted(GEO_SHAPE_BOXES.items()):
+        corners = [(miny, minx), (miny, maxx), (maxy, minx), (maxy, maxx)]
+        # left edge (lat-h, lon-w) -> (lat+h, lon): cross = w*(cy-(lat-h)) - 2h*(cx-(lon-w))
+        sep_l = " AND ".join(
+            f"(w*({cy} - (lat - h)) - 2*h*({cx} - (lon - w)) > 0)"
+            for cy, cx in corners
+        )
+        # right edge (lat+h, lon) -> (lat-h, lon+w): cross = w*(cy-(lat+h)) + 2h*(cx-lon)
+        sep_r = " AND ".join(
+            f"(w*({cy} - (lat + h)) + 2*h*({cx} - lon) > 0)"
+            for cy, cx in corners
+        )
+        within = (
+            f"lat - h >= {miny} AND lat + h <= {maxy}"
+            f" AND lon - w >= {minx} AND lon + w <= {maxx}"
+        )
+        bbox_dis = (
+            f"lat + h < {miny} OR lat - h > {maxy}"
+            f" OR lon + w < {minx} OR lon - w > {maxx}"
+        )
+        disjoint = f"({bbox_dis}) OR ({sep_l}) OR ({sep_r})"
+        selects.append(
+            f"""SELECT {qid} AS query_id, 'within' AS relation, doc_id
+  FROM sh WHERE {within}
+UNION ALL
+SELECT {qid} AS query_id, 'disjoint' AS relation, doc_id
+  FROM sh WHERE {disjoint}
+UNION ALL
+SELECT {qid} AS query_id, 'intersects' AS relation, doc_id
+  FROM sh WHERE NOT ({disjoint})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""WITH sh AS (
+  SELECT doc_id,
+         (doc_id * 7919) % 18000 - 9000 AS lat,
+         (doc_id * 104729) % 36000 - 18000 AS lon,
+         50 + doc_id % 400 AS h,
+         60 + doc_id % 500 AS w
+  FROM documents
+)
+{body}"""
+
+
 def _geo_polygon_sql() -> str:
     """Oracle for geo_polygon: the SAME exact int64 even-odd crossing
     test per (literal) edge over the integer centi-degree coords derived
@@ -4470,6 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_analyzed"] = lambda sf: _interval_analyzed(sf)
     q["geo_distance"] = lambda sf: _geo_distance(sf)
     q["geo_polygon"] = lambda sf: _geo_polygon(sf)
+    q["geo_shape"] = lambda sf: _geo_shape(sf)
     q["dv_update"] = lambda sf: _dv_update(sf)
     q["index_split"] = lambda sf: _index_split(sf)
     q["bp_reorder"] = lambda sf: _bp_reorder(sf)
@@ -9821,6 +9946,7 @@ UNION ALL
     sql["interval_analyzed"] = _interval_analyzed_sql()
     sql["geo_distance"] = _geo_sql()
     sql["geo_polygon"] = _geo_polygon_sql()
+    sql["geo_shape"] = _geo_shape_sql()
     sql["dv_update"] = _dv_update_sql()
     sql["index_split"] = _index_split_sql()
     sql["field_exists"] = """

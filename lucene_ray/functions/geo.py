@@ -131,6 +131,228 @@ def distance_topk(
     return cand[order], d[order]
 
 
+def _point_in_polygon(y: int, x: int, ys: np.ndarray, xs: np.ndarray) -> bool:
+    """Strict even-odd containment of one integer point — the SAME
+    convention as :func:`polygon_docs` (boundary points are OUT;
+    documented deviation from the reference's orientation tests)."""
+    y2 = np.roll(ys, -1)
+    x2 = np.roll(xs, -1)
+    nz = ys != y2
+    sgn = np.where(y2 > ys, 1, -1)
+    spans = (ys > y) != (y2 > y)
+    t = (x - xs) * (y2 - ys) - (y - ys) * (x2 - xs)
+    return bool(int((nz & spans & (t * sgn < 0)).sum()) % 2)
+
+
+def _segments_cross(ay1, ax1, ay2, ax2, bys1, bxs1, bys2, bxs2) -> bool:
+    """Does segment a intersect ANY of the b segments (touching counts)?
+    Exact int64 orientation tests (GeoUtils.orient / the reference's
+    EdgeTree crossesLine, core/.../geo/GeoUtils.java:orient): proper
+    crossings via opposite orientations, collinear touches via bounding
+    overlap. Vectorized over the b array."""
+    def orient(py, px, qy, qx, ry, rx):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(bys1, bxs1, bys2, bxs2, ay1, ax1)
+    d2 = orient(bys1, bxs1, bys2, bxs2, ay2, ax2)
+    d3 = orient(ay1, ax1, ay2, ax2, bys1, bxs1)
+    d4 = orient(ay1, ax1, ay2, ax2, bys2, bxs2)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    if proper.any():
+        return True
+
+    def on_seg(py, px, qy, qx, ry, rx, d):
+        # r collinear with pq and within its bounding box
+        return (
+            (d == 0)
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+            & (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+        )
+
+    touch = (
+        on_seg(bys1, bxs1, bys2, bxs2, ay1, ax1, d1)
+        | on_seg(bys1, bxs1, bys2, bxs2, ay2, ax2, d2)
+        | on_seg(ay1, ax1, ay2, ax2, bys1, bxs1, d3)
+        | on_seg(ay1, ax1, ay2, ax2, bys2, bxs2, d4)
+    )
+    return bool(touch.any())
+
+
+#: LatLonShape query relations (document/ShapeField.QueryRelation)
+INTERSECTS, WITHIN, DISJOINT = "intersects", "within", "disjoint"
+
+
+def relate_shape_box(
+    ys: np.ndarray, xs: np.ndarray, closed: bool,
+    min_lat: int, max_lat: int, min_lon: int, max_lon: int,
+) -> str:
+    """One indexed shape (polygon when ``closed`` else line string, int
+    centi-degree vertices) vs a CLOSED query box -> INTERSECTS | WITHIN |
+    DISJOINT.
+
+    Reference: LatLonShape.newBoxQuery over tessellated triangles
+    (document/LatLonShape.java, LatLonShapeBoundingBoxQuery.java); our
+    adapted decision runs on the original edge list: WITHIN ⟺ the
+    shape's bbox fits in the (convex) box; DISJOINT ⟺ bboxes disjoint,
+    or no vertex in the box, no box corner inside the polygon, and no
+    edge crossing any box side. Everything else INTERSECTS."""
+    smin_y, smax_y = int(ys.min()), int(ys.max())
+    smin_x, smax_x = int(xs.min()), int(xs.max())
+    if (
+        min_lat <= smin_y and smax_y <= max_lat
+        and min_lon <= smin_x and smax_x <= max_lon
+    ):
+        return WITHIN
+    if (
+        smax_y < min_lat or smin_y > max_lat
+        or smax_x < min_lon or smin_x > max_lon
+    ):
+        return DISJOINT
+    # any shape vertex inside the closed box?
+    if bool((
+        (min_lat <= ys) & (ys <= max_lat)
+        & (min_lon <= xs) & (xs <= max_lon)
+    ).any()):
+        return INTERSECTS
+    # any box corner strictly inside the polygon (closed shapes only)?
+    if closed:
+        for cy, cx in (
+            (min_lat, min_lon), (min_lat, max_lon),
+            (max_lat, max_lon), (max_lat, min_lon),
+        ):
+            if _point_in_polygon(cy, cx, ys, xs):
+                return INTERSECTS
+    # any shape edge crossing any box side?
+    n = len(ys)
+    ey1, ex1 = ys, xs
+    if closed:
+        ey2, ex2 = np.roll(ys, -1), np.roll(xs, -1)
+    else:
+        ey1, ex1 = ys[:-1], xs[:-1]
+        ey2, ex2 = ys[1:], xs[1:]
+    for (ay1, ax1, ay2, ax2) in (
+        (min_lat, min_lon, min_lat, max_lon),
+        (min_lat, max_lon, max_lat, max_lon),
+        (max_lat, max_lon, max_lat, min_lon),
+        (max_lat, min_lon, min_lat, min_lon),
+    ):
+        if _segments_cross(ay1, ax1, ay2, ax2, ey1, ex1, ey2, ex2):
+            return INTERSECTS
+    return DISJOINT
+
+
+def relate_shape_polygon(
+    ys: np.ndarray, xs: np.ndarray, closed: bool, q_verts,
+) -> str:
+    """One indexed shape vs a query POLYGON (simple, implicitly closed,
+    int centi-degree vertices) -> INTERSECTS | WITHIN | DISJOINT.
+
+    Reference: LatLonShape.newPolygonQuery (LatLonShapePolygonQuery /
+    the Component2D relate walk). Simple-polygon decision: WITHIN ⟺
+    every shape vertex strictly inside the query polygon and no
+    edge-edge intersection; DISJOINT ⟺ no shape vertex inside, no query
+    vertex inside the (closed) shape, and no edge-edge intersection.
+    Boundary points follow the engine's strict even-odd convention."""
+    q_ys = np.asarray([int(v[0]) for v in q_verts], dtype=np.int64)
+    q_xs = np.asarray([int(v[1]) for v in q_verts], dtype=np.int64)
+    if (
+        ys.max() < q_ys.min() or ys.min() > q_ys.max()
+        or xs.max() < q_xs.min() or xs.min() > q_xs.max()
+    ):
+        return DISJOINT
+    if closed:
+        ey1, ex1 = ys, xs
+        ey2, ex2 = np.roll(ys, -1), np.roll(xs, -1)
+    else:
+        ey1, ex1 = ys[:-1], xs[:-1]
+        ey2, ex2 = ys[1:], xs[1:]
+    crossing = False
+    qy2 = np.roll(q_ys, -1)
+    qx2 = np.roll(q_xs, -1)
+    for i in range(len(q_ys)):
+        if _segments_cross(
+            int(q_ys[i]), int(q_xs[i]), int(qy2[i]), int(qx2[i]),
+            ey1, ex1, ey2, ex2,
+        ):
+            crossing = True
+            break
+    s_in_q = [
+        _point_in_polygon(int(ys[i]), int(xs[i]), q_ys, q_xs)
+        for i in range(len(ys))
+    ]
+    if not crossing and all(s_in_q):
+        return WITHIN
+    if crossing or any(s_in_q):
+        return INTERSECTS
+    if closed and any(
+        _point_in_polygon(int(q_ys[i]), int(q_xs[i]), ys, xs)
+        for i in range(len(q_ys))
+    ):
+        return INTERSECTS
+    return DISJOINT
+
+
+def shape_docs(
+    reader,
+    geometry,
+    relation: str = INTERSECTS,
+    field: str = "shape",
+) -> np.ndarray:
+    """Indexed-shape query — the LatLonShape subset: sorted doc IDs whose
+    indexed shape (polygon or line, state/shapes.py sidecar) holds
+    ``relation`` to ``geometry``, which is ``("box", min_lat, max_lat,
+    min_lon, max_lon)`` or ``("polygon", ((lat, lon), ...))`` in integer
+    centi-degrees.
+
+    Plan: the sidecar's per-doc bounding boxes prune candidates in one
+    vectorized pass (the BKD outer-node visit analogue) — only WITHIN/
+    INTERSECTS survivors (or, for DISJOINT, every doc, since bbox-
+    disjoint docs match immediately) run the exact edge kernels."""
+    if relation not in (INTERSECTS, WITHIN, DISJOINT):
+        raise ValueError(f"unknown relation {relation!r}")
+    sv = reader.shape_values(field)
+    if geometry[0] == "box":
+        _, qmin_y, qmax_y, qmin_x, qmax_x = geometry
+    elif geometry[0] == "polygon":
+        qv = geometry[1]
+        qmin_y = min(int(v[0]) for v in qv)
+        qmax_y = max(int(v[0]) for v in qv)
+        qmin_x = min(int(v[1]) for v in qv)
+        qmax_x = max(int(v[1]) for v in qv)
+    else:
+        raise ValueError(f"unknown geometry {geometry[0]!r}")
+    bbox_disjoint = (
+        (sv.max_lat < qmin_y) | (sv.min_lat > qmax_y)
+        | (sv.max_lon < qmin_x) | (sv.min_lon > qmax_x)
+    )
+    out = []
+    for i in np.flatnonzero(~bbox_disjoint):
+        ys, xs, closed = sv.shape_at(int(i))
+        if geometry[0] == "box":
+            rel = relate_shape_box(
+                ys, xs, closed, qmin_y, qmax_y, qmin_x, qmax_x
+            )
+        else:
+            rel = relate_shape_polygon(ys, xs, closed, geometry[1])
+        if rel == relation or (
+            relation == INTERSECTS and rel == WITHIN
+        ):
+            out.append(int(sv.doc_ids[i]))
+    docs = np.asarray(sorted(out), dtype=np.int64)
+    if relation == DISJOINT:
+        docs = np.union1d(
+            docs, sv.doc_ids[bbox_disjoint].astype(np.int64)
+        )
+    deleted = getattr(reader, "deleted", None)
+    if deleted is not None and len(deleted) and len(docs):
+        pos = np.minimum(np.searchsorted(deleted, docs), len(deleted) - 1)
+        docs = docs[deleted[pos] != docs]
+    return docs
+
+
 def polygon_docs(
     reader,
     vertices,

@@ -249,6 +249,18 @@ class IndexReader:
             else:
                 cache.pop(field, None)
 
+    def shape_values(self, field: str = "shape"):
+        """Lazily-loaded indexed-shape sidecar (state/shapes.py) — the
+        LatLonShape leaf payload for functions/geo.py shape_docs."""
+        cache = self.__dict__.setdefault("_shape_values", {})
+        sv = cache.get(field)
+        if sv is None:
+            from .shapes import ShapeValues
+
+            sv = ShapeValues(self.index_dir, field)
+            cache[field] = sv
+        return sv
+
     def str_doc_values(self, field: str):
         """Lazily-loaded SORTED (string) doc-values column."""
         cache = self.__dict__.setdefault("_str_doc_values", {})
