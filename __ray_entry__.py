@@ -4418,6 +4418,51 @@ def _media_meta(sf_dir: str):
     )
 
 
+def _media_pixels(sf_dir: str):
+    """REAL image codec roundtrip: a deterministic RGB image per doc —
+    pixel (r, c, ch) = (doc_id*31 + r*17 + c*13 + ch*7) % 256, w = 8 +
+    id%9, h = 6 + id%7 — is ENCODED to PNG and DECODED back through the
+    pure-stdlib codec (pipelines/multimodal.py decode_png); output is the
+    decoded dimensions plus exact integer channel sums, oracled against
+    the closed-form pixel formula in SQL. -> (doc_id, width, height,
+    sum_r, sum_g, sum_b)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.multimodal import decode_png, encode_png
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        ws, hs = [], []
+        sums = [[], [], []]
+        for d in ids.tolist():
+            w = 8 + d % 9
+            h = 6 + d % 7
+            r = np.arange(h)[:, None, None]
+            c = np.arange(w)[None, :, None]
+            k = np.arange(3)[None, None, :]
+            px = ((d * 31 + r * 17 + c * 13 + k * 7) % 256).astype(np.uint8)
+            dw, dh, nch, out = decode_png(encode_png(px))
+            assert (dw, dh, nch) == (w, h, 3)
+            s = out.astype(np.int64).sum(axis=(0, 1))
+            ws.append(dw)
+            hs.append(dh)
+            for ch in range(3):
+                sums[ch].append(int(s[ch]))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_r": pa.array(sums[0], pa.int64()),
+            "sum_g": pa.array(sums[1], pa.int64()),
+            "sum_b": pa.array(sums[2], pa.int64()),
+        })
+
+    return _load_documents(sf_dir).select_columns(["doc_id"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
 N_FRAMES = 4
 
 
@@ -4665,6 +4710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_stats"] = lambda sf: _host_stats(sf)
     q["media_meta"] = _media_meta
     q["media_frames"] = _media_frames
+    q["media_pixels"] = lambda sf: _media_pixels(sf)
 
     # --- dedup suite ---
     q["dedup_exact"] = lambda sf: _dedup_exact(sf)
@@ -10322,6 +10368,20 @@ SELECT doc_id,
        md5(substring(html, (i * n) // {N_FRAMES} + 1,
                      ((i + 1) * n) // {N_FRAMES} - (i * n) // {N_FRAMES})) AS digest
 FROM checked, range(0, {N_FRAMES}) s(i)"""
+
+    # pure-stdlib PNG roundtrip: the oracle recomputes the channel sums
+    # from the closed-form pixel formula — equality proves the decoder
+    # inverts the encoder bit-exactly on every doc's image
+    sql["media_pixels"] = """SELECT d.doc_id,
+       CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+       CAST(6 + d.doc_id % 7 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k = 0 THEN (d.doc_id*31 + r*17 + c*13) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k = 1 THEN (d.doc_id*31 + r*17 + c*13 + 7) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k = 2 THEN (d.doc_id*31 + r*17 + c*13 + 14) % 256 END) AS BIGINT) AS sum_b
+FROM documents d,
+     range(0, 13) rr(r), range(0, 17) cc(c), range(0, 3) kk(k)
+WHERE r < 6 + d.doc_id % 7 AND c < 8 + d.doc_id % 9
+GROUP BY d.doc_id"""
 
     sql["dedup_exact"] = """SELECT doc_id, fingerprint FROM (
   SELECT doc_id, md5(text) AS fingerprint,
