@@ -3341,6 +3341,30 @@ def _interval_algebra(sf_dir: str, query_sets, build, kw=None):
     )
 
 
+# fn: interval-function syntax entry (functions/interval_parser.py):
+# every expression is a parse of an already-proven algebra shape
+INTERVAL_PARSER_QUERIES: Dict[int, str] = {
+    0: "fn:or(fn:unordered(batch scan) fn:unordered(data stream))",
+    1: "fn:atLeast(2 key value join)",
+    2: "fn:maxgaps(4 fn:unordered(data stream))",
+    3: "fn:maxwidth(6 fn:unordered(hash join))",
+}
+
+
+def _interval_parser(sf_dir: str):
+    """StandardQueryParser fn: interval syntax (queryparser/flexible/
+    standard StandardSyntaxParser IntervalFunction production) — parse
+    then score through the same algebra executors."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.interval_parser import parse_interval_query
+
+    an = make_analyzer("en_nostem_simple")
+    return _interval_algebra(
+        sf_dir, INTERVAL_PARSER_QUERIES,
+        lambda s: parse_interval_query(s, an),
+    )
+
+
 def _interval_or(sf_dir: str):
     """Intervals.or of two unordered sources (DisjunctionIntervalsSource:
     minimized union, minExtent = min of subs)."""
@@ -3565,36 +3589,61 @@ def _interval_or_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _atleast2of3_mi_sql(terms) -> str:
+    """Minimal-intervals subquery for atLeast(2 of 3 single terms): per
+    candidate end e, the tightest window starts at the 2nd-largest
+    per-term previous position (pairwise GREATEST/LEAST identity; DuckDB
+    GREATEST ignores NULLs), needing >= 2 present terms; starts are
+    monotone in ends so GROUP BY start + MIN(end) is containment-minimal."""
+    assert len(terms) == 3, "SQL identity pinned to 2-of-3"
+    prev_cols = ", ".join(
+        f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
+        f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    second = ("LEAST(GREATEST(p0, p1), GREATEST(p0, p2), "
+              "GREATEST(p1, p2))")
+    present = ("(CAST(p0 IS NOT NULL AS INT) + "
+               "CAST(p1 IS NOT NULL AS INT) + "
+               "CAST(p2 IS NOT NULL AS INT))")
+    return (
+        f"SELECT doc_id, spos, MIN(epos) AS epos FROM (\n"
+        f"          SELECT doc_id, epos, {second} AS spos FROM (\n"
+        f"            SELECT e.doc_id, e.pos AS epos, {prev_cols}\n"
+        f"            FROM ptok e WHERE e.term IN "
+        f"{_in_list(sorted(terms))}\n"
+        f"          ) WHERE {present} >= 2\n"
+        f"        ) GROUP BY doc_id, spos"
+    )
+
+
 def _interval_at_least_sql() -> str:
-    """Oracle for interval_at_least (2 of 3 single terms): per candidate
-    end e, the tightest window starts at the 2nd-largest per-term previous
-    position (pairwise GREATEST/LEAST identity; DuckDB GREATEST ignores
-    NULLs), needing >= 2 present terms; starts are monotone in ends so
-    GROUP BY start + MIN(end) is containment-minimal; minExtent = 2."""
+    """Oracle for interval_at_least (2 of 3 single terms); minExtent = 2."""
     ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
     selects = []
     for qid, (m, terms) in sorted(ATLEAST_INTERVAL_QUERY_SETS.items()):
-        assert m == 2 and len(terms) == 3, "SQL identity pinned to 2-of-3"
-        prev_cols = ", ".join(
-            f"(SELECT MAX(p.pos) FROM ptok p WHERE p.doc_id = e.doc_id "
-            f"AND p.term = '{t}' AND p.pos <= e.pos) AS p{i}"
-            for i, t in enumerate(terms)
-        )
-        second = ("LEAST(GREATEST(p0, p1), GREATEST(p0, p2), "
-                  "GREATEST(p1, p2))")
-        present = ("(CAST(p0 IS NOT NULL AS INT) + "
-                   "CAST(p1 IS NOT NULL AS INT) + "
-                   "CAST(p2 IS NOT NULL AS INT))")
-        mi = (
-            f"SELECT doc_id, spos, MIN(epos) AS epos FROM (\n"
-            f"          SELECT doc_id, epos, {second} AS spos FROM (\n"
-            f"            SELECT e.doc_id, e.pos AS epos, {prev_cols}\n"
-            f"            FROM ptok e WHERE e.term IN "
-            f"{_in_list(sorted(terms))}\n"
-            f"          ) WHERE {present} >= 2\n"
-            f"        ) GROUP BY doc_id, spos"
-        )
-        selects.append(_iv_sat_select(qid, mi, 2))
+        assert m == 2, "SQL identity pinned to 2-of-3"
+        selects.append(_iv_sat_select(qid, _atleast2of3_mi_sql(terms), 2))
+    return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _interval_parser_sql() -> str:
+    """Oracle for the fn: syntax entry: each parsed expression is
+    semantically one of the already-oracled interval families, so the
+    SQL reuses the same minimal-interval builders with the entry's
+    parameters (the engine side goes through parse_interval_query)."""
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    selects = [
+        _iv_sat_select(0, _union_minimize_sql([
+            _mi_subquery(("batch", "scan"), None, None),
+            _mi_subquery(("data", "stream"), None, None),
+        ]), 2),
+        _iv_sat_select(
+            1, _atleast2of3_mi_sql(("key", "value", "join")), 2
+        ),
+        _iv_sat_select(2, _mi_subquery(("data", "stream"), 4, None), 2),
+        _iv_sat_select(3, _mi_subquery(("hash", "join"), None, 6), 2),
+    ]
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -4630,6 +4679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_overlapping"] = lambda sf: _interval_overlapping(sf)
     q["interval_before_after"] = lambda sf: _interval_before_after(sf)
     q["interval_or"] = lambda sf: _interval_or(sf)
+    q["interval_parser"] = lambda sf: _interval_parser(sf)
     q["interval_at_least"] = lambda sf: _interval_at_least(sf)
     q["interval_phrase_extend"] = lambda sf: _interval_phrase_extend(sf)
     q["interval_within"] = lambda sf: _interval_within(sf)
@@ -9984,6 +10034,7 @@ UNION ALL
     sql["interval_before_after"] = _interval_before_after_sql()
     sql["interval_or"] = _interval_or_sql()
     sql["interval_at_least"] = _interval_at_least_sql()
+    sql["interval_parser"] = _interval_parser_sql()
     sql["interval_phrase_extend"] = _interval_phrase_extend_sql()
     sql["interval_within"] = _interval_within_sql()
     sql["interval_no_overlaps"] = _interval_no_overlaps_sql()
