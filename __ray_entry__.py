@@ -4804,34 +4804,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # representative of each already-proven core family; redundant bm25
 # variants follow in their original order.
 _DRIVER_WINDOW = [
-    # round-4 additions (new operators this round)
-    "payload_score", "span_payload_check", "payload_score_span",
-    "span_or", "span_first", "span_field_masked", "span_containing",
-    "span_within", "spell_wordbreak",
-    "spell_wordcombine", "covering_query", "facet_assoc",
-    "decontaminate_fuzzy", "pack_sequences", "neardup_embedding_ivf",
-    "interval_contained_by", "interval_overlapping",
-    "interval_before_after",
-    # late round-4: the recursive intervals source algebra
-    "interval_or", "interval_at_least", "interval_phrase_extend",
-    "interval_within", "interval_no_overlaps", "interval_multiterm",
+    # round-5 additions (new operators this round — no driver evidence)
+    "memory_index", "monitor_exact", "geo_shape", "media_pixels",
+    "interval_parser", "synonym_graph", "synonym_graph_index",
+    "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
-    # (r1 ∪ r2 ∪ r3 gap — the r3 verdict's rotation mandate)
-    "lmjm_term", "dfi_term", "boolean_term", "axiomatic_term",
-    "dfr_gb1_term", "ib_spl_term", "bpe_token_count", "bm25_span_not",
-    "interval_containing", "highlight_passages", "suggest_freetext",
-    "media_frames", "knn_cosine_hnsw", "knn_hnsw_filtered", "knn_cosine_sq",
-    # stalest evidence next: checked only in round 1 (analysis_postings,
-    # highlight_top, knn_cosine_ivf, neardup_minhash, neardup_simhash and
-    # bm25_term rotated OUT for the six intervals-algebra entries — all
-    # six already hold a passing driver correctness record)
-    # extension-session additions (no driver evidence yet): the new
-    # operators — SweetSpot similarity, DocValuesStats, HighFreqTerms,
-    # PhraseWildcardQuery, MultiRangeQuery, quality benchmark
-    "sweetspot_term", "dv_stats", "high_freq_terms",
-    "phrase_wildcard", "multi_range", "quality_eval",
-    "facet_sampled", "facet_dynamic_range", "geo_polygon",
-    "term_automaton", "dv_update",
+    # (r1 ∪ r2 ∪ r3 ∪ r4 gap — the r4 verdict's rotation mandate)
+    "indri_term", "interval_sigmoid", "interval_analyzed", "index_split",
+    "bp_reorder", "field_exists", "surround_query", "complex_phrase",
+    "span_multiterm", "suggest_context", "dedup_fingerprint",
+    # stalest evidence next: last checked in round 1
+    "highlight_top", "analysis_postings", "neardup_minhash",
+    "neardup_simhash", "knn_cosine_ivf",
+    # then a diverse slice of the round-2-only tail (one representative
+    # per family; redundant bm25 variants stay out — each holds a passing
+    # r2 record and the full local gate still runs them every session)
+    "term_vectors", "term_stats", "bm25_dismax", "bm25_boost",
+    "bm25_count", "constant_score", "bm25_update_latest",
+    "bm25_range_filter", "bm25_set_filter", "sort_by_ts", "sort_multi",
+    "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
+    "bm25_combined_field", "bm25_k1b", "bm25_explain", "bm25_phrase",
+    "bm25_phrase_sloppy", "bm25_span_near", "interval_ordered",
+    "geo_distance", "bm25_feature", "expr_score", "search_grouped",
+    "search_facets",
     # every rotated-out entry holds a passing driver record from an
     # earlier round; the full oracle gate (scripts/driver_check.py, all
     # entries, both SFs) still runs them each session.

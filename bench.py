@@ -1117,6 +1117,96 @@ def run_sf1() -> dict:
     ).count()
     t_clusters = round(time.time() - t0, 3)
     log(f"sf1 clusters: {n_clusters} rows in {t_clusters}s")
+
+    # positional executors at 10x the suite's positions corpus (r4
+    # verdict item 10): build a positions index over 10x base docs, then
+    # run the SAME span / interval / automaton warm batches as the suite
+    # stages — proves the pruned paths stay sublinear at 10x.
+    from lucene_ray.functions.intervals import IntervalQuery, score_intervals
+    from lucene_ray.functions.multiterm import phrase_wildcard_query
+    from lucene_ray.functions.query import score_blockmax
+    from lucene_ray.functions.spans import SpanNearQuery, score_span
+    from lucene_ray.functions.term_automaton import (
+        TermAutomatonQuery,
+        score_term_automaton,
+    )
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.pipelines.search import get_reader
+
+    pos10_dir = f"/tmp/lucene_ray_bench/idx-pos-sf1-{NUM_CPUS}"
+    shutil.rmtree(pos10_dir, ignore_errors=True)
+    docs10p, n10p = _bench_input(SF_DIR, 10)
+    t0 = time.time()
+    build_index(
+        docs10p, pos10_dir,
+        IndexConfig(
+            analyzer="standard_en", norm_kind="byte4", num_partitions=8,
+            positions=True,
+        ),
+        doc_count=n10p,
+    )
+    t_posbuild = round(time.time() - t0, 3)
+    reader10 = get_reader(pos10_dir)
+    span_qs = [
+        SpanNearQuery(("data", "stream"), 3, True),
+        SpanNearQuery(("stream", "data"), 2, False),
+        SpanNearQuery(("batch", "small", "scan"), 4, True),
+        SpanNearQuery(("custom", "valu"), 6, False),
+    ]
+    iv_qs = [
+        IntervalQuery(("data", "stream")),
+        IntervalQuery(("custom", "tabl"), max_gaps=4),
+        IntervalQuery(("hash", "join"), max_width=6),
+        IntervalQuery(("batch", "small", "scan")),
+    ]
+
+    def _aut(a, b, kleene):
+        q = TermAutomatonQuery()
+        s1, s2 = q.create_state(), q.create_state()
+        q.add_transition(0, s1, a)
+        if kleene:
+            q.add_any_transition(s1, s1)
+        else:
+            mid = q.create_state()
+            q.add_any_transition(s1, mid)
+            s1 = mid
+        q.add_transition(s1, s2, b)
+        q.set_accept(s2)
+        return q.finish()
+
+    autos = [
+        _aut("data", "stream", False),
+        _aut("hash", "join", False),
+        _aut("batch", "scan", True),
+    ]
+    pws = [
+        phrase_wildcard_query(
+            [("prefix", "ha"), ("term", "join")], reader10.expand_multi
+        ),
+        phrase_wildcard_query(
+            [("wildcard", "d?ta"), ("term", "stream")], reader10.expand_multi
+        ),
+    ]
+    pos_stages = {}
+    for name, qs, run in (
+        ("span_near_10x", span_qs, lambda q: score_span(reader10, q, 10)),
+        ("interval_query_10x", iv_qs,
+         lambda q: score_intervals(reader10, q, 10)),
+        ("automaton_wildcard_10x", autos + [p for p in pws if p],
+         lambda q: (
+             score_term_automaton(reader10, q, 10)
+             if isinstance(q, TermAutomatonQuery)
+             else score_blockmax(reader10, q, 10)
+         )),
+    ):
+        for q in qs:
+            run(q)  # warm
+        t0 = time.time()
+        for _ in range(10):
+            for q in qs:
+                run(q)
+        pos_stages[name] = round(time.time() - t0, 3)
+        log(f"sf1 {name}: {pos_stages[name]}s / {10 * len(qs)} queries")
     ray.shutdown()
     return {
         "metric": "sf1 (10x suite) build+query+dedup",
@@ -1127,6 +1217,8 @@ def run_sf1() -> dict:
             "bm25_topk": b["query_sec"],
             "neardup_jaccard_10x": t_pairs,
             "dedup_clusters_10x": t_clusters,
+            "pos_index_build_10x": t_posbuild,
+            **pos_stages,
         },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
