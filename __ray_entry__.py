@@ -3341,6 +3341,59 @@ def _interval_algebra(sf_dir: str, query_sets, build, kw=None):
     )
 
 
+# CoreParser XML query syntax entry (functions/xml_parser.py): each
+# query is an XML document exercising a different builder — boolean with
+# msm/boost/mustNot, dismax, constant-score, ordered span-near
+XML_QUERY_SETS: Dict[int, str] = {
+    0: ("<BooleanQuery minimumNumberShouldMatch='1'>"
+        "<Clause occurs='must'><TermQuery>data</TermQuery></Clause>"
+        "<Clause occurs='should'><TermQuery>stream</TermQuery></Clause>"
+        "<Clause occurs='should'><TermQuery boost='2.5'>key</TermQuery></Clause>"
+        "<Clause occurs='mustNot'><TermQuery>error</TermQuery></Clause>"
+        "</BooleanQuery>"),
+    1: ("<DisjunctionMaxQuery tieBreaker='0.4'>"
+        "<TermQuery>data</TermQuery><TermQuery>join</TermQuery>"
+        "<TermQuery>customer</TermQuery></DisjunctionMaxQuery>"),
+    2: ("<ConstantScoreQuery boost='2'>"
+        "<TermsQuery>batch scan</TermsQuery></ConstantScoreQuery>"),
+    3: ("<SpanNear slopFactor='3' inOrder='true'>"
+        "<SpanTerm>data</SpanTerm><SpanTerm>stream</SpanTerm>"
+        "</SpanNear>"),
+}
+
+
+def _xml_query(sf_dir: str):
+    """CoreParser XML queries (queryparser/xml/CoreParser.java) parsed by
+    functions/xml_parser.py and dispatched to the matching kernel.
+    -> (query_id, rank, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.functions.xml_parser import (
+        parse_xml_query,
+        score_xml_query,
+    )
+    from lucene_ray.pipelines.search import get_reader
+
+    reader = get_reader(_ensure_index(sf_dir, positions=True))
+    an = make_analyzer(reader.analyzer_name)
+    qids, ranks, docs_out, sc_out = [], [], [], []
+    for qid, xml in sorted(XML_QUERY_SETS.items()):
+        d, s = score_xml_query(reader, parse_xml_query(xml, an), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs_out.extend(np.asarray(d).tolist())
+        sc_out.extend(round_half_away(np.asarray(s, dtype=np.float64), 4).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int32()),
+        "doc_id": pa.array(docs_out, pa.int64()),
+        "score": pa.array(sc_out, pa.float64()),
+    })
+
+
 # fn: interval-function syntax entry (functions/interval_parser.py):
 # every expression is a parse of an already-proven algebra shape
 INTERVAL_PARSER_QUERIES: Dict[int, str] = {
@@ -3625,6 +3678,73 @@ def _interval_at_least_sql() -> str:
         assert m == 2, "SQL identity pinned to 2-of-3"
         selects.append(_iv_sat_select(qid, _atleast2of3_mi_sql(terms), 2))
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _xml_query_sql() -> str:
+    """Oracle for the XML syntax entry: each parsed query is one of the
+    already-oracled scoring shapes — boolean-with-boost (the _boost_sql
+    arms), dismax (MAX + tie * rest), constant score (matching docs at
+    the fixed boost, doc asc) and ordered span-near (the _span_near_sql
+    arm, reused with arms_only)."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.xml_parser import parse_xml_query
+
+    an = make_analyzer("en_nostem_simple")
+    q0 = parse_xml_query(XML_QUERY_SETS[0], an)
+    bmap = dict(q0.boosts)
+    must = sorted(set(q0.must))
+    should = sorted(set(q0.should) - set(must))
+    must_not = sorted(set(q0.must_not))
+    scoring = sorted(set(must) | set(should))
+    arms = " ".join(
+        f"WHEN term = '{t}' THEN score * {bmap[t]}" if t in bmap
+        else f"WHEN term = '{t}' THEN score"
+        for t in scoring
+    )
+    all_terms = sorted(set(scoring) | set(must_not))
+    msm_req = q0.minimum_should_match if must else max(
+        1, q0.minimum_should_match
+    )
+    sel0 = f"""(SELECT 0 AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id,
+           SUM(CASE {arms} ELSE 0 END) AS score,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must)} THEN term END) AS n_must,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(should)} THEN term END) AS n_should,
+           COUNT(DISTINCT CASE WHEN term IN {_in_list(must_not)} THEN term END) AS n_not
+    FROM sc WHERE term IN {_in_list(all_terms)} GROUP BY doc_id
+  )
+  WHERE n_must = {len(must)} AND n_should >= {msm_req} AND n_not = 0
+  ORDER BY rank LIMIT {TOPK})"""
+
+    q1 = parse_xml_query(XML_QUERY_SETS[1], an)
+    sel1 = f"""(SELECT 1 AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, MAX(score) + {q1.tie_breaker} * (SUM(score) - MAX(score)) AS score
+    FROM sc WHERE term IN {_in_list(sorted(set(q1.terms)))} GROUP BY doc_id
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+
+    q2 = parse_xml_query(XML_QUERY_SETS[2], an)
+    cs_terms = sorted(set(q2.query.should))
+    sel2 = f"""(SELECT 2 AS query_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank,
+       doc_id, {q2.boost} AS score
+  FROM (SELECT DISTINCT doc_id FROM sc WHERE term IN {_in_list(cs_terms)})
+  ORDER BY doc_id ASC LIMIT {TOPK})"""
+
+    q3 = parse_xml_query(XML_QUERY_SETS[3], an)
+    (sel3,) = _span_near_sql(
+        {3: (q3.terms, q3.slop, q3.in_order)}, arms_only=True
+    )
+
+    ptok = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
+    body = "\nUNION ALL\n".join([sel0, sel1, sel2, sel3])
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{ptok}\n{body}"
 
 
 def _interval_parser_sql() -> str:
@@ -4680,6 +4800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_before_after"] = lambda sf: _interval_before_after(sf)
     q["interval_or"] = lambda sf: _interval_or(sf)
     q["interval_parser"] = lambda sf: _interval_parser(sf)
+    q["xml_query"] = lambda sf: _xml_query(sf)
     q["interval_at_least"] = lambda sf: _interval_at_least(sf)
     q["interval_phrase_extend"] = lambda sf: _interval_phrase_extend(sf)
     q["interval_within"] = lambda sf: _interval_within(sf)
@@ -4806,7 +4927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
-    "interval_parser", "synonym_graph", "synonym_graph_index",
+    "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
     # (r1 ∪ r2 ∪ r3 ∪ r4 gap — the r4 verdict's rotation mandate)
@@ -4820,7 +4941,7 @@ _DRIVER_WINDOW = [
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
     "term_vectors", "term_stats", "bm25_dismax", "bm25_boost",
-    "bm25_count", "constant_score", "bm25_update_latest",
+    "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts", "sort_multi",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
     "bm25_combined_field", "bm25_k1b", "bm25_explain", "bm25_phrase",
@@ -7533,7 +7654,7 @@ def _interval_unordered_sql() -> str:
     return f"WITH {ptok}\n" + "\nUNION ALL\n".join(selects)
 
 
-def _span_near_sql(sets=None) -> str:
+def _span_near_sql(sets=None, arms_only: bool = False):
     """Oracle for bm25_span_near: positions from the stopword-gap ptok
     CTE; ordered spans as chained per-start MIN-successor joins, unordered
     two-clause spans as the LAG-window image of the two-pointer merge
@@ -7614,6 +7735,8 @@ def _span_near_sql(sets=None) -> str:
   )
   ORDER BY rank LIMIT {TOPK})"""
         )
+    if arms_only:
+        return arms
     body = "\nUNION ALL\n".join(arms)
     return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
 
@@ -10030,6 +10153,7 @@ UNION ALL
     sql["interval_or"] = _interval_or_sql()
     sql["interval_at_least"] = _interval_at_least_sql()
     sql["interval_parser"] = _interval_parser_sql()
+    sql["xml_query"] = _xml_query_sql()
     sql["interval_phrase_extend"] = _interval_phrase_extend_sql()
     sql["interval_within"] = _interval_within_sql()
     sql["interval_no_overlaps"] = _interval_no_overlaps_sql()
