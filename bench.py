@@ -909,6 +909,65 @@ def run_suite() -> dict:
     timed("decontaminate", _decon)
     timed("bpe_token_count", lambda: bpe_token_counts(docs).count())
 
+    # round-5 operators: exact percolation (MemoryIndex CandidateMatcher)
+    # and indexed-shape relation queries
+    from lucene_ray.pipelines.monitor import match_saved_queries_exact
+
+    exact_queries = {
+        0: '"data stream"~2',
+        1: "dat*",
+        2: "+data -error",
+        3: "strem~1",
+        4: "data stream key ~2",
+    }
+    timed(
+        "monitor_exact",
+        lambda: match_saved_queries_exact(
+            docs.select_columns(["doc_id", "text"]), exact_queries
+        ).count(),
+    )
+
+    def _geo_shape_stage():
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.parquet as pq
+
+        import ray.data as _rd
+
+        from lucene_ray.functions.geo import (
+            DISJOINT, INTERSECTS, WITHIN, shape_docs,
+        )
+        from lucene_ray.pipelines.search import get_reader
+        from lucene_ray.state.shapes import write_shape_values
+
+        ids_tbl = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+        )
+        ids = ids_tbl.column("doc_id").to_numpy().astype(np.int64)
+        lat = (ids * 7919) % 18000 - 9000
+        lon = (ids * 104729) % 36000 - 18000
+        h = 50 + ids % 400
+        w = 60 + ids % 500
+        flat = np.empty((len(ids), 6), dtype=np.int64)
+        flat[:, 0] = lat + h; flat[:, 1] = lon
+        flat[:, 2] = lat - h; flat[:, 3] = lon - w
+        flat[:, 4] = lat - h; flat[:, 5] = lon + w
+        write_shape_values(
+            _rd.from_arrow(_pa.table({
+                "doc_id": _pa.array(ids),
+                "verts": _pa.array(flat.tolist(), _pa.list_(_pa.int64())),
+            })),
+            base_idx,
+        )
+        reader = get_reader(base_idx)
+        n = 0
+        for box in ((-2000, 2000, -3000, 3000), (4000, 8900, 10000, 17900)):
+            for rel in (INTERSECTS, WITHIN, DISJOINT):
+                n += len(shape_docs(reader, ("box",) + box, rel))
+        return n
+
+    timed("geo_shape", _geo_shape_stage)
+
     total = round(time.time() - t_all, 3)
     result = {
         "metric": "lucene_ray suite wall time (index build + BM25 queries + data ops)",
