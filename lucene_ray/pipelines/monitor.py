@@ -226,122 +226,69 @@ def match_saved_queries(
 
 
 class ExactMatcherStage:
-    """Presearch + MemoryIndex exact verify: supports ANY query the
-    classic parser produces (boolean with msm/must_not, exact AND sloppy
-    phrases, prefix/wildcard/fuzzy multi-term clauses, boosts).
+    """DocumentBatch percolation: supports ANY query the classic parser
+    produces (boolean with msm/must_not, exact AND sloppy phrases,
+    prefix/wildcard/fuzzy multi-term clauses, boosts).
 
-    Reference shape: TermFilteredPresearcher selects candidate queries by
-    term overlap (queries whose positive clauses can't all be term-listed
-    get the ANYTOKEN bucket and run on every doc), then CandidateMatcher
-    runs the REAL query against a MemoryIndex of the document
-    (monitor/src/java/org/apache/lucene/monitor/TermFilteredPresearcher.java
-    + CandidateMatcher.java + the MemoryIndex DocumentBatch).
+    Reference shape: the monitor module batches incoming documents into
+    an ephemeral in-RAM index and runs each registered query against
+    that ONE reader (monitor/src/java/org/apache/lucene/monitor/
+    DocumentBatch.java + CandidateMatcher.java) — not doc-by-doc.
 
-    Ray-Data-first: one analysis pass per doc feeds both the presearch
-    join (vectorized pandas merge on distinct (doc, term) pairs) and —
-    only for candidate (doc, query) pairs — a per-doc
-    ``MemoryIndex.from_tokens`` verify. No shuffle; the query set rides
-    in the actor closure (``ray.put`` it for huge sets)."""
+    Ray-Data-first: one vectorized analysis pass per batch builds a
+    ``MemoryBatchIndex`` (state/memory_index.py — the AnalyzerStage
+    inversion, real postings codec, full IndexReader protocol); each
+    saved query then runs through the ENGINE's own ``matching_docs``
+    with all its cross-document vectorization. No shuffle; the query
+    set rides in the actor closure (``ray.put`` it for huge sets).
+    Multi-term patterns expand against the batch vocabulary — the
+    reference's ANYTOKEN bucket cost (re-running the query on every
+    doc) disappears into one per-batch expansion."""
 
     def __init__(self, query_strings: Dict[int, str],
                  analyzer_name: str = "en_nostem_simple",
                  norm_kind: str = "byte4"):
         from ..functions.analysis import make_analyzer
-        from ..functions.query import BooleanQuery, PhraseQuery, parse_query
+        from ..functions.query import parse_query
 
         self._an = make_analyzer(analyzer_name)
         self._norm_kind = norm_kind
         self._queries: Dict[int, object] = {
             qid: parse_query(s, self._an) for qid, s in query_strings.items()
         }
-        # presearch: (term, query_id) rows for REQUIRED terms; queries
-        # with n_req == 0 (multi-term / pure-SHOULD-with-expansion) are
-        # ANYTOKEN — candidates for every non-empty doc
-        terms: List[str] = []
-        qids: List[int] = []
-        req_rows = []
-        self._any_qids: List[int] = []
-        for qid, q in sorted(self._queries.items()):
-            if isinstance(q, PhraseQuery):
-                req = sorted(set(q.terms))
-            elif isinstance(q, BooleanQuery):
-                req = sorted(set(q.must))
-                if not req:
-                    if q.multi or q.must_groups:
-                        self._any_qids.append(qid)
-                        continue
-                    # no MUST: any single SHOULD term makes a candidate —
-                    # verify applies minimum_should_match exactly
-                    for t in sorted(set(q.should)):
-                        terms.append(t); qids.append(qid)
-                    req_rows.append((qid, 1))
-                    continue
-            else:
-                self._any_qids.append(qid)
-                continue
-            for t in req:
-                terms.append(t); qids.append(qid)
-            req_rows.append((qid, len(req)))
-        self._qt = pd.DataFrame({"term": terms, "query_id": qids})
-        self._req = pd.DataFrame(
-            req_rows, columns=["query_id", "n_req"]
-        ).set_index("query_id")["n_req"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.query import score_blockmax
-        from ..state.memory_index import MemoryIndex
+        from ..functions.query import matching_docs
+        from ..state.memory_index import MemoryBatchIndex
 
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        analyzed = [self._an.analyze_positions(t or "") for t in texts]
-        pair_docs: List[np.ndarray] = []
-        pair_terms: List[np.ndarray] = []
-        row_of: Dict[int, int] = {}
-        for i, (toks, _) in enumerate(analyzed):
-            row_of[int(doc_ids[i])] = i
-            u = np.unique(np.asarray(toks, dtype=object))
-            if len(u):
-                pair_docs.append(np.full(len(u), doc_ids[i], dtype=np.int64))
-                pair_terms.append(u)
-        cand: List[Tuple[int, int]] = []
-        if pair_docs and len(self._qt):
-            pairs = pd.DataFrame({
-                "doc_id": np.concatenate(pair_docs),
-                "term": np.concatenate(pair_terms),
-            })
-            hit = pairs.merge(self._qt, on="term", how="inner")
-            if len(hit):
-                counts = hit.groupby(["doc_id", "query_id"]).size()
-                need = self._req.reindex(
-                    counts.index.get_level_values("query_id")
-                ).to_numpy()
-                ok = counts.to_numpy() >= need
-                for (d, qid) in counts.index[ok]:
-                    cand.append((int(d), int(qid)))
-        if self._any_qids:
-            for i, (toks, _) in enumerate(analyzed):
-                if toks:
-                    for qid in self._any_qids:
-                        cand.append((int(doc_ids[i]), qid))
-        out_docs: List[int] = []
-        out_qids: List[int] = []
-        mi_cache: Dict[int, MemoryIndex] = {}
-        for d, qid in sorted(cand):
-            mi = mi_cache.get(d)
-            if mi is None:
-                toks, pos = analyzed[row_of[d]]
-                mi = MemoryIndex.from_tokens(
-                    toks, pos, norm_kind=self._norm_kind, doc_id=d,
-                    analyzer_name=getattr(self._an, "name", "custom"),
-                )
-                mi_cache[d] = mi
-            hits, _ = score_blockmax(mi, self._queries[qid], 1)
-            if len(hits):
+        term_lists: List[List[str]] = []
+        pos_lists: List[List[int]] = []
+        an = self._an
+        for t in texts:
+            toks, pos = an.analyze_positions(t or "")
+            term_lists.append(toks)
+            pos_lists.append(pos)
+        bidx = MemoryBatchIndex(
+            doc_ids, term_lists, pos_lists, norm_kind=self._norm_kind,
+            analyzer_name=getattr(an, "name", "custom"),
+        )
+        out_docs: List[np.ndarray] = []
+        out_qids: List[np.ndarray] = []
+        for qid, q in sorted(self._queries.items()):
+            d = matching_docs(bidx, q)
+            if len(d):
                 out_docs.append(d)
-                out_qids.append(qid)
+                out_qids.append(np.full(len(d), qid, dtype=np.int64))
+        if not out_docs:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.int64()),
+            })
         return pa.table({
-            "doc_id": pa.array(out_docs, pa.int64()),
-            "query_id": pa.array(out_qids, pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_docs)),
+            "query_id": pa.array(np.concatenate(out_qids)),
         })
 
 

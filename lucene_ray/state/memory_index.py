@@ -317,3 +317,185 @@ class MemoryIndex:
 
         docs, scores = score_blockmax(self, query, 1)
         return float(scores[0]) if len(docs) else 0.0
+
+
+class MemoryBatchIndex:
+    """Ephemeral in-RAM index over ONE BATCH of documents — the monitor
+    module's DocumentBatch (monitor/src/java/org/apache/lucene/monitor/
+    DocumentBatch.java: collect the incoming docs into a MemoryIndex /
+    ByteBuffersDirectory reader, then run every candidate query against
+    that one reader instead of per-document).
+
+    Built with the SAME vectorized inversion as the build pipeline's
+    AnalyzerStage (dictionary-encode the flat token stream, one
+    np.unique over term-major packed pair keys, one lexsort for the
+    positions stream), and exposing the IndexReader protocol — so
+    ``matching_docs`` / ``score_blockmax`` / the positional kernels run
+    unmodified with ALL their vectorization across the batch's docs.
+    Postings for a term are encoded through the real codec on first
+    access (queries touch a handful of terms; the rest never encode).
+
+    Doc IDs must be unique within the batch (they are reordered
+    ascending internally, as the codec requires)."""
+
+    def __init__(
+        self,
+        doc_ids: np.ndarray,
+        term_lists: Sequence[Sequence[str]],
+        pos_lists: Sequence[Sequence[int]],
+        norm_kind: str = "byte4",
+        analyzer_name: str = "custom",
+    ):
+        import itertools
+
+        import pyarrow as pa
+
+        self.norm_kind = norm_kind
+        self.analyzer_name = analyzer_name
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        self._doc_ids = doc_ids[order]
+        term_lists = [term_lists[i] for i in order]
+        pos_lists = [pos_lists[i] for i in order]
+        n_docs = len(term_lists)
+        lens = np.fromiter(
+            (len(x) for x in term_lists), dtype=np.int64, count=n_docs
+        )
+        total = int(lens.sum())
+        self.doc_count = n_docs
+        self.sum_total_tf = total
+        self.avgdl = total / max(n_docs, 1)
+        self.num_partitions = 1
+        self.heavy_terms = frozenset()
+        self.deleted = np.empty(0, dtype=np.int64)
+        self.index_dir = None
+        self._doc_norm_keys = (
+            int_to_byte4(lens).astype(np.int64)
+            if norm_kind == "byte4"
+            else lens
+        )
+        if total == 0:
+            self._vocab: List[str] = []
+            self._code_of: Dict[str, int] = {}
+            self._postings: Dict[str, List[TermPostings]] = {}
+            return
+        flat = pa.array(
+            list(itertools.chain.from_iterable(term_lists)), pa.string()
+        )
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dictionary = denc.dictionary.to_pylist()
+        nv = len(dictionary)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        # term-major pair keys: ascending uniq order groups each term's
+        # rows contiguously with docs ascending inside the group
+        pair = codes * n_docs + doc_idx
+        uniq, tfs = np.unique(pair, return_counts=True)
+        self._u_code = uniq // n_docs
+        self._u_docidx = uniq % n_docs
+        self._u_tf = tfs.astype(np.int64)
+        self._row_start = np.searchsorted(
+            self._u_code, np.arange(nv), side="left"
+        )
+        self._row_end = np.searchsorted(
+            self._u_code, np.arange(nv), side="right"
+        )
+        pos_flat = np.fromiter(
+            itertools.chain.from_iterable(pos_lists),
+            dtype=np.int32, count=total,
+        )
+        p_order = np.lexsort((pos_flat, pair))
+        self._pos_sorted = pos_flat[p_order]
+        self._pos_bounds = np.concatenate(
+            ([0], np.cumsum(self._u_tf))
+        ).astype(np.int64)
+        self._vocab = dictionary
+        self._code_of = {t: i for i, t in enumerate(dictionary)}
+        self._postings = {}
+        self._sorted_vocab_cache: Optional[List[str]] = None
+
+    # ---- stats / postings ------------------------------------------------
+    def _rows(self, term: str):
+        c = self._code_of.get(term)
+        if c is None:
+            return None
+        return int(self._row_start[c]), int(self._row_end[c])
+
+    def term_stats(self, term: str) -> Tuple[int, int]:
+        r = self._rows(term)
+        if r is None:
+            return (0, 0)
+        lo, hi = r
+        return hi - lo, int(self._u_tf[lo:hi].sum())
+
+    def postings(self, term: str) -> List[TermPostings]:
+        hit = self._postings.get(term)
+        if hit is not None:
+            return hit
+        r = self._rows(term)
+        if r is None:
+            out: List[TermPostings] = []
+        else:
+            lo, hi = r
+            di = self._u_docidx[lo:hi]
+            buf = bytearray()
+            off, length = encode_term_postings(
+                buf,
+                self._doc_ids[di],
+                self._u_tf[lo:hi],
+                self._doc_norm_keys[di],
+            )
+            out = [parse_term_postings(memoryview(bytes(buf)), off, length)]
+        self._postings[term] = out
+        return out
+
+    def all_terms(self) -> List[str]:
+        return self._sorted_vocab()
+
+    def all_doc_ids(self) -> np.ndarray:
+        return self._doc_ids
+
+    # ---- positions ---------------------------------------------------------
+    @property
+    def has_positions(self) -> bool:
+        return True
+
+    has_offsets = False
+    has_payloads = False
+
+    def term_positions(self, term: str):
+        r = self._rows(term)
+        if r is None:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int32)
+        lo, hi = r
+        return (
+            self._doc_ids[self._u_docidx[lo:hi]],
+            self._u_tf[lo:hi],
+            self._pos_sorted[self._pos_bounds[lo]:self._pos_bounds[hi]],
+        )
+
+    # ---- multi-term expansion ----------------------------------------------
+    def _sorted_vocab(self) -> List[str]:
+        if getattr(self, "_sorted_vocab_cache", None) is None:
+            self._sorted_vocab_cache = sorted(self._vocab)
+        return self._sorted_vocab_cache
+
+    def expand_multi(self, kind: str, pattern: str, arg: int) -> List[str]:
+        from ..functions.multiterm import (
+            MAX_EXPANSIONS,
+            expand,
+            literal_prefix,
+            literal_suffix,
+        )
+
+        vocab = self._sorted_vocab()
+        use_rev = (
+            kind == "wildcard"
+            and not literal_prefix(pattern)
+            and bool(literal_suffix(pattern))
+        )
+        rvocab = sorted(t[::-1] for t in vocab) if use_rev else None
+        return sorted(expand(kind, pattern, arg, vocab, rvocab=rvocab))[
+            :MAX_EXPANSIONS
+        ]
