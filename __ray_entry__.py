@@ -3052,6 +3052,12 @@ GEO_SHAPE_BOXES: Dict[int, Tuple[int, int, int, int]] = {
     1: (4000, 8900, 10000, 17900),
 }
 
+# point-component queries (LatLonShape.newGeometryQuery POINT): (lat, lon)
+GEO_SHAPE_POINTS: Dict[int, Tuple[int, int]] = {
+    2: (1000, 2000),
+    3: (-4500, -9000),
+}
+
 
 def _ensure_shape_values(sf_dir: str, index_dir: str) -> None:
     """Per-doc indexed TRIANGLE derived from the same deterministic
@@ -3103,9 +3109,13 @@ def _geo_shape(sf_dir: str):
     _ensure_shape_values(sf_dir, index_dir)
     reader = get_reader(index_dir)
     qids, rels, docs_out = [], [], []
-    for qid, box in sorted(GEO_SHAPE_BOXES.items()):
+    geoms = {
+        **{qid: ("box",) + box for qid, box in GEO_SHAPE_BOXES.items()},
+        **{qid: ("point",) + pt for qid, pt in GEO_SHAPE_POINTS.items()},
+    }
+    for qid, geom in sorted(geoms.items()):
         for rel in (INTERSECTS, WITHIN, DISJOINT):
-            d = shape_docs(reader, ("box",) + box, rel)
+            d = shape_docs(reader, geom, rel)
             qids.extend([qid] * len(d))
             rels.extend([rel] * len(d))
             docs_out.extend(d.tolist())
@@ -4339,6 +4349,22 @@ SELECT {qid} AS query_id, 'disjoint' AS relation, doc_id
 UNION ALL
 SELECT {qid} AS query_id, 'intersects' AS relation, doc_id
   FROM sh WHERE NOT ({disjoint})"""
+        )
+    for qid, (py, px) in sorted(GEO_SHAPE_POINTS.items()):
+        # closed point-in-triangle = intersection of the three closed
+        # half-planes (above the base, inside both slanted edges); no
+        # WITHIN arm — a >=2-vertex shape is never within a point
+        inside = (
+            f"{py} >= lat - h"
+            f" AND w*({py} - (lat - h)) - 2*h*({px} - (lon - w)) <= 0"
+            f" AND w*({py} - (lat + h)) + 2*h*({px} - lon) <= 0"
+        )
+        selects.append(
+            f"""SELECT {qid} AS query_id, 'intersects' AS relation, doc_id
+  FROM sh WHERE {inside}
+UNION ALL
+SELECT {qid} AS query_id, 'disjoint' AS relation, doc_id
+  FROM sh WHERE NOT ({inside})"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"""WITH sh AS (

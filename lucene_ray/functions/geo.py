@@ -322,6 +322,15 @@ def shape_docs(
         qmax_y = max(int(v[0]) for v in qv)
         qmin_x = min(int(v[1]) for v in qv)
         qmax_x = max(int(v[1]) for v in qv)
+    elif geometry[0] == "point":
+        # LatLonShape.newGeometryQuery with a POINT component: a point is
+        # a degenerate (closed) box, so the box kernels apply verbatim —
+        # INTERSECTS ⟺ the point lies in the closed shape (interior or
+        # boundary), WITHIN ⟺ the shape IS that point (degenerate)
+        _, py, px = geometry
+        qmin_y = qmax_y = int(py)
+        qmin_x = qmax_x = int(px)
+        geometry = ("box", qmin_y, qmax_y, qmin_x, qmax_x)
     else:
         raise ValueError(f"unknown geometry {geometry[0]!r}")
     bbox_disjoint = (

@@ -307,6 +307,45 @@ def check_index(index_dir: str, raise_on_error: bool = True) -> Dict:
             if len(tf_col) and int(tf_col.min()) < 1:
                 errors.append(f"termvectors {f}: tf < 1")
 
+    # indexed-shapes sidecar (state/shapes.py): per-file name ranges must
+    # cover contents, stored bboxes must equal the vertex extremes (the
+    # prune pass trusts them), vertex lists must be (lat, lon) pairs
+    from .shapes import SHAPES_DIR
+
+    sh_root = os.path.join(index_dir, SHAPES_DIR)
+    if os.path.isdir(sh_root):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for f in sorted(
+            _glob.glob(os.path.join(sh_root, "*", "*.parquet"))
+        ):
+            lo, hi = (int(x) for x in os.path.basename(f)[3:].split("-")[:2])
+            t = pq.read_table(f)
+            d = t.column("doc_id").to_numpy()
+            if len(d) and (int(d.min()) < lo or int(d.max()) > hi):
+                errors.append(f"shapes {f}: docs outside named range")
+            verts = t.column("verts").combine_chunks()
+            offs = verts.offsets.to_numpy()
+            vals = verts.flatten().to_numpy()
+            for j in range(len(d)):
+                seg = vals[offs[j]:offs[j + 1]]
+                if len(seg) < 4 or len(seg) % 2:
+                    errors.append(
+                        f"shapes {f}: doc {d[j]} malformed vertex list"
+                    )
+                    continue
+                if (
+                    int(seg[0::2].min()) != t.column("min_lat")[j].as_py()
+                    or int(seg[0::2].max()) != t.column("max_lat")[j].as_py()
+                    or int(seg[1::2].min()) != t.column("min_lon")[j].as_py()
+                    or int(seg[1::2].max()) != t.column("max_lon")[j].as_py()
+                ):
+                    errors.append(
+                        f"shapes {f}: doc {d[j]} bbox != vertex extremes"
+                    )
+
     report = {
         "index_dir": index_dir,
         "num_terms": n_terms,

@@ -131,3 +131,70 @@ def test_shape_docs_end_to_end(ray_session, tmp_path):
     r.deleted = np.asarray([1, 3], dtype=np.int64)
     assert shape_docs(r, geom, INTERSECTS).tolist() == [0, 4]
     assert shape_docs(r, geom, DISJOINT).tolist() == [2]
+
+
+def test_point_geometry_relations():
+    # point strictly inside, on an edge, at a vertex, outside
+    tri = [(10, 0), (-10, -10), (-10, 10)]
+    ys = np.asarray([v[0] for v in tri], dtype=np.int64)
+    xs = np.asarray([v[1] for v in tri], dtype=np.int64)
+
+    def rel(py, px):
+        return relate_shape_box(ys, xs, True, py, py, px, px)
+
+    assert rel(0, 0) == INTERSECTS        # interior
+    assert rel(-10, 0) == INTERSECTS      # on the base edge
+    assert rel(10, 0) == INTERSECTS       # at the apex vertex
+    assert rel(0, 10) == DISJOINT         # outside (right of the edge)
+    assert rel(-11, 0) == DISJOINT        # below the bbox
+    # open line: point ON the segment vs off it
+    ly = np.asarray([0, 10], dtype=np.int64)
+    lx = np.asarray([0, 10], dtype=np.int64)
+    assert relate_shape_box(ly, lx, False, 5, 5, 5, 5) == INTERSECTS
+    assert relate_shape_box(ly, lx, False, 5, 5, 6, 6) == DISJOINT
+
+
+def test_checkindex_validates_shapes(ray_session, tmp_path):
+    """CheckIndex covers the shapes sidecar: clean index passes, a
+    corrupted bbox (the prune pass trusts it) is flagged."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_ray.pipelines.build import IndexConfig, build_index
+    from lucene_ray.state.checkindex import IndexCorruptError, check_index
+    from lucene_ray.state.shapes import write_shape_values
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma"], pa.string()),
+        })),
+        idx,
+        IndexConfig(analyzer="en_nostem_simple", norm_kind="exact",
+                    num_partitions=1),
+        doc_count=2,
+    )
+    write_shape_values(
+        ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "verts": pa.array(
+                [[0, 0, 0, 5, 5, 5], [10, 10, 10, 20, 20, 10]],
+                pa.list_(pa.int64()),
+            ),
+        })),
+        idx,
+    )
+    assert check_index(idx)["ok"]
+    (f,) = glob.glob(os.path.join(idx, "shapes", "shape", "*.parquet"))
+    t = pq.read_table(f)
+    bad = t.set_column(
+        t.schema.get_field_index("max_lat"), "max_lat",
+        pa.array([99, 99], pa.int64()),
+    )
+    pq.write_table(bad, f)
+    with pytest.raises(IndexCorruptError, match="bbox"):
+        check_index(idx)
