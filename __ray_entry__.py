@@ -4661,6 +4661,78 @@ def _media_pixels(sf_dir: str):
 N_FRAMES = 4
 
 
+def _media_video(sf_dir: str):
+    """REAL video container roundtrip: a deterministic uncompressed AVI
+    per doc — nf = 3 + id%4 frames of w = 6 + id%6, h = 5 + id%4, pixel
+    (f, r, c, ch) = (doc_id*31 + f*19 + r*17 + c*13 + ch*7) % 256 — is
+    ENCODED (encode_avi) then DEMUXED back through the pure-stdlib RIFF
+    walker (demux_avi) with 4 evenly-sampled frames DECODED to pixels
+    (decode_avi_frame); output is per sampled frame the decoded dims plus
+    exact integer channel sums, oracled against the closed-form pixel
+    formula in SQL. -> (doc_id, samp_idx, frame_idx, width, height,
+    sum_r, sum_g, sum_b). Mirrors reference multimodal frame-sampling
+    semantics with a real demux seek per sampled frame."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.multimodal import (
+        decode_avi_frame,
+        demux_avi,
+        encode_avi,
+    )
+
+    n_samp = 4
+
+    def stage(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "doc_id", "samp_idx", "frame_idx", "width", "height",
+            "sum_r", "sum_g", "sum_b",
+        )}
+        for d in batch.column("doc_id").to_pylist():
+            w = 6 + d % 6
+            h = 5 + d % 4
+            nf = 3 + d % 4
+            r = np.arange(h)[:, None, None]
+            c = np.arange(w)[None, :, None]
+            k = np.arange(3)[None, None, :]
+            frames = [
+                ((d * 31 + f * 19 + r * 17 + c * 13 + k * 7) % 256).astype(
+                    np.uint8
+                )
+                for f in range(nf)
+            ]
+            blob = encode_avi(frames)
+            dw, dh, chunks = demux_avi(blob)
+            assert (dw, dh, len(chunks)) == (w, h, nf)
+            for i in range(n_samp):
+                fi = i * nf // n_samp
+                off, size = chunks[fi]
+                px = decode_avi_frame(blob, off, size, dw, dh)
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                out["doc_id"].append(d)
+                out["samp_idx"].append(i)
+                out["frame_idx"].append(fi)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "samp_idx": pa.array(out["samp_idx"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "sum_r": pa.array(out["sum_r"], pa.int64()),
+            "sum_g": pa.array(out["sum_g"], pa.int64()),
+            "sum_b": pa.array(out["sum_b"], pa.int64()),
+        })
+
+    return _load_documents(sf_dir).select_columns(["doc_id"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
 def _media_frames(sf_dir: str):
     """Frame sampling over the opaque html payload (video-pipeline shape:
     row-expanding actor stage, payload dropped after slicing). The SQL
@@ -4908,6 +4980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_meta"] = _media_meta
     q["media_frames"] = _media_frames
     q["media_pixels"] = lambda sf: _media_pixels(sf)
+    q["media_video"] = _media_video
 
     # --- dedup suite ---
     q["dedup_exact"] = lambda sf: _dedup_exact(sf)
@@ -4953,6 +5026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
+    "media_video",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -4970,7 +5044,7 @@ _DRIVER_WINDOW = [
     "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts", "sort_multi",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
-    "bm25_combined_field", "bm25_k1b", "bm25_explain", "bm25_phrase",
+    "bm25_combined_field", "bm25_explain", "bm25_phrase",
     "bm25_phrase_sloppy", "bm25_span_near", "interval_ordered",
     "geo_distance", "bm25_feature", "expr_score", "search_grouped",
     "search_facets",
@@ -10564,6 +10638,27 @@ SELECT doc_id,
        md5(substring(html, (i * n) // {N_FRAMES} + 1,
                      ((i + 1) * n) // {N_FRAMES} - (i * n) // {N_FRAMES})) AS digest
 FROM checked, range(0, {N_FRAMES}) s(i)"""
+    # html payloads are never RIFF/AVI, so the byte-slice fallback runs
+    sql["media_frames"] = sql["media_frames"].replace(
+        "SELECT doc_id,\n", "SELECT doc_id, FALSE AS decoded,\n", 1
+    )
+
+    # pure-stdlib AVI roundtrip: the oracle recomputes per-sampled-frame
+    # channel sums from the closed-form pixel formula — equality proves
+    # demux chunk offsets + per-frame DIB decode invert the encoder
+    # bit-exactly (stride padding, bottom-up rows, BGR order all covered)
+    sql["media_video"] = """SELECT d.doc_id,
+       CAST(i AS BIGINT) AS samp_idx,
+       CAST((i * (3 + d.doc_id % 4)) // 4 AS BIGINT) AS frame_idx,
+       CAST(6 + d.doc_id % 6 AS BIGINT) AS width,
+       CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN k = 0 THEN (d.doc_id*31 + ((i * (3 + d.doc_id % 4)) // 4)*19 + r*17 + c*13) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN k = 1 THEN (d.doc_id*31 + ((i * (3 + d.doc_id % 4)) // 4)*19 + r*17 + c*13 + 7) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN k = 2 THEN (d.doc_id*31 + ((i * (3 + d.doc_id % 4)) // 4)*19 + r*17 + c*13 + 14) % 256 END) AS BIGINT) AS sum_b
+FROM documents d,
+     range(0, 4) s(i), range(0, 9) rr(r), range(0, 12) cc(c), range(0, 3) kk(k)
+WHERE r < 5 + d.doc_id % 4 AND c < 6 + d.doc_id % 6
+GROUP BY d.doc_id, i"""
 
     # pure-stdlib PNG roundtrip: the oracle recomputes the channel sums
     # from the closed-form pixel formula — equality proves the decoder

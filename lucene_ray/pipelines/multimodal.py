@@ -3,10 +3,11 @@
 Media payloads (image/audio/video) are opaque ``binary`` columns with typed
 metadata travelling alongside. REAL pure-stdlib codecs cover PCM WAV audio
 (``wave``), PNG (zlib/struct — all five scanline filters, gray/RGB/RGBA/
-palette at 8-bit) and 24-bit BMP; payloads outside those formats fall back
-to a deterministic fake (flagged by the ``decoded`` column) so pipelines
-stay end-to-end runnable without external image/video libraries. Video
-container demuxing remains the honest env-blocked stub.
+palette at 8-bit), 24-bit BMP, and uncompressed AVI video (RIFF demux of
+'00db' DIB frame chunks + per-frame 24-bit decode); payloads outside those
+formats fall back to a deterministic fake (flagged by the ``decoded``
+column) so pipelines stay end-to-end runnable without external media
+libraries. Compressed video codecs (H.264 etc.) remain env-blocked.
 
 Scale notes: binary payloads dominate block memory, so decode stages run
 with a small ``batch_size`` and drop the payload column as soon as features
@@ -321,17 +322,135 @@ def decode_images(
     )
 
 
+def encode_avi(frames: List[np.ndarray], fps: int = 25) -> bytes:
+    """Minimal uncompressed AVI writer (pure stdlib struct): RIFF 'AVI '
+    with one 'vids'/'DIB ' stream of 24-bit BI_RGB frames ('00db' chunks,
+    bottom-up BGR rows, 4-byte-padded stride — the standard DIB layout)
+    plus an idx1 index. Synthesizes real video payloads for tests and
+    benchmarks; no media libraries exist in this environment."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    size_image = stride * h
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_blobs = []
+    for fr in frames:
+        arr = np.ascontiguousarray(fr, dtype=np.uint8)
+        if arr.shape[:2] != (h, w) or arr.shape[2] != 3:
+            raise ValueError("all frames must share one HxWx3 shape")
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        frame_blobs.append(padded.tobytes())
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, size_image * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX
+        len(frames), 0, 1, size_image, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        size_image, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", fb) for fb in frame_blobs)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx_entries, off = [], 4
+    for fb in frame_blobs:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def is_avi(blob: bytes) -> bool:
+    return len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+
+
+def demux_avi(blob: bytes):
+    """REAL pure-stdlib AVI demux -> (width, height, [(data_off, size)])
+    for each video frame chunk ('##db'/'##dc' of stream 0 inside the
+    'movi' list), or None when the payload is not parseable AVI. Only
+    the RIFF walk happens here — frames decode lazily per sampled index
+    (decode_avi_frame), so a demux touches header bytes, never the whole
+    payload."""
+    import struct
+
+    if not is_avi(blob):
+        return None
+    w = h = None
+    frames: List[tuple] = []
+
+    def walk(lo: int, hi: int, in_movi: bool) -> bool:
+        nonlocal w, h
+        pos = lo
+        while pos + 8 <= hi:
+            tag = blob[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            data_off = pos + 8
+            if data_off + size > hi:
+                return False
+            if tag == b"LIST" and size >= 4:
+                kind = blob[data_off : data_off + 4]
+                if not walk(data_off + 4, data_off + size,
+                            in_movi or kind == b"movi"):
+                    return False
+            elif tag == b"avih" and size >= 40:
+                vals = struct.unpack_from("<10I", blob, data_off)
+                w, h = int(vals[8]), int(vals[9])
+            elif in_movi and tag[:2] == b"00" and tag[2:4] in (b"db", b"dc"):
+                frames.append((data_off, int(size)))
+            pos = data_off + size + (size % 2)
+        return True
+
+    try:
+        if not walk(12, 8 + struct.unpack_from("<I", blob, 4)[0], False):
+            return None
+    except struct.error:
+        return None
+    if w is None or h is None or w <= 0 or h <= 0:
+        return None
+    return w, h, frames
+
+
+def decode_avi_frame(blob: bytes, data_off: int, size: int, w: int, h: int):
+    """Decode one demuxed '00db' DIB frame -> uint8[h, w, 3] RGB, or None
+    when the chunk size does not match the 24-bit padded-stride layout."""
+    stride = ((w * 3 + 3) // 4) * 4
+    if size != stride * h or data_off + size > len(blob):
+        return None
+    rows = np.frombuffer(blob, dtype=np.uint8, count=size, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+
+
 class FrameSampleStage:
     """Row-expanding stage: one binary "video" payload -> ``n_frames``
     evenly-spaced frame rows (doc_id, frame_idx, frame_off, frame_bytes,
-    digest). A real container demuxer would seek keyframes here (loaded
-    once per actor); without one the deterministic fallback slices the
-    payload into even byte ranges — same schema, same row expansion, same
-    memory profile (output rows carry a SLICE, never the whole payload),
-    so downstream embed/filter stages are end-to-end testable. This is the
-    canonical frame-sampling shape for a 100 TB video corpus: small
-    ``batch_size`` (payloads dominate block memory), payload dropped after
-    slicing."""
+    digest, decoded). AVI payloads take the REAL path: the pure-stdlib
+    RIFF demuxer (demux_avi) locates the actual '00db' frame chunks and
+    the sampled rows carry the true chunk offsets/sizes/digests
+    (decoded=True); other payloads fall back to deterministic even byte
+    slices (decoded=False) — same schema, same row expansion, same
+    memory profile (output rows carry a SLICE reference, never the whole
+    payload), so downstream embed/filter stages are end-to-end testable
+    either way. This is the canonical frame-sampling shape for a 100 TB
+    video corpus: small ``batch_size`` (payloads dominate block memory),
+    payload dropped after slicing."""
 
     def __init__(self, payload_col: str = "payload", n_frames: int = 4):
         self.payload_col = payload_col
@@ -340,11 +459,26 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
             "doc_id": [], "frame_idx": [], "frame_off": [],
-            "frame_bytes": [], "digest": [],
+            "frame_bytes": [], "digest": [], "decoded": [],
         }
         ids = batch.column("doc_id").to_pylist()
         for did, blob in zip(ids, batch.column(self.payload_col).to_pylist()):
             b = bytes(blob or b"")
+            demux = demux_avi(b) if is_avi(b) else None
+            if demux is not None and demux[2]:
+                _, _, chunks = demux
+                nf = len(chunks)
+                for i in range(self.n_frames):
+                    off, size = chunks[i * nf // self.n_frames]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_bytes"].append(size)
+                    out["digest"].append(
+                        hashlib.md5(b[off : off + size]).hexdigest()
+                    )
+                    out["decoded"].append(True)
+                continue
             n = len(b)
             for i in range(self.n_frames):
                 lo = i * n // self.n_frames
@@ -355,6 +489,7 @@ class FrameSampleStage:
                 out["frame_off"].append(lo)
                 out["frame_bytes"].append(hi - lo)
                 out["digest"].append(hashlib.md5(frame).hexdigest())
+                out["decoded"].append(False)
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
@@ -362,6 +497,7 @@ class FrameSampleStage:
                 "frame_off": pa.array(out["frame_off"], pa.int64()),
                 "frame_bytes": pa.array(out["frame_bytes"], pa.int64()),
                 "digest": pa.array(out["digest"], pa.string()),
+                "decoded": pa.array(out["decoded"], pa.bool_()),
             }
         )
 

@@ -167,3 +167,87 @@ def test_image_stage_real_path(ray_session):
         got = np.asarray(r["features"][:3])
         assert np.allclose(got, want)
         assert all(v == 0.0 for v in r["features"][3:])
+
+
+def _rng_frames(n, h, w, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_avi_roundtrip():
+    from lucene_ray.pipelines.multimodal import (
+        decode_avi_frame,
+        demux_avi,
+        encode_avi,
+        is_avi,
+    )
+
+    frames = _rng_frames(5, 4, 7, 3)  # w*3=21 -> stride padding exercised
+    blob = encode_avi(frames)
+    assert is_avi(blob)
+    w, h, chunks = demux_avi(blob)
+    assert (w, h, len(chunks)) == (7, 4, 5)
+    for (off, size), fr in zip(chunks, frames):
+        assert np.array_equal(decode_avi_frame(blob, off, size, w, h), fr)
+
+
+def test_avi_rejects_garbage():
+    from lucene_ray.pipelines.multimodal import (
+        decode_avi_frame,
+        demux_avi,
+        encode_avi,
+        is_avi,
+    )
+
+    assert demux_avi(b"") is None
+    assert demux_avi(b"RIFF\x04\x00\x00\x00WAVE") is None  # not AVI
+    assert not is_avi(b"nope")
+    blob = bytearray(encode_avi(_rng_frames(2, 3, 3, 7)))
+    # truncate mid-movi: chunk size overruns -> demux refuses
+    assert demux_avi(bytes(blob[:60])) is None
+    w, h, chunks = demux_avi(bytes(blob))
+    off, size = chunks[0]
+    # wrong expected dims -> chunk-size mismatch -> None
+    assert decode_avi_frame(bytes(blob), off, size, w, h + 1) is None
+
+
+def test_frame_stage_real_and_fallback(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from lucene_ray.pipelines.multimodal import (
+        FrameSampleStage,
+        demux_avi,
+        encode_avi,
+    )
+
+    frames = _rng_frames(6, 3, 4, 11)
+    avi = encode_avi(frames)
+    raw = b"just-raw-bytes-" * 10
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([avi, raw], pa.binary()),
+    })
+    out = sorted(
+        ray.data.from_arrow(tbl)
+        .map_batches(FrameSampleStage(n_frames=4), batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: (r["doc_id"], r["frame_idx"]),
+    )
+    assert len(out) == 8
+    real, fake = out[:4], out[4:]
+    assert all(r["decoded"] for r in real)
+    assert not any(r["decoded"] for r in fake)
+    # real rows point at the actual demuxed chunk bytes
+    _, _, chunks = demux_avi(avi)
+    for i, r in enumerate(real):
+        off, size = chunks[i * 6 // 4]
+        assert (r["frame_off"], r["frame_bytes"]) == (off, size)
+        assert r["digest"] == hashlib.md5(avi[off : off + size]).hexdigest()
+    # fallback rows are even byte slices of the payload
+    n = len(raw)
+    for i, r in enumerate(fake):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        assert (r["frame_off"], r["frame_bytes"]) == (lo, hi - lo)
+        assert r["digest"] == hashlib.md5(raw[lo:hi]).hexdigest()
