@@ -444,6 +444,20 @@ PHRASE_QUERY_SETS: Dict[int, str] = {
     4: '"zzz missing"',
 }
 
+# SimpleQueryParser syntax (queryparser/simple/SimpleQueryParser.java,
+# functions/simple_parser.py) with defaultOperator=MUST: implicit AND,
+# left-fold precedence on operator change, `-` = MUST_NOT + scoring
+# MatchAll wrapper (constant 1.0), garbage slop tolerated
+SIMPLE_QUERY_SETS: Dict[int, str] = {
+    0: "data stream",             # implicit AND
+    1: "batch|scan dup",          # left fold: (batch OR scan) AND dup
+    2: "data -stream",            # negation wrapper adds MatchAll's 1.0
+    3: '"hash table" join',       # phrase clause AND'd with a term
+    4: "sm* | key",               # prefix expansion OR plain term
+    5: "-data",                   # pure negation: every other doc at 1.0
+    6: 'customer "table hash"~a', # unparsable slop ignored -> exact phrase
+}
+
 # SpanMultiTermQueryWrapper under SpanNear (queries/spans/
 # SpanMultiTermQueryWrapper.java): (slots, slop, in_order) — slots are
 # ("term", t) literals or multiterm patterns expanded per segment.
@@ -1178,7 +1192,7 @@ def _multi_result(sf_dir: str, set_name: str):
 
 def _run_query_strings(
     sf_dir: str, id_to_query: Dict[int, str], index_dir: str = None,
-    k1: float = K1, b: float = B, similarity=None,
+    k1: float = K1, b: float = B, similarity=None, parser: str = "classic",
 ):
     import pyarrow as pa
 
@@ -1189,7 +1203,7 @@ def _run_query_strings(
         index_dir = _ensure_index(sf_dir)
     stage = QueryExecStage(
         index_dir, k=TOPK, mode="blockmax", k1=k1, b=b,
-        similarity=similarity,
+        similarity=similarity, parser=parser,
     )
     batch = pa.table(
         {
@@ -2545,6 +2559,19 @@ def _bm25_phrase_sloppy(sf_dir: str):
         sf_dir,
         PHRASE_SLOPPY_QUERY_SETS,
         index_dir=_ensure_index(sf_dir, positions=True),
+    )
+
+
+def _simple_query(sf_dir: str):
+    """SimpleQueryParser syntax end-to-end: the fault-tolerant grammar
+    (implicit AND, |, -, phrases, prefix, left-fold precedence) parsed by
+    functions/simple_parser.py and executed through the standard searcher
+    stage over the positions index."""
+    return _run_query_strings(
+        sf_dir,
+        SIMPLE_QUERY_SETS,
+        index_dir=_ensure_index(sf_dir, positions=True),
+        parser="simple",
     )
 
 
@@ -4899,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["interval_or"] = lambda sf: _interval_or(sf)
     q["interval_parser"] = lambda sf: _interval_parser(sf)
     q["xml_query"] = lambda sf: _xml_query(sf)
+    q["simple_query"] = lambda sf: _simple_query(sf)
     q["interval_at_least"] = lambda sf: _interval_at_least(sf)
     q["interval_phrase_extend"] = lambda sf: _interval_phrase_extend(sf)
     q["interval_within"] = lambda sf: _interval_within(sf)
@@ -5026,7 +5054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
-    "media_video",
+    "media_video", "simple_query",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5042,7 +5070,7 @@ _DRIVER_WINDOW = [
     # r2 record and the full local gate still runs them every session)
     "term_vectors", "term_stats", "bm25_dismax", "bm25_boost",
     "constant_score", "bm25_update_latest",
-    "bm25_range_filter", "bm25_set_filter", "sort_by_ts", "sort_multi",
+    "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
     "bm25_combined_field", "bm25_explain", "bm25_phrase",
     "bm25_phrase_sloppy", "bm25_span_near", "interval_ordered",
@@ -7304,6 +7332,144 @@ def _scored_match_sub(q) -> Tuple[str, str]:
            COUNT(DISTINCT CASE WHEN {or_(notp)} THEN term END) AS n_not
     FROM sc WHERE {or_(must + should + notp)} GROUP BY doc_id"""
     return sub, cond
+
+
+def _phrase_score_join(alias: str, q) -> str:
+    """One exact-phrase scored subquery (same arithmetic as _phrase_sql:
+    idf = sum of the terms' idfs, tf = phraseFreq) joinable on doc_id."""
+    t0 = q.terms[0]
+    joins = "".join(
+        f"""
+        JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id
+                      AND t{i}.pos = t0.pos + {q.offsets[i]}
+                      AND t{i}.term = '{q.terms[i]}'"""
+        for i in range(1, len(q.terms))
+    )
+    vals = ", ".join(f"('{t}')" for t in q.terms)
+    return f"""JOIN (
+      SELECT p.doc_id,
+             (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
+                FROM (VALUES {vals}) v(term) JOIN df d USING (term)
+                CROSS JOIN stats s2)
+               * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
+                    / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
+      FROM (
+        SELECT t0.doc_id, COUNT(*) AS pf
+        FROM ptok t0{joins}
+        WHERE t0.term = '{t0}'
+        GROUP BY t0.doc_id
+      ) p
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN stats s
+    ) {alias} ON {alias}.doc_id = m.doc_id"""
+
+
+def _simple_query_sql() -> str:
+    """Oracle for simple_query: the SAME strings parsed through
+    parse_simple_query, each compiled shape mirrored in SQL — flat
+    booleans via the shared scored-match subquery; NestedQuery arms join
+    per-child scored subqueries in children order (the engine's float
+    accumulation: base first, then children); the `-token` wrapper is a
+    NOT IN exclusion contributing the MatchAll's constant 1.0."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import (
+        BooleanQuery,
+        MatchAllQuery,
+        NestedQuery,
+        PhraseQuery,
+    )
+    from lucene_ray.functions.simple_parser import parse_simple_query
+
+    an = make_analyzer("en_nostem_simple")
+
+    def neg_docs_sub(base: BooleanQuery) -> str:
+        preds = [f"term = '{t}'" for t in sorted(set(base.must_not))]
+        preds += [
+            _clause_pred(k, p, a) for k, p, a, role in base.multi
+            if role == "must_not"
+        ]
+        return (
+            "SELECT doc_id FROM sc WHERE "
+            + ("(" + " OR ".join(preds) + ")" if preds else "FALSE")
+        )
+
+    def is_not_wrapper(node) -> bool:
+        return (
+            isinstance(node, NestedQuery)
+            and len(node.children) == 1
+            and node.children[0][0] == "should"
+            and isinstance(node.children[0][1], MatchAllQuery)
+        )
+
+    arms = []
+    for qid, qs in sorted(SIMPLE_QUERY_SETS.items()):
+        q = parse_simple_query(qs, an, default_operator="must")
+        if is_not_wrapper(q):
+            # standalone negation: every doc not matching, score 1.0
+            arms.append(
+                f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS INTEGER) AS rank,
+       doc_id, 1.0 AS score
+  FROM documents
+  WHERE doc_id NOT IN ({neg_docs_sub(q.base)})
+  ORDER BY rank LIMIT {TOPK})"""
+            )
+            continue
+        if isinstance(q, BooleanQuery):
+            sub, cond = _scored_match_sub(q)
+            arms.append(
+                f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM ({sub}) WHERE {cond}
+  ORDER BY rank LIMIT {TOPK})"""
+            )
+            continue
+        assert isinstance(q, NestedQuery), qs
+        base_sub, base_cond = _scored_match_sub(q.base)
+        score_terms = ["m.score"]
+        joins: List[str] = []
+        extra_conds: List[str] = []
+        for i, (occur, child) in enumerate(q.children):
+            assert occur == "must", qs  # the entry set uses MUST children
+            if isinstance(child, PhraseQuery) and child.slop == 0:
+                joins.append(_phrase_score_join(f"ph{i}", child))
+                score_terms.append(f"ph{i}.score")
+            elif is_not_wrapper(child):
+                extra_conds.append(
+                    f"m.doc_id NOT IN ({neg_docs_sub(child.base)})"
+                )
+                score_terms.append("1.0")
+            elif isinstance(child, BooleanQuery) and child.should:
+                terms = _in_list(sorted(set(child.should)))
+                joins.append(
+                    f"""JOIN (
+      SELECT doc_id, SUM(score) AS score FROM sc
+      WHERE term IN {terms} GROUP BY doc_id
+    ) g{i} ON g{i}.doc_id = m.doc_id"""
+                )
+                score_terms.append(f"g{i}.score")
+            else:
+                raise ValueError(f"unhandled simple-query child in {qs!r}")
+        conds = " AND ".join(
+            [base_cond.replace("n_must", "m.n_must")
+             .replace("n_should", "m.n_should").replace("n_not", "m.n_not")]
+            + extra_conds
+        )
+        arms.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT m.doc_id, {' + '.join(score_terms)} AS score
+    FROM ({base_sub}) m
+    {chr(10).join(joins)}
+    WHERE {conds}
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE},\n{_PTOK_CTE}\n{body}"
 
 
 def _boost_field_sql() -> str:
@@ -10254,6 +10420,7 @@ UNION ALL
     sql["interval_at_least"] = _interval_at_least_sql()
     sql["interval_parser"] = _interval_parser_sql()
     sql["xml_query"] = _xml_query_sql()
+    sql["simple_query"] = _simple_query_sql()
     sql["interval_phrase_extend"] = _interval_phrase_extend_sql()
     sql["interval_within"] = _interval_within_sql()
     sql["interval_no_overlaps"] = _interval_no_overlaps_sql()

@@ -86,7 +86,8 @@ class QueryExecStage:
     """Stateful actor: warm index + analyzer, executes query batches."""
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "blockmax",
-                 k1: float = 1.2, b: float = 0.75, similarity=None):
+                 k1: float = 1.2, b: float = 0.75, similarity=None,
+                 parser: str = "classic"):
         self.reader = get_reader(index_dir)
         self.reader.bm25_params = (k1, b)
         # IndexSearcher.setSimilarity analogue: None = BM25(k1, b);
@@ -97,6 +98,16 @@ class QueryExecStage:
         self.analyzer = make_analyzer(self.reader.analyzer_name)
         self.k = k
         self.exec_fn = score_blockmax if mode == "blockmax" else score_exhaustive
+        if parser == "simple":
+            # SimpleQueryParser syntax (functions/simple_parser.py);
+            # defaultOperator MUST mirrors the reference test harness
+            from ..functions.simple_parser import parse_simple_query
+
+            self.parse = lambda text, an: parse_simple_query(
+                text, an, default_operator="must"
+            )
+        else:
+            self.parse = parse_query
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: List[int] = []
@@ -111,7 +122,7 @@ class QueryExecStage:
             else [self.k] * len(ids)
         )
         for qid, text, k in zip(ids, texts, ks):
-            q = parse_query(text, self.analyzer)
+            q = self.parse(text, self.analyzer)
             docs, scores = self.exec_fn(self.reader, q, int(k))
             qids.extend([qid] * len(docs))
             ranks.append(np.arange(1, len(docs) + 1, dtype=np.int32))
