@@ -927,6 +927,29 @@ def run_suite() -> dict:
         ).count(),
     )
 
+    # SimpleQueryParser syntax through the warm positions reader: the
+    # fault-tolerant grammar's shapes (implicit AND, |-fold, negation
+    # wrapper, phrase, prefix) — parse + execute per query
+    def _simple_query_stage():
+        from lucene_ray.functions.simple_parser import parse_simple_query
+        from lucene_ray.pipelines.search import get_reader
+
+        reader = get_reader(pos_idx)
+        an = make_analyzer(reader.analyzer_name)
+        texts = [
+            "data stream", "batch|scan dup", "data -stream",
+            '"data stream" key', "str* | key", "-data",
+            'key "data stream"~a', "value + merge|sort",
+        ] * 5
+        hits = 0
+        for text in texts:
+            q = parse_simple_query(text, an, default_operator="must")
+            d, _s = score_blockmax(reader, q, 10)
+            hits += len(d)
+        return hits
+
+    timed("simple_query", _simple_query_stage)
+
     def _geo_shape_stage():
         import numpy as np
         import pyarrow as _pa
