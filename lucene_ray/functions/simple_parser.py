@@ -33,6 +33,10 @@ required children (the classic parser's must_groups rewrite). DOCUMENTED
 DEVIATION (same contract as NestedQuery): score accumulation is base
 terms first, then children in clause order — the reference sums clauses
 in declaration order; matching sets are identical.
+
+Scope: single-field (the reference's ``Map<String, Float> weights``
+multi-field constructor is not exposed here — cross-field search goes
+through ``pipelines/multifield.py``, which owns per-field stats/boosts).
 """
 
 from __future__ import annotations
