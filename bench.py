@@ -1289,6 +1289,25 @@ def run_sf1() -> dict:
                 run(q)
         pos_stages[name] = round(time.time() - t0, 3)
         log(f"sf1 {name}: {pos_stages[name]}s / {10 * len(qs)} queries")
+
+    # percolation at 10x the suite's monitor corpus: the DocumentBatch
+    # path is a streaming map (one ephemeral batch index per block), so
+    # it should stay ~linear in docs — no per-doc ANYTOKEN blowup
+    from lucene_ray.pipelines.monitor import match_saved_queries_exact
+
+    t0 = time.time()
+    n_perc = match_saved_queries_exact(
+        docs10p.select_columns(["doc_id", "text"]),
+        {
+            0: '"data stream"~2', 1: "dat*", 2: "+data -error",
+            3: "strem~1", 4: "data stream key ~2",
+        },
+    ).count()
+    pos_stages["monitor_exact_10x"] = round(time.time() - t0, 3)
+    log(
+        f"sf1 monitor_exact_10x: {pos_stages['monitor_exact_10x']}s, "
+        f"{n_perc} matches over {n10p} docs"
+    )
     ray.shutdown()
     return {
         "metric": "sf1 (10x suite) build+query+dedup",
