@@ -7248,49 +7248,22 @@ def _multi_sql(set_name: str) -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
-def _phrase_sql() -> str:
-    """Oracle for bm25_phrase: positions via generate_subscripts over the
-    simple-token array (stopwords dropped AFTER positions are assigned —
-    the StopFilter increment semantics), phrase occurrences via an
-    offset-shifted self-join, BM25 with idf = sum of the terms' idfs and
-    tf = phraseFreq — the engine's exact arithmetic."""
-    from lucene_ray.functions.analysis import make_analyzer
-    from lucene_ray.functions.query import parse_query
-
-    an = make_analyzer("en_nostem_simple")
-    ptok = f"""ptok AS (
-  SELECT doc_id, term, pos FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-    FROM documents
-  ) WHERE term NOT IN {_STOP_SQL}
-)"""
-    selects = []
-    for qid, qs in sorted(PHRASE_QUERY_SETS.items()):
-        q = parse_query(qs, an)  # PhraseQuery(terms, offsets)
-        if not q.terms:
-            selects.append(
-                f"(SELECT {qid} AS query_id, CAST(NULL AS INTEGER) AS rank, "
-                "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score "
-                "WHERE FALSE)"
-            )
-            continue
-        t0 = q.terms[0]
-        joins = "".join(
-            f"""
+def _phrase_scored_sub(q) -> str:
+    """Scored exact-phrase subquery -> (doc_id, score) rows: phrase
+    occurrences via an offset-shifted ptok self-join, BM25 with idf = sum
+    of the terms' idfs and tf = phraseFreq — the engine's exact
+    arithmetic. Shared by _phrase_sql and _simple_query_sql's phrase
+    children (one formula, one place)."""
+    t0 = q.terms[0]
+    joins = "".join(
+        f"""
       JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id
                     AND t{i}.pos = t0.pos + {q.offsets[i]}
                     AND t{i}.term = '{q.terms[i]}'"""
-            for i in range(1, len(q.terms))
-        )
-        vals = ", ".join(f"('{t}')" for t in q.terms)
-        selects.append(
-            f"""(SELECT {qid} AS query_id,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
-       doc_id, round(score, 4) AS score
-  FROM (
-    SELECT p.doc_id,
+        for i in range(1, len(q.terms))
+    )
+    vals = ", ".join(f"('{t}')" for t in q.terms)
+    return f"""SELECT p.doc_id,
            (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
               FROM (VALUES {vals}) v(term) JOIN df d USING (term)
               CROSS JOIN stats s2)
@@ -7303,12 +7276,38 @@ def _phrase_sql() -> str:
       GROUP BY t0.doc_id
     ) p
     JOIN dl ON dl.doc_id = p.doc_id
-    CROSS JOIN stats s
+    CROSS JOIN stats s"""
+
+
+def _phrase_sql() -> str:
+    """Oracle for bm25_phrase: positions via generate_subscripts over the
+    simple-token array (stopwords dropped AFTER positions are assigned —
+    the StopFilter increment semantics), scoring via _phrase_scored_sub."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, qs in sorted(PHRASE_QUERY_SETS.items()):
+        q = parse_query(qs, an)  # PhraseQuery(terms, offsets)
+        if not q.terms:
+            selects.append(
+                f"(SELECT {qid} AS query_id, CAST(NULL AS INTEGER) AS rank, "
+                "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score "
+                "WHERE FALSE)"
+            )
+            continue
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    {_phrase_scored_sub(q)}
   )
   ORDER BY rank LIMIT {TOPK})"""
         )
     body = "\nUNION ALL\n".join(selects)
-    return f"WITH {_BASE_CTES},\n{ptok}\n{body}"
+    return f"WITH {_BASE_CTES},\n{_PTOK_CTE}\n{body}"
 
 
 def _scored_match_sub(q) -> Tuple[str, str]:
@@ -7335,32 +7334,10 @@ def _scored_match_sub(q) -> Tuple[str, str]:
 
 
 def _phrase_score_join(alias: str, q) -> str:
-    """One exact-phrase scored subquery (same arithmetic as _phrase_sql:
-    idf = sum of the terms' idfs, tf = phraseFreq) joinable on doc_id."""
-    t0 = q.terms[0]
-    joins = "".join(
-        f"""
-        JOIN ptok t{i} ON t{i}.doc_id = t0.doc_id
-                      AND t{i}.pos = t0.pos + {q.offsets[i]}
-                      AND t{i}.term = '{q.terms[i]}'"""
-        for i in range(1, len(q.terms))
-    )
-    vals = ", ".join(f"('{t}')" for t in q.terms)
+    """The shared scored exact-phrase subquery (_phrase_scored_sub),
+    joinable on doc_id as a NestedQuery phrase child."""
     return f"""JOIN (
-      SELECT p.doc_id,
-             (SELECT SUM(ln(1 + (s2.n_docs - d.df + 0.5) / (d.df + 0.5)))
-                FROM (VALUES {vals}) v(term) JOIN df d USING (term)
-                CROSS JOIN stats s2)
-               * (p.pf / (p.pf + {K1} * ((1 - {B}) + {B} * dl.dl
-                    / (CAST(s.sum_tf AS DOUBLE) / s.n_docs)))) AS score
-      FROM (
-        SELECT t0.doc_id, COUNT(*) AS pf
-        FROM ptok t0{joins}
-        WHERE t0.term = '{t0}'
-        GROUP BY t0.doc_id
-      ) p
-      JOIN dl ON dl.doc_id = p.doc_id
-      CROSS JOIN stats s
+      {_phrase_scored_sub(q)}
     ) {alias} ON {alias}.doc_id = m.doc_id"""
 
 
@@ -7383,11 +7360,7 @@ def _simple_query_sql() -> str:
     an = make_analyzer("en_nostem_simple")
 
     def neg_docs_sub(base: BooleanQuery) -> str:
-        preds = [f"term = '{t}'" for t in sorted(set(base.must_not))]
-        preds += [
-            _clause_pred(k, p, a) for k, p, a, role in base.multi
-            if role == "must_not"
-        ]
+        preds = _parsed_preds(base)[2]  # the must_not predicate list
         return (
             "SELECT doc_id FROM sc WHERE "
             + ("(" + " OR ".join(preds) + ")" if preds else "FALSE")

@@ -290,11 +290,13 @@ def _parse_fuzziness(state: _State, flags: int) -> int:
     s = "".join(buf)
     if not s:
         return 2
-    try:
-        fuzziness = int(s)
-    except ValueError:
+    # Java's Integer.parseInt: optional sign then digits ONLY — Python's
+    # int() also accepts underscores ("1_1"), which must stay unparsable
+    import re
+
+    if re.fullmatch(r"[+-]?[0-9]+", s) is None:
         return 0
-    return max(fuzziness, 0)
+    return max(int(s), 0)
 
 
 def _token_finished(state: _State, flags: int) -> bool:

@@ -346,7 +346,7 @@ def encode_avi(frames: List[np.ndarray], fps: int = 25) -> bytes:
     frame_blobs = []
     for fr in frames:
         arr = np.ascontiguousarray(fr, dtype=np.uint8)
-        if arr.shape[:2] != (h, w) or arr.shape[2] != 3:
+        if arr.ndim != 3 or arr.shape != (h, w, 3):
             raise ValueError("all frames must share one HxWx3 shape")
         padded = np.zeros((h, stride), dtype=np.uint8)
         padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
@@ -418,7 +418,11 @@ def demux_avi(blob: bytes):
         return True
 
     try:
-        if not walk(12, 8 + struct.unpack_from("<I", blob, 4)[0], False):
+        # clamp to the ACTUAL buffer: a truncated payload must not yield
+        # chunk extents past the end just because the declared RIFF size
+        # still covers them (decode would read short data silently)
+        declared_end = 8 + struct.unpack_from("<I", blob, 4)[0]
+        if not walk(12, min(declared_end, len(blob)), False):
             return None
     except struct.error:
         return None
@@ -464,7 +468,7 @@ class FrameSampleStage:
         ids = batch.column("doc_id").to_pylist()
         for did, blob in zip(ids, batch.column(self.payload_col).to_pylist()):
             b = bytes(blob or b"")
-            demux = demux_avi(b) if is_avi(b) else None
+            demux = demux_avi(b)
             if demux is not None and demux[2]:
                 _, _, chunks = demux
                 nf = len(chunks)

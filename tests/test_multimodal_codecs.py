@@ -251,3 +251,22 @@ def test_frame_stage_real_and_fallback(ray_session):
         lo, hi = i * n // 4, (i + 1) * n // 4
         assert (r["frame_off"], r["frame_bytes"]) == (lo, hi - lo)
         assert r["digest"] == hashlib.md5(raw[lo:hi]).hexdigest()
+
+
+def test_avi_truncated_demux_refuses():
+    """A truncated payload whose declared RIFF size still covers the lost
+    bytes must NOT yield chunk extents past the buffer end."""
+    from lucene_ray.pipelines.multimodal import demux_avi, encode_avi
+
+    blob = encode_avi(_rng_frames(2, 3, 3, 5))
+    w, h, chunks = demux_avi(blob)
+    movi_end = chunks[-1][0] + chunks[-1][1]
+    # cut inside the LAST frame chunk (idx1 and 10 frame bytes gone)
+    cut = blob[: movi_end - 10]
+    got = demux_avi(cut)
+    if got is not None:
+        _w, _h, cks = got
+        assert all(off + size <= len(cut) for off, size in cks)
+    # encode rejects non-HxWx3 frames with ValueError, not IndexError
+    with pytest.raises(ValueError):
+        encode_avi([np.zeros((4, 4), np.uint8)])

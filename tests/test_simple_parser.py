@@ -96,6 +96,9 @@ def test_fuzzy():
     assert parse("foobar~") == dfz
     assert parse("foobar~a") == TermQuery("foobar")
     assert parse("foobar~1a") == TermQuery("foobar")
+    # Python int() would accept the underscore separator; Java's
+    # Integer.parseInt does not — must stay unparsable -> plain term
+    assert parse("foobar~1_1") == TermQuery("foobar")
     # fuzziness clamps to the max supported distance (2)
     assert parse("foo~3 bar") == NestedQuery(
         base=bq(must=("bar",)),
@@ -118,6 +121,7 @@ def test_phrase_and_slop():
     assert parse('"foo bar"~') == ph
     assert parse('"foo bar"~a') == ph
     assert parse('"foo bar"~1a') == ph
+    assert parse('"foo bar"~1_1') == ph
     assert parse('"foo bar"~-1') == ph
     assert parse('"foo bar"~12 baz') == NestedQuery(
         base=bq(must=("baz",)),
