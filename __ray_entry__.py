@@ -5230,11 +5230,11 @@ def _monitor_match(sf_dir: str):
 
 
 def _monitor_exact(sf_dir: str):
-    """Percolation with FULL query semantics: term presearch + a per-
-    candidate MemoryIndex running the real query (monitor/.../
-    CandidateMatcher.java over the MemoryIndex DocumentBatch) — covers
-    sloppy phrases and multi-term expansions the flat term-count matcher
-    rejects."""
+    """Percolation with FULL query semantics: one ephemeral
+    MemoryBatchIndex per batch, each saved query run once per batch
+    through the engine's matching_docs (monitor/.../DocumentBatch.java +
+    CandidateMatcher.java) — covers sloppy phrases and multi-term
+    expansions the flat term-count matcher rejects."""
     from lucene_ray.pipelines.monitor import match_saved_queries_exact
 
     return match_saved_queries_exact(
@@ -5253,6 +5253,7 @@ def _memory_index_scores(sf_dir: str):
 
     from lucene_ray.functions.analysis import make_analyzer
     from lucene_ray.functions.query import parse_query
+    from lucene_ray.functions.rounding import round_half_away
     from lucene_ray.state.memory_index import MemoryIndex
 
     class Stage:
@@ -5271,7 +5272,9 @@ def _memory_index_scores(sf_dir: str):
                 s = mi.search(self.q)
                 if s > 0.0:
                     out_d.append(int(d))
-                    out_s.append(round(s, 4))
+                    # DuckDB ROUND is half-away-from-zero, builtin round()
+                    # is half-even — same gotcha as every other entry
+                    out_s.append(float(round_half_away(s, 4)))
             return pa.table({
                 "doc_id": pa.array(out_d, pa.int64()),
                 "score": pa.array(out_s, pa.float64()),
@@ -6739,14 +6742,8 @@ WHERE a.n_must_m = r.n_must AND a.n_should_m >= r.msm_req
   AND a.n_not_m = 0{phrase_conds}"""
 
 
-_PTOK_CTE = f"""ptok AS (
-  SELECT doc_id, term, pos FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-    FROM documents
-  ) WHERE term NOT IN {_STOP_SQL}
-)"""
+# one canonical simple-token positions CTE (same text every oracle uses)
+_PTOK_CTE = _PTOK_CTE_TMPL.format(stops=_STOP_SQL)
 
 
 def _monitor_exact_sql() -> str:
@@ -8354,14 +8351,7 @@ def _syngraph_sql() -> str:
     from lucene_ray.functions.analysis import make_analyzer
 
     an = make_analyzer(SYNGRAPH_ANALYZER)
-    ptok = f"""ptok AS (
-  SELECT doc_id, term, pos FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-    FROM documents
-  ) WHERE term NOT IN {_STOP_SQL}
-)"""
+    ptok = _PTOK_CTE
     selects = []
     for qid, (qs, op) in sorted(SYNGRAPH_QUERY_SETS.items()):
         segs = an.analyze_graph(qs)
@@ -8492,14 +8482,7 @@ def _suggest_freetext_sql() -> str:
     (row_number over the stopword-filtered stream); score = cnt /
     ctx_total, unigram backoff 0.4 * ttf/sum_tf only when the context
     yields no prefix-matched bigram."""
-    ptok = f"""ptok AS (
-  SELECT doc_id, term, pos FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-           generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-    FROM documents
-  ) WHERE term NOT IN {_STOP_SQL}
-),
+    ptok = f"""{_PTOK_CTE},
 kept AS (
   SELECT doc_id, term,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn

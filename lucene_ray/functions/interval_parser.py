@@ -217,7 +217,10 @@ class _Parser:
             if self.peek() is not None and _INT.match(self.peek() or ""):
                 arg = self._int_arg(name)
             self._close(name)
-            return IntervalMultiTerm("fuzzy", pat, arg)
+            # Intervals.fuzzyTerm(term, maxEdits) delegates to FuzzyQuery
+            # DEFAULTS (Intervals.java:310-317) — transpositions=true, so
+            # the Damerau kind, not plain Levenshtein
+            return IntervalMultiTerm("dfuzzy", pat, arg)
         raise ValueError(f"unknown interval function fn:{name}")
 
 

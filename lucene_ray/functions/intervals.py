@@ -385,7 +385,7 @@ class IntervalMultiTerm:
     """Intervals.prefix / wildcard / regexp / range / fuzzyTerm —
     MultiTermIntervalsSource.java: the expansion of a term-dictionary
     pattern, evaluated as a width-1 disjunction over every matching term's
-    positions.  ``kind`` ∈ {prefix, wildcard, regexp, trange, fuzzy} with
+    positions.  ``kind`` ∈ {prefix, wildcard, regexp, trange, fuzzy, dfuzzy} with
     the engine's multiterm codes (functions/multiterm.py); raises when the
     dictionary expansion exceeds ``max_expansions`` (the reference throws
     IllegalStateException past 128, Intervals.java:160-175)."""

@@ -341,8 +341,10 @@ def _batch_freq_automaton(
         idxc = np.where(valid, idx, 0)
         POS = np.where(valid, ev_pos[idxc], np.int64(-1))
         MB = np.where(valid, ev_mask[idxc], np.int64(0))
-        # rows active at column j = count of cs > j (cs descending)
-        act = np.searchsorted(-cs, -col, side="right")
+        # rows active at column j = count of cs > j (cs descending):
+        # side="left" counts -cs < -col strictly — side="right" would
+        # keep exhausted rows (cs == j) active for one phantom column
+        act = np.searchsorted(-cs, -col, side="left")
         S = np.zeros((k_all, n), dtype=np.int64)
         F = np.zeros(k_all, dtype=np.int64)
         for j in range(me):

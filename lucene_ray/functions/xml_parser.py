@@ -80,7 +80,7 @@ def _span_node(el: ET.Element, analyzer):
             tuple(_span_term(c, analyzer) for c in el), slop, in_order
         )
     if tag == "SpanFirst":
-        end = int(el.get("end"))
+        end = _int_attr(el, "end")
         (child,) = list(el)
         return SpanFirstQuery(_span_term(child, analyzer), end)
     if tag == "SpanNot":
@@ -105,11 +105,25 @@ def _span_term(el: ET.Element, analyzer) -> str:
     return _analyzed_one(el.text or "", analyzer, "SpanTerm")
 
 
+def _int_attr(el: ET.Element, name: str) -> int:
+    """Required integer attribute — missing/garbage raises ValueError
+    (the CoreParser ParserException contract), never TypeError."""
+    raw = el.get(name)
+    if raw is None:
+        raise ValueError(f"<{el.tag}> needs a {name} attribute")
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"<{el.tag}> {name}={raw!r} is not an integer"
+        ) from None
+
+
 def _range_triple(el: ET.Element) -> Tuple[str, int, int]:
     field = el.get("fieldName")
     if not field:
         raise ValueError(f"<{el.tag}> needs fieldName")
-    return (field, int(el.get("lowerTerm")), int(el.get("upperTerm")))
+    return (field, _int_attr(el, "lowerTerm"), _int_attr(el, "upperTerm"))
 
 
 def _boolean(el: ET.Element, analyzer) -> BooleanQuery:
@@ -137,9 +151,12 @@ def _boolean(el: ET.Element, analyzer) -> BooleanQuery:
             b = float(child.get("boost", "1"))
             if b != 1.0:
                 boosts.append((t, b))
-            {"must": must, "should": should, "mustnot": must_not}[
-                occurs
-            ].append(t)
+            dest = {
+                "must": must, "should": should, "mustnot": must_not,
+            }.get(occurs)
+            if dest is None:
+                raise ValueError(f"unknown Clause occurs={occurs!r}")
+            dest.append(t)
         elif child.tag == "TermsQuery" and occurs == "should":
             should.extend(analyzer.analyze(child.text or ""))
         else:

@@ -106,7 +106,12 @@ def train_naive_bayes(
     meta = {"classes": classes, "analyzer": analyzer_name}
     if model_dir is not None:
         # web-scale path: model table never touches the driver — sink the
-        # shuffle output to parquet, read it back for the (scalar) sum_df
+        # shuffle output to parquet, read it back for the (scalar) sum_df.
+        # Clear first: write_parquet appends uniquely-named files, so a
+        # retrain into the same dir would read stale+new rows together
+        import shutil
+
+        shutil.rmtree(model_dir, ignore_errors=True)
         agg.write_parquet(model_dir)
         model_ds = ray.data.read_parquet(model_dir)
         # (the min_hits floor is applied at actor load time — sum_df and
@@ -149,6 +154,7 @@ def naive_bayes_classify(
     test_ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
+    concurrency=(1, 8),
 ):
     """Assign each test doc its argmax class (score desc, class asc).
     -> Dataset(doc_id, pred_cls, score[raw log-joint, float64]).
@@ -224,8 +230,10 @@ def naive_bayes_classify(
                 }
             )
 
+    # autoscaling actor pool: model load happens once per actor, and the
+    # per-batch scoring is CPU-bound — size `concurrency` to the cluster
     return test_ds.select_columns([id_col, text_col]).map_batches(
-        _Classify, batch_format="pyarrow", concurrency=2
+        _Classify, batch_format="pyarrow", concurrency=concurrency
     )
 
 

@@ -298,9 +298,11 @@ def match_saved_queries_exact(
     analyzer_name: str = "en_nostem_simple",
     concurrency: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """Percolation with FULL query semantics: term presearch prunes, a
-    per-candidate MemoryIndex runs the real query (sloppy phrases,
-    multi-term expansions, msm — anything ``parse_query`` yields)."""
+    """Percolation with FULL query semantics via the DocumentBatch
+    architecture (ExactMatcherStage): one ephemeral MemoryBatchIndex per
+    batch, every saved query runs once per batch through the engine's
+    ``matching_docs`` — sloppy phrases, multi-term expansions, msm,
+    anything ``parse_query`` yields, with no per-doc re-execution."""
     return docs.map_batches(
         ExactMatcherStage(query_strings, analyzer_name),
         batch_format="pyarrow",

@@ -228,3 +228,45 @@ def test_naive_bayes_parquet_model_identical(ray_session, tmp_path):
     bf = naive_bayes_classify(m_pq_f, ds).to_pandas().sort_values("doc_id")
     assert af["pred_cls"].tolist() == bf["pred_cls"].tolist()
     assert np.allclose(af["score"].to_numpy(), bf["score"].to_numpy())
+
+
+def test_nb_model_dir_retrain_overwrites(ray_session, tmp_path):
+    """Retraining into the SAME model_dir must replace the model, not
+    accumulate stale parquet files alongside the new ones."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.pipelines.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    def corpus(extra_word):
+        texts, classes = [], []
+        for i in range(40):
+            cls = "ca" if i % 2 else "cb"
+            texts.append(
+                ("apple arrow " if cls == "ca" else "breeze bark ")
+                + extra_word
+            )
+            classes.append(cls)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(classes, pa.string()),
+        }))
+
+    model_dir = str(tmp_path / "nb_retrain")
+    ds1 = corpus("alpha")
+    train_naive_bayes(ds1, model_dir=model_dir)
+    ds2 = corpus("omega")
+    m2 = train_naive_bayes(ds2, model_dir=model_dir)
+    m2_ref = train_naive_bayes(ds2)  # fresh small-path model, same corpus
+    import numpy as np
+
+    # the sunk model must equal a fresh train on ds2 — no ds1 residue
+    assert np.allclose(m2["den"], m2_ref["den"])
+    a = naive_bayes_classify(m2, ds2).to_pandas().sort_values("doc_id")
+    b = naive_bayes_classify(m2_ref, ds2).to_pandas().sort_values("doc_id")
+    assert a["pred_cls"].tolist() == b["pred_cls"].tolist()
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy())

@@ -80,8 +80,8 @@ CASES = [
      unordered_no_overlaps("data", "stream")),
     ("fn:wildcard(d?ta)", IntervalMultiTerm("wildcard", "d?ta")),
     ("fn:prefix(str)", IntervalMultiTerm("prefix", "str")),
-    ("fn:fuzzyTerm(strem)", IntervalMultiTerm("fuzzy", "strem", 2)),
-    ("fn:fuzzyTerm(strem 1)", IntervalMultiTerm("fuzzy", "strem", 1)),
+    ("fn:fuzzyTerm(strem)", IntervalMultiTerm("dfuzzy", "strem", 2)),
+    ("fn:fuzzyTerm(strem 1)", IntervalMultiTerm("dfuzzy", "strem", 1)),
     # nesting + mixed leaves; quoted phrase; commas; case-insensitive name
     ("fn:or(fn:phrase(data stream), \"key value\")",
      IntervalOr((IntervalBlock(("data", "stream")),
