@@ -424,6 +424,15 @@ COLLAPSE_QUERY_SETS: Dict[int, Tuple[str, str]] = {
     1: ("c* dup", "source"),
 }
 COLLAPSE_TOPK = 5
+# AllGroupHeadsCollector analogue: (query, group col, sort field) — the
+# head is the best hit by (field desc, doc asc), NOT by score; row count
+# = AllGroupsCollector's distinct-group count
+GROUP_HEADS_QUERY_SETS: Dict[int, Tuple[str, str, str]] = {
+    0: ("data stream", "lang", "n_chars"),
+    1: ("c* dup", "source", "n_chars"),
+    2: ("batch -small", "lang", "n_chars"),
+    3: ("zzzmissing", "lang", "n_chars"),   # no hits -> no groups
+}
 # DiversifiedTopDocsCollector analogue: (query, key col, max per key)
 DIVERSIFIED_QUERY_SETS = {
     0: ("data stream", "lang", 2),
@@ -2953,6 +2962,25 @@ def _search_collapse(sf_dir: str):
     return pd.concat(outs, ignore_index=True)
 
 
+def _group_heads(sf_dir: str):
+    """One head per group by a SORT FIELD (AllGroupHeadsCollector):
+    longest doc per group among the query's hits."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.facets import group_heads_by_field
+
+    index_dir = _ensure_index(sf_dir)
+    outs = []
+    for qid in sorted(GROUP_HEADS_QUERY_SETS):
+        qs, col, field = GROUP_HEADS_QUERY_SETS[qid]
+        t = group_heads_by_field(
+            index_dir, qs, _load_documents(sf_dir), col, field,
+        ).to_pandas()
+        t.insert(0, "query_id", qid)
+        outs.append(t)
+    return pd.concat(outs, ignore_index=True)
+
+
 # CommonTermsQuery: (terms, absolute df cutoff). At sf0.01 'dup' is the
 # only rare term (df 25 vs ~390 for everything else).
 COMMON_TERMS_QUERY_SETS: Dict[int, Tuple[str, int]] = {
@@ -4949,6 +4977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["expr_score"] = lambda sf: _expr_score(sf)
     q["search_grouped"] = lambda sf: _search_grouped(sf)
     q["search_collapse"] = lambda sf: _search_collapse(sf)
+    q["group_heads"] = lambda sf: _group_heads(sf)
     q["search_diversified"] = lambda sf: _search_diversified(sf)
     q["doc_map"] = lambda sf: _doc_map(sf)
     q["search_facets"] = lambda sf: _search_facets(sf)
@@ -5054,7 +5083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
-    "media_video", "simple_query",
+    "media_video", "simple_query", "group_heads",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5068,7 +5097,7 @@ _DRIVER_WINDOW = [
     # then a diverse slice of the round-2-only tail (one representative
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
-    "term_vectors", "term_stats", "bm25_dismax", "bm25_boost",
+    "term_vectors", "term_stats", "bm25_boost",
     "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
@@ -7591,6 +7620,30 @@ def _collapse_sql() -> str:
       WHERE {cond_m}
     ) WHERE rn = 1
   ) WHERE rank <= {COLLAPSE_TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
+
+
+def _group_heads_sql() -> str:
+    """Oracle for group_heads: per-group argmax by (field desc, doc asc)
+    over the query's matching docs (AllGroupHeadsCollector under a field
+    Sort); groups ordered asc like the engine's final sort."""
+    from lucene_ray.functions.analysis import make_analyzer
+    from lucene_ray.functions.query import parse_query
+
+    an = make_analyzer("en_nostem_simple")
+    selects = []
+    for qid, (qs, col, field) in sorted(GROUP_HEADS_QUERY_SETS.items()):
+        match = _match_docs_sql(parse_query(qs, an))
+        selects.append(
+            f"""(SELECT {qid} AS query_id, grp, doc_id, head_val FROM (
+    SELECT CAST(d.{col} AS VARCHAR) AS grp, d.doc_id,
+           CAST(d.{field} AS BIGINT) AS head_val,
+           row_number() OVER (PARTITION BY d.{col}
+                ORDER BY d.{field} DESC, d.doc_id ASC) AS rn
+    FROM documents d WHERE d.doc_id IN ({match})
+  ) WHERE rn = 1)"""
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
@@ -10397,6 +10450,7 @@ UNION ALL
     sql["expr_score"] = _expr_score_sql()
     sql["search_grouped"] = _grouped_sql()
     sql["search_collapse"] = _collapse_sql()
+    sql["group_heads"] = _group_heads_sql()
     sql["search_diversified"] = _diversified_sql()
     sql["term_vectors"] = f"""WITH {_BASE_CTES}
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf

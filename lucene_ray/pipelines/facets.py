@@ -488,6 +488,82 @@ def collapse_search(
     )
 
 
+def group_heads_by_field(
+    index_dir: str,
+    query_text: str,
+    docs_ds,  # ray.data.Dataset with (doc_id, <key_col>, <field_col>)
+    key_col: str,
+    field_col: str,
+    id_col: str = "doc_id",
+):
+    """AllGroupHeadsCollector — ONE head per group, ranked by a SORT
+    FIELD rather than score (reference: grouping/src/java/org/apache/
+    lucene/search/grouping/AllGroupHeadsCollector.java — "retrieves the
+    most relevant document per group" under an arbitrary Sort; head =
+    best (field desc, doc asc) among the query's hits). The row count is
+    the distinct-group count, subsuming AllGroupsCollector.
+
+    Plan (same scale shape as :func:`collapse_search`): the matching
+    doc-id SET broadcasts once (ints only — no scores needed for a
+    field-sorted head); per-batch local heads cap the shuffle at
+    (#keys × #blocks) rows; the per-key reduce picks the global head.
+    -> Dataset(grp, doc_id, head_val[int64]) sorted by grp asc."""
+    import ray
+    import ray.data
+
+    from ..functions.analysis import make_analyzer
+    from ..functions.query import matching_docs, parse_query
+    from .search import get_reader
+
+    reader = get_reader(index_dir)
+    q = parse_query(query_text, make_analyzer(reader.analyzer_name))
+    hits = np.asarray(matching_docs(reader, q), dtype=np.int64)
+    empty = pa.table(
+        {
+            "grp": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "head_val": pa.array([], pa.int64()),
+        }
+    )
+    if len(hits) == 0:
+        return ray.data.from_arrow(empty)
+    hits_ref = ray.put(hits)
+
+    def local_heads(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(hits_ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        sub = pa.table(
+            {
+                "grp": batch.column(key_col).cast(pa.string()),
+                "doc_id": batch.column(id_col),
+                "head_val": batch.column(field_col).cast(pa.int64()),
+            }
+        ).filter(pa.array(ids_sorted[pos] == ids))
+        s = sub.sort_by(
+            [("grp", "ascending"), ("head_val", "descending"),
+             ("doc_id", "ascending")]
+        )
+        grp = s.column("grp").to_numpy(zero_copy_only=False)
+        first = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            first[1:] = grp[1:] != grp[:-1]
+        return s.filter(pa.array(first))
+
+    def head(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("head_val", "descending"), ("doc_id", "ascending")]
+        ).slice(0, 1)
+
+    return (
+        docs_ds.select_columns([id_col, key_col, field_col])
+        .map_batches(local_heads, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(head, batch_format="pyarrow")
+        .sort("grp")
+    )
+
+
 def diversified_search(
     index_dir: str,
     query_text: str,

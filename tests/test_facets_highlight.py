@@ -522,3 +522,41 @@ def test_dynamic_numeric_ranges_vs_reference_loop():
             assert g["centroid"] == pytest.approx(cen, rel=1e-12)
     assert compute_dynamic_numeric_ranges(np.array([]), np.array([]), 3) == []
     assert compute_dynamic_numeric_ranges(np.array([1]), np.array([1]), 0) == []
+
+
+def test_group_heads_by_field(small_index, ray_session):
+    """AllGroupHeadsCollector analogue vs a pandas brute force: one head
+    per group among the hits, by (field desc, doc asc)."""
+    import pandas as pd
+    import ray.data
+
+    from lucene_ray.pipelines.facets import group_heads_by_field
+
+    out, doc_ids, texts, oracle = small_index
+    rng = np.random.default_rng(7)
+    keys = [f"k{rng.integers(0, 5)}" for _ in doc_ids]
+    vals = rng.integers(0, 100, len(doc_ids)).astype(np.int64)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "grp_col": pa.array(keys, pa.string()),
+        "val": pa.array(vals),
+    }))
+    an = make_analyzer("standard_en")
+    for qt in ["alpha", "alpha beta", "alpha -beta", "zzz"]:
+        got = group_heads_by_field(out, qt, docs, "grp_col", "val")
+        got_df = got.to_pandas()
+        hits = set(matching_docs(IndexReader(out), parse_query(qt, an)).tolist())
+        df = pd.DataFrame({"doc_id": doc_ids, "grp": keys, "val": vals})
+        df = df[df["doc_id"].isin(hits)]
+        if not hits:
+            # 0-row Dataset.to_pandas() loses schema (known Ray quirk)
+            assert len(got_df) == 0, qt
+            continue
+        want = (
+            df.sort_values(["grp", "val", "doc_id"],
+                           ascending=[True, False, True])
+            .groupby("grp", as_index=False).first()
+        )
+        assert got_df["grp"].tolist() == want["grp"].tolist(), qt
+        assert got_df["doc_id"].tolist() == want["doc_id"].tolist(), qt
+        assert got_df["head_val"].tolist() == want["val"].tolist(), qt
