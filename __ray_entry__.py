@@ -196,6 +196,8 @@ INFIX_SUBSTRINGS: Dict[int, str] = {0: "ar", 1: "ort", 2: "a", 3: "zz"}
 # nonFuzzyPrefix=1, minFuzzyLength=3).
 FUZZY_PREFIXES: Dict[int, str] = {
     0: "strem", 1: "dat", 2: "ke", 3: "btch", 4: "sto",
+    5: "sacn",  # adjacent swap of 'scan' — matches ONLY under the
+                # transpositions=true default (plain Levenshtein = 2)
 }
 FUZZY_MAX_EDITS = 1
 FUZZY_NON_FUZZY_PREFIX = 1
@@ -5083,7 +5085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
-    "media_video", "simple_query", "group_heads",
+    "media_video", "simple_query", "group_heads", "suggest_fuzzy",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5097,7 +5099,7 @@ _DRIVER_WINDOW = [
     # then a diverse slice of the round-2-only tail (one representative
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
-    "term_vectors", "term_stats", "bm25_boost",
+    "term_vectors", "bm25_boost",
     "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
@@ -10677,10 +10679,11 @@ FROM ranked WHERE rank <= {SPELL_TOPK}"""
 
     # FuzzySuggester analogue: a completion matches when some PREFIX of
     # it is within max_edits plain-Levenshtein edits of the typed input
-    # (min over m of levenshtein(term[:m], p)); the first
-    # non_fuzzy_prefix chars must match exactly, and inputs shorter than
-    # min_fuzzy_length complete exact-only. Ranked (dist asc, df desc,
-    # term asc) — mirrors complete_fuzzy exactly.
+    # (min over m of damerau_levenshtein(term[:m], p) — the reference's
+    # DEFAULT_TRANSPOSITIONS=true metric, full-DL = DuckDB's function
+    # bit-for-bit); the first non_fuzzy_prefix chars must match exactly,
+    # and inputs shorter than min_fuzzy_length complete exact-only.
+    # Ranked (dist asc, df desc, term asc) — mirrors complete_fuzzy.
     _fz_vals = ", ".join(
         f"({i}, '{FUZZY_PREFIXES[i]}', "
         f"{1 if len(FUZZY_PREFIXES[i]) >= FUZZY_MIN_LENGTH else 0})"
@@ -10691,7 +10694,7 @@ q(query_id, p, fz) AS (VALUES {_fz_vals}),
 cand AS (
   SELECT q.query_id, df.term, df.df,
          CASE WHEN q.fz = 0 THEN 0 ELSE (
-           SELECT MIN(levenshtein(substr(df.term, 1, m), q.p))
+           SELECT MIN(damerau_levenshtein(substr(df.term, 1, m), q.p))
            FROM unnest(generate_series(1, length(df.term))) AS u(m)
          ) END AS dist
   FROM df CROSS JOIN q

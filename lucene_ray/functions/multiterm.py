@@ -283,6 +283,74 @@ def prefix_edit_distance(
     return out
 
 
+def prefix_damerau_distance(
+    cands: Sequence[str], prefix: str, max_edits: int
+) -> dict:
+    """{candidate: d} where d = min over m>=1 of full
+    Damerau-Levenshtein(candidate[:m], prefix), kept when d <= max_edits
+    — FuzzySuggester's prefix acceptance under its DEFAULT
+    transpositions=true metric (suggest/.../analyzing/FuzzySuggester.java
+    DEFAULT_TRANSPOSITIONS). Same full-DL DP as :func:`damerau_within`
+    (the unrestricted Lowrance-Wagner variant DuckDB's
+    ``damerau_levenshtein`` computes, so SQL oracles reproduce it
+    bit-for-bit); the answer is the min over the final row's columns
+    instead of its last cell."""
+    q = np.frombuffer(prefix.encode("utf-32-le"), dtype=np.uint32)
+    m = len(q)
+    if m == 0:
+        return {}
+    by_len = {}
+    for c in cands:
+        if len(c) >= max(1, m - max_edits):
+            by_len.setdefault(len(c), []).append(c)
+    big = np.int32(1 << 20)
+    out = {}
+    for n, grp in by_len.items():
+        g = len(grp)
+        mat = np.empty((g, n), dtype=np.uint32)
+        for i, c in enumerate(grp):
+            mat[i] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+        js = np.arange(1, n + 1, dtype=np.int32)
+        D = np.empty((m + 1, g, n + 1), dtype=np.int32)
+        D[0] = np.arange(n + 1, dtype=np.int32)
+        gidx = np.arange(g)[:, None]
+        karr = np.zeros((g, n), dtype=np.int32)
+        for i in range(1, m + 1):
+            prev = D[i - 1]
+            eqr = mat == q[i - 1]
+            t = np.minimum(
+                prev[:, :-1] + (~eqr).astype(np.int32),  # substitute
+                prev[:, 1:] + 1,                         # delete
+            )
+            if i >= 2:
+                pos = np.where(eqr, js, np.int32(0))
+                larr = np.empty_like(pos)
+                larr[:, 0] = 0
+                np.maximum.accumulate(pos[:, :-1], axis=1, out=larr[:, 1:])
+                k = karr
+                valid = (k >= 1) & (larr >= 1)
+                trans = (
+                    D[
+                        np.maximum(k - 1, 0),
+                        gidx,
+                        np.maximum(larr - 1, 0),
+                    ]
+                    + (i - k - 1) + 1 + (js[None, :] - larr - 1)
+                )
+                np.minimum(t, np.where(valid, trans, big), out=t)
+            u = t - js
+            np.minimum.accumulate(u, axis=1, out=u)
+            np.minimum(u, np.int32(i), out=u)
+            D[i, :, 0] = i
+            D[i, :, 1:] = u + js
+            karr = np.where(eqr, np.int32(i), karr)
+        dmin = D[m, :, 1:].min(axis=1)
+        for i, c in enumerate(grp):
+            if int(dmin[i]) <= max_edits:
+                out[c] = int(dmin[i])
+    return out
+
+
 def expand(kind: str, pattern: str, arg: int, vocab: Sequence[str],
            rvocab: Optional[Sequence[str]] = None) -> List[str]:
     """Matching terms from a SORTED vocabulary, lexicographic order,

@@ -189,14 +189,22 @@ def complete_prefix(
 
 def _fuzzy_complete_matcher(
     prefixes: Sequence[str], max_edits: int, non_fuzzy_prefix: int,
-    min_fuzzy_length: int, min_df: int,
+    min_fuzzy_length: int, min_df: int, transpositions: bool = True,
 ):
     lowered = [p.lower() for p in prefixes]
 
     def match(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..functions.multiterm import prefix_edit_distance
+        from ..functions.multiterm import (
+            prefix_damerau_distance,
+            prefix_edit_distance,
+        )
+
+        dist_fn = (
+            prefix_damerau_distance if transpositions else
+            prefix_edit_distance
+        )
 
         parts = []
         dfs = batch.column("doc_freq").cast(pa.int64())
@@ -212,7 +220,7 @@ def _fuzzy_complete_matcher(
             else:
                 head = p[:non_fuzzy_prefix]
                 cands = [t for t in terms if t.startswith(head)]
-                dist = prefix_edit_distance(cands, p, max_edits)
+                dist = dist_fn(cands, p, max_edits)
             if not dist:
                 continue
             idx = [i for i, t in enumerate(terms) if t in dist]
@@ -271,24 +279,32 @@ def complete_fuzzy(
     non_fuzzy_prefix: int = 1,
     min_fuzzy_length: int = 3,
     min_df: int = 1,
+    transpositions: bool = True,
     cfg: Optional[IndexConfig] = None,
 ) -> "ray.data.Dataset":
     """FuzzySuggester analogue (reference:
     suggest/.../analyzing/AnalyzingSuggester.java +
     FuzzySuggester.java): a completion matches when some PREFIX of it is
-    within ``max_edits`` plain Levenshtein edits of the typed prefix, with
-    the reference's defaults-shaped knobs — the first ``non_fuzzy_prefix``
-    chars must match exactly, and inputs shorter than ``min_fuzzy_length``
-    complete exact-only. Ranked (prefix-distance asc, df desc, term asc) —
-    the reference ranks by weight alone over the fuzzed set; we surface
-    the distance as the primary key so exact completions always precede
-    fuzzed ones (documented deviation, mirrored by the SQL oracle).
+    within ``max_edits`` edits of the typed prefix, with the reference's
+    defaults-shaped knobs — ``transpositions=True`` (the reference's
+    DEFAULT_TRANSPOSITIONS) counts an adjacent swap as ONE edit via the
+    full Damerau-Levenshtein metric (the unrestricted variant DuckDB
+    reproduces; the reference automaton is the OSA restriction — same
+    documented deviation as FuzzyQuery); pass False for classic
+    Levenshtein, as the reference's constructor allows. The first
+    ``non_fuzzy_prefix`` chars must match exactly, and inputs shorter
+    than ``min_fuzzy_length`` complete exact-only. Ranked
+    (prefix-distance asc, df desc, term asc) — the reference ranks by
+    weight alone over the fuzzed set; we surface the distance as the
+    primary key so exact completions always precede fuzzed ones
+    (documented deviation, mirrored by the SQL oracle).
 
     -> Dataset(query_id, rank, term, df, dist)."""
     stats = term_stats(ds, cfg)
     cands = stats.map_batches(
         _fuzzy_complete_matcher(
-            prefixes, max_edits, non_fuzzy_prefix, min_fuzzy_length, min_df
+            prefixes, max_edits, non_fuzzy_prefix, min_fuzzy_length,
+            min_df, transpositions,
         ),
         batch_format="pyarrow",
     )

@@ -130,9 +130,37 @@ def test_prefix_edit_distance_vs_model():
         assert got == want, p
 
 
+def _full_dl(a, b):
+    """Unrestricted (Lowrance-Wagner) Damerau-Levenshtein — the metric
+    DuckDB's damerau_levenshtein computes."""
+    maxd = len(a) + len(b)
+    da = {}
+    H = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        H[i + 1][1] = i
+    for j in range(len(b) + 1):
+        H[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            cost = 1
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            H[i + 1][j + 1] = min(
+                H[i][j] + cost, H[i + 1][j] + 1, H[i][j + 1] + 1,
+                H[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        da[a[i - 1]] = i
+    return H[len(a) + 1][len(b) + 1]
+
+
 def _fuzzy_oracle(prefix, k, max_edits=1, non_fuzzy_prefix=1,
-                  min_fuzzy_length=3, min_df=1):
+                  min_fuzzy_length=3, min_df=1, transpositions=True):
     """Brute-force FuzzySuggester model over the same vocab."""
+    metric = _full_dl if transpositions else _levenshtein
     df = _vocab_df()
     p = prefix.lower()
     cands = []
@@ -145,7 +173,7 @@ def _fuzzy_oracle(prefix, k, max_edits=1, non_fuzzy_prefix=1,
             continue
         if not t.startswith(p[:non_fuzzy_prefix]):
             continue
-        dist = min(_levenshtein(t[:m], p) for m in range(1, len(t) + 1))
+        dist = min(metric(t[:m], p) for m in range(1, len(t) + 1))
         if dist <= max_edits:
             cands.append((dist, -d, t))
     cands.sort()
@@ -195,6 +223,20 @@ def test_complete_fuzzy_knobs(ray_session):
     dfv = _vocab_df()
     assert len(out2) > 0
     assert all(dfv[t] >= 2 for t in out2["term"])
+    # transpositions (the reference default): an adjacent swap is ONE
+    # edit — 'srteam' completes to the stream* family at dist 1; classic
+    # Levenshtein (transpositions=False) needs 2 edits and finds nothing
+    out3 = complete_fuzzy(_ds(), ["srteam"], k=5, cfg=CFG).to_pandas()
+    assert "stream" in set(out3["term"]) and (out3["dist"] == 1).all()
+    assert [
+        (r.term, r.dist, r.df) for r in
+        out3.sort_values("rank").itertuples(index=False)
+    ] == _fuzzy_oracle("srteam", 5)
+    out4 = complete_fuzzy(
+        _ds(), ["srteam"], k=5, transpositions=False, cfg=CFG
+    ).to_pandas()
+    assert _fuzzy_oracle("srteam", 5, transpositions=False) == []
+    assert len(out4) == 0
 
 
 def test_freetext_suggest(ray_session):
