@@ -10588,19 +10588,22 @@ ORDER BY doc_id"""
     sql["classify_nb"] = _classify_nb_sql()
     sql["classify_knn"] = _classify_knn_sql()
 
-    # Suggest module: DirectSpellChecker analogue. Plain Levenshtein
-    # (DuckDB's levenshtein == editdist3, no transpositions), dist 1..2,
-    # ranked (dist asc, df desc, term asc), top-k per input word.
+    # Suggest module: DirectSpellChecker analogue. Damerau-Levenshtein
+    # (the reference hardcodes transpositions=true in its FuzzyTermsEnum;
+    # DuckDB's damerau_levenshtein is the same full-DL variant as the
+    # engine's damerau_within), dist 1..2, ranked (dist asc, df desc,
+    # term asc), top-k per input word.
     _spell_vals = ", ".join(
         f"({i}, '{SPELL_INPUTS[i]}')" for i in sorted(SPELL_INPUTS)
     )
     sql["spell_suggest"] = f"""WITH {_BASE_CTES},
 q(query_id, w) AS (VALUES {_spell_vals}),
 cand AS (
-  SELECT q.query_id, df.term, levenshtein(df.term, q.w) AS dist, df.df
+  SELECT q.query_id, df.term,
+         damerau_levenshtein(df.term, q.w) AS dist, df.df
   FROM df CROSS JOIN q
   WHERE abs(length(df.term) - length(q.w)) <= 2
-    AND levenshtein(df.term, q.w) BETWEEN 1 AND 2
+    AND damerau_levenshtein(df.term, q.w) BETWEEN 1 AND 2
 ),
 ranked AS (
   SELECT query_id, term, dist, df,

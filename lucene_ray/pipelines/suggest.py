@@ -47,7 +47,8 @@ from .build import IndexConfig
 from .stats import term_stats
 
 
-def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int):
+def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int,
+                     transpositions: bool = True):
     """Per-batch candidate matcher: (term, doc_freq) rows -> matching
     (query_id, term, dist, df) rows. Distance classes come from two
     vectorized within-k passes (<=1 over the <=max_edits survivors), so no
@@ -55,6 +56,9 @@ def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int):
     lowered = [w.lower() for w in words]
 
     def match(batch: pa.Table) -> pa.Table:
+        from ..functions.multiterm import damerau_within
+
+        within = damerau_within if transpositions else levenshtein_within
         terms = batch.column("term").to_pylist()
         dfs = batch.column("doc_freq").to_numpy(zero_copy_only=False)
         idx = {t: i for i, t in enumerate(terms)}
@@ -63,8 +67,8 @@ def _suggest_matcher(words: Sequence[str], max_edits: int, min_df: int):
         dist_out: List[int] = []
         df_out: List[int] = []
         for qid, w in enumerate(lowered):
-            hits = levenshtein_within(terms, w, max_edits)
-            near = set(levenshtein_within(hits, w, 1)) if max_edits > 1 else set(hits)
+            hits = within(terms, w, max_edits)
+            near = set(within(hits, w, 1)) if max_edits > 1 else set(hits)
             for t in hits:
                 if t == w:
                     continue  # never suggest the input itself
@@ -115,15 +119,25 @@ def spell_suggest(
     max_edits: int = 2,
     k: int = 5,
     min_df: int = 1,
+    transpositions: bool = True,
     cfg: Optional[IndexConfig] = None,
 ) -> "ray.data.Dataset":
     """Dataset(text rows) + misspelled words -> per-word ranked suggestions
-    (query_id, rank, term, dist, df)."""
+    (query_id, rank, term, dist, df).
+
+    ``transpositions=True`` (default) counts an adjacent swap as ONE edit
+    — the reference DirectSpellChecker hardcodes transpositions=true in
+    its candidate enum (suggest/.../spell/DirectSpellChecker.java:424-425
+    ``new FuzzyTermsEnum(..., true)``); full-DL variant note as in
+    :func:`lucene_ray.functions.multiterm.damerau_within`. Deviation
+    (documented): no minPrefix constraint — the reference requires
+    max(minPrefix, editDistance-1) exact leading chars per candidate."""
     if max_edits not in (1, 2):
         raise ValueError("max_edits must be 1 or 2 (FuzzyQuery's bound)")
     stats = term_stats(ds, cfg)
     cands = stats.map_batches(
-        _suggest_matcher(words, max_edits, min_df), batch_format="pyarrow"
+        _suggest_matcher(words, max_edits, min_df, transpositions),
+        batch_format="pyarrow",
     )
     return cands.groupby("query_id").map_groups(
         _topk_spell(k), batch_format="pyarrow"

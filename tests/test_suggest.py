@@ -51,11 +51,13 @@ def _ds():
     ).repartition(3)
 
 
-def _spell_oracle(word: str, max_edits: int, k: int):
+def _spell_oracle(word: str, max_edits: int, k: int,
+                  transpositions=True):
+    metric = _full_dl if transpositions else _levenshtein
     df = _vocab_df()
     cands = []
     for t, d in df.items():
-        dist = _levenshtein(t, word)
+        dist = metric(t, word)
         if 1 <= dist <= max_edits:
             cands.append((dist, -d, t))
     cands.sort()
@@ -89,6 +91,21 @@ def test_spell_multi_word_and_min_df(ray_session):
 def test_spell_rejects_bad_max_edits(ray_session):
     with pytest.raises(ValueError):
         spell_suggest(_ds(), ["x"], max_edits=3, cfg=CFG)
+
+
+def test_spell_transpositions_default(ray_session):
+    """An adjacent swap is ONE edit under the DirectSpellChecker default
+    (FuzzyTermsEnum transpositions=true); classic Levenshtein needs 2."""
+    out = spell_suggest(_ds(), ["kyes"], max_edits=1, k=5, cfg=CFG)
+    got = out.to_pandas().sort_values("rank")
+    assert "keys" in set(got["term"]) and (got["dist"] == 1).all()
+    assert [(r.term, r.dist, r.df) for r in got.itertuples(index=False)] \
+        == _spell_oracle("kyes", 1, 5)
+    out_l = spell_suggest(
+        _ds(), ["kyes"], max_edits=1, k=5, transpositions=False, cfg=CFG
+    ).to_pandas()
+    assert _spell_oracle("kyes", 1, 5, transpositions=False) == []
+    assert len(out_l) == 0  # 0-row to_pandas loses schema (Ray quirk)
 
 
 def test_prefix_completion_ordering(ray_session):
