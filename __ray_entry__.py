@@ -5053,6 +5053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search ---
     q["knn_cosine"] = lambda sf: _knn(sf)
+    q["knn_similarity"] = lambda sf: _knn_similarity(sf)
     q["knn_filtered"] = lambda sf: _knn_filtered(sf)
     q["knn_cosine_ivf"] = lambda sf: _knn_ivf(sf)  # rows-only (approximate)
     q["knn_cosine_hnsw"] = lambda sf: _knn_hnsw(sf)  # rows-only (approximate)
@@ -5086,6 +5087,7 @@ _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
     "media_video", "simple_query", "group_heads", "suggest_fuzzy",
+    "knn_similarity",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5099,7 +5101,7 @@ _DRIVER_WINDOW = [
     # then a diverse slice of the round-2-only tail (one representative
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
-    "term_vectors", "bm25_boost",
+    "bm25_boost",
     "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
@@ -5393,6 +5395,21 @@ def _knn(sf_dir: str):
     from lucene_ray.pipelines.knn import knn_cosine
 
     return knn_cosine(_load_embeddings(sf_dir), KNN_QUERY_IDS, k=TOPK)
+
+
+#: FloatVectorSimilarityQuery threshold (range search, not top-k)
+KNN_SIM_THRESHOLD = 0.2
+
+
+def _knn_similarity(sf_dir: str):
+    """Vector similarity RANGE search (FloatVectorSimilarityQuery): every
+    vector at cosine >= threshold per query — a pure streaming
+    map+filter, no heap and no shuffle."""
+    from lucene_ray.pipelines.knn import vector_similarity_search
+
+    return vector_similarity_search(
+        _load_embeddings(sf_dir), KNN_QUERY_IDS, KNN_SIM_THRESHOLD,
+    )
 
 
 def _knn_filtered(sf_dir: str):
@@ -10956,6 +10973,22 @@ SELECT query_id,
                                ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
        vec_id, round(cosine, 6) AS cosine
 FROM cosv QUALIFY rank <= {TOPK}"""
+
+    # FloatVectorSimilarityQuery: threshold RANGE search — every vector
+    # at cosine >= threshold per query, unordered (no rank; the driver
+    # compare sorts rows), self-matches excluded
+    sql["knn_similarity"] = f"""WITH {_EMB_CTES},
+q AS (SELECT * FROM u WHERE vec_id IN {_KNN_IDS_SQL}),
+dot AS (
+  SELECT q.vec_id AS query_id, u.vec_id AS vec_id, SUM(q.v * u.v) AS d
+  FROM q JOIN u ON q.i = u.i AND q.vec_id <> u.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.query_id, d.vec_id,
+       round(d.d / (nq.n * nv.n), 6) AS cosine
+FROM dot d JOIN nrm nq ON nq.vec_id = d.query_id
+           JOIN nrm nv ON nv.vec_id = d.vec_id
+WHERE d.d / (nq.n * nv.n) >= {KNN_SIM_THRESHOLD}"""
 
     sql["knn_filtered"] = f"""WITH {_EMB_CTES},
 q AS (SELECT * FROM u WHERE vec_id IN {_KNN_IDS_SQL}),

@@ -177,6 +177,59 @@ def knn_cosine(
     )
 
 
+def vector_similarity_search(
+    ds: "ray.data.Dataset",
+    query_ids: Sequence[int],
+    threshold: float,
+    prefilter: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Float vector similarity RANGE search — every vector whose cosine
+    similarity to the query meets ``threshold``, rather than a top-k
+    (reference: core/.../search/FloatVectorSimilarityQuery.java via
+    AbstractVectorSimilarityQuery: "search for all (approximate) float
+    vectors above a similarity threshold"; this is the exact baseline —
+    the reference's own fallback when graph traversal visits too much).
+
+    Scale shape: a PURE streaming map + filter — no heap, no groupby, no
+    shuffle; the only driver state is the broadcast query matrix, and the
+    result streams straight to the consumer. ``prefilter`` restricts
+    candidates like :func:`knn_cosine`.
+
+    -> Dataset(query_id, vec_id, cosine[float64]) — self-matches
+    excluded; unordered (a threshold query has no rank)."""
+    qids, qmat = load_queries(ds, query_ids)
+    queries_ref = ray.put({"qids": qids, "mat": _normalize(qmat)})
+    if prefilter is not None:
+        ds = ds.filter(expr=prefilter)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        sims = mat @ q["mat"].T  # (rows, n_queries) float64
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(q["qids"]):
+            hit = np.flatnonzero(
+                (sims[:, j] >= threshold) & (vec_ids != qid)
+            )
+            out_q.append(np.full(len(hit), qid, dtype=np.int64))
+            out_v.append(vec_ids[hit])
+            out_c.append(sims[hit, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(
+                    round_half_away(np.concatenate(out_c), 6)
+                ),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 _PAIRS_OUT_SCHEMA = pa.schema(

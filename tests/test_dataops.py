@@ -1206,3 +1206,49 @@ def test_pack_sequences_prefix_and_buckets(ray_session):
             exp.append((d, n, off, off // 64, (off + n - 1) // 64))
         off += n
     assert got.values.tolist() == [list(e) for e in exp]
+
+
+def test_vector_similarity_threshold(ray_session):
+    """FloatVectorSimilarityQuery analogue: every vector at cosine >=
+    threshold, exact vs a numpy brute force; prefilter respected."""
+    import ray.data
+
+    from lucene_ray.pipelines.knn import vector_similarity_search
+
+    tbl, mat = _clustered_embeddings()
+    labels = (np.arange(len(tbl)) % 3).astype(np.int64)
+    tbl = tbl.append_column("label", pa.array(labels))
+    ds = ray.data.from_arrow(tbl)
+    # mirror the engine exactly: stored floats are float32, promoted to
+    # float64 at scoring time
+    m32 = np.stack([
+        np.asarray(r, dtype=np.float32) for r in
+        tbl.column("embedding").to_pylist()
+    ]).astype(np.float64)
+    normed = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for thresh in (0.3, 0.7):
+        out = vector_similarity_search(ds, [0, 5], thresh).take_all()
+        got = {(r["query_id"], r["vec_id"]) for r in out}
+        want = set()
+        for qid in (0, 5):
+            sims = normed @ normed[qid]
+            for v in np.flatnonzero(sims >= thresh):
+                if v != qid:
+                    want.add((qid, int(v)))
+        assert got == want, thresh
+        # reported cosines match the brute force at output rounding
+        for r in out:
+            assert r["cosine"] == pytest.approx(
+                float(normed[r["vec_id"]] @ normed[r["query_id"]]), abs=1e-6
+            )
+    # prefilter restricts candidates, not the query lookup
+    lab0 = int(labels[0])
+    outf = vector_similarity_search(
+        ds, [0], 0.3, prefilter=f"label == {lab0}"
+    ).take_all()
+    sims = normed @ normed[0]
+    wantf = {
+        int(v) for v in np.flatnonzero((sims >= 0.3) & (labels == lab0))
+        if v != 0
+    }
+    assert {r["vec_id"] for r in outf} == wantf
