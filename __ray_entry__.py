@@ -1272,6 +1272,53 @@ def _bm25_dismax(sf_dir: str):
     )
 
 
+# BlendedTermQuery: (terms, boosts, rewrite) — blended stats (df = max,
+# ttf = sum), per-term boosts, dismax (default, tie 0.01) or boolean
+BLENDED_QUERY_SETS: Dict[int, Tuple[tuple, tuple, str]] = {
+    0: (("data", "stream"), (1.0, 1.0), "dismax"),
+    1: (("dup", "batch"), (2.0, 1.0), "boolean"),   # rare 'dup' demoted
+    2: (("key", "zzzmissing"), (1.0, 1.0), "dismax"),  # absent variant
+    3: (("scan", "small", "slow"), (1.0, 0.5, 2.0), "dismax"),
+}
+
+
+def _blended_term(sf_dir: str):
+    """BlendedTermQuery: per-term scoring under blended (max-df, sum-ttf)
+    stats, combined by the RewriteMethod."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.functions.query import BlendedTermQuery, score_blended
+    from lucene_ray.functions.rounding import round_half_away
+    from lucene_ray.pipelines.search import get_reader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = get_reader(index_dir)
+    reader.bm25_params = (K1, B)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid in sorted(BLENDED_QUERY_SETS):
+        terms, boosts, rewrite = BLENDED_QUERY_SETS[qid]
+        d, s = score_blended(
+            reader,
+            BlendedTermQuery(terms=terms, boosts=boosts, rewrite=rewrite),
+            TOPK,
+        )
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(
+            round_half_away(np.asarray(s, dtype=np.float64), 4).tolist()
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def _constant_score(sf_dir: str):
     """ConstantScoreQuery: matching docs of each count-set query with a
     constant score of 1.0 (first TOPK by doc id)."""
@@ -4856,6 +4903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for name in MULTI_QUERY_SETS:
         q[name] = (lambda n: lambda sf: _multi_result(sf, n))(name)
     q["bm25_dismax"] = lambda sf: _bm25_dismax(sf)
+    q["blended_term"] = lambda sf: _blended_term(sf)
     q["bm25_boost"] = lambda sf: _run_query_strings(sf, BOOST_QUERY_SETS)
     q["bm25_count"] = lambda sf: _bm25_count(sf)
     q["constant_score"] = lambda sf: _constant_score(sf)
@@ -5087,7 +5135,7 @@ _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
     "media_video", "simple_query", "group_heads", "suggest_fuzzy",
-    "knn_similarity",
+    "knn_similarity", "blended_term",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5101,7 +5149,6 @@ _DRIVER_WINDOW = [
     # then a diverse slice of the round-2-only tail (one representative
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
-    "bm25_boost",
     "constant_score", "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
@@ -9976,6 +10023,48 @@ def _dismax_sql() -> str:
     return f"WITH {_BASE_CTES},\n{_SC_CTE}\n{body}"
 
 
+def _blended_sql() -> str:
+    """Oracle for blended_term: per-(doc, term) scores recomputed with
+    the BLENDED stats — idf from dfmax = MAX(df) over the query's present
+    terms (a scalar subquery, so it tracks the data), denominators from
+    the term's own tf/dl — in the engine's exact float order
+    boost * (idf * (tf / denom)); dismax/boolean combine per rewrite."""
+    selects = []
+    for qid in sorted(BLENDED_QUERY_SETS):
+        terms, boosts, rewrite = BLENDED_QUERY_SETS[qid]
+        tlist = _in_list(sorted(set(terms)))
+        vals = ", ".join(
+            f"('{t}', {b})" for t, b in zip(terms, boosts)
+        )
+        combine = (
+            "SUM(sc)" if rewrite == "boolean"
+            else "MAX(sc) + 0.01 * (SUM(sc) - MAX(sc))"
+        )
+        selects.append(
+            f"""(SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, round(score, 4) AS score
+  FROM (
+    SELECT doc_id, {combine} AS score
+    FROM (
+      SELECT tf.doc_id,
+             v.boost * (ln(1 + (s.n_docs - m.dfmax + 0.5) / (m.dfmax + 0.5))
+               * (tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl
+                    / (CAST(s.sum_tf AS DOUBLE) / s.n_docs))))) AS sc
+      FROM tf
+      JOIN (VALUES {vals}) v(term, boost) ON v.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      CROSS JOIN (SELECT MAX(df) AS dfmax FROM df
+                  WHERE term IN {tlist}) m
+    ) GROUP BY doc_id
+  )
+  ORDER BY rank LIMIT {TOPK})"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE_CTES}\n{body}"
+
+
 def _boost_sql() -> str:
     """Boost oracle: the engine's parsed (term, boost) pairs become
     per-term `score * boost` arms in the scoring CASE."""
@@ -10374,6 +10463,7 @@ UNION ALL
     for name in MULTI_QUERY_SETS:
         sql[name] = _multi_sql(name)
     sql["bm25_dismax"] = _dismax_sql()
+    sql["blended_term"] = _blended_sql()
     sql["bm25_boost"] = _boost_sql()
     sql["bm25_count"] = _count_sql()
     sql["constant_score"] = _constant_score_sql()

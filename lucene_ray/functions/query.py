@@ -203,6 +203,27 @@ class DisMaxQuery:
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery:
+    """BlendedTermQuery (reference: core/.../search/BlendedTermQuery.java,
+    the cross-field "blended statistics" query): each term scores
+    INDIVIDUALLY but with BLENDED collection stats — df = max of the
+    terms' docFreqs, ttf = SUM of their totalTermFreqs (rewrite(),
+    :281-292 + adjustFrequencies) — so a rare variant cannot dominate
+    through its own idf yet still contributes its own tf/norm chain
+    (unlike SynonymQuery's single summed-freq pseudo-term). Per-term
+    ``boosts`` multiply the similarity weight (Builder.add(term, boost)
+    -> BoostQuery, w = boost * idf). ``rewrite`` selects the
+    RewriteMethod: "dismax" = DISJUNCTION_MAX_REWRITE (the reference
+    default, tieBreaker 0.01, :190) or "boolean" = BOOLEAN_REWRITE
+    (plain SHOULD sum, :138)."""
+
+    terms: Tuple[str, ...]
+    boosts: Tuple[float, ...] = ()
+    rewrite: str = "dismax"
+    tie_breaker: float = 0.01
+
+
+@dataclass(frozen=True)
 class BooleanQuery:
     must: Tuple[str, ...] = ()
     should: Tuple[str, ...] = ()
@@ -470,7 +491,7 @@ def query_terms(q) -> set:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, (DisMaxQuery, SynonymQuery)):
+    if isinstance(q, (DisMaxQuery, SynonymQuery, BlendedTermQuery)):
         return set(q.terms)
     if isinstance(q, MultiPhrase):
         return {t for arr in q.term_arrays for t in arr}
@@ -2056,6 +2077,64 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
             s = scores[pos_c[hit]].astype(dtype, copy=False)
             acc_sum[hit] += s
             acc_max[hit] = np.maximum(acc_max[hit], s)
+        score = acc_max + tie * (acc_sum - acc_max)
+    return _topk_from(cand, score, k)
+
+
+def score_blended(reader, query: BlendedTermQuery, k: int = 10):
+    """BlendedTermQuery executor: blended stats (df = max, ttf = sum)
+    feed ONE scorer family, each term scores its own postings with its
+    own boost, and the RewriteMethod combines — boolean = SHOULD sum in
+    sorted-term order (the flat executor's canonical accumulation),
+    dismax = max + tie * rest (DisjunctionMaxScorer, same combine as
+    :func:`score_dismax`)."""
+    dtype = np.float32 if reader.norm_kind == "byte4" else np.float64
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if k <= 0 or not query.terms:
+        return empty
+    boosts = dict(zip(
+        query.terms,
+        query.boosts if query.boosts else (1.0,) * len(query.terms),
+    ))
+    df_blend, ttf_blend = 0, 0
+    present: List[str] = []
+    for t in sorted(set(query.terms)):
+        df, ttf = reader.term_stats(t)
+        df_blend = max(df_blend, df)
+        ttf_blend += ttf
+        if df > 0:
+            present.append(t)
+    if df_blend == 0:
+        return empty
+    deleted = getattr(reader, "deleted", None)
+    full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
+    per_term = []
+    for t in present:
+        # the warm cache keys on (term, scorer.cache_key()) — blended df
+        # and per-term boost are scorer params, so entries never collide
+        # with the term's unblended lists
+        scorer = _term_scorer(
+            reader, df_blend, ttf_blend, float(boosts.get(t, 1.0))
+        )
+        cursor = TermCursor(t, reader.postings(t), scorer, full_cache,
+                            deleted=deleted)
+        per_term.append(cursor.decode_all())
+    alld = np.concatenate([d for d, _ in per_term])
+    cand = np.unique(alld)
+    tie = np.dtype(dtype).type(query.tie_breaker)
+    acc_sum = np.zeros(len(cand), dtype=dtype)
+    acc_max = np.zeros(len(cand), dtype=dtype)
+    for docs, scores in per_term:
+        if len(docs) == 0:
+            continue
+        pos = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+        hit = docs[pos] == cand
+        s = scores[pos[hit]].astype(dtype, copy=False)
+        acc_sum[hit] += s
+        acc_max[hit] = np.maximum(acc_max[hit], s)
+    if query.rewrite == "boolean":
+        score = acc_sum
+    else:
         score = acc_max + tie * (acc_sum - acc_max)
     return _topk_from(cand, score, k)
 

@@ -146,3 +146,88 @@ def test_match_all_query(ray_session, tmp_path):
     assert count_matches(r, q) == 4
     delete_docs(out, [100])
     assert count_matches(get_reader(out), q) == 3
+
+
+def test_blended_term_query(corpus):
+    """BlendedTermQuery: each term scores with BLENDED stats (df = max
+    across the terms, ttf = sum) and its own boost, combined per rewrite
+    — verified against a numpy brute force built from the reader's own
+    postings and stats."""
+    from lucene_ray.functions.bm25 import make_scorer
+    from lucene_ray.functions.query import BlendedTermQuery, score_blended
+
+    reader, _oracle = corpus
+
+    def brute(terms, boosts, rewrite, tie=0.01, k=10):
+        df_blend, ttf_blend = 0, 0
+        for t in set(terms):
+            df, ttf = reader.term_stats(t)
+            df_blend = max(df_blend, df)
+            ttf_blend += ttf
+        if df_blend == 0:
+            return [], []
+        per_doc_sum, per_doc_max = {}, {}
+        for t, b in zip(terms, boosts):
+            df, _ = reader.term_stats(t)
+            if df == 0:
+                continue
+            scorer = make_scorer(
+                reader.norm_kind, reader.doc_count, reader.sum_total_tf,
+                df_blend, boost=float(b),
+            )
+            for tp in reader.postings(t):
+                d, tfs, keys = tp.decode_all()
+                s = scorer.score_array(np.asarray(tfs), np.asarray(keys))
+                for doc, sc in zip(np.asarray(d).tolist(), s.tolist()):
+                    per_doc_sum[doc] = np.float32(
+                        per_doc_sum.get(doc, np.float32(0.0))
+                        + np.float32(sc)
+                    )
+                    per_doc_max[doc] = max(
+                        per_doc_max.get(doc, np.float32(0.0)),
+                        np.float32(sc),
+                    )
+        out = []
+        for doc in per_doc_sum:
+            if rewrite == "boolean":
+                sc = per_doc_sum[doc]
+            else:
+                sc = np.float32(
+                    per_doc_max[doc]
+                    + np.float32(tie) * np.float32(
+                        per_doc_sum[doc] - per_doc_max[doc]
+                    )
+                )
+            out.append((float(sc), doc))
+        out.sort(key=lambda e: (-e[0], e[1]))
+        return ([d for _s, d in out[:k]], [s for s, _d in out[:k]])
+
+    for terms, boosts, rewrite in [
+        (("alpha", "beta"), (1.0, 1.0), "dismax"),
+        (("alpha", "gamma"), (2.0, 1.0), "boolean"),
+        (("kappa", "zzz"), (1.0, 1.0), "dismax"),   # absent variant
+        (("alpha", "beta", "mu"), (1.0, 0.5, 2.0), "dismax"),
+        (("zzz",), (1.0,), "dismax"),               # all absent -> empty
+    ]:
+        q = BlendedTermQuery(terms=terms, boosts=boosts, rewrite=rewrite)
+        d, s = score_blended(reader, q, 10)
+        wd, ws = brute(terms, boosts, rewrite)
+        assert d.tolist() == wd, (terms, rewrite)
+        assert np.allclose(np.asarray(s, np.float64), ws, rtol=1e-6), terms
+
+    # the blend demotes a rare term's idf: with a common partner its
+    # blended-df score is <= its own-stats score on every doc
+    rare = "mu"
+    df_r, ttf_r = reader.term_stats(rare)
+    df_c, _ = reader.term_stats("alpha")
+    assert 0 < df_r < df_c
+    own_d, own_s = score_blended(
+        reader, BlendedTermQuery(terms=(rare,)), 10
+    )
+    blend_d, blend_s = score_blended(
+        reader, BlendedTermQuery(terms=(rare, "alpha"), rewrite="dismax"),
+        reader.doc_count,
+    )
+    blended_lookup = dict(zip(blend_d.tolist(), blend_s.tolist()))
+    for doc, sc in zip(own_d.tolist(), own_s.tolist()):
+        assert blended_lookup[doc] <= sc + 1e-6
