@@ -1279,6 +1279,7 @@ BLENDED_QUERY_SETS: Dict[int, Tuple[tuple, tuple, str]] = {
     1: (("dup", "batch"), (2.0, 1.0), "boolean"),   # rare 'dup' demoted
     2: (("key", "zzzmissing"), (1.0, 1.0), "dismax"),  # absent variant
     3: (("scan", "small", "slow"), (1.0, 0.5, 2.0), "dismax"),
+    4: (("data", "data"), (1.0, 2.0), "boolean"),  # duplicate clauses
 }
 
 
@@ -5135,7 +5136,7 @@ _DRIVER_WINDOW = [
     # round-5 additions (new operators this round — no driver evidence)
     "memory_index", "monitor_exact", "geo_shape", "media_pixels",
     "media_video", "simple_query", "group_heads", "suggest_fuzzy",
-    "knn_similarity", "blended_term",
+    "knn_similarity", "blended_term", "spell_suggest",
     "interval_parser", "xml_query", "synonym_graph", "synonym_graph_index",
     "bm25_fuzzy_transpose",
     # entries that have NEVER appeared in a driver correctness file
@@ -5149,7 +5150,7 @@ _DRIVER_WINDOW = [
     # then a diverse slice of the round-2-only tail (one representative
     # per family; redundant bm25 variants stay out — each holds a passing
     # r2 record and the full local gate still runs them every session)
-    "constant_score", "bm25_update_latest",
+    "bm25_update_latest",
     "bm25_range_filter", "bm25_set_filter", "sort_by_ts",
     "sort_by_len_sorted", "bm25_bool_groups", "bm25_multifield",
     "bm25_combined_field", "bm25_explain", "bm25_phrase",

@@ -2023,12 +2023,14 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
     deleted = getattr(reader, "deleted", None)
     cursors = []
     for t in sorted(set(query.terms)):
-        df, _ = reader.term_stats(t)
+        df, ttf = reader.term_stats(t)
         if df == 0:
             continue
-        scorer = make_scorer(
-            reader.norm_kind, reader.doc_count, reader.sum_total_tf, df
-        )
+        # _term_scorer honors the searcher's similarity selection and
+        # custom (k1, b) — IndexSearcher.setSimilarity applies to EVERY
+        # query kind, DisjunctionMax included (a direct make_scorer call
+        # here used to silently pin default BM25)
+        scorer = _term_scorer(reader, df, ttf)
         cursors.append(
             TermCursor(t, reader.postings(t), scorer, full_cache,
                        deleted=deleted)
@@ -2049,7 +2051,10 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
             c._full_min is not None and c._full_min > 0 for c in cursors
         )
         acc_sum = np.zeros(doc_space, dtype=dtype)
-        acc_max = np.zeros(doc_space, dtype=dtype)
+        # -inf so negative per-clause scores (Indri-family) take the true
+        # max; matched docs always overwrite it, and the positive-scores
+        # shortcut below still reads matched docs as > 0
+        acc_max = np.full(doc_space, -np.inf, dtype=dtype)
         cnt = None if pos else np.zeros(doc_space, dtype=np.uint8)
         for docs, scores in per_term:
             if len(docs) == 0:
@@ -2064,21 +2069,33 @@ def score_dismax(reader, query: DisMaxQuery, k: int = 10):
         m = acc_max[cand]
         score = m + tie * (acc_sum[cand] - m)
     else:
-        alld = np.concatenate([d for d, _ in per_term])
-        cand = np.unique(alld)
-        acc_sum = np.zeros(len(cand), dtype=dtype)
-        acc_max = np.zeros(len(cand), dtype=dtype)
-        for docs, scores in per_term:
-            if len(docs) == 0:
-                continue
-            pos = np.searchsorted(docs, cand)
-            pos_c = np.minimum(pos, len(docs) - 1)
-            hit = docs[pos_c] == cand
-            s = scores[pos_c[hit]].astype(dtype, copy=False)
-            acc_sum[hit] += s
-            acc_max[hit] = np.maximum(acc_max[hit], s)
-        score = acc_max + tie * (acc_sum - acc_max)
+        cand, score = _disjunction_combine(per_term, tie, dtype)
     return _topk_from(cand, score, k)
+
+
+def _disjunction_combine(per_term, tie, dtype, rewrite: str = "dismax"):
+    """Sparse disjunction combine over scored per-clause lists -> (cand,
+    score). ``dismax`` = max + tie * (sum - max) (DisjunctionMaxScorer);
+    ``boolean`` = plain SHOULD sum. acc_max initializes to -inf so
+    NEGATIVE per-clause scores (Indri-family similarities) combine
+    correctly — every candidate matches >= 1 clause by construction, so
+    no -inf survives. Shared by score_dismax and score_blended."""
+    alld = np.concatenate([d for d, _ in per_term])
+    cand = np.unique(alld)
+    acc_sum = np.zeros(len(cand), dtype=dtype)
+    acc_max = np.full(len(cand), -np.inf, dtype=dtype)
+    for docs, scores in per_term:
+        if len(docs) == 0:
+            continue
+        pos = np.searchsorted(docs, cand)
+        pos_c = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos_c] == cand
+        s = scores[pos_c[hit]].astype(dtype, copy=False)
+        acc_sum[hit] += s
+        acc_max[hit] = np.maximum(acc_max[hit], s)
+    if rewrite == "boolean":
+        return cand, acc_sum
+    return cand, acc_max + tie * (acc_sum - acc_max)
 
 
 def score_blended(reader, query: BlendedTermQuery, k: int = 10):
@@ -2092,50 +2109,43 @@ def score_blended(reader, query: BlendedTermQuery, k: int = 10):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
     if k <= 0 or not query.terms:
         return empty
-    boosts = dict(zip(
-        query.terms,
-        query.boosts if query.boosts else (1.0,) * len(query.terms),
-    ))
+    boosts = (
+        query.boosts if query.boosts else (1.0,) * len(query.terms)
+    )
+    if len(boosts) != len(query.terms):
+        raise ValueError("boosts must pair 1:1 with terms")
+    # ttf sums over the CLAUSES (a duplicated term contributes twice),
+    # df maxes — BlendedTermQuery.rewrite():281-292 iterates contexts
     df_blend, ttf_blend = 0, 0
-    present: List[str] = []
-    for t in sorted(set(query.terms)):
-        df, ttf = reader.term_stats(t)
+    stats = {}
+    for t in query.terms:
+        if t not in stats:
+            stats[t] = reader.term_stats(t)
+        df, ttf = stats[t]
         df_blend = max(df_blend, df)
         ttf_blend += ttf
-        if df > 0:
-            present.append(t)
     if df_blend == 0:
         return empty
     deleted = getattr(reader, "deleted", None)
     full_cache = reader.__dict__.setdefault("_scored_full", LruDict(512))
+    # one scored list PER CLAUSE: like the reference's rewritten
+    # disjunction, a duplicated term scores once per occurrence with its
+    # own boost (set-collapsing would diverge from the clause list)
     per_term = []
-    for t in present:
+    for t, b in zip(query.terms, boosts):
+        if stats[t][0] == 0:
+            continue
         # the warm cache keys on (term, scorer.cache_key()) — blended df
         # and per-term boost are scorer params, so entries never collide
         # with the term's unblended lists
-        scorer = _term_scorer(
-            reader, df_blend, ttf_blend, float(boosts.get(t, 1.0))
-        )
+        scorer = _term_scorer(reader, df_blend, ttf_blend, float(b))
         cursor = TermCursor(t, reader.postings(t), scorer, full_cache,
                             deleted=deleted)
         per_term.append(cursor.decode_all())
-    alld = np.concatenate([d for d, _ in per_term])
-    cand = np.unique(alld)
     tie = np.dtype(dtype).type(query.tie_breaker)
-    acc_sum = np.zeros(len(cand), dtype=dtype)
-    acc_max = np.zeros(len(cand), dtype=dtype)
-    for docs, scores in per_term:
-        if len(docs) == 0:
-            continue
-        pos = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
-        hit = docs[pos] == cand
-        s = scores[pos[hit]].astype(dtype, copy=False)
-        acc_sum[hit] += s
-        acc_max[hit] = np.maximum(acc_max[hit], s)
-    if query.rewrite == "boolean":
-        score = acc_sum
-    else:
-        score = acc_max + tie * (acc_sum - acc_max)
+    cand, score = _disjunction_combine(
+        per_term, tie, dtype, rewrite=query.rewrite
+    )
     return _topk_from(cand, score, k)
 
 

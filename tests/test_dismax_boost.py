@@ -231,3 +231,78 @@ def test_blended_term_query(corpus):
     blended_lookup = dict(zip(blend_d.tolist(), blend_s.tolist()))
     for doc, sc in zip(own_d.tolist(), own_s.tolist()):
         assert blended_lookup[doc] <= sc + 1e-6
+
+
+def test_blended_duplicate_clauses(corpus):
+    """A duplicated term scores once PER CLAUSE with its own boost (the
+    reference's rewritten disjunction keeps both TermQueries)."""
+    from lucene_ray.functions.query import BlendedTermQuery, score_blended
+
+    reader, _ = corpus
+    dup = BlendedTermQuery(
+        terms=("alpha", "alpha"), boosts=(1.0, 2.0), rewrite="boolean"
+    )
+    single = BlendedTermQuery(terms=("alpha",), boosts=(3.0,),
+                              rewrite="boolean")
+    dd, ds = score_blended(reader, dup, 10)
+    sd, ss = score_blended(reader, single, 10)
+    # boolean sum of boosts 1+2 == one clause at boost 3 (same blended
+    # stats: df max and ttf sum both double-count consistently? no —
+    # ttf doubles for dup) so compare against the explicit brute sum
+    from lucene_ray.functions.bm25 import make_scorer
+
+    df, ttf = reader.term_stats("alpha")
+    want = {}
+    for b in (1.0, 2.0):
+        scorer = make_scorer(reader.norm_kind, reader.doc_count,
+                             reader.sum_total_tf, df, boost=b)
+        for tp in reader.postings("alpha"):
+            d, tfs, keys = tp.decode_all()
+            s = scorer.score_array(np.asarray(tfs), np.asarray(keys))
+            for doc, sc in zip(np.asarray(d).tolist(), s.tolist()):
+                want[doc] = np.float32(
+                    want.get(doc, np.float32(0.0)) + np.float32(sc)
+                )
+    lookup = dict(zip(dd.tolist(), np.asarray(ds, np.float64).tolist()))
+    for doc in dd.tolist():
+        assert lookup[doc] == pytest.approx(float(want[doc]), rel=1e-6)
+    with pytest.raises(ValueError):
+        score_blended(reader, BlendedTermQuery(
+            terms=("alpha", "beta"), boosts=(1.0,)
+        ), 10)
+
+
+def test_dismax_negative_scores(corpus):
+    """Negative per-clause scores (Indri log-probs) must combine as the
+    true max + tie * rest — a zero-initialized max would silently clamp."""
+    from lucene_ray.functions.query import score_dismax
+
+    reader, _ = corpus
+    reader.similarity = ("indri", 2000.0)
+    try:
+        q = DisMaxQuery(terms=("alpha", "beta"), tie_breaker=0.3)
+        d, s = score_dismax(reader, q, reader.doc_count)
+        assert len(d) and (np.asarray(s) < 0).all()
+        # brute force: per-term scored lists under the same similarity
+        from lucene_ray.functions.query import _term_scorer, TermCursor
+
+        per = {}
+        for t in ("alpha", "beta"):
+            df, ttf = reader.term_stats(t)
+            if df == 0:
+                continue
+            scorer = _term_scorer(reader, df, ttf)
+            cur = TermCursor(t, reader.postings(t), scorer, {},
+                             deleted=getattr(reader, "deleted", None))
+            docs, scores = cur.decode_all()
+            for doc, sc in zip(docs.tolist(), scores.tolist()):
+                per.setdefault(doc, []).append(sc)
+        dt = np.float32 if reader.norm_kind == "byte4" else np.float64
+        tie = np.dtype(dt).type(0.3)
+        for doc, sc in zip(d.tolist(), s.tolist()):
+            vals = [np.dtype(dt).type(v) for v in per[doc]]
+            m = max(vals)
+            want = m + tie * (sum(vals, np.dtype(dt).type(0.0)) - m)
+            assert sc == pytest.approx(float(want), rel=1e-6), doc
+    finally:
+        reader.similarity = None
